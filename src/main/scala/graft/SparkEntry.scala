@@ -1,13 +1,387 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, MergeInto}
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
+  * ops), each with a DuckDB-equivalent `oracleSql` on the same parquet
+  * tables.
+  *
+  * Numeric-parity rules used throughout (so Spark and DuckDB hash-match
+  * bit-for-bit):
+  *  - money/measure sums go through exact `decimal(18,2)` arithmetic and
+  *    only the final value is cast to double;
+  *  - averages are `cast(exact_sum as double) / count` (no engine-native
+  *    AVG, whose intermediate types differ);
+  *  - timestamps never appear raw in outputs (the parquet files store
+  *    nanos, Spark truncates to micros) — they are bucketed to epoch
+  *    seconds instead;
+  *  - every window/top-k has a total deterministic order (explicit
+  *    tiebreak columns).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]); we read `ts` as raw epoch-nanos
+    * LongType via an explicit schema (lossless — DuckDB's TIMESTAMP_NS
+    * ordering and bucketing match integer-nanos math exactly).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    s.read.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  private val NanosPerHour = 3600L * 1000 * 1000 * 1000
+  /** epoch nanos literal for a UTC date, for split/cutoff filters. */
+  private def utcNanos(date: String): Long =
+    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.getEpochSecond * 1000000000L
+
+  /** Exact decimal sum of a 2-decimal double column, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  // ==========================================================================
+  // Queries
+  // ==========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---- relational core (reference surface, SURVEY.md §2.2) ------------
+
+    // S4/P1 + aggregation sweep (pricing summary, TPC-H Q1 shape).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // J-family: multi-way join + agg; small dims broadcast explicitly.
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // W1 variant: ranking window + top-k filter (WindowGroupLimit path).
+    "q03_topk_orders_per_segment" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // W1+F1: the reference's dedup window (mergeSQL.sql:14-21) on events.
+    "q04_dedup_latest" -> ((s, dir) => {
+      // order on µs-truncated ts: DuckDB stores TIMESTAMP at µs, so the
+      // tiebreak must kick in at exactly the same granularity
+      Dedup.latestByKey(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        keys = Seq("user_id", "event_type"),
+        orderDesc = "ts_us",
+        tiebreakDesc = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }),
+
+    // J1-J3: MERGE upsert as join-rewrite (mergeSQL.sql:23-43 semantics):
+    // old half of the stream is the target, new half the deduped source.
+    "q05_merge_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val keys = Seq("user_id", "event_type")
+      val cut = lit(utcNanos("2024-01-16"))
+      val target = Dedup.latestByKey(
+        ev.filter(col("ts") < cut), keys, "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      val source = Dedup.latestByKey(
+        ev.filter(col("ts") >= cut), keys, "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      MergeInto.upsertAll(target, source, keys)
+    }),
+
+    // Event-time tumbling-window rollup (streaming agg shape, run batch).
+    "q06_hourly_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          // integer nanos → epoch-second hour bucket (ts is epoch-nanos
+          // long; double math would lose precision above 2^53)
+          (expr(s"ts div $NanosPerHour") * 3600).as("hour_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
+    // ---- training-data pipeline ops -------------------------------------
+
+    // Exact dedup by content fingerprint (md5 of normalized text).
+    "q07_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fp", fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Token counting: whitespace + BPE-ish unit counts.
+    "q08_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          bpeishCount(col("text")).as("n_bpeish"),
+          punctCount(col("text")).cast("long").as("n_punct"),
+          round(
+            length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+              / tokenCount(col("text")), 4).as("mean_word_len"))
+    }),
+
+    // Quality scoring (length/alpha/stopword/word-length blend).
+    "q09_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language ID heuristic vs the declared lang label.
+    "q10_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("guess", langIdGuess(col("text")))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // N-gram Jaccard near-dup pairs (word 3-gram shingles, same-lang
+    // blocking, exact set similarity) — the exact-verification twin of the
+    // MinHash candidate generator.
+    "q11_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      val ex = docs.select(
+        col("doc_id"), col("n_sh"), explode(col("sh")).as("tri"))
+      // rename one side so the self-join has unambiguous equi-keys
+      // (same-lineage aliases can collapse the condition and degrade to a
+      // nested-loop join — 50× slower even at tiny scale)
+      val b = ex.select(
+        col("doc_id").as("doc_id_b"), col("n_sh").as("n_sh_b"),
+        col("tri").as("tri_b"))
+      val pairs = ex.join(b,
+          col("tri") === col("tri_b") && col("doc_id") < col("doc_id_b"))
+        .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+        .agg(
+          count(lit(1)).as("inter"),
+          first(col("n_sh")).as("n1"),
+          first(col("n_sh_b")).as("n2"))
+      pairs
+        .withColumn("jaccard",
+          round(col("inter").cast("double")
+            / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+    })
+  )
+
+  // ==========================================================================
+  // Oracle SQL (DuckDB dialect, same tables)
+  // ==========================================================================
+
+  def oracleSql: Map[String, String] = ListMap(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q03_topk_orders_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 5""".stripMargin,
+
+    "q04_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "q05_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |), src AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |)
+        |SELECT user_id, event_type, event_id, value FROM src
+        |UNION ALL
+        |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
+
+    "q06_hourly_rollup" ->
+      """SELECT event_type,
+        |  CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS hour_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q07_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q08_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    w -> greatest(1, CAST(ceil(len(w) / 4.0) AS BIGINT)))) AS BIGINT) AS n_bpeish,
+        |  CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+        |  round(CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "q09_quality_score" -> qualityOracleSql,
+
+    "q10_lang_id" -> langIdOracleSql,
+
+    "q11_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), tris AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |      END) AS t
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM tris
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+        |    any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+        |  FROM ex a JOIN ex b ON a.tri = b.tri AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2,
+        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5""".stripMargin
+  )
+
+  // The quality/langid oracle SQL is generated from the same stopword
+  // tables as the Spark functions so the two can never drift.
+
+  private def sqlTokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def sqlStopHits(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($sqlTokens, w -> list_contains($arr, w)))"
+  }
+
+  private def qualityOracleSql: String = {
+    val allStops = graft.functions.TextFunctions.stopwords.values.flatten.toSeq
+    val hits = sqlStopHits(allStops)
+    val nTok = s"len($sqlTokens)"
+    val meanWl = s"(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok)"
+    s"""SELECT doc_id, round(
+       |  least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) * 0.25
+       |  + (CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text) END) * 0.25
+       |  + least((CASE WHEN $nTok = 0 THEN 0.0
+       |      ELSE CAST($hits AS DOUBLE) / $nTok END) * 4.0, 1.0) * 0.25
+       |  + (CASE WHEN $meanWl >= 3 AND $meanWl <= 10 THEN 1.0 ELSE 0.5 END) * 0.25
+       |, 4) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  private def langIdOracleSql: String = {
+    val langs = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+    val hitExprs = langs.map(l =>
+      l -> sqlStopHits(graft.functions.TextFunctions.stopwords(l)))
+    val maxExpr = hitExprs.map { case (l, _) => s"h_$l" }
+      .mkString("greatest(", ", ", ")")
+    val hitCols = hitExprs.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n    ")
+    val pick = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN h_$l = mx THEN '$l' ELSE $acc END"
+    }
+    val hNames = hitExprs.map { case (l, _) => s"h_$l" }.mkString(", ")
+    s"""SELECT lang, guess, count(*) AS n FROM (
+       |  SELECT lang, CASE WHEN mx = 0 THEN 'und' ELSE $pick END AS guess FROM (
+       |    SELECT lang, $hNames, $maxExpr AS mx FROM (
+       |      SELECT lang,
+       |    $hitCols
+       |      FROM documents))
+       |) GROUP BY lang, guess""".stripMargin
+  }
 }

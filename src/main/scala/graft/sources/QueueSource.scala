@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** A received queue message: opaque body + a receipt handle used to ack. */
+final case class QueueMessage(receipt: String, body: String)
+
+/** The queue seam of the ingest pipeline — the shape of the reference's
+  * SQS `Poller` (`/root/reference/spark-job/read.py:26-62`):
+  * `receive(max)` long-polls up to `max` messages and leaves them
+  * in-flight; `commit()` acks (deletes) everything received since the last
+  * commit — ack-after-write gives at-least-once delivery;
+  * `abandon()` returns in-flight messages to the queue (the visibility-
+  * timeout analog, taken on batch failure instead of by timer).
+  */
+trait QueueSource {
+  def receive(max: Int): Seq[QueueMessage]
+  def commit(): Unit
+  def abandon(): Unit
+}
+
+/** Local directory-backed queue (no AWS egress): each message is a file in
+  * `dir/`; receiving atomically renames it to `<name>.inflight` (so a
+  * concurrent consumer can't double-receive), commit deletes the inflight
+  * files, abandon renames them back. FIFO by filename sort, mirroring
+  * SQS's ≤10-per-receive batching (`read.py:30`).
+  */
+final class LocalDirQueue(dir: String) extends QueueSource {
+  private val base: Path = Paths.get(dir)
+  Files.createDirectories(base)
+  private var inflight: List[Path] = Nil // paths with .inflight suffix
+
+  override def receive(max: Int): Seq[QueueMessage] = {
+    val ready = Files.list(base).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".inflight"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .take(max)
+    val got = ready.flatMap { p =>
+      val claimed = base.resolve(p.getFileName.toString + ".inflight")
+      try {
+        Files.move(p, claimed, StandardCopyOption.ATOMIC_MOVE)
+        val body = new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8)
+        inflight ::= claimed
+        Some(QueueMessage(claimed.toString, body))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    got
+  }
+
+  override def commit(): Unit = {
+    inflight.foreach(Files.deleteIfExists)
+    inflight = Nil
+  }
+
+  override def abandon(): Unit = {
+    inflight.foreach { p =>
+      val orig = p.getFileName.toString.stripSuffix(".inflight")
+      Files.move(p, base.resolve(orig), StandardCopyOption.ATOMIC_MOVE)
+    }
+    inflight = Nil
+  }
+
+  /** Producer-side helper for tests/harnesses. */
+  def send(name: String, body: String): Unit =
+    Files.write(base.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+
+  def pendingCount: Int =
+    Files.list(base).iterator().asScala
+      .count(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".inflight"))
+}

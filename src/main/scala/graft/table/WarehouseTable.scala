@@ -1,0 +1,346 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.{Dedup, MergeInto}
+
+/** A snapshot-versioned, partition-pruned Parquet table — the engine's
+  * stand-in for the reference's Iceberg v2 table
+  * (`/root/reference/spark-job/read.py:196-241`), built Iceberg-style but
+  * from scratch:
+  *
+  * Layout (all under `root/`):
+  * {{{
+  *   _meta.json        schema (Spark DDL), partition column, properties
+  *   _current          text file holding the current snapshot id; commits
+  *                     replace it via atomic rename (snapshot isolation:
+  *                     readers resolve _current once, then read immutable
+  *                     snapshot + data files)
+  *   snaps/snap-N.json manifest: partitionValue -> list of data dirs
+  *   data/<uuid>/      immutable parquet dirs, hive-partitioned when the
+  *                     table is partitioned
+  * }}}
+  *
+  * Scale design:
+  *  - The manifest maps partition values to files, so `merge` / `read`
+  *    prune partitions BEFORE any Spark scan is planned — at 100 TB only
+  *    the touched partitions' files are listed or read.
+  *  - `merge` is copy-on-write at PARTITION granularity (like Iceberg COW
+  *    with partition-level conflict detection): untouched partitions are
+  *    carried into the new snapshot by reference, never rewritten.
+  *  - Commits are atomic (write-new-files, then atomic pointer swap), so a
+  *    crash mid-write leaves the previous snapshot intact — this is what
+  *    makes the at-least-once queue replay idempotent end-to-end.
+  */
+final class WarehouseTable(val root: String) {
+
+  private val NoPart = "__ALL__"
+  private implicit val formats: Formats = DefaultFormats
+
+  private def rootPath: Path = Paths.get(root)
+  private def metaPath: Path = rootPath.resolve("_meta.json")
+  private def currentPath: Path = rootPath.resolve("_current")
+  private def snapPath(id: Long): Path = rootPath.resolve(s"snaps/snap-$id.json")
+
+  // ---- metadata ----------------------------------------------------------
+
+  final case class Meta(
+      schemaDdl: String,
+      partition: Option[String],
+      properties: Map[String, String]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
+
+  def exists: Boolean = Files.exists(metaPath)
+
+  private def readMeta(): Meta = {
+    val j = JsonMethods.parse(readString(metaPath))
+    Meta(
+      (j \ "schema").extract[String],
+      (j \ "partition").extractOpt[String].filter(_.nonEmpty),
+      (j \ "properties").extract[Map[String, String]])
+  }
+
+  def partitionColumn: Option[String] = readMeta().partition
+  def properties: Map[String, String] = readMeta().properties
+  def schema: StructType = readMeta().schema
+
+  /** Create the table if absent: declared schema + optional partition
+    * column + properties — the `writeTo(...).create()` path at
+    * read.py:199-228 (COW/MOR props at read.py:208-216).
+    */
+  def create(
+      schema: StructType,
+      partition: Option[String] = None,
+      properties: Map[String, String] = Map.empty): Unit = {
+    require(!exists, s"table already exists at $root")
+    partition.foreach { p =>
+      require(schema.fieldNames.contains(p),
+        s"partition column '$p' not in schema ${schema.fieldNames.mkString(",")}")
+    }
+    Files.createDirectories(rootPath.resolve("snaps"))
+    Files.createDirectories(rootPath.resolve("data"))
+    val props = JObject(properties.map { case (k, v) => k -> (JString(v): JValue) }.toList)
+    val meta = JObject(
+      "schema" -> JString(schema.toDDL),
+      "partition" -> JString(partition.getOrElse("")),
+      "properties" -> props)
+    writeString(metaPath, JsonMethods.compact(JsonMethods.render(meta)))
+    writeManifest(0L, Map.empty)
+    atomicWriteCurrent(0L)
+  }
+
+  def drop(): Unit =
+    if (Files.exists(rootPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  // ---- snapshots ---------------------------------------------------------
+
+  def currentSnapshotId: Long = readString(currentPath).trim.toLong
+
+  /** manifest: partition value (or __ALL__) -> data dirs (relative). */
+  private def readManifest(id: Long): Map[String, List[String]] =
+    JsonMethods.parse(readString(snapPath(id)))
+      .extract[Map[String, List[String]]]
+
+  private def writeManifest(id: Long, m: Map[String, List[String]]): Unit = {
+    val j = JObject(m.map { case (k, v) =>
+      k -> (JArray(v.map(JString(_))): JValue)
+    }.toList)
+    writeString(snapPath(id), JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  private def atomicWriteCurrent(id: Long): Unit = {
+    val tmp = rootPath.resolve(s"_current.tmp.${UUID.randomUUID()}")
+    writeString(tmp, id.toString)
+    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- read --------------------------------------------------------------
+
+  /** Read the current snapshot, optionally pruned to a set of partition
+    * values. Pruning happens on manifest paths — Spark never lists or
+    * scans files of other partitions.
+    */
+  def read(spark: SparkSession, partitions: Option[Seq[Any]] = None): DataFrame = {
+    val meta = readMeta()
+    val manifest = readManifest(currentSnapshotId)
+    val wanted: Map[String, List[String]] = partitions match {
+      case Some(vals) =>
+        val keys = vals.map(String.valueOf).toSet
+        manifest.view.filterKeys(keys.contains).toMap
+      case None => manifest
+    }
+    val dirs = wanted.values.flatten.toSeq.distinct
+    if (dirs.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], meta.schema)
+    } else {
+      // Data dirs are grouped by their parent uuid dir so hive partition
+      // discovery (basePath) restores the partition column.
+      meta.partition match {
+        case None =>
+          spark.read.schema(meta.schema)
+            .parquet(dirs.map(d => s"$root/$d"): _*)
+        case Some(p) =>
+          val byBase = dirs.groupBy(d => d.split("/").take(2).mkString("/"))
+          val parts = byBase.map { case (base, subdirs) =>
+            spark.read
+              .option("basePath", s"$root/$base")
+              .parquet(subdirs.map(d => s"$root/$d"): _*)
+          }.toSeq
+          val unioned = parts.reduce(_ unionByName _)
+          // restore declared column order + types (hive discovery reads
+          // the partition col as its inferred type and puts it last)
+          val cols = meta.schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name))
+          unioned.select(cols: _*)
+      }
+    }
+  }
+
+  // ---- write paths -------------------------------------------------------
+
+  /** Write `df` as a new immutable data dir; returns manifest entries
+    * (partitionValue -> dirs) for the files just written.
+    */
+  private def writeDataDir(df: DataFrame, meta: Meta): Map[String, List[String]] = {
+    val uuid = UUID.randomUUID().toString
+    val rel = s"data/$uuid"
+    val dest = s"$root/$rel"
+    val aligned = alignToSchema(df, meta.schema)
+    meta.partition match {
+      case None =>
+        aligned.write
+          .option("compression", compressionCodec(meta))
+          .parquet(dest)
+        Map(NoPart -> List(rel))
+      case Some(p) =>
+        aligned.write
+          .option("compression", compressionCodec(meta))
+          .partitionBy(p)
+          .parquet(dest)
+        // list the hive dirs spark produced
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(dest)).iterator().asScala
+          .filter(d => Files.isDirectory(d) && d.getFileName.toString.contains("="))
+          .map { d =>
+            val dirName = d.getFileName.toString
+            val value = dirName.substring(dirName.indexOf('=') + 1)
+            unescapePartitionValue(value) -> List(s"$rel/$dirName")
+          }.toMap
+    }
+  }
+
+  private def compressionCodec(meta: Meta): String =
+    meta.properties.get("compression") match {
+      case Some(c) if c.nonEmpty => c
+      case _                     => "snappy"
+    }
+
+  /** Align-by-name + cast to the declared schema — the explicit version of
+    * the inferred-vs-declared reconciliation the reference leaves to
+    * Iceberg's implicit cast (SURVEY.md §1.2).
+    */
+  def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Append — `mode == 'append'` (read.py:231-233). New snapshot = old
+    * manifest + new dirs per partition.
+    */
+  def append(df: DataFrame): Unit = {
+    val meta = readMeta()
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val added = writeDataDir(df, meta)
+    val merged = (old.keySet ++ added.keySet).map { k =>
+      k -> (old.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
+    }.toMap
+    commit(cur, merged)
+  }
+
+  /** Overwrite — `mode == 'overwrite'` (read.py:234-236). */
+  def overwrite(df: DataFrame): Unit = {
+    val meta = readMeta()
+    val cur = currentSnapshotId
+    commit(cur, writeDataDir(df, meta))
+  }
+
+  /** MERGE upsert — `mode == 'merge'` (read.py:237-239 + mergeSQL.sql).
+    *
+    * Copy-on-write at partition granularity:
+    *  1. affected partitions = source partitions ∪ partitions of target
+    *     rows whose key matches a source key (found with a column-pruned
+    *     semi-join: only key + partition columns of the target are read);
+    *  2. only those partitions are read, merged (left-anti + union — see
+    *     [[MergeInto.upsertAll]]) and rewritten;
+    *  3. all other partitions carry into the new snapshot untouched.
+    *
+    * The source must be deduped to ≤1 row per key (caller responsibility,
+    * as in mergeSQL.sql:14-21); [[mergeDedup]] composes both steps.
+    */
+  def merge(spark: SparkSession, source: DataFrame, keys: Seq[String]): Unit = {
+    val meta = readMeta()
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val src = alignToSchema(source, meta.schema).cache()
+    try {
+      meta.partition match {
+        case None =>
+          val target = read(spark)
+          val merged = MergeInto.upsertAll(target, src, keys)
+          commit(cur, writeDataDir(merged, meta))
+        case Some(p) =>
+          // 1. partitions the source writes into
+          val srcParts = src.select(col(p).cast("string")).distinct()
+            .collect().map(r => Option(r.getString(0)).getOrElse("null")).toSet
+          // 2. partitions holding targets of matched keys (pruned scan:
+          //    parquet reads only keys + partition column)
+          val keyCols = keys.map(col)
+          val targetKeys = read(spark).select((keys :+ p).map(col): _*)
+          val matchedParts = targetKeys
+            .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
+            .select(col(p).cast("string")).distinct()
+            .collect().map(r => Option(r.getString(0)).getOrElse("null")).toSet
+          val affected = (srcParts ++ matchedParts).filter(old.contains)
+          val newParts = srcParts -- old.keySet
+          // 3. merge only affected partitions
+          val target = read(spark, Some(affected.toSeq))
+          val merged = MergeInto.upsertAll(target, src, keys)
+          val rewritten = writeDataDir(merged, meta)
+          val untouched = old.view.filterKeys(k => !affected.contains(k)).toMap
+          commit(cur, untouched ++ rewritten)
+          val _ = newParts // (new partitions appear via `rewritten`)
+      }
+    } finally src.unpersist()
+  }
+
+  /** Dedup-then-merge, the full reference write path (mergeSQL.sql:14-43):
+    * window top-1 per key by `orderDesc`, then upsert.
+    */
+  def mergeDedup(
+      spark: SparkSession,
+      source: DataFrame,
+      keys: Seq[String],
+      orderDesc: String,
+      tiebreakDesc: Seq[String] = Nil): Unit =
+    merge(spark, Dedup.latestByKey(source, keys, orderDesc, tiebreakDesc), keys)
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  private def commit(expectedCurrent: Long, manifest: Map[String, List[String]]): Unit = {
+    val next = expectedCurrent + 1
+    writeManifest(next, manifest)
+    atomicWriteCurrent(next)
+  }
+
+  // ---- io helpers --------------------------------------------------------
+
+  private def readString(p: Path): String =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+
+  private def writeString(p: Path, s: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def unescapePartitionValue(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+}
+
+object WarehouseTable {
+  def apply(root: String): WarehouseTable = new WarehouseTable(root)
+
+  /** COW/MOR property sets as the reference composes them
+    * (read.py:208-216).
+    */
+  def tableProperties(tableType: String, compression: String): Map[String, String] = {
+    val base = Map("format-version" -> "2", "compression" -> compression)
+    if (tableType.equalsIgnoreCase("MOR"))
+      base ++ Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read")
+    else
+      base ++ Map(
+        "write.delete.mode" -> "copy-on-write",
+        "write.update.mode" -> "copy-on-write",
+        "write.merge.mode" -> "copy-on-write")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.table.WarehouseTable
+
+class WarehouseTableSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("v", StringType),
+    StructField("state", StringType)))
+
+  private def df(rows: (Int, String, String)*) = {
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+      schema)
+  }
+
+  test("create / exists / read empty / properties round-trip") {
+    val t = WarehouseTable(tmpDir("wh"))
+    assert(!t.exists)
+    t.create(schema, Some("state"), WarehouseTable.tableProperties("COW", "zstd"))
+    assert(t.exists)
+    assert(t.partitionColumn.contains("state"))
+    assert(t.properties("format-version") == "2")
+    assert(t.properties("write.merge.mode") == "copy-on-write")
+    assert(t.read(spark).count() == 0)
+    assert(t.read(spark).schema.fieldNames.toSeq == Seq("k", "v", "state"))
+  }
+
+  test("append accumulates; overwrite replaces; snapshots advance") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, None, Map.empty)
+    t.append(df((1, "a", "CA")))
+    t.append(df((2, "b", "NY")))
+    assert(t.read(spark).count() == 2)
+    assert(t.currentSnapshotId == 2)
+    t.overwrite(df((3, "c", "TX")))
+    assert(t.read(spark).collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("merge upserts: matched rows replaced, unmatched kept, new inserted") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    t.merge(spark, df((2, "B2", "NY"), (3, "c", "TX")), Seq("k"))
+    val out = t.read(spark).collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1, "a", "CA"), (2, "B2", "NY"), (3, "c", "TX")))
+  }
+
+  test("merge is idempotent (at-least-once replay safety)") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val batch = df((2, "B2", "NY"), (3, "c", "TX"))
+    t.merge(spark, batch, Seq("k"))
+    val snap1 = t.read(spark).collect().toSet
+    t.merge(spark, batch, Seq("k")) // replay the same batch
+    assert(t.read(spark).collect().toSet == snap1)
+  }
+
+  test("merge rewrites only affected partitions (partition-level COW)") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY"), (4, "d", "WA")))
+    val before = t.currentSnapshotId
+    t.merge(spark, df((2, "B2", "NY")), Seq("k"))
+    assert(t.currentSnapshotId == before + 1)
+    // WA and CA partitions must have survived by reference: same rows
+    val out = t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a"), (2, "B2"), (4, "d")))
+  }
+
+  test("merge moves a row whose partition value changes (no ghost copy)") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA")))
+    // key 1 moves CA -> NY; the CA copy must be rewritten away
+    t.merge(spark, df((1, "a2", "NY")), Seq("k"))
+    val out = t.read(spark).collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((1, "a2", "NY")))
+  }
+
+  test("alignToSchema casts and fills missing columns") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, None, Map.empty)
+    import spark.implicits._
+    val wide = Seq((1L, "x")).toDF("k", "v") // k is long, no state column
+    val aligned = t.alignToSchema(wide, schema)
+    assert(aligned.schema.map(_.dataType) == Seq(IntegerType, StringType, StringType))
+    val r = aligned.collect().head
+    assert(r.getInt(0) == 1 && r.getString(1) == "x" && r.isNullAt(2))
+  }
+}
