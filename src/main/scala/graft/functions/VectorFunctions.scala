@@ -54,13 +54,13 @@ object VectorFunctions {
     * plane(p)·v = sum_i sign(hash(p, i)) * v_i with sign from a cheap
     * integer mix — a random-projection LSH family (Charikar 2002).
     */
-  def randomProjectionBucket(a: Column, nPlanes: Int): Column = {
+  def randomProjectionBucket(a: Column, nPlanes: Int, seed: Int = 0): Column = {
     require(nPlanes > 0 && nPlanes <= 30)
     val bits = (0 until nPlanes).map { p =>
-      // deterministic ±1 pattern per (plane, index): xxhash of the pair
+      // deterministic ±1 pattern per (seed, plane, index): xxhash of the pair
       val proj = aggregate(
         zip_with(a, sequence(lit(0), size(a) - 1), (x, i) => {
-          val h = pmod(xxhash64(lit(p), i), lit(2))
+          val h = pmod(xxhash64(lit(seed * 1024 + p), i), lit(2))
           when(h === 0, x.cast("double")).otherwise(-x.cast("double"))
         }),
         lit(0.0), _ + _)

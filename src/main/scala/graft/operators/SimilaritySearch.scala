@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Baseline: [[bruteForceTopK]] — broadcast the (small) query set against
+  * the full corpus, exact cosine, windowed top-k. At 100 TB the corpus side
+  * stays partition-parallel and nothing shuffles except the final top-k
+  * (WindowGroupLimit keeps ≤k rows per query per partition before the
+  * shuffle).
+  *
+  * Scale path: [[ivfTopK]] — inverted-file search: corpus vectors are
+  * bucketed by a coarse quantizer (here: nearest of the per-`label`
+  * centroids, computed with one aggregation); a query probes only the
+  * `nprobe` nearest centroids' buckets, cutting the scanned fraction to
+  * nprobe/nlist. Recall is measured against the brute-force baseline in
+  * the test suite rather than assumed.
+  */
+object SimilaritySearch {
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows.
+    * Deterministic: ties broken by corpus id ascending.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame,  // id, vec
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
+  /** Per-bucket mean vector (the coarse quantizer codebook). Element-wise
+    * mean via posexplode + groupBy — one shuffle of (bucket, pos) pairs.
+    */
+  def centroids(corpus: DataFrame, bucketCol: String): DataFrame =
+    corpus
+      .select(col(bucketCol).as("bucket"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("bucket"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+
+  /** IVF top-k: probe the `nprobe` buckets whose centroids are nearest to
+    * the query, brute-force only inside them.
+    */
+  def ivfTopK(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame,  // id, vec, bucket
+      cents: DataFrame,   // bucket, cvec
+      k: Int,
+      nprobe: Int): DataFrame = {
+    // rank buckets per query by centroid cosine (tiny: nlist × queries)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(cosine(col("qvec"), col("cvec")).desc, col("bucket").asc)
+    val probed = broadcast(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("crank", row_number().over(wq))
+        .filter(col("crank") <= nprobe)
+        .select(col("qid"), col("qvec"), col("bucket")))
+    // search only the probed buckets
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    corpus.join(probed, "bucket")
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
+  /** Random-projection LSH bucketing for cosine ANN: 2^nPlanes buckets,
+    * no training step. Near-dup mining = join within buckets.
+    */
+  def rpBucketed(corpus: DataFrame, nPlanes: Int, seed: Int = 0): DataFrame =
+    corpus.withColumn("bucket", randomProjectionBucket(col("vec"), nPlanes, seed))
+
+  /** Embedding near-dup pairs: candidates from multi-table RP-LSH buckets
+    * (OR-amplification: a pair is a candidate if it collides in ANY of the
+    * `nTables` independent tables — recall 1-(1-p^nPlanes)^nTables for
+    * per-plane agreement p = 1-θ/π), verified by exact cosine ≥ threshold.
+    * The candidate join is on (table, bucket), so the compared-pair count
+    * stays ~nTables/2^nPlanes of all-pairs — the knob that keeps this
+    * sub-quadratic at corpus scale.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, // id, vec
+      nPlanes: Int,
+      threshold: Double,
+      nTables: Int = 4): DataFrame = {
+    val keyed = corpus.select(
+      col("id"), col("vec"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          randomProjectionBucket(col("vec"), nPlanes, seed = t).as("bkt"))
+      }: _*)).as("k"))
+      .select(col("id"), col("vec"), col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+    val right = keyed.select(
+      col("id").as("id_b"), col("vec").as("vec_b"),
+      col("tbl").as("tbl_b"), col("bkt").as("bkt_b"))
+    keyed.join(right,
+        col("tbl") === col("tbl_b") && col("bkt") === col("bkt_b") &&
+          col("id") < col("id_b"))
+      .select(col("id"), col("id_b"), col("vec"), col("vec_b"))
+      .dropDuplicates("id", "id_b")
+      .withColumn("cos", cosine(col("vec"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id").as("d1"), col("id_b").as("d2"), col("cos"))
+  }
+}

