@@ -7,13 +7,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s  rows=$n")
+      // inter-query hygiene: drop leftover cache entries / broadcasts so a
+      // heavy query doesn't pay GC debt accrued by its predecessors
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -186,10 +186,33 @@ object SparkEntry {
         .select(col("doc_id"), qualityScore(col("text")).as("quality"))
     }),
 
-    // Language ID heuristic vs the declared lang label.
+    // Language ID heuristic vs the declared lang label. Computed as an
+    // explode + broadcast-join against the stopword table + conditional
+    // counts — fully codegen'd, unlike the per-language array-filter HOFs
+    // (same semantics: marker sets are disjoint, duplicates count).
     "q10_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("guess", langIdGuess(col("text")))
+      import s.implicits._
+      val langs = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+      val sw = graft.functions.TextFunctions.stopwords.toSeq
+        .flatMap { case (l, ws) => ws.map(w => (w, l)) }
+        .toDF("w", "slang")
+      val docs = t(s, dir, "documents")
+      val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val hitCols = langs.map(l =>
+        count(when(col("slang") === l, 1)).as(s"h_$l"))
+      val hits = ex.join(broadcast(sw), "w")
+        .groupBy(col("doc_id"))
+        .agg(hitCols.head, hitCols.tail: _*)
+      val withHits = docs.select(col("doc_id"), col("lang"))
+        .join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, langs.map(l => s"h_$l"))
+      val mx = greatest(langs.map(l => col(s"h_$l")): _*)
+      val pick = langs.zip(langs.map(l => col(s"h_$l")))
+        .foldRight(lit("und")) { case ((lang, h), other) =>
+          when(h === mx, lit(lang)).otherwise(other)
+        }
+      withHits
+        .withColumn("guess", when(mx === 0, lit("und")).otherwise(pick))
         .groupBy(col("lang"), col("guess"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -198,25 +221,32 @@ object SparkEntry {
     // blocking, exact set similarity) — the exact-verification twin of the
     // MinHash candidate generator.
     "q11_ngram_jaccard" -> ((s, dir) => {
+      // IMPORTANT shape: the join carries ONLY (doc_id, tri). Dragging the
+      // shingle-count expression through the join lets projection collapse
+      // re-evaluate the whole shingle array per joined row (≈1.3M × at
+      // sf0.1 — measured 450 s); aggregating first and broadcast-joining
+      // the 1-row-per-doc count table afterwards computes it once per doc.
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .withColumn("n_sh", size(col("sh")))
+      val counts = docs.select(
+        col("doc_id"), size(shingles(col("text"), 3)).as("n_sh"))
+      // repartition on the join key: both self-join sides then share one
+      // identical Exchange subtree, which ReuseExchange dedupes — the
+      // (interpreted, HOF-heavy) shingle explode runs ONCE, not once per
+      // side, and the join needs no further shuffle.
       val ex = docs.select(
-        col("doc_id"), col("n_sh"), explode(col("sh")).as("tri"))
+        col("doc_id"), explode(shingles(col("text"), 3)).as("tri"))
+        .repartition(col("tri"))
       // rename one side so the self-join has unambiguous equi-keys
       // (same-lineage aliases can collapse the condition and degrade to a
       // nested-loop join — 50× slower even at tiny scale)
-      val b = ex.select(
-        col("doc_id").as("doc_id_b"), col("n_sh").as("n_sh_b"),
-        col("tri").as("tri_b"))
+      val b = ex.select(col("doc_id").as("doc_id_b"), col("tri").as("tri_b"))
       val pairs = ex.join(b,
           col("tri") === col("tri_b") && col("doc_id") < col("doc_id_b"))
         .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
-        .agg(
-          count(lit(1)).as("inter"),
-          first(col("n_sh")).as("n1"),
-          first(col("n_sh_b")).as("n2"))
+        .agg(count(lit(1)).as("inter"))
       pairs
+        .join(broadcast(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), "d1")
+        .join(broadcast(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), "d2")
         .withColumn("jaccard",
           round(col("inter").cast("double")
             / (col("n1") + col("n2") - col("inter")), 4))
@@ -234,11 +264,15 @@ object SparkEntry {
     }),
 
     // SimHash near-dup: 64-bit fingerprints via a custom codegen
-    // Expression, block-join candidates, exact-Jaccard verify.
+    // Expression, block-join candidates, exact-Jaccard verify. The
+    // fingerprint is over SHINGLES, not tokens: on a shared-vocabulary
+    // corpus token-level fingerprints correlate (measured: 4M candidate
+    // pairs within hamming 20), while shingle sets are near-disjoint for
+    // unrelated docs, so hamming separates signal (≤17) from noise (≥18).
     "q13_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      val cands = TextDedup.simHashCandidates(toks, maxHamming = 20)
+      val toks = docs.select(col("doc_id"), shingles(col("text"), 3).as("toks"))
+      val cands = TextDedup.simHashCandidates(toks, maxHamming = 17)
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
       TextDedup.verifyPairs(cands, sh, 0.5)
     }),
@@ -267,6 +301,31 @@ object SparkEntry {
           col("label").as("bucket"))
       val cents = SimilaritySearch.centroids(corpus, "bucket")
       SimilaritySearch.ivfTopK(qs, corpus, cents, k = 5, nprobe = 3)
+    }),
+
+    // End-to-end warehouse CDC pipeline INSIDE the correctness gate: two
+    // event batches flow through create-table → dedup → partition-level
+    // COW merge → snapshot read, on a real on-disk WarehouseTable. The
+    // final table must equal the pure-DataFrame upsert of q05.
+    "q17_warehouse_cdc" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_wh").toString + "/events_t"
+      val table = graft.table.WarehouseTable(wh)
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val keys = Seq("user_id", "event_type")
+      val cut = lit(utcNanos("2024-01-16"))
+      val cols = Seq("user_id", "event_type", "event_id", "value")
+      val b1 = Dedup.latestByKey(
+        ev.filter(col("ts") < cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val b2 = Dedup.latestByKey(
+        ev.filter(col("ts") >= cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*)
+      table.create(b1.schema, partition = Some("event_type"),
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.merge(s, b1, keys)
+      table.merge(s, b2, keys)
+      table.read(s).select(cols.map(col): _*)
     }),
 
     // Multimodal binary-column plumbing through codegen'd functions:
@@ -323,25 +382,7 @@ object SparkEntry {
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
 
-    "q05_merge_upsert" ->
-      """WITH tgt AS (
-        |  SELECT user_id, event_type, event_id, value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-        |                                 ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
-        |  ) WHERE rn = 1
-        |), src AS (
-        |  SELECT user_id, event_type, event_id, value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-        |                                 ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
-        |  ) WHERE rn = 1
-        |)
-        |SELECT user_id, event_type, event_id, value FROM src
-        |UNION ALL
-        |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
-        |WHERE NOT EXISTS (SELECT 1 FROM src s
-        |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
+    "q05_merge_upsert" -> mergeUpsertOracle,
 
     "q06_hourly_rollup" ->
       """SELECT event_type,
@@ -398,12 +439,35 @@ object SparkEntry {
          |) WHERE rank <= 5""".stripMargin
     },
 
+    // the on-disk warehouse pipeline must converge to the q05 upsert state
+    "q17_warehouse_cdc" -> mergeUpsertOracle,
+
     "q16_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic_hex
         |FROM documents""".stripMargin
   )
+
+  private val mergeUpsertOracle: String =
+    """WITH tgt AS (
+      |  SELECT user_id, event_type, event_id, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      |  ) WHERE rn = 1
+      |), src AS (
+      |  SELECT user_id, event_type, event_id, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+      |  ) WHERE rn = 1
+      |)
+      |SELECT user_id, event_type, event_id, value FROM src
+      |UNION ALL
+      |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
+      |WHERE NOT EXISTS (SELECT 1 FROM src s
+      |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin
 
   /** In-order double dot product over two float-list columns (bit-identical
     * to Spark's `aggregate(zip_with(...))` left fold — verified).

@@ -39,8 +39,11 @@ object TextDedup {
       candidates: DataFrame,
       sh: DataFrame,
       threshold: Double): DataFrame = {
-    val left = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
-    val right = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+    // exchange barrier on doc_id: the shingle arrays materialize once and
+    // the identical Exchange is reused by both sides of the pair join
+    val shR = sh.repartition(col("doc_id"))
+    val left = shR.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
+    val right = shR.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
     candidates
       .join(left, "d1").join(right, "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
@@ -57,6 +60,7 @@ object TextDedup {
     */
   def allPairsByShingle(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .repartition(col("tok")) // shared exchange for both self-join sides
     val exB = ex.select(col("doc_id").as("doc_id_b"), col("tok").as("tok_b"))
     ex.join(exB, col("tok") === col("tok_b") && col("doc_id") < col("doc_id_b"))
       .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
@@ -78,7 +82,16 @@ object TextDedup {
     * j=0.9 → ~1-2e-8, j=0.3 → 0.12.
     */
   def minHashCandidates(sh: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
-    val withSig = sh.withColumn("sig", minHashSignature(col("sh"), bands * rows))
+    // The repartition is an optimizer barrier, not (just) a distribution
+    // choice: without an Exchange between the signature projection and the
+    // 16 band expressions, CollapseProject inlines the full 64-hash
+    // signature computation into EVERY band (16× redundant work per doc —
+    // measured 4× wall-clock). Post-exchange, bands read the materialized
+    // `sig` attribute. At cluster scale this shuffle is tiny (64 longs/doc)
+    // and doubles as the natural persistence point for signatures.
+    val withSig = sh
+      .select(col("doc_id"), minHashSignature(col("sh"), bands * rows).as("sig"))
+      .repartition(col("doc_id"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*).as("bh"))
@@ -96,22 +109,34 @@ object TextDedup {
   }
 
   /** SimHash candidates: fingerprint the token array (custom codegen
-    * expression [[SimHash64]]), split into eight 8-bit blocks, equi-join on
-    * any equal block (pigeonhole: hamming ≤ 7 ⇒ ≥1 equal block), then keep
-    * pairs within `maxHamming` bits. Block width trades join fanout against
-    * guaranteed recall radius — at corpus scale use 16-bit blocks and a
-    * multi-probe rotation instead.
+    * expression [[SimHash64]]), split the 64 bits into `maxHamming + 1`
+    * blocks and equi-join on any equal block. The block count is DERIVED
+    * from the radius so recall is guaranteed by pigeonhole, not hoped for:
+    * a pair within `maxHamming` bits cannot differ in all maxHamming+1
+    * blocks, so it must collide in at least one. Narrower blocks mean more
+    * join fanout — the radius knob trades candidate volume for radius,
+    * with the (cheap, codegen'd) bit_count filter pruning immediately
+    * after the join.
     */
   def simHashCandidates(
       docsTokens: DataFrame, // doc_id, toks (array<string>)
-      maxHamming: Int = 20): DataFrame = {
+      maxHamming: Int = 7): DataFrame = {
+    val nBlocks = math.min(32, maxHamming + 1)
+    // block i covers bits [i*64/n, (i+1)*64/n)
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    // exchange barrier: materialize fp once instead of once per block
+    // (see minHashCandidates for the CollapseProject rationale)
     val fp = docsTokens.select(
       col("doc_id"), SimHash64(col("toks")).as("fp"))
+      .repartition(col("doc_id"))
     val blocks = fp.select(
       col("doc_id"), col("fp"),
-      explode(array((0 until 8).map { b =>
+      explode(array((0 until nBlocks).map { b =>
+        val lo = bounds(b)
+        val width = bounds(b + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1
         struct(lit(b).as("blk"),
-          shiftrightunsigned(col("fp"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))
+          shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
     val right = blocks.select(

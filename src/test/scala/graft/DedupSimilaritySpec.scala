@@ -26,9 +26,11 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhash block-LSH recovers every exact near-dup pair on this corpus") {
-    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    // shingle-level fingerprints + pigeonhole blocks for radius 17
+    // (mirrors q13 — see SparkEntry for the token-vs-shingle rationale)
+    val toks = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("toks"))
     val got = TextDedup.verifyPairs(
-      TextDedup.simHashCandidates(toks), sh, 0.5)
+      TextDedup.simHashCandidates(toks, maxHamming = 17), sh, 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(got == exactPairs)
   }

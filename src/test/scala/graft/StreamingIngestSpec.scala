@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingIngest
+import graft.table.WarehouseTable
+
+class StreamingIngestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType),
+    StructField("ts", LongType),
+    StructField("v", StringType),
+    StructField("part", StringType)))
+
+  test("streaming CSV → dedup → merge reaches the same state as batch") {
+    val landing = tmpDir("land")
+    val ckpt = tmpDir("ckpt")
+    val table = WarehouseTable(tmpDir("wh") + "/t")
+    table.create(schema, Some("part"), Map.empty)
+
+    Files.write(Paths.get(s"$landing/b1.csv"),
+      "k,ts,v,part\n1,10,a,CA\n2,10,b,NY\n1,11,a2,CA\n"
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$landing/b2.csv"),
+      "k,ts,v,part\n2,20,B,NY\n3,20,c,TX\n"
+        .getBytes(StandardCharsets.UTF_8))
+
+    val q = StreamingIngest.start(
+      spark, landing, schema,
+      Map("header" -> "true"),
+      table, keys = Seq("k"), orderDesc = "ts",
+      checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+
+    val out = table.read(spark)
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // NOTE maxFilesPerTrigger=1 + AvailableNow: two micro-batches; file
+    // order between them is not guaranteed, but keys 1/3 are single-writer
+    // and key 2's winner depends on arrival order only if both files land
+    // in ONE batch (they don't here: per-batch dedup, then merge by ts).
+    assert(out.contains((1, "a2")) && out.contains((3, "c")))
+    assert(out.size == 3)
+
+    // restart with same checkpoint: no files left → no state change
+    val q2 = StreamingIngest.start(
+      spark, landing, schema, Map("header" -> "true"),
+      table, Seq("k"), "ts", ckpt, 1)
+    q2.awaitTermination(60000)
+    assert(table.read(spark).count() == 3)
+  }
+
+  test("watermarked windowed rollup produces bounded-state aggregates") {
+    import spark.implicits._
+    val events = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:01:00"), "view", 5.0)
+    ).toDF("ts", "event_type", "value")
+    // run the streaming aggregation expression in batch mode (same plan
+    // shape; watermark is a no-op on a bounded frame)
+    val out = StreamingIngest.windowedRollup(events, "1 hour", "10 minutes")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
