@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text-dedup path.
+  *
+  * The composable `functions._` versions in [[TextFunctions]] are correct
+  * but their higher-order functions (transform/aggregate/slice) evaluate
+  * interpreted, re-walking the expression tree per array element — at
+  * sf0.1 that made shingling the dominant cost of every dedup operator.
+  * These expressions do the same work in one tight JVM loop per row
+  * (single regex split, single pass shingle assembly, fused 64-way minhash
+  * fold), invoked from generated code.
+  *
+  * Semantics are kept bit-compatible with the HOF versions (same Java
+  * `\s+` split incl. leading-empty-token behavior, same first-occurrence
+  * shingle dedup, same `<n tokens → one joined shingle` edge), which the
+  * DuckDB oracle parity depends on.
+  */
+object NativeTextExprs {
+  private val Whitespace: Pattern = Pattern.compile("\\s+")
+
+  /** trim-spaces + split, Java semantics (leading empty token preserved). */
+  def splitTokens(text: UTF8String): Array[String] = {
+    val s = text.toString.trim
+    if (s.isEmpty) Array.empty[String]
+    else Whitespace.split(s, -1)
+  }
+
+  def evalShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(text)
+    val out: Array[Any] =
+      if (toks.isEmpty) {
+        Array[Any](UTF8String.fromString(""))
+      } else if (toks.length < n) {
+        Array[Any](UTF8String.fromString(toks.mkString(" ")))
+      } else {
+        val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val arr = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  // SplitMix64 — derives the per-hash-function affine constants.
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** k-permutation MinHash over one base XXH64 per element:
+    * h_i(x) = base(x) * A_i + B_i with odd A_i (2-universal family).
+    */
+  def evalMinHash(arr: ArrayData, k: Int): ArrayData = {
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = splitmix64(2 * i) | 1L
+      b(i) = splitmix64(2 * i + 1)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e)
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var f = 0
+        while (f < k) {
+          val h = base * a(f) + b(f)
+          if (h < mins(f)) mins(f) = h
+          f += 1
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(mins) // primitive long[] constructor
+  }
+}
+
+/** Distinct word n-gram shingles of a text column, natively. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeTextExprs.evalShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextExprs.evalShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  def apply(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+}
+
+/** k-slot MinHash signature of a string array, natively. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 512)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeTextExprs.evalMinHash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextExprs.evalMinHash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  def apply(c: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
+}

@@ -121,14 +121,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (distinct), the input of MinHash / Jaccard dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val count = size(t)
-    when(count < n, array_distinct(array(concat_ws(" ", t))))
-      .otherwise(
-        array_distinct(
-          transform(sequence(lit(0), count - n),
-            i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct), the input of MinHash / Jaccard
+    * dedup. Delegates to the native [[WordShingles]] expression — the
+    * equivalent HOF composition (`transform(sequence, slice, concat_ws)` +
+    * `array_distinct`) evaluates interpreted per element and dominated the
+    * dedup operators' runtime. Semantics are identical (same split, same
+    * first-occurrence dedup, same short-text edge).
+    */
+  def shingles(text: Column, n: Int): Column = WordShingles(text, n)
 }

@@ -67,14 +67,12 @@ object TextDedup {
       .distinct()
   }
 
-  /** MinHash signature: for hash function i, sig_i = min over shingles of
-    * xxhash64(i, shingle). Pure column expressions — the signature is
-    * computed map-side in codegen, one pass per document.
+  /** MinHash signature via the native [[graft.functions.MinHashSig]]
+    * expression: one XXH64 per shingle, k affine permutations folded in a
+    * single pass (vs k interpreted array traversals for the HOF version).
     */
   def minHashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, x => xxhash64(lit(i), x)))
-    }: _*)
+    graft.functions.MinHashSig(sh, numHashes)
 
   /** Banded MinHash candidates: `bands` buckets of `rows` signature slots
     * each; two documents are candidates iff some band hashes identically.
