@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, MergeInto, SimilaritySearch, TextDedup}
+import graft.operators.{Dedup, MergeInto, SimilaritySearch, TemporalJoins, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -328,6 +328,40 @@ object SparkEntry {
       table.read(s).select(cols.map(col): _*)
     }),
 
+    // As-of join (an operator the reference and stock SQL lack): each
+    // purchase event picks up the newest click event by the same user at
+    // or before its time. Union + carry-forward window — one shuffle.
+    // Times are µs-truncated so inclusivity matches DuckDB's ASOF.
+    "q18_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      TemporalJoins.asofJoinBackward(
+        purchases, clicks,
+        keys = Seq("user_id"),
+        leftTime = "ts_us", rightTime = "ts_us",
+        rightValueCols = Seq("click_id"),
+        tiebreak = "click_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("asof_click_id"))
+    }),
+
+    // Gap-based sessionization (30-minute inactivity gap) + per-session
+    // rollup — lag/flag/running-sum windows, no state store in batch.
+    "q19_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      TemporalJoins.sessionize(
+        ev, keys = Seq("user_id"), timeCol = "ts_us",
+        tiebreak = "event_id", maxGap = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("first_event"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -441,6 +475,30 @@ object SparkEntry {
 
     // the on-disk warehouse pipeline must converge to the q05 upsert state
     "q17_warehouse_cdc" -> mergeUpsertOracle,
+
+    "q18_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.value, r.event_id AS asof_click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q19_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM o
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS first_event
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SkewTools, TemporalJoins}
+
+class TemporalSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoinBackward attaches newest right row at-or-before left time") {
+    val trades = Seq(
+      (1, 100L, "t1"), (1, 205L, "t2"), (2, 50L, "t3")
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1, 90L, 10.0), (1, 100L, 11.0), (1, 200L, 12.0), (2, 60L, 99.0)
+    ).toDF("k", "t", "px").withColumn("qid", monotonically_increasing_id())
+    val out = TemporalJoins.asofJoinBackward(
+      trades, quotes, Seq("k"), "t", "t", Seq("px"), tiebreak = "qid")
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").contains(11.0)) // inclusive: quote at exactly t=100
+    assert(out("t2").contains(12.0)) // newest ≤ 205
+    assert(out("t3").isEmpty)        // no quote at or before t=50
+  }
+
+  test("sessionize splits on gaps and keeps runs together") {
+    val ev = Seq(
+      (1, 0L, 1L), (1, 100L, 2L), (1, 5000L, 3L), (1, 5050L, 4L),
+      (2, 10L, 5L)
+    ).toDF("u", "t", "id")
+    val out = TemporalJoins.sessionize(ev, Seq("u"), "t", "id", maxGap = 1000L)
+      .select("id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1 && out(2L) == 1) // same session (gap 100)
+    assert(out(3L) == 2 && out(4L) == 2) // new session after gap 4900
+    assert(out(5L) == 1)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 1000).map(i => ("hot", i.toDouble)) ++
+      (1 to 10).map(i => (s"k$i", i.toDouble))
+    val in = df.toDF("k", "v")
+    val salted = SkewTools.saltedSumCount(in, Seq("k"), "v", saltBuckets = 8)
+      .select("k", "sum_v", "n").as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val plain = in.groupBy("k").agg(sum("v"), count(lit(1)))
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted broadcast join equals plain join") {
+    val fact = ((1 to 500).map(_ => (7, "hot")) ++ Seq((1, "a"), (2, "b")))
+      .toDF("id", "payload")
+    val dim = Seq((7, "seven"), (1, "one"), (2, "two"), (3, "three"))
+      .toDF("id", "name")
+    val salted = SkewTools.saltedBroadcastJoin(fact, dim, "id", 4)
+      .groupBy("id", "name").count()
+      .as[(Int, String, Long)].collect().toSet
+    val plain = fact.join(dim, "id").groupBy("id", "name").count()
+      .as[(Int, String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+}
