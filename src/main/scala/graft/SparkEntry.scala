@@ -362,6 +362,31 @@ object SparkEntry {
           min(col("event_id")).as("first_event"))
     }),
 
+    // Exact order-statistic quantiles (p50/p90) per group — rank-based
+    // selection, not approx sketches, so the oracle matches bit-for-bit.
+    "q20_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val cw = Window.partitionBy(col("event_type"))
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("cnt")).as("n"),
+          max(when(col("rn") === ceil(col("cnt") * 0.5).cast("long"),
+            col("value"))).as("p50"),
+          max(when(col("rn") === ceil(col("cnt") * 0.9).cast("long"),
+            col("value"))).as("p90"))
+    }),
+
+    // ROLLUP grouping sets (subtotals + grand total in one pass).
+    "q21_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -499,6 +524,25 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  min(event_id) AS first_event
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q20_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |)
+        |SELECT event_type, max(cnt) AS n,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN value END) AS p90
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -94,7 +94,7 @@ final class WarehouseTable(val root: String) {
       "partition" -> JString(partition.getOrElse("")),
       "properties" -> props)
     writeString(metaPath, JsonMethods.compact(JsonMethods.render(meta)))
-    writeManifest(0L, Map.empty)
+    writeManifest(0L, Manifest(Map.empty, Nil))
     atomicWriteCurrent(0L)
   }
 
@@ -108,15 +108,45 @@ final class WarehouseTable(val root: String) {
 
   def currentSnapshotId: Long = readString(currentPath).trim.toLong
 
-  /** manifest: partition value (or __ALL__) -> data dirs (relative). */
-  private def readManifest(id: Long): Map[String, List[String]] =
-    JsonMethods.parse(readString(snapPath(id)))
-      .extract[Map[String, List[String]]]
+  /** One MOR delta: a sequence number + its (partition -> dirs) files. */
+  final case class Delta(seq: Long, data: Map[String, List[String]])
 
-  private def writeManifest(id: Long, m: Map[String, List[String]]): Unit = {
-    val j = JObject(m.map { case (k, v) =>
-      k -> (JArray(v.map(JString(_))): JValue)
-    }.toList)
+  /** Snapshot contents: the base files plus ordered MOR deltas. */
+  final case class Manifest(
+      base: Map[String, List[String]],
+      deltas: List[Delta]) {
+    def allPartitions: Set[String] =
+      base.keySet ++ deltas.flatMap(_.data.keySet)
+  }
+
+  private def partsToJson(m: Map[String, List[String]]): JValue =
+    JObject(m.map { case (k, v) => k -> (JArray(v.map(JString(_))): JValue) }.toList)
+
+  private def partsFromJson(j: JValue): Map[String, List[String]] =
+    j.extract[Map[String, List[String]]]
+
+  private def readManifest(id: Long): Manifest = {
+    val j = JsonMethods.parse(readString(snapPath(id)))
+    (j \ "base") match {
+      case JNothing => Manifest(partsFromJson(j), Nil) // v1 flat format
+      case baseJ =>
+        val deltas = (j \ "deltas") match {
+          case JArray(ds) => ds.map { d =>
+            Delta((d \ "seq").extract[Long], partsFromJson(d \ "data"))
+          }
+          case _ => Nil
+        }
+        Manifest(partsFromJson(baseJ), deltas)
+    }
+  }
+
+  private def writeManifest(id: Long, m: Manifest): Unit = {
+    val j: JValue =
+      if (m.deltas.isEmpty) partsToJson(m.base)
+      else JObject(
+        "base" -> partsToJson(m.base),
+        "deltas" -> JArray(m.deltas.map(d => JObject(
+          "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))))
     writeString(snapPath(id), JsonMethods.compact(JsonMethods.render(j)))
   }
 
@@ -131,17 +161,38 @@ final class WarehouseTable(val root: String) {
 
   /** Read the current snapshot, optionally pruned to a set of partition
     * values. Pruning happens on manifest paths — Spark never lists or
-    * scans files of other partitions.
+    * scans files of other partitions. For MOR tables, read-time
+    * arbitration keeps the newest row per merge key across base + deltas
+    * (newer delta sequence wins; each delta holds ≤1 row per key).
     */
   def read(spark: SparkSession, partitions: Option[Seq[Any]] = None): DataFrame = {
     val meta = readMeta()
     val manifest = readManifest(currentSnapshotId)
-    val wanted: Map[String, List[String]] = partitions match {
-      case Some(vals) =>
-        val keys = vals.map(String.valueOf).toSet
-        manifest.view.filterKeys(keys.contains).toMap
-      case None => manifest
+    def prune(m: Map[String, List[String]]): Map[String, List[String]] =
+      partitions match {
+        case Some(vals) =>
+          val keys = vals.map(String.valueOf).toSet
+          m.view.filterKeys(keys.contains).toMap
+        case None => m
+      }
+    val baseDf = readParts(spark, meta, prune(manifest.base))
+    if (manifest.deltas.isEmpty) baseDf
+    else {
+      val keys = mergeKeys(meta).getOrElse(throw new IllegalStateException(
+        "MOR table has deltas but no merge.keys property"))
+      val frames = baseDf.withColumn("__seq", lit(0L)) ::
+        manifest.deltas.map(d =>
+          readParts(spark, meta, prune(d.data)).withColumn("__seq", lit(d.seq)))
+      val unioned = frames.reduce(_ unionByName _)
+      Dedup.latestByKey(unioned, keys, orderDesc = "__seq").drop("__seq")
     }
+  }
+
+  /** DataFrame over a set of manifest entries (empty → empty frame). */
+  private def readParts(
+      spark: SparkSession,
+      meta: Meta,
+      wanted: Map[String, List[String]]): DataFrame = {
     val dirs = wanted.values.flatten.toSeq.distinct
     if (dirs.isEmpty) {
       spark.createDataFrame(
@@ -167,6 +218,27 @@ final class WarehouseTable(val root: String) {
             col(f.name).cast(f.dataType).as(f.name))
           unioned.select(cols: _*)
       }
+    }
+  }
+
+  /** Merge keys recorded for MOR arbitration (set on first MOR merge). */
+  private def mergeKeys(meta: Meta): Option[Seq[String]] =
+    meta.properties.get("merge.keys").filter(_.nonEmpty).map(_.split(",").toSeq)
+
+  private def recordMergeKeys(meta: Meta, keys: Seq[String]): Unit = {
+    mergeKeys(meta) match {
+      case Some(existing) =>
+        require(existing == keys,
+          s"MOR merge keys mismatch: table has $existing, merge used $keys")
+      case None =>
+        val props = meta.properties + ("merge.keys" -> keys.mkString(","))
+        val j = JObject(
+          "schema" -> JString(meta.schemaDdl),
+          "partition" -> JString(meta.partition.getOrElse("")),
+          "properties" -> JObject(props.map { case (k, v) =>
+            k -> (JString(v): JValue)
+          }.toList))
+        writeString(metaPath, JsonMethods.compact(JsonMethods.render(j)))
     }
   }
 
@@ -229,17 +301,17 @@ final class WarehouseTable(val root: String) {
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val added = writeDataDir(df, meta)
-    val merged = (old.keySet ++ added.keySet).map { k =>
-      k -> (old.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
+    val merged = (old.base.keySet ++ added.keySet).map { k =>
+      k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
     }.toMap
-    commit(cur, merged)
+    commit(cur, Manifest(merged, old.deltas))
   }
 
   /** Overwrite — `mode == 'overwrite'` (read.py:234-236). */
   def overwrite(df: DataFrame): Unit = {
     val meta = readMeta()
     val cur = currentSnapshotId
-    commit(cur, writeDataDir(df, meta))
+    commit(cur, Manifest(writeDataDir(df, meta), Nil))
   }
 
   /** MERGE upsert — `mode == 'merge'` (read.py:237-239 + mergeSQL.sql).
@@ -257,6 +329,33 @@ final class WarehouseTable(val root: String) {
     */
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String]): Unit = {
     val meta = readMeta()
+    if (meta.properties.get("write.merge.mode").contains("merge-on-read"))
+      mergeMor(spark, source, keys, meta)
+    else
+      mergeCow(spark, source, keys, meta)
+  }
+
+  /** Merge-on-read: the deduped batch is APPENDED as a delta — O(batch)
+    * write, no target read at all; arbitration happens at read time
+    * (newest delta sequence wins per key). [[compact]] folds deltas back
+    * into the base when read amplification grows.
+    */
+  private def mergeMor(
+      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta): Unit = {
+    recordMergeKeys(meta, keys)
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val src = alignToSchema(source, meta.schema)
+    val added = writeDataDir(src, meta)
+    val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
+    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added)))
+  }
+
+  /** Copy-on-write merge (partition-pruned rewrite — see class docs). */
+  private def mergeCow(
+      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta): Unit = {
+    // a COW merge over leftover deltas (table switched modes) folds first
+    if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val src = alignToSchema(source, meta.schema).cache()
@@ -265,7 +364,7 @@ final class WarehouseTable(val root: String) {
         case None =>
           val target = read(spark)
           val merged = MergeInto.upsertAll(target, src, keys)
-          commit(cur, writeDataDir(merged, meta))
+          commit(cur, Manifest(writeDataDir(merged, meta), Nil))
         case Some(p) =>
           // 1. partitions the source writes into
           val srcParts = src.select(col(p).cast("string")).distinct()
@@ -278,17 +377,27 @@ final class WarehouseTable(val root: String) {
             .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
             .select(col(p).cast("string")).distinct()
             .collect().map(r => Option(r.getString(0)).getOrElse("null")).toSet
-          val affected = (srcParts ++ matchedParts).filter(old.contains)
-          val newParts = srcParts -- old.keySet
+          val affected = (srcParts ++ matchedParts).filter(old.base.contains)
           // 3. merge only affected partitions
           val target = read(spark, Some(affected.toSeq))
           val merged = MergeInto.upsertAll(target, src, keys)
           val rewritten = writeDataDir(merged, meta)
-          val untouched = old.view.filterKeys(k => !affected.contains(k)).toMap
-          commit(cur, untouched ++ rewritten)
-          val _ = newParts // (new partitions appear via `rewritten`)
+          val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
+          commit(cur, Manifest(untouched ++ rewritten, Nil))
       }
     } finally src.unpersist()
+  }
+
+  /** Fold MOR deltas into the base (compaction): one full arbitrated read,
+    * one partitioned rewrite, deltas cleared.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val meta = readMeta()
+    val cur = currentSnapshotId
+    if (readManifest(cur).deltas.nonEmpty) {
+      val full = read(spark)
+      commit(cur, Manifest(writeDataDir(full, meta), Nil))
+    }
   }
 
   /** Dedup-then-merge, the full reference write path (mergeSQL.sql:14-43):
@@ -304,7 +413,7 @@ final class WarehouseTable(val root: String) {
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
-  private def commit(expectedCurrent: Long, manifest: Map[String, List[String]]): Unit = {
+  private def commit(expectedCurrent: Long, manifest: Manifest): Unit = {
     val next = expectedCurrent + 1
     writeManifest(next, manifest)
     atomicWriteCurrent(next)

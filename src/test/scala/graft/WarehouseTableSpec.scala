@@ -83,6 +83,38 @@ class WarehouseTableSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a2", "NY")))
   }
 
+  test("MOR merge: deltas append without target rewrite, reads arbitrate") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), WarehouseTable.tableProperties("MOR", "snappy"))
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val snapAfterBase = t.currentSnapshotId
+    t.merge(spark, df((2, "B2", "NY"), (3, "c", "TX")), Seq("k"))
+    t.merge(spark, df((3, "C3", "TX")), Seq("k"))
+    // reads see latest-per-key across base + both deltas
+    val out = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a"), (2, "B2"), (3, "C3")))
+    assert(t.currentSnapshotId == snapAfterBase + 2)
+
+    // compaction folds deltas into the base; contents unchanged
+    t.compact(spark)
+    assert(t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == out)
+    // and a subsequent read has no arbitration work left (single base)
+    t.merge(spark, df((4, "d", "CA")), Seq("k"))
+    assert(t.read(spark).count() == 4)
+  }
+
+  test("MOR rejects inconsistent merge keys across merges") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
+    t.merge(spark, df((1, "a", "CA")), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(spark, df((1, "b", "CA")), Seq("k", "state"))
+    }
+    assert(e.getMessage.contains("merge keys"))
+  }
+
   test("alignToSchema casts and fills missing columns") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, None, Map.empty)
