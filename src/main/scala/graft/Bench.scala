@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: JVM/codegen/parquet-footer costs land here, not in q01
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
