@@ -1,0 +1,156 @@
+package graft.plans
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.WarehouseTable
+
+/** DataSource-V2 catalog over the graft warehouse — the fidelity layer
+  * that lets plain SQL address warehouse tables exactly like the
+  * reference addresses its Iceberg catalog (`job.json:6-10`):
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.plans.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  *   CREATE TABLE graft.db.orders (...) PARTITIONED BY (state)
+  *   INSERT INTO graft.db.orders SELECT ...
+  *   SELECT * FROM graft.db.orders
+  * }}}
+  *
+  * Reads and writes bridge to the engine's [[WarehouseTable]] through the
+  * public V1Scan/V1Write adapters (the same mechanism Spark's own JDBC
+  * source uses): the scan hands Catalyst an RDD of the current snapshot —
+  * snapshot isolation and MOR arbitration come from `WarehouseTable.read`
+  * — and inserts map to append/overwrite commits. `MERGE INTO` still goes
+  * through [[MergeSqlRunner]] (SupportsRowLevelOperations is the planned
+  * next step).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse'"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  private def warehouseTable(ident: Identifier): WarehouseTable =
+    WarehouseTable(tablePath(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get(
+      (warehouse +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.exists(p.resolve("_meta.json")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val wt = warehouseTable(ident)
+    if (!wt.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name())
+    new GraftDsv2Table(ident.toString, wt)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partitionCols = partitions.toSeq.map { t =>
+      require(t.name() == "identity",
+        s"only identity partitioning is supported, got ${t.describe()}")
+      t.references().head.fieldNames().mkString(".")
+    }
+    require(partitionCols.size <= 1,
+      "warehouse tables support at most one partition column")
+    val wt = warehouseTable(ident)
+    wt.create(schema, partitionCols.headOption, properties.asScala.toMap)
+    new GraftDsv2Table(ident.toString, wt)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported yet")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val wt = warehouseTable(ident)
+    if (wt.exists) { wt.drop(); true } else false
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported yet")
+}
+
+/** One warehouse table exposed through the DSv2 Table interface. */
+final class GraftDsv2Table(ident: String, wt: WarehouseTable)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = wt.schema
+
+  override def partitioning(): Array[Transform] =
+    wt.partitionColumn.map(p => Expressions.identity(p)).toArray
+
+  override def properties(): util.Map[String, String] = wt.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = wt.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftV1Relation(context, wt).asInstanceOf[T]
+        override def description(): String = s"GraftWarehouseScan(${wt.root})"
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+              if (overwrite || overwriteFlag) wt.overwrite(data)
+              else wt.append(data)
+          }
+      }
+    }
+}
+
+final class GraftV1Relation(ctx: SQLContext, wt: WarehouseTable)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = wt.schema
+  override def buildScan(): RDD[Row] = wt.read(ctx.sparkSession).rdd
+}
