@@ -387,6 +387,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Set operations (EXCEPT / INTERSECT, distinct semantics) over
+    // discriminating subsets (high-value events only — every user has
+    // every event type, so unfiltered sets would be degenerate).
+    "q22_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def users(tpe: String) =
+        ev.filter(col("event_type") === tpe && col("value") > 195)
+          .select(col("user_id"))
+      val pure = users("purchase").except(users("error"))
+        .select(lit("pure").as("tag"), col("user_id"))
+      val both = users("purchase").intersect(users("click"))
+        .select(lit("both").as("tag"), col("user_id"))
+      pure.unionByName(both)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -543,6 +558,17 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q22_set_ops" ->
+      """SELECT 'pure' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error' AND value > 195)
+        |UNION ALL
+        |SELECT 'both' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 195)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
