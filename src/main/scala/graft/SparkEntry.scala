@@ -271,9 +271,11 @@ object SparkEntry {
     // unrelated docs, so hamming separates signal (≤17) from noise (≥18).
     "q13_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), shingles(col("text"), 3).as("toks"))
-      val cands = TextDedup.simHashCandidates(toks, maxHamming = 17)
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+      // fingerprint over the same shingled frame the verifier uses — one
+      // shingle computation, not two
+      val cands = TextDedup.simHashCandidates(
+        sh.select(col("doc_id"), col("sh").as("toks")), maxHamming = 17)
       TextDedup.verifyPairs(cands, sh, 0.5)
     }),
 

@@ -44,19 +44,22 @@ object MergeInto {
       source: DataFrame,
       keys: Seq[String],
       updateCols: Seq[String]): DataFrame = {
-    val t = target.alias("t")
-    val s = source.alias("s")
+    // presence markers, not key-isNotNull: the join condition is null-safe
+    // (<=>), so a row with a null key can legitimately match — testing the
+    // key column would misclassify it and invert update/keep behavior
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val s = source.withColumn("__s_present", lit(true)).alias("s")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val matchedFlag = col(s"s.${keys.head}").isNotNull
+    val matched = col("s.__s_present").isNotNull
+    val targetPresent = col("t.__t_present").isNotNull
     val joined = t.join(s, cond, "full_outer")
     val outCols = target.columns.toIndexedSeq.map { c =>
-      val fromSource = keys.contains(c) || updateCols.contains(c)
-      if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
-      else if (fromSource)
-        when(matchedFlag, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      if (keys.contains(c))
+        when(targetPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
+      else if (updateCols.contains(c))
+        when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       else
-        when(col(s"t.${keys.head}").isNotNull, col(s"t.$c"))
-          .otherwise(col(s"s.$c")).as(c)
+        when(targetPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
     }
     joined.select(outCols: _*)
   }

@@ -61,10 +61,14 @@ class GraftCatalog extends TableCatalog {
     val dir = java.nio.file.Paths.get(
       (warehouse +: namespace).mkString("/"))
     if (!java.nio.file.Files.isDirectory(dir)) Array.empty
-    else java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => java.nio.file.Files.exists(p.resolve("_meta.json")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    else {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
+        .filter(p => java.nio.file.Files.exists(p.resolve("_meta.json")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally listing.close()
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -108,13 +112,20 @@ class GraftCatalog extends TableCatalog {
 final class GraftDsv2Table(ident: String, wt: WarehouseTable)
     extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = ident
-  override def schema(): StructType = wt.schema
-
-  override def partitioning(): Array[Transform] =
+  // snapshot the metadata once: the analyzer calls schema()/partitioning()
+  // repeatedly while resolving a single query, and each WarehouseTable
+  // accessor re-reads _meta.json from disk
+  private val cachedSchema: StructType = wt.schema
+  private val cachedPartitioning: Array[Transform] =
     wt.partitionColumn.map(p => Expressions.identity(p)).toArray
+  private val cachedProperties: util.Map[String, String] = wt.properties.asJava
 
-  override def properties(): util.Map[String, String] = wt.properties.asJava
+  override def name(): String = ident
+  override def schema(): StructType = cachedSchema
+
+  override def partitioning(): Array[Transform] = cachedPartitioning
+
+  override def properties(): util.Map[String, String] = cachedProperties
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(

@@ -68,11 +68,23 @@ object MergeSqlRunner {
     spark.sql(parsed.sourceSql)
 
   /** Full execution against a warehouse table (the engine's
-    * `execute_merge`, read.py:173-180).
+    * `execute_merge`, read.py:173-180). A SET list covering every non-key
+    * column runs as the fast whole-row upsert; a partial SET list runs the
+    * per-column arbitration so non-listed target columns survive on
+    * matched rows.
     */
   def execute(spark: SparkSession, sql: String, table: WarehouseTable): Unit = {
     val parsed = parse(sql)
+    // only same-name assignments are supported (target.c = source.c) — a
+    // renaming SET would silently write the wrong column otherwise
+    parsed.updateSet.foreach { case (tCol, sCol) =>
+      require(tCol == sCol,
+        s"unsupported MERGE assignment: $tCol = $sCol (columns must match)")
+    }
     val source = planSource(spark, parsed)
-    table.merge(spark, source, parsed.keys)
+    val nonKeys = table.schema.fieldNames.filterNot(parsed.keys.contains)
+    val partial = nonKeys.exists(c => !parsed.updateSet.contains(c))
+    table.merge(spark, source, parsed.keys,
+      if (partial) Some(parsed.updateSet.keys.toSeq) else None)
   }
 }

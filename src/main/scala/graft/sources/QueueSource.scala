@@ -34,10 +34,13 @@ final class LocalDirQueue(dir: String) extends QueueSource {
   private var inflight: List[Path] = Nil // paths with .inflight suffix
 
   override def receive(max: Int): Seq[QueueMessage] = {
-    val ready = Files.list(base).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".inflight"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .take(max)
+    val listing = Files.list(base)
+    val ready =
+      try listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".inflight"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .take(max)
+      finally listing.close() // the poll loop runs forever; leaked fds add up
     val got = ready.flatMap { p =>
       val claimed = base.resolve(p.getFileName.toString + ".inflight")
       try {
@@ -67,7 +70,10 @@ final class LocalDirQueue(dir: String) extends QueueSource {
   def send(name: String, body: String): Unit =
     Files.write(base.resolve(name), body.getBytes(StandardCharsets.UTF_8))
 
-  def pendingCount: Int =
-    Files.list(base).iterator().asScala
+  def pendingCount: Int = {
+    val listing = Files.list(base)
+    try listing.iterator().asScala
       .count(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".inflight"))
+    finally listing.close()
+  }
 }

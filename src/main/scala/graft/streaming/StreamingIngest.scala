@@ -38,7 +38,8 @@ object StreamingIngest {
       keys: Seq[String],
       orderDesc: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10,
+      tiebreakDesc: Seq[String] = Nil): StreamingQuery = {
     val stream = spark.readStream
       .options(csvOptions)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -50,9 +51,11 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // the tiebreak keeps checkpoint replays deterministic: a ts tie
+          // within a micro-batch must pick the same winner on every attempt
           table.merge(
             batch.sparkSession,
-            Dedup.latestByKey(batch, keys, orderDesc),
+            Dedup.latestByKey(batch, keys, orderDesc, tiebreakDesc),
             keys)
         }
         ()

@@ -43,6 +43,9 @@ import graft.operators.{Dedup, MergeInto}
 final class WarehouseTable(val root: String) {
 
   private val NoPart = "__ALL__"
+  // Spark writes null partition values to this hive dir name; manifest keys
+  // must use the same spelling or null-partition rows silently diverge.
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
   private implicit val formats: Formats = DefaultFormats
 
   private def rootPath: Path = Paths.get(root)
@@ -101,7 +104,9 @@ final class WarehouseTable(val root: String) {
   def drop(): Unit =
     if (Files.exists(rootPath)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(rootPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(rootPath)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
 
   // ---- snapshots ---------------------------------------------------------
@@ -140,14 +145,25 @@ final class WarehouseTable(val root: String) {
     }
   }
 
-  private def writeManifest(id: Long, m: Manifest): Unit = {
+  private def manifestJson(m: Manifest): String = {
     val j: JValue =
       if (m.deltas.isEmpty) partsToJson(m.base)
       else JObject(
         "base" -> partsToJson(m.base),
         "deltas" -> JArray(m.deltas.map(d => JObject(
           "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))))
-    writeString(snapPath(id), JsonMethods.compact(JsonMethods.render(j)))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private def writeManifest(id: Long, m: Manifest): Unit =
+    writeString(snapPath(id), manifestJson(m))
+
+  /** CREATE_NEW write — fails if a racing commit already claimed this id. */
+  private def writeManifestNew(id: Long, m: Manifest): Unit = {
+    val p = snapPath(id)
+    Files.createDirectories(p.getParent)
+    Files.write(p, manifestJson(m).getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
   private def atomicWriteCurrent(id: Long): Unit = {
@@ -265,13 +281,15 @@ final class WarehouseTable(val root: String) {
           .parquet(dest)
         // list the hive dirs spark produced
         import scala.jdk.CollectionConverters._
-        Files.list(Paths.get(dest)).iterator().asScala
+        val listing = Files.list(Paths.get(dest))
+        try listing.iterator().asScala
           .filter(d => Files.isDirectory(d) && d.getFileName.toString.contains("="))
           .map { d =>
             val dirName = d.getFileName.toString
             val value = dirName.substring(dirName.indexOf('=') + 1)
             unescapePartitionValue(value) -> List(s"$rel/$dirName")
           }.toMap
+        finally listing.close()
     }
   }
 
@@ -327,12 +345,26 @@ final class WarehouseTable(val root: String) {
     * The source must be deduped to ≤1 row per key (caller responsibility,
     * as in mergeSQL.sql:14-21); [[mergeDedup]] composes both steps.
     */
-  def merge(spark: SparkSession, source: DataFrame, keys: Seq[String]): Unit = {
+  /** MERGE upsert. `updateCols = None` (the reference's shape) overwrites
+    * every non-key column of matched rows; `Some(cols)` updates only those
+    * columns, preserving the rest from the target (COW only — a MOR delta
+    * carries whole rows, so partial SET lists are rejected there).
+    */
+  def merge(
+      spark: SparkSession,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Option[Seq[String]] = None): Unit = {
     val meta = readMeta()
-    if (meta.properties.get("write.merge.mode").contains("merge-on-read"))
+    val partial = updateCols.exists(cols =>
+      meta.schema.fieldNames.exists(c => !keys.contains(c) && !cols.contains(c)))
+    if (meta.properties.get("write.merge.mode").contains("merge-on-read")) {
+      require(!partial,
+        "merge-on-read deltas carry whole rows; partial UPDATE SET lists need COW")
       mergeMor(spark, source, keys, meta)
-    else
-      mergeCow(spark, source, keys, meta)
+    } else {
+      mergeCow(spark, source, keys, meta, if (partial) updateCols else None)
+    }
   }
 
   /** Merge-on-read: the deduped batch is APPENDED as a delta — O(batch)
@@ -353,22 +385,30 @@ final class WarehouseTable(val root: String) {
 
   /** Copy-on-write merge (partition-pruned rewrite — see class docs). */
   private def mergeCow(
-      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta): Unit = {
+      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta,
+      updateCols: Option[Seq[String]]): Unit = {
     // a COW merge over leftover deltas (table switched modes) folds first
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val src = alignToSchema(source, meta.schema).cache()
+    // partial SET list → per-column arbitration (preserved columns come
+    // from the target on matched rows; inserts still take all source cols)
+    def upsert(target: DataFrame): DataFrame = updateCols match {
+      case Some(cols) => MergeInto.upsertColumns(target, src, keys, cols)
+      case None       => MergeInto.upsertAll(target, src, keys)
+    }
     try {
       meta.partition match {
         case None =>
           val target = read(spark)
-          val merged = MergeInto.upsertAll(target, src, keys)
+          val merged = upsert(target)
           commit(cur, Manifest(writeDataDir(merged, meta), Nil))
         case Some(p) =>
-          // 1. partitions the source writes into
+          // 1. partitions the source writes into (null → the hive default
+          //    partition name so the keys line up with the manifest's)
           val srcParts = src.select(col(p).cast("string")).distinct()
-            .collect().map(r => Option(r.getString(0)).getOrElse("null")).toSet
+            .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet
           // 2. partitions holding targets of matched keys (pruned scan:
           //    parquet reads only keys + partition column)
           val keyCols = keys.map(col)
@@ -376,11 +416,11 @@ final class WarehouseTable(val root: String) {
           val matchedParts = targetKeys
             .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
             .select(col(p).cast("string")).distinct()
-            .collect().map(r => Option(r.getString(0)).getOrElse("null")).toSet
+            .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet
           val affected = (srcParts ++ matchedParts).filter(old.base.contains)
           // 3. merge only affected partitions
           val target = read(spark, Some(affected.toSeq))
-          val merged = MergeInto.upsertAll(target, src, keys)
+          val merged = upsert(target)
           val rewritten = writeDataDir(merged, meta)
           val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
           commit(cur, Manifest(untouched ++ rewritten, Nil))
@@ -413,9 +453,20 @@ final class WarehouseTable(val root: String) {
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Optimistic commit: the snapshot file is created with CREATE_NEW so a
+    * racing writer that produced the same next id fails loudly instead of
+    * silently overwriting a live manifest, and the pointer only advances
+    * if no other commit landed since the writer planned (single-writer is
+    * still the supported mode; this turns races into errors, not data
+    * loss).
+    */
   private def commit(expectedCurrent: Long, manifest: Manifest): Unit = {
+    val actual = currentSnapshotId
+    if (actual != expectedCurrent)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot advanced from $expectedCurrent to $actual during write; retry")
     val next = expectedCurrent + 1
-    writeManifest(next, manifest)
+    writeManifestNew(next, manifest)
     atomicWriteCurrent(next)
   }
 
@@ -429,8 +480,12 @@ final class WarehouseTable(val root: String) {
     Files.write(p, s.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Hive dir-name unescaping: %XX sequences only. URLDecoder is NOT
+    * correct here — it also turns '+' into a space, which hive escaping
+    * never produces.
+    */
   private def unescapePartitionValue(v: String): String =
-    java.net.URLDecoder.decode(v, "UTF-8")
+    java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
 }
 
 object WarehouseTable {

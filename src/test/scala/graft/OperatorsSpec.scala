@@ -45,6 +45,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1, "t1"), (2, "s2"), (3, "s3")))
   }
 
+  test("upsertColumns: null keys match null-safely with correct arbitration") {
+    val target = Seq((Option.empty[Int], "t1", "keep")).toDF("k", "v", "w")
+    val source = Seq((Option.empty[Int], "s1", "SRC")).toDF("k", "v", "w")
+    val out = MergeInto.upsertColumns(target, source, Seq("k"), Seq("v"))
+      .select("v", "w").as[(String, String)].collect().toSeq
+    // the <=> join matches the null keys: v updates, w stays from target
+    assert(out == Seq(("s1", "keep")))
+  }
+
   test("upsertColumns: non-listed columns keep target values on match") {
     val target = Seq((1, "t1", "keep1"), (2, "t2", "keep2")).toDF("k", "v", "w")
     val source = Seq((2, "s2", "SRC"), (3, "s3", "SRC")).toDF("k", "v", "w")

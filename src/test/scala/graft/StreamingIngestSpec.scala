@@ -34,7 +34,8 @@ class StreamingIngestSpec extends SparkSpec {
       spark, landing, schema,
       Map("header" -> "true"),
       table, keys = Seq("k"), orderDesc = "ts",
-      checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      checkpointDir = ckpt, maxFilesPerTrigger = 1,
+      tiebreakDesc = Seq("v"))
     q.awaitTermination(120000)
 
     val out = table.read(spark)

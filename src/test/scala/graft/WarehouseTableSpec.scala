@@ -83,6 +83,29 @@ class WarehouseTableSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a2", "NY")))
   }
 
+  test("merge handles null partition values (hive default partition)") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", null), (2, "b", "NY")))
+    // update the null-partition row and insert another null-partition row
+    t.merge(spark, df((1, "a2", null), (3, "c", null)), Seq("k"))
+    val out = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1, "a2", null), (2, "b", "NY"), (3, "c", null)))
+  }
+
+  test("merge with a partial UPDATE SET list preserves non-listed columns") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "keepme", "CA"), (2, "b", "NY")))
+    // only `state` is updated; v must survive on the matched row
+    t.merge(spark, df((1, "IGNORED", "TX"), (3, "new", "TX")), Seq("k"),
+      updateCols = Some(Seq("state")))
+    val out = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1, "keepme", "TX"), (2, "b", "NY"), (3, "new", "TX")))
+  }
+
   test("MOR merge: deltas append without target rewrite, reads arbitrate") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, Some("state"), WarehouseTable.tableProperties("MOR", "snappy"))
