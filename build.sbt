@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent task threads in this one JVM; an 8g heap
+  // GC-thrashes once a few queries' shuffle/broadcast debris accumulates
+  // (measured: 218 s vs 6 s for the same warehouse merge). The bench host
+  // has 128 GiB — size the heap like an executor fleet, not a driver.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc single-query profiler: runMain graft.tools.QProf <query> [sfDir] */
+object QProf {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[qprof]   $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def trivial(spark: SparkSession, label: String): Unit = {
+    val t0 = System.nanoTime()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    System.err.println(f"[qprof]   trivial-$label ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  def q17stages(spark: SparkSession, dir: String): Unit = {
+    trivial(spark, "pre")
+    import graft.operators.Dedup
+    val s = spark
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString + "/events_t"
+    val table = graft.table.WarehouseTable(wh)
+    val ev = graft.SparkEntry.queries // force object init
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val evdf = s.read.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val keys = Seq("user_id", "event_type")
+    val cut = lit(1705363200000000000L)
+    val cols = Seq("user_id", "event_type", "event_id", "value")
+    val b1 = Dedup.latestByKey(evdf.filter(col("ts") < cut), keys, "ts_us", Seq("event_id"))
+      .select(cols.map(col): _*)
+    val b2 = Dedup.latestByKey(evdf.filter(col("ts") >= cut), keys, "ts_us", Seq("event_id"))
+      .select(cols.map(col): _*)
+    time("b1.count")(b1.count())
+    time("b2.count")(b2.count())
+    time("create")(table.create(b1.schema, partition = Some("event_type"),
+      properties = graft.table.WarehouseTable.tableProperties("COW", "snappy")))
+    time("merge b1")(table.merge(s, b1, keys))
+    trivial(spark, "mid")
+    time("merge b2")(table.merge(s, b2, keys))
+    trivial(spark, "post")
+    time("read.count")(table.read(s).count())
+    trivial(spark, "end")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    (1 to reps).foreach { i =>
+      if (name.contains(",")) {
+        name.split(",").foreach { n =>
+          val t0 = System.nanoTime()
+          val cnt =
+            if (n == "q17stages") { q17stages(spark, sfDir); -1L }
+            else graft.SparkEntry.queries(n)(spark, sfDir).count()
+          System.err.println(f"[qprof] run$i $n ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$cnt")
+          spark.catalog.clearCache()
+          System.gc()
+        }
+      } else if (name == "q17stages") {
+        val t0 = System.nanoTime()
+        q17stages(spark, sfDir)
+        System.err.println(f"[qprof] run$i total ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      } else {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[qprof] run$i $name $dt%8.2f s rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}
