@@ -45,26 +45,32 @@ object TemporalJoins {
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", col(tiebreak).cast("long"))
-    // align schemas: left payload nulled on right rows and vice versa
-    val rValue = rightValueCols.map(c => col(c).as(s"__r_$c"))
+    // align schemas: left payload nulled on right rows and vice versa.
+    // The right payload travels as ONE struct column: the struct is
+    // non-null for every right row even when individual value columns are
+    // NULL, so last(ignoreNulls) carries the newest right ROW atomically —
+    // per-column carries would silently mix columns from different right
+    // rows whenever the newest match has a NULL (and would resurrect older
+    // non-null values DuckDB's ASOF JOIN correctly returns as NULL).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
     val lPart = l.select(
       (keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb")) ++
-        lCols.filterNot(keys.contains).map(col) ++
-        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+        lCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rStructType).as("__r")): _*)
     val rPart = r0.select(
       (keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb")) ++
-        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rValue): _*)
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValueCols.map(col): _*).as("__r")): _*)
     val unioned = lPart.unionByName(rPart)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((lCols.map(col) ++ rightValueCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+      .select((lCols.map(col) ++
+        rightValueCols.map(c => col("__r").getField(c).as(s"asof_$c"))): _*)
   }
 
   /** Gap-based sessionization: rows of the same key belong to one session

@@ -81,6 +81,15 @@ object MergeSqlRunner {
       require(tCol == sCol,
         s"unsupported MERGE assignment: $tCol = $sCol (columns must match)")
     }
+    // the executor always inserts full rows (upsertAll/upsertColumns), so a
+    // MERGE whose INSERT list names only a subset of columns would silently
+    // write values the statement did not ask for — reject it until partial
+    // INSERT lists are actually supported
+    val declared = parsed.insertCols.map(_.toLowerCase).toSet
+    val missing = table.schema.fieldNames.filterNot(c => declared(c.toLowerCase))
+    require(missing.isEmpty,
+      s"unsupported MERGE INSERT list: missing columns ${missing.mkString(", ")} " +
+        "(inserts write full rows; the INSERT list must cover the table schema)")
     val source = planSource(spark, parsed)
     val nonKeys = table.schema.fieldNames.filterNot(parsed.keys.contains)
     val partial = nonKeys.exists(c => !parsed.updateSet.contains(c))

@@ -470,7 +470,20 @@ final class WarehouseTable(val root: String) {
       tiebreakDesc: Seq[String] = Nil): Unit =
     merge(spark, Dedup.latestByKey(source, keys, orderDesc, tiebreakDesc), keys)
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  /** Broadcast-hint the frame only when its estimated size is under the
+    * session's autoBroadcastJoinThreshold; otherwise return it unhinted so
+    * the semi-join plans as a shuffle join (a huge merge batch must not be
+    * hinted into a driver-OOM broadcast). The source is cached by the
+    * caller, so the optimized plan carries real InMemoryRelation stats once
+    * materialized; before materialization the estimate is the conservative
+    * child-plan product, which simply falls back to the shuffle join.
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimated <= threshold) broadcast(df) else df
+  }
 
   /** Optimistic commit: the snapshot file is created with CREATE_NEW so a
     * racing writer that produced the same next id fails loudly instead of

@@ -92,6 +92,28 @@ class IngestPipelineSpec extends SparkSpec {
     assert(p.sourceSql.toLowerCase.contains("row_number"))
   }
 
+  test("MergeSqlRunner rejects a partial INSERT column list") {
+    // execution inserts full rows, so an INSERT list that names only some
+    // columns would silently write unrequested values — must fail loudly
+    import org.apache.spark.sql.types._
+    val table = graft.table.WarehouseTable(tmpDir("whpartial") + "/t")
+    table.create(StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("c", StringType))))
+    spark.range(1).selectExpr("1 AS a", "2 AS b", "'x' AS c")
+      .createOrReplaceTempView("source_table")
+    val sql =
+      """MERGE INTO cat.db.t AS target USING (SELECT * FROM source_table) AS source
+        |ON target.a = source.a
+        |WHEN MATCHED THEN UPDATE SET target.b = source.b, target.c = source.c
+        |WHEN NOT MATCHED THEN INSERT (a, b) VALUES (source.a, source.b);""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      MergeSqlRunner.execute(spark, sql, table)
+    }
+    assert(e.getMessage.contains("INSERT list"))
+    spark.catalog.dropTempView("source_table")
+  }
+
   private def setupJob(): (IngestRunner, LocalDirQueue, String) = {
     val land = tmpDir("landing")
     val queueDir = tmpDir("queue")

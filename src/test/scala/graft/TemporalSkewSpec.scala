@@ -23,6 +23,21 @@ class TemporalSkewSpec extends SparkSpec {
     assert(out("t3").isEmpty)        // no quote at or before t=50
   }
 
+  test("asofJoinBackward carries the newest right ROW even when it has NULLs") {
+    // newest quote for t1 (t=200) has px=NULL but src='b': true as-of
+    // semantics (and DuckDB ASOF JOIN) attach that row as-is — a NULL px
+    // and src='b' — never px from an older row mixed with src from the new
+    val trades = Seq((1, 205L, "t1")).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1, 100L, Some(11.0), "a"), (1, 200L, None: Option[Double], "b")
+    ).toDF("k", "t", "px", "src").withColumn("qid", monotonically_increasing_id())
+    val out = TemporalJoins.asofJoinBackward(
+      trades, quotes, Seq("k"), "t", "t", Seq("px", "src"), tiebreak = "qid")
+      .select("trade", "asof_px", "asof_src")
+      .as[(String, Option[Double], Option[String])].collect()
+    assert(out.toSeq == Seq(("t1", None, Some("b"))))
+  }
+
   test("sessionize splits on gaps and keeps runs together") {
     val ev = Seq(
       (1, 0L, 1L), (1, 100L, 2L), (1, 5000L, 3L), (1, 5050L, 4L),
