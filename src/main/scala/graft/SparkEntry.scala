@@ -408,6 +408,41 @@ object SparkEntry {
       pure.unionByName(both)
     }),
 
+    // Literal MERGE INTO SQL (with a CDC DELETE branch) planned natively:
+    // the statement goes through spark.sql against the DSv2 catalog — the
+    // GraftMergeStrategy lowers it onto the partition-pruned COW merge.
+    // Semantics under test: matched rows with value<50 are DELETED, other
+    // matches update, unmatched sources insert only when value>=50.
+    "q23_sql_merge" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q23_scratch"
+      graft.table.WarehouseTable(s"$wh/db/events_t").drop()
+      s.conf.set("spark.sql.catalog.graft_q23", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q23.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val keys = Seq("user_id", "event_type")
+      val cut = lit(utcNanos("2024-01-16"))
+      val cols = Seq("user_id", "event_type", "event_id", "value")
+      Dedup.latestByKey(ev.filter(col("ts") < cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*).createOrReplaceTempView("q23_b1")
+      Dedup.latestByKey(ev.filter(col("ts") >= cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*).createOrReplaceTempView("q23_b2")
+      s.sql(
+        """CREATE TABLE graft_q23.db.events_t (
+          |  user_id BIGINT, event_type STRING, event_id BIGINT, value DOUBLE
+          |) PARTITIONED BY (event_type)""".stripMargin)
+      s.sql("INSERT INTO graft_q23.db.events_t SELECT * FROM q23_b1")
+      s.sql(
+        """MERGE INTO graft_q23.db.events_t AS t USING q23_b2 AS s
+          |ON t.user_id = s.user_id AND t.event_type = s.event_type
+          |WHEN MATCHED AND s.value < 50 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.event_id = s.event_id, t.value = s.value
+          |WHEN NOT MATCHED AND s.value >= 50 THEN INSERT
+          |  (user_id, event_type, event_id, value)
+          |  VALUES (s.user_id, s.event_type, s.event_id, s.value)""".stripMargin)
+      s.sql("SELECT user_id, event_type, event_id, value FROM graft_q23.db.events_t")
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -575,6 +610,29 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
         |  INTERSECT
         |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 195)""".stripMargin,
+
+    "q23_sql_merge" ->
+      """WITH tgt AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |), src AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |)
+        |-- matched src value<50 deletes; matched >=50 updates to the src row;
+        |-- unmatched src inserts only when >=50: survivors = src rows >=50
+        |-- plus target rows with no src key
+        |SELECT user_id, event_type, event_id, value FROM src WHERE value >= 50
+        |UNION ALL
+        |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

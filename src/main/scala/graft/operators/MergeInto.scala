@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO (upsert) semantics over plain DataFrames — the join-rewrite of
@@ -34,6 +34,105 @@ object MergeInto {
     val src = source.select(target.columns.map(col).toIndexedSeq: _*)
     val kept = target.join(source.select(keys.map(col): _*), keys, "left_anti")
     src.unionByName(kept)
+  }
+
+  // ---- general MERGE programs (SQL WHEN-clause semantics) ----------------
+
+  /** One WHEN MATCHED clause. Conditions and values are Columns over a
+    * frame where SOURCE columns keep their original names and TARGET
+    * columns appear as `__t_<name>` (so a clause can compare both sides,
+    * e.g. `col("__t_updated_at") < col("updated_at")`).
+    */
+  sealed trait MatchedClause { def cond: Option[Column] }
+  /** UPDATE SET: assigned target column -> value expression. Unassigned
+    * non-key columns keep their target values.
+    */
+  final case class UpdateClause(cond: Option[Column], set: Map[String, Column])
+      extends MatchedClause
+  /** DELETE: the matched target row is removed. */
+  final case class DeleteClause(cond: Option[Column]) extends MatchedClause
+
+  /** One WHEN NOT MATCHED clause: full-row insert values (source columns
+    * only — there is no target row to reference).
+    */
+  final case class InsertClause(cond: Option[Column], values: Map[String, Column])
+
+  /** A full MERGE program. Clauses apply FIRST-MATCH-WINS in declaration
+    * order (SQL MERGE semantics): a matched pair falls through the matched
+    * clauses until one condition holds (none ⇒ target row kept as-is); an
+    * unmatched source row falls through the insert clauses (none ⇒
+    * dropped); an unmatched target row is always kept.
+    */
+  final case class MergeClauses(
+      matched: Seq[MatchedClause],
+      notMatched: Seq[InsertClause])
+
+  /** The plain upsert as a program (UPDATE SET all + INSERT all) — what the
+    * reference's mergeSQL.sql expresses.
+    */
+  def upsertProgram(columns: Seq[String], keys: Seq[String]): MergeClauses =
+    MergeClauses(
+      matched = Seq(UpdateClause(None,
+        columns.filterNot(keys.contains).map(c => c -> col(c)).toMap)),
+      notMatched = Seq(InsertClause(None, columns.map(c => c -> col(c)).toMap)))
+
+  /** Execute a [[MergeClauses]] program: one full-outer join on the keys
+    * (standard SQL equality — null keys never match, as in Iceberg/ANSI
+    * MERGE), then row arbitration as a single codegen'd CASE cascade. The
+    * caller guarantees ≤1 source row per key (Iceberg's multiple-match
+    * precondition); output column order/types follow the target schema.
+    */
+  def applyClauses(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      clauses: MergeClauses): DataFrame = {
+    val tCols = target.columns.toIndexedSeq
+    require(!tCols.exists(source.columns.map("__t_" + _).contains),
+      "source columns may not start with __t_ (reserved for target refs)")
+    val t = target.select(
+      (tCols.map(c => col(c).as(s"__t_$c")) :+ lit(true).as("__t_p")): _*)
+    val s = source.withColumn("__s_p", lit(true))
+    val joinCond = keys.map(k => t(s"__t_$k") === s(k)).reduce(_ && _)
+    val joined = t.join(s, joinCond, "full_outer")
+
+    val tPresent = col("__t_p").isNotNull
+    val sPresent = col("__s_p").isNotNull
+    // first-match-wins decision index per side (-1 = no clause fired)
+    def decide(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+        when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val mDec = decide(clauses.matched.map(_.cond))
+    val iDec = decide(clauses.notMatched.map(_.cond))
+
+    val deleteIdx = clauses.matched.zipWithIndex.collect {
+      case (_: DeleteClause, i) => i
+    }.toSet
+    val keep =
+      when(tPresent && sPresent,
+        if (deleteIdx.isEmpty) lit(true)
+        else !deleteIdx.map(i => mDec === i).reduce(_ || _))
+      .when(tPresent, lit(true))
+      .otherwise(iDec =!= -1)
+
+    val outCols = tCols.map { c =>
+      val dt = target.schema(c).dataType
+      val matchedValue = clauses.matched.zipWithIndex.foldRight(col(s"__t_$c")) {
+        case ((UpdateClause(_, set), i), els) if set.contains(c) =>
+          when(mDec === i, set(c).cast(dt)).otherwise(els)
+        case (_, els) => els
+      }
+      val insertValue = clauses.notMatched.zipWithIndex
+        .foldRight(lit(null).cast(dt)) { case ((InsertClause(_, values), i), els) =>
+          when(iDec === i, values(c).cast(dt)).otherwise(els)
+        }
+      when(tPresent && sPresent, matchedValue)
+        .when(tPresent, col(s"__t_$c"))
+        .otherwise(insertValue)
+        .cast(dt).as(c)
+    }
+    joined.filter(keep).select(outCols: _*)
   }
 
   /** Upsert with an explicit UPDATE SET column list; non-listed, non-key

@@ -112,6 +112,11 @@ class GraftCatalog extends TableCatalog {
 final class GraftDsv2Table(ident: String, wt: WarehouseTable)
     extends Table with SupportsRead with SupportsWrite {
 
+  /** The engine table behind this DSv2 facade (used by the MERGE planner
+    * strategy to run the join-rewrite against the real warehouse).
+    */
+  def warehouse: WarehouseTable = wt
+
   // snapshot the metadata once: the analyzer calls schema()/partitioning()
   // repeatedly while resolving a single query, and each WarehouseTable
   // accessor re-reads _meta.json from disk

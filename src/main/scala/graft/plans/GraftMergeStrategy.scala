@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+import graft.operators.MergeInto
+import graft.operators.MergeInto.{DeleteClause, InsertClause, MergeClauses, UpdateClause}
+
+/** Planner strategy that makes literal `MERGE INTO` SQL execute against
+  * graft warehouse tables — the role `IcebergSparkSessionExtensions` plays
+  * for the reference (`/root/reference/spark-job/job.json:5`), done
+  * Spark-first:
+  *
+  * Stock Spark fully ANALYZES a `MergeIntoTable` plan over any DSv2
+  * catalog table (conditions, WHEN clauses and assignments are resolved
+  * and type-coerced by Catalyst — we write zero SQL parsing code) and only
+  * the physical planner rejects it when the table lacks
+  * `SupportsRowLevelOperations`. This strategy claims the plan first and
+  * lowers it onto [[WarehouseTable.mergeClauses]] — the partition-pruned
+  * COW join-rewrite — so the full WHEN-clause surface works, including
+  * conditional updates and `WHEN MATCHED ... THEN DELETE` (the CDC delete
+  * branch the reference's mergeSQL.sql omits; SURVEY.md §2.2).
+  *
+  * Enable per-session at build time
+  * (`.config("spark.sql.extensions", "graft.plans.GraftSparkSessionExtensions")`)
+  * or at runtime on a live session (`GraftMergeStrategy.register(spark)`).
+  *
+  * Supported shape (v1): equi-key ON conjunction where each source key
+  * column either already carries the target key's name or can be aliased
+  * to it without colliding; WHEN clause conditions over both sides; no
+  * NOT MATCHED BY SOURCE clauses; no schema evolution.
+  */
+case class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: MergeIntoTable =>
+      graftTable(m.targetTable).map { table =>
+        GraftMergeExec(spark, table, m) :: Nil
+      }.getOrElse(Nil)
+    case _ => Nil
+  }
+
+  private def graftTable(plan: LogicalPlan): Option[GraftDsv2Table] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftDsv2Table => Some(t)
+      case _ => None
+    }
+    // V2ScanRelationPushDown rewrites the relation before planning runs
+    case r: DataSourceV2ScanRelation => graftTable(r.relation)
+    case SubqueryAlias(_, child) => graftTable(child)
+    case _ => None
+  }
+}
+
+object GraftMergeStrategy {
+  /** Attach the strategy to an already-built session (no
+    * spark.sql.extensions config needed — useful when the session is
+    * constructed by a host we don't control, e.g. the verify driver).
+    */
+  def register(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.exists(_.isInstanceOf[GraftMergeStrategy]))
+      spark.experimental.extraStrategies = strategies :+ GraftMergeStrategy(spark)
+  }
+}
+
+/** Config-time registration: `spark.sql.extensions=graft.plans.GraftSparkSessionExtensions`. */
+class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(session => GraftMergeStrategy(session))
+}
+
+/** Physical node executing the lowered MERGE. Runs once (lazily) on the
+  * driver like any DSv2 command exec; returns no rows.
+  */
+case class GraftMergeExec(
+    spark: SparkSession,
+    table: GraftDsv2Table,
+    merge: MergeIntoTable) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Array[InternalRow] = { run(); Array.empty }
+
+  override def executeCollect(): Array[InternalRow] = done
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(done.toSeq, 1)
+
+  // ---- lowering ----------------------------------------------------------
+
+  private def run(): Unit = {
+    require(merge.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported yet")
+    require(!merge.withSchemaEvolution, "MERGE schema evolution is not supported")
+
+    val targetAttrs = merge.targetTable.output
+    val sourceAttrs = merge.sourceTable.output
+    val targetIds = targetAttrs.map(_.exprId).toSet
+    val sourceIds = sourceAttrs.map(_.exprId).toSet
+    val tableCols = table.warehouse.schema.fieldNames.toSeq
+
+    // ON conjunction → same-name equi keys (aliasing source keys when safe)
+    var src = GraftBridge.ofRows(spark, merge.sourceTable)
+    val keys = splitConjuncts(merge.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (t, s) =
+          if (targetIds(a.exprId) && sourceIds(b.exprId)) (a, b)
+          else if (targetIds(b.exprId) && sourceIds(a.exprId)) (b, a)
+          else throw new IllegalArgumentException(
+            s"MERGE ON clause must compare a target and a source column: $a = $b")
+        if (s.name != t.name) {
+          require(!src.columns.contains(t.name),
+            s"cannot alias source key ${s.name} to ${t.name}: name already taken")
+          src = src.withColumn(t.name, GraftBridge.column(s))
+        }
+        t.name
+      case other => throw new IllegalArgumentException(
+        s"only equi-key MERGE conditions are supported, got: ${other.sql}")
+    }
+
+    // resolved Expression → Column over the arbitration frame (source
+    // columns keep their names, target columns appear as __t_<name>)
+    def toCol(e: Expression): Column = GraftBridge.column(e.transform {
+      case a: AttributeReference if targetIds(a.exprId) =>
+        UnresolvedAttribute(Seq("__t_" + a.name))
+      case a: AttributeReference if sourceIds(a.exprId) =>
+        UnresolvedAttribute(Seq(a.name))
+    })
+
+    def assignmentMap(assignments: Seq[Assignment]): Map[String, Column] =
+      assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new IllegalArgumentException(
+            s"only top-level column assignments are supported: ${other.sql}")
+        }
+        name -> toCol(a.value)
+      }.toMap
+
+    val matched = merge.matchedActions.map {
+      case UpdateAction(cond, assignments, _) =>
+        UpdateClause(cond.map(toCol), assignmentMap(assignments))
+      case DeleteAction(cond) => DeleteClause(cond.map(toCol))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched = merge.notMatchedActions.map {
+      case InsertAction(cond, assignments) =>
+        val values = assignmentMap(assignments)
+        val missing = tableCols.filterNot(values.contains)
+        require(missing.isEmpty,
+          s"MERGE INSERT must cover the table schema; missing: ${missing.mkString(", ")}")
+        InsertClause(cond.map(toCol), values)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+
+    table.warehouse.mergeClauses(spark, src, keys, MergeClauses(matched, notMatched))
+    // the table contents changed under any cached plans over this relation
+    spark.sharedState.cacheManager.recacheByPlan(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], merge.targetTable)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

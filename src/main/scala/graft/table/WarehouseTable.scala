@@ -402,47 +402,107 @@ final class WarehouseTable(val root: String) {
       r
     } else f
 
+  /** General MERGE program (SQL WHEN-clause semantics incl. conditional
+    * updates and DELETE branches — see [[MergeInto.MergeClauses]]). Always
+    * executes copy-on-write at partition granularity: deltas of a MOR
+    * table are compacted first (a delta row cannot express "delete" or
+    * "keep-some-columns", so programs beyond plain upsert need the
+    * rewrite). Source columns feeding conditions/values beyond the table
+    * schema survive — only the schema columns are aligned on write.
+    */
+  def mergeClauses(
+      spark: SparkSession,
+      source: DataFrame,
+      keys: Seq[String],
+      clauses: MergeInto.MergeClauses): Unit = {
+    val meta = readMeta()
+    // which partitions can the program WRITE rows into?
+    //  - insert clauses: evaluate each clause's value for the partition
+    //    column over the source (insert values are source-only by SQL
+    //    rules), so computed partition values are covered;
+    //  - an UPDATE that assigns the partition column can move a matched
+    //    row into ANY partition (its value may reference the target side),
+    //    so that rare shape falls back to rewriting all base partitions.
+    def writtenParts(src: DataFrame, p: String): Option[Set[String]] = {
+      val updatesPartition = clauses.matched.exists {
+        case MergeInto.UpdateClause(_, set) => set.contains(p)
+        case _ => false
+      }
+      if (updatesPartition) None
+      else Some(clauses.notMatched.flatMap { ic =>
+        src.select(ic.values(p).cast("string")).distinct()
+          .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition))
+      }.toSet)
+    }
+    mergeCowWith(spark, source, keys, meta, alignSource = false, writtenParts,
+      (target, src) => MergeInto.applyClauses(target, src, keys, clauses))
+  }
+
   /** Copy-on-write merge (partition-pruned rewrite — see class docs). */
   private def mergeCow(
       spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta,
-      updateCols: Option[Seq[String]]): Unit = {
+      updateCols: Option[Seq[String]]): Unit =
+    mergeCowWith(spark, source, keys, meta, alignSource = true,
+      // upsert writes exactly the source's own partition values
+      (src, p) => Some(src.select(col(p).cast("string")).distinct()
+        .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet),
+      { (target, src) =>
+        // partial SET list → per-column arbitration (preserved columns come
+        // from the target on matched rows; inserts still take all source cols)
+        updateCols match {
+          case Some(cols) => MergeInto.upsertColumns(target, src, keys, cols)
+          case None       => MergeInto.upsertAll(target, src, keys)
+        }
+      })
+
+  /** Shared COW machinery: `srcParts(cachedSource, partitionCol)` returns
+    * the partition values the program may write (None = unbounded → all
+    * base partitions), `upsert(targetSlice, cachedSource)` produces the
+    * replacement contents of the affected partitions.
+    */
+  private def mergeCowWith(
+      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta,
+      alignSource: Boolean,
+      srcPartsFn: (DataFrame, String) => Option[Set[String]],
+      upsert: (DataFrame, DataFrame) => DataFrame): Unit = {
     // a COW merge over leftover deltas (table switched modes) folds first
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
     val cur = currentSnapshotId
     val old = readManifest(cur)
-    val src = alignToSchema(source, meta.schema).cache()
-    // partial SET list → per-column arbitration (preserved columns come
-    // from the target on matched rows; inserts still take all source cols)
-    def upsert(target: DataFrame): DataFrame = updateCols match {
-      case Some(cols) => MergeInto.upsertColumns(target, src, keys, cols)
-      case None       => MergeInto.upsertAll(target, src, keys)
-    }
+    val src = (if (alignSource) alignToSchema(source, meta.schema) else source).cache()
     try {
       meta.partition match {
         case None =>
           val target = read(spark)
-          val merged = upsert(target)
+          val merged = upsert(target, src)
           commit(cur, Manifest(writeDataDir(merged, meta), Nil))
         case Some(p) =>
-          // 1. partitions the source writes into (null → the hive default
+          // 1. partitions the program writes into (null → the hive default
           //    partition name so the keys line up with the manifest's)
-          val srcParts = dbg("srcParts")(src.select(col(p).cast("string")).distinct()
-            .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet)
-          // 2. partitions holding targets of matched keys (pruned scan:
-          //    parquet reads only keys + partition column)
-          val keyCols = keys.map(col)
-          val targetKeys = read(spark).select((keys :+ p).map(col): _*)
-          val matchedParts = dbg("matchedParts")(targetKeys
-            .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
-            .select(col(p).cast("string")).distinct()
-            .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet)
-          val affected = (srcParts ++ matchedParts).filter(old.base.contains)
-          // 3. merge only affected partitions
-          val target = read(spark, Some(affected.toSeq))
-          val merged = upsert(target)
-          val rewritten = dbg("write")(writeDataDir(merged, meta))
-          val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
-          dbg("commit")(commit(cur, Manifest(untouched ++ rewritten, Nil)))
+          val srcParts = dbg("srcParts")(srcPartsFn(src, p))
+          srcParts match {
+            case None =>
+              // unbounded writes (partition-moving update): rewrite all
+              val target = read(spark)
+              val merged = upsert(target, src)
+              commit(cur, Manifest(writeDataDir(merged, meta), Nil))
+            case Some(sp) =>
+              // 2. partitions holding targets of matched keys (pruned scan:
+              //    parquet reads only keys + partition column)
+              val keyCols = keys.map(col)
+              val targetKeys = read(spark).select((keys :+ p).map(col): _*)
+              val matchedParts = dbg("matchedParts")(targetKeys
+                .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
+                .select(col(p).cast("string")).distinct()
+                .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet)
+              val affected = (sp ++ matchedParts).filter(old.base.contains)
+              // 3. merge only affected partitions
+              val target = read(spark, Some(affected.toSeq))
+              val merged = upsert(target, src)
+              val rewritten = dbg("write")(writeDataDir(merged, meta))
+              val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
+              dbg("commit")(commit(cur, Manifest(untouched ++ rewritten, Nil)))
+          }
       }
     } finally src.unpersist()
   }

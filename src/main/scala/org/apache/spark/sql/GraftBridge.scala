@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an analyzed logical plan (`Dataset.ofRows` went
+    * `private[sql]` with the classic/connect split) — needed to hand a
+    * MERGE statement's already-resolved source plan back to the DataFrame
+    * API inside the planner strategy.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -48,6 +48,64 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!graft.table.WarehouseTable(s"$wh/db/orders").exists)
   }
 
+  test("literal MERGE INTO SQL: conditional update, delete, and insert") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql(
+      "CREATE TABLE graft.db.m (k INT, v STRING, state STRING) PARTITIONED BY (state)")
+    spark.sql(
+      "INSERT INTO graft.db.m VALUES (1, 'a', 'CA'), (2, 'b', 'CA'), (3, 'c', 'NY')")
+    spark.sql(
+      """SELECT * FROM VALUES (2, 'B', 'u'), (3, NULL, 'd'), (4, 'dd', 'i'), (5, 'x', 'd')
+        |AS s(sk, sv, sop)""".stripMargin).createOrReplaceTempView("m_src")
+    spark.sql(
+      """MERGE INTO graft.db.m AS t USING m_src AS s ON t.k = s.sk
+        |WHEN MATCHED AND s.sop = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = upper(s.sv)
+        |WHEN NOT MATCHED AND s.sop != 'd' THEN INSERT (k, v, state) VALUES (s.sk, s.sv, 'TX')""".stripMargin)
+    val out = spark.sql("SELECT k, v, state FROM graft.db.m ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // 1 untouched; 2 updated in place (state kept); 3 deleted; 4 inserted
+    // into TX; delete-op 5 matched nothing and is NOT inserted
+    assert(out == Seq((1, "a", "CA"), (2, "B", "CA"), (4, "dd", "TX")))
+    spark.sql("DROP TABLE graft.db.m")
+  }
+
+  test("MERGE INTO condition can compare target and source sides") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql("CREATE TABLE graft.db.lww (k INT, v STRING, ver INT)")
+    spark.sql("INSERT INTO graft.db.lww VALUES (1, 'old', 5), (2, 'old', 5)")
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'new', 9), (2, 'stale', 3)
+        |AS s(k, v, ver)""".stripMargin).createOrReplaceTempView("lww_src")
+    spark.sql(
+      """MERGE INTO graft.db.lww AS t USING lww_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET t.v = s.v, t.ver = s.ver
+        |WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (s.k, s.v, s.ver)""".stripMargin)
+    val out = spark.sql("SELECT k, v, ver FROM graft.db.lww ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // key 1 upgraded (9 > 5); key 2 kept (3 < 5) — last-writer-wins gate
+    assert(out == Seq((1, "new", 9), (2, "old", 5)))
+    spark.sql("DROP TABLE graft.db.lww")
+  }
+
+  test("MERGE INTO rejects unsupported shapes loudly") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql("CREATE TABLE graft.db.rej (k INT, v STRING)")
+    spark.range(1).selectExpr("1 AS k", "'x' AS v").createOrReplaceTempView("rej_src")
+    // non-equi ON condition
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.rej AS t USING rej_src AS s ON t.k > s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    assert(e1.getMessage.contains("equi-key"))
+    spark.sql("DROP TABLE graft.db.rej")
+  }
+
   test("SQL reads see snapshots committed by the native merge path") {
     import spark.implicits._
     val wh = warehouse // force catalog registration
