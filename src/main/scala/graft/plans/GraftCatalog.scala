@@ -5,12 +5,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, PrunedFilteredScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -138,14 +140,42 @@ final class GraftDsv2Table(ident: String, wt: WarehouseTable)
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Scan builder with column pruning + filter pushdown (the JDBC-source
+    * pattern: pushdown negotiated at the DSv2 layer, executed by the V1
+    * relation). Filters we can translate back to Columns are accepted and
+    * applied EXACTLY inside the inner DataFrame plan — where Catalyst
+    * additionally pushes them into the parquet scan for row-group skipping
+    * — and equality/IN filters on the partition column prune manifest
+    * entries before Spark ever lists a file. Untranslatable filters are
+    * declined and Spark re-evaluates them post-scan.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType = cachedSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ok, no) = filters.partition(GraftV1Relation.translate(_).isDefined)
+        pushed = ok
+        no
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = wt.schema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
+        private val schema = required
+        private val filters = pushed
+        override def readSchema(): StructType = schema
+        override def toV1TableScan[T <: BaseRelation with sources.TableScan](
             context: SQLContext): T =
-          new GraftV1Relation(context, wt).asInstanceOf[T]
-        override def description(): String = s"GraftWarehouseScan(${wt.root})"
+          new GraftV1Relation(context, wt, schema, filters).asInstanceOf[T]
+        override def description(): String =
+          s"GraftWarehouseScan(${wt.root}, " +
+            s"cols=${schema.fieldNames.mkString(",")}, " +
+            s"filters=${filters.mkString(",")})"
       }
     }
 
@@ -164,9 +194,65 @@ final class GraftDsv2Table(ident: String, wt: WarehouseTable)
     }
 }
 
-final class GraftV1Relation(ctx: SQLContext, wt: WarehouseTable)
-    extends BaseRelation with TableScan {
+final class GraftV1Relation(
+    ctx: SQLContext,
+    wt: WarehouseTable,
+    required: StructType,
+    filters: Array[Filter])
+    extends BaseRelation with sources.TableScan {
+
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = wt.schema
-  override def buildScan(): RDD[Row] = wt.read(ctx.sparkSession).rdd
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    // manifest-level partition pruning from conjunctive partition filters
+    val parts = wt.partitionColumn.flatMap(p => partitionValues(p, filters))
+    val base = wt.read(spark, parts)
+    val filtered = filters.flatMap(GraftV1Relation.translate)
+      .foldLeft(base)((df, c) => df.filter(c))
+    // prune AFTER the snapshot read: MOR key arbitration needs its merge
+    // keys internally; Catalyst pushes this projection into the parquet
+    // ReadSchema anyway
+    filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** Partition values implied by the pushed filters (None = no constraint).
+    * Filters arrive conjunctive, so any single equality/IN on the
+    * partition column bounds the scan.
+    */
+  private def partitionValues(p: String, fs: Array[Filter]): Option[Seq[Any]] =
+    fs.collectFirst {
+      case sources.EqualTo(`p`, v) => Seq(v)
+      case sources.EqualNullSafe(`p`, v) if v != null => Seq(v)
+      case sources.In(`p`, vs) if !vs.contains(null) => vs.toSeq
+    }
+}
+
+object GraftV1Relation {
+  import org.apache.spark.sql.functions.{lit, not}
+
+  /** sources.Filter → Column, for the translatable subset (None ⇒ the
+    * filter is declined and Spark evaluates it post-scan).
+    */
+  def translate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sources.Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sources.Not(c) => translate(c).map(not)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }

@@ -106,6 +106,33 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.rej")
   }
 
+  test("SQL reads prune partitions from the manifest and prune columns") {
+    val wh = warehouse
+    spark.sql(
+      "CREATE TABLE graft.db.pr (id INT, v STRING, state STRING) PARTITIONED BY (state)")
+    spark.sql(
+      "INSERT INTO graft.db.pr VALUES (1, 'a', 'CA'), (2, 'b', 'NY'), (3, 'c', 'CA')")
+    // physically destroy the NY partition's data files: a query filtered
+    // to CA must still succeed, proving the NY files were never listed or
+    // read (manifest-level pruning, not post-scan filtering)
+    import scala.jdk.CollectionConverters._
+    val dataDir = java.nio.file.Paths.get(s"$wh/db/pr/data")
+    val walk = java.nio.file.Files.walk(dataDir)
+    try walk.iterator().asScala.toSeq.reverse
+      .filter(_.toString.contains("state=NY"))
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    val out = spark.sql("SELECT v FROM graft.db.pr WHERE state = 'CA' ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a", "c"))
+    // IN-list pruning on a single surviving partition also works
+    val out2 = spark.sql(
+      "SELECT id FROM graft.db.pr WHERE state IN ('CA') AND id > 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(out2 == Seq(3))
+    spark.sql("DROP TABLE graft.db.pr")
+  }
+
   test("SQL reads see snapshots committed by the native merge path") {
     import spark.implicits._
     val wh = warehouse // force catalog registration
