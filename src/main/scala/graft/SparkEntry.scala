@@ -408,6 +408,40 @@ object SparkEntry {
       pure.unionByName(both)
     }),
 
+    // Embedding-cosine near-dup pairs, exact baseline: all vector pairs
+    // with cosine ≥ τ. One side broadcasts (it is the whole corpus — fine
+    // to |corpus| ≈ millions of rows; beyond that the RP-LSH variant
+    // SimilaritySearch.embeddingNearDupPairs bounds compared pairs to
+    // ~nTables/2^nPlanes of all-pairs, verified by the same exact cosine).
+    // This corpus has no planted high-cosine dups (max ≈ 0.51), so recall
+    // guarantees for LSH are vacuous here and the exact form is the
+    // oracle-checkable semantics.
+    "q24_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val b = e.select(col("id").as("id_b"), col("vec").as("vec_b"))
+      e.join(broadcast(b), col("id") < col("id_b"))
+        .withColumn("cos", graft.functions.CosineSim(col("vec"), col("vec_b")))
+        .filter(col("cos") >= 0.45)
+        .select(col("id").as("d1"), col("id_b").as("d2"), col("cos"))
+    }),
+
+    // Running / navigational window functions (cumulative sum, lag, lead,
+    // row_number) over event time — the window family beyond ranking.
+    "q25_window_running" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(wRun)
+          .cast("double").as("run_sum"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        row_number().over(w).as("seq"))
+    }),
+
     // Literal MERGE INTO SQL (with a CDC DELETE branch) planned natively:
     // the statement goes through spark.sql against the DSv2 catalog — the
     // GraftMergeStrategy lowers it onto the partition-pruned COW merge.
@@ -610,6 +644,30 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
         |  INTERSECT
         |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 195)""".stripMargin,
+
+    "q24_embedding_neardup" -> {
+      val dotAA = sqlListDot("a.vec", "a.vec")
+      val dotBB = sqlListDot("b.vec", "b.vec")
+      val dotAB = sqlListDot("a.vec", "b.vec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |p AS (
+         |  SELECT a.id AS d1, b.id AS d2,
+         |    CASE WHEN sqrt($dotAA) = 0 OR sqrt($dotBB) = 0 THEN 0.0
+         |         ELSE $dotAB / (sqrt($dotAA) * sqrt($dotBB)) END AS cos
+         |  FROM e a JOIN e b ON a.id < b.id
+         |)
+         |SELECT d1, d2, cos FROM p WHERE cos >= 0.45""".stripMargin
+    },
+
+    "q25_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+        |FROM events""".stripMargin,
 
     "q23_sql_merge" ->
       """WITH tgt AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSim
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -32,7 +33,7 @@ object SimilaritySearch {
       corpus: DataFrame,  // id, vec
       k: Int): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .withColumn("cos", CosineSim(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id").asc)
     joined
@@ -74,7 +75,7 @@ object SimilaritySearch {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id").asc)
     corpus.join(probed, "bucket")
-      .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .withColumn("cos", CosineSim(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rank"))
@@ -114,7 +115,7 @@ object SimilaritySearch {
           col("id") < col("id_b"))
       .select(col("id"), col("id_b"), col("vec"), col("vec_b"))
       .dropDuplicates("id", "id_b")
-      .withColumn("cos", cosine(col("vec"), col("vec_b")))
+      .withColumn("cos", CosineSim(col("vec"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id").as("d1"), col("id_b").as("d2"), col("cos"))
   }
