@@ -206,9 +206,10 @@ final class GraftV1Relation(
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    // manifest-level partition pruning from conjunctive partition filters
+    // manifest-level partition pruning from conjunctive partition filters,
+    // plus file-stats dir pruning from the remaining pushed filters
     val parts = wt.partitionColumn.flatMap(p => partitionValues(p, filters))
-    val base = wt.read(spark, parts)
+    val base = wt.read(spark, parts, filters.toSeq)
     val filtered = filters.flatMap(GraftV1Relation.translate)
       .foldLeft(base)((df, c) => df.filter(c))
     // prune AFTER the snapshot read: MOR key arbitration needs its merge

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Dedup
@@ -61,6 +61,76 @@ object StreamingIngest {
         ()
       }
       .start()
+  }
+
+  /** One keyed event on the session stream. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** The per-key state carried between micro-batches (epoch millis). */
+  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /** A finished session, emitted when the gap passes or event time moves on. */
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based session windows over a STREAM with explicit custom state —
+    * `flatMapGroupsWithState` + event-time timeout (the streaming twin of
+    * the batch [[graft.operators.TemporalJoins.sessionize]]):
+    *
+    *  - events of a key extend the open session while they arrive within
+    *    `gapMs` of its end; a later event closes it (emitted immediately)
+    *    and opens a new one;
+    *  - a session with no successor closes when the WATERMARK passes its
+    *    end + gap (event-time timeout) — state is dropped then, so state
+    *    size is bounded by (active keys × one OpenSession), not by stream
+    *    length;
+    *  - rows older than the watermark are dropped by Spark before the
+    *    state function runs (late-data policy is declared, not hand-coded).
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapMs: Long,
+      watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sum)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            // a micro-batch delivers a group's rows unordered: order by
+            // event time before folding them into sessions
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
   }
 
   /** Watermarked tumbling-window aggregation over an event stream —

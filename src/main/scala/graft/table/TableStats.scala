@@ -1,0 +1,186 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.json4s._
+
+/** File-level min/max statistics for warehouse data dirs — the same
+  * metadata Iceberg keeps per data file (read.py's engine gets it from
+  * Iceberg manifests for free; we harvest it from the parquet FOOTERS of
+  * the files we just wrote, so collecting stats costs metadata reads, not
+  * a second pass over the data).
+  *
+  * A dir's entry maps column name → (min, max) over the non-null values of
+  * every row group in every file of the dir. Consumers use [[mayMatch]] to
+  * skip whole dirs whose range refutes a pushed-down conjunctive filter —
+  * at 100 TB this prunes file listings and scans for range-correlated
+  * columns (time-ordered ids, monotonically-bucketed keys) the way
+  * partition values prune categorical ones.
+  *
+  * Soundness: min/max cover NON-NULL values only, so only filters that
+  * null rows cannot satisfy (=, <, >, <=, >=, IN) participate in pruning;
+  * IsNull/IsNotNull never prune. Unsupported types simply yield no stats
+  * (⇒ no pruning, never wrong results).
+  */
+object TableStats {
+
+  /** col -> (min, max) as JSON-representable values (JLong/JDouble/JString). */
+  type DirStats = Map[String, (JValue, JValue)]
+
+  // ---- collection ---------------------------------------------------------
+
+  /** Harvest per-dir stats from the parquet footers under `root/relDir`. */
+  def collect(root: String, relDirs: Seq[String]): Map[String, DirStats] = {
+    val conf = new Configuration()
+    relDirs.flatMap { rel =>
+      val dir = Paths.get(root, rel)
+      if (!Files.isDirectory(dir)) None
+      else {
+        val listing = Files.list(dir)
+        val files =
+          try listing.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+          finally listing.close()
+        val merged = files.foldLeft(Map.empty[String, (JValue, JValue)]) {
+          (acc, f) => mergeStats(acc, fileStats(conf, f))
+        }
+        if (merged.isEmpty) None else Some(rel -> merged)
+      }
+    }.toMap
+  }
+
+  private def fileStats(conf: Configuration, file: Path): Map[String, (JValue, JValue)] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      reader.getFooter.getBlocks.asScala.foldLeft(Map.empty[String, (JValue, JValue)]) {
+        (acc, block) =>
+          block.getColumns.asScala.foldLeft(acc) { (a, col) =>
+            val name = col.getPath.toDotString
+            val st = col.getStatistics
+            if (st == null || !st.hasNonNullValue) a
+            else toJson(col.getPrimitiveType.getPrimitiveTypeName,
+              col.getPrimitiveType.getLogicalTypeAnnotation,
+              st.genericGetMin.asInstanceOf[AnyRef],
+              st.genericGetMax.asInstanceOf[AnyRef]) match {
+              case Some(mm) => mergeStats(a, Map(name -> mm))
+              case None => a
+            }
+          }
+      }
+    } finally reader.close()
+  }
+
+  private def toJson(
+      t: PrimitiveTypeName,
+      logical: org.apache.parquet.schema.LogicalTypeAnnotation,
+      min: AnyRef, max: AnyRef): Option[(JValue, JValue)] = (t, min, max) match {
+    case (PrimitiveTypeName.INT32, a: Integer, b: Integer) =>
+      Some((JLong(a.longValue), JLong(b.longValue)))
+    case (PrimitiveTypeName.INT64, a: java.lang.Long, b: java.lang.Long) =>
+      Some((JLong(a), JLong(b)))
+    case (PrimitiveTypeName.FLOAT, a: java.lang.Float, b: java.lang.Float) =>
+      Some((JDouble(a.doubleValue), JDouble(b.doubleValue)))
+    case (PrimitiveTypeName.DOUBLE, a: java.lang.Double, b: java.lang.Double) =>
+      Some((JDouble(a), JDouble(b)))
+    case (PrimitiveTypeName.BINARY, a: Binary, b: Binary)
+        if logical == org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+      Some((JString(a.toStringUsingUTF8), JString(b.toStringUsingUTF8)))
+    case _ => None
+  }
+
+  /** Per-column union of two stat maps (widest [min, max]). */
+  def mergeStats(a: Map[String, (JValue, JValue)], b: Map[String, (JValue, JValue)])
+      : Map[String, (JValue, JValue)] =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some((amin, amax)), Some((bmin, bmax))) =>
+          k -> (minOf(amin, bmin), maxOf(amax, bmax))
+        case (Some(v), None) => k -> v
+        case (None, Some(v)) => k -> v
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+
+  private def minOf(a: JValue, b: JValue): JValue = if (cmp(a, b) <= 0) a else b
+  private def maxOf(a: JValue, b: JValue): JValue = if (cmp(a, b) >= 0) a else b
+
+  /** Order within one stats domain. Numerics compare as BigDecimal (no
+    * double-rounding traps for large longs), strings lexicographically.
+    */
+  private def cmp(a: JValue, b: JValue): Int = (a, b) match {
+    case (JString(x), JString(y)) => x.compareTo(y)
+    case _ => num(a).compareTo(num(b))
+  }
+
+  private def num(v: JValue): BigDecimal = v match {
+    case JLong(x) => BigDecimal(x)
+    case JInt(x) => BigDecimal(x)
+    case JDouble(x) => BigDecimal(x)
+    case JDecimal(x) => x
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  /** Comparable stats value for a filter literal, in the same domain the
+    * column's stats were stored in (None ⇒ incomparable ⇒ no pruning).
+    */
+  private def literal(v: Any): Option[JValue] = v match {
+    case x: Int => Some(JLong(x.toLong))
+    case x: Long => Some(JLong(x))
+    case x: Short => Some(JLong(x.toLong))
+    case x: Byte => Some(JLong(x.toLong))
+    case x: Float => Some(JDouble(x.toDouble))
+    case x: Double => Some(JDouble(x))
+    case x: String => Some(JString(x))
+    case x: java.math.BigDecimal => Some(JDecimal(BigDecimal(x)))
+    case _ => None
+  }
+
+  private def sameDomain(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JString(_), JString(_)) => true
+    case (JString(_), _) | (_, JString(_)) => false
+    case _ => true
+  }
+
+  // ---- pruning ------------------------------------------------------------
+
+  /** Can any row of a dir with `stats` satisfy ALL `filters`? Filters the
+    * stats cannot refute (unknown column, unsupported shape, incomparable
+    * literal) conservatively answer "yes".
+    */
+  def mayMatch(stats: DirStats, filters: Seq[Filter]): Boolean =
+    filters.forall(f => mayMatchOne(stats, f))
+
+  private def range(stats: DirStats, col: String, v: Any): Option[((JValue, JValue), JValue)] =
+    for {
+      mm <- stats.get(col)
+      lit <- literal(v)
+      if sameDomain(mm._1, lit)
+    } yield (mm, lit)
+
+  private def mayMatchOne(stats: DirStats, f: Filter): Boolean = f match {
+    case sources.EqualTo(c, v) =>
+      range(stats, c, v).forall { case ((mn, mx), l) => cmp(l, mn) >= 0 && cmp(l, mx) <= 0 }
+    case sources.GreaterThan(c, v) =>
+      range(stats, c, v).forall { case ((_, mx), l) => cmp(mx, l) > 0 }
+    case sources.GreaterThanOrEqual(c, v) =>
+      range(stats, c, v).forall { case ((_, mx), l) => cmp(mx, l) >= 0 }
+    case sources.LessThan(c, v) =>
+      range(stats, c, v).forall { case ((mn, _), l) => cmp(mn, l) < 0 }
+    case sources.LessThanOrEqual(c, v) =>
+      range(stats, c, v).forall { case ((mn, _), l) => cmp(mn, l) <= 0 }
+    case sources.In(c, vs) =>
+      vs.isEmpty || vs.exists(v => mayMatchOne(stats, sources.EqualTo(c, v)))
+    case sources.And(l, r) => mayMatchOne(stats, l) && mayMatchOne(stats, r)
+    case sources.Or(l, r) => mayMatchOne(stats, l) || mayMatchOne(stats, r)
+    case _ => true // IsNull/Not/string matchers/unknown: never prune
+  }
+}

@@ -116,12 +116,20 @@ final class WarehouseTable(val root: String) {
   /** One MOR delta: a sequence number + its (partition -> dirs) files. */
   final case class Delta(seq: Long, data: Map[String, List[String]])
 
-  /** Snapshot contents: the base files plus ordered MOR deltas. */
+  /** Snapshot contents: the base files plus ordered MOR deltas, and
+    * file-level min/max stats per data dir (see [[TableStats]]).
+    */
   final case class Manifest(
       base: Map[String, List[String]],
-      deltas: List[Delta]) {
+      deltas: List[Delta],
+      stats: Map[String, TableStats.DirStats] = Map.empty) {
     def allPartitions: Set[String] =
       base.keySet ++ deltas.flatMap(_.data.keySet)
+    /** Drop stats of dirs no longer referenced by this snapshot. */
+    def pruneStats: Manifest = {
+      val live = (base.values.flatten ++ deltas.flatMap(_.data.values.flatten)).toSet
+      copy(stats = stats.view.filterKeys(live.contains).toMap)
+    }
   }
 
   private def partsToJson(m: Map[String, List[String]]): JValue =
@@ -129,6 +137,25 @@ final class WarehouseTable(val root: String) {
 
   private def partsFromJson(j: JValue): Map[String, List[String]] =
     j.extract[Map[String, List[String]]]
+
+  private def statsToJson(s: Map[String, TableStats.DirStats]): JValue =
+    JObject(s.map { case (dir, cols) =>
+      dir -> (JObject(cols.map { case (c, (mn, mx)) =>
+        c -> (JObject("min" -> mn, "max" -> mx): JValue)
+      }.toList): JValue)
+    }.toList)
+
+  private def statsFromJson(j: JValue): Map[String, TableStats.DirStats] = j match {
+    case JObject(dirs) => dirs.map { case (dir, colsJ) =>
+      dir -> (colsJ match {
+        case JObject(cols) => cols.map { case (c, mm) =>
+          c -> ((mm \ "min", mm \ "max"))
+        }.toMap
+        case _ => Map.empty[String, (JValue, JValue)]
+      })
+    }.toMap
+    case _ => Map.empty
+  }
 
   private def readManifest(id: Long): Manifest = {
     val j = JsonMethods.parse(readString(snapPath(id)))
@@ -141,17 +168,18 @@ final class WarehouseTable(val root: String) {
           }
           case _ => Nil
         }
-        Manifest(partsFromJson(baseJ), deltas)
+        Manifest(partsFromJson(baseJ), deltas, statsFromJson(j \ "stats"))
     }
   }
 
   private def manifestJson(m: Manifest): String = {
     val j: JValue =
-      if (m.deltas.isEmpty) partsToJson(m.base)
+      if (m.deltas.isEmpty && m.stats.isEmpty) partsToJson(m.base)
       else JObject(
         "base" -> partsToJson(m.base),
         "deltas" -> JArray(m.deltas.map(d => JObject(
-          "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))))
+          "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))),
+        "stats" -> statsToJson(m.stats))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -181,16 +209,34 @@ final class WarehouseTable(val root: String) {
     * arbitration keeps the newest row per merge key across base + deltas
     * (newer delta sequence wins; each delta holds ≤1 row per key).
     */
-  def read(spark: SparkSession, partitions: Option[Seq[Any]] = None): DataFrame = {
+  def read(
+      spark: SparkSession,
+      partitions: Option[Seq[Any]] = None,
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val meta = readMeta()
     val manifest = readManifest(currentSnapshotId)
-    def prune(m: Map[String, List[String]]): Map[String, List[String]] =
-      partitions match {
+    // file-stats pruning is sound per-dir on a COW snapshot; with MOR
+    // deltas, a pruned base dir could hide a row a delta supersedes, so
+    // only filters touching merge-key columns may prune (a dir without a
+    // key's range cannot participate in that key's arbitration at all)
+    val statFilters =
+      if (manifest.deltas.isEmpty) dataFilters
+      else {
+        val keys = mergeKeys(meta).getOrElse(Nil).toSet
+        dataFilters.filter(_.references.forall(keys.contains))
+      }
+    def prune(m: Map[String, List[String]]): Map[String, List[String]] = {
+      val byPartition = partitions match {
         case Some(vals) =>
           val keys = vals.map(String.valueOf).toSet
           m.view.filterKeys(keys.contains).toMap
         case None => m
       }
+      if (statFilters.isEmpty) byPartition
+      else byPartition.view.mapValues(_.filter(dir =>
+        manifest.stats.get(dir).forall(TableStats.mayMatch(_, statFilters))))
+        .filter(_._2.nonEmpty).toMap
+    }
     val baseDf = readParts(spark, meta, prune(manifest.base))
     if (manifest.deltas.isEmpty) baseDf
     else {
@@ -261,14 +307,16 @@ final class WarehouseTable(val root: String) {
   // ---- write paths -------------------------------------------------------
 
   /** Write `df` as a new immutable data dir; returns manifest entries
-    * (partitionValue -> dirs) for the files just written.
+    * (partitionValue -> dirs) plus per-dir min/max stats harvested from
+    * the freshly written parquet footers.
     */
-  private def writeDataDir(df: DataFrame, meta: Meta): Map[String, List[String]] = {
+  private def writeDataDir(
+      df: DataFrame, meta: Meta): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
     val uuid = UUID.randomUUID().toString
     val rel = s"data/$uuid"
     val dest = s"$root/$rel"
     val aligned = alignToSchema(df, meta.schema)
-    meta.partition match {
+    val entries: Map[String, List[String]] = meta.partition match {
       case None =>
         aligned.write
           .option("compression", compressionCodec(meta))
@@ -302,6 +350,7 @@ final class WarehouseTable(val root: String) {
           }.toMap
         finally listing.close()
     }
+    (entries, TableStats.collect(root, entries.values.flatten.toSeq))
   }
 
   private def compressionCodec(meta: Meta): String =
@@ -329,18 +378,19 @@ final class WarehouseTable(val root: String) {
     val meta = readMeta()
     val cur = currentSnapshotId
     val old = readManifest(cur)
-    val added = writeDataDir(df, meta)
+    val (added, stats) = writeDataDir(df, meta)
     val merged = (old.base.keySet ++ added.keySet).map { k =>
       k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
     }.toMap
-    commit(cur, Manifest(merged, old.deltas))
+    commit(cur, Manifest(merged, old.deltas, old.stats ++ stats))
   }
 
   /** Overwrite — `mode == 'overwrite'` (read.py:234-236). */
   def overwrite(df: DataFrame): Unit = {
     val meta = readMeta()
     val cur = currentSnapshotId
-    commit(cur, Manifest(writeDataDir(df, meta), Nil))
+    val (entries, stats) = writeDataDir(df, meta)
+    commit(cur, Manifest(entries, Nil, stats))
   }
 
   /** MERGE upsert — `mode == 'merge'` (read.py:237-239 + mergeSQL.sql).
@@ -389,9 +439,38 @@ final class WarehouseTable(val root: String) {
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val src = alignToSchema(source, meta.schema)
-    val added = writeDataDir(src, meta)
+    val (added, stats) = writeDataDir(src, meta)
     val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
-    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added)))
+    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added), old.stats ++ stats))
+  }
+
+  /** Min/max range filters of the source's key columns (one tiny agg on
+    * the cached batch), used to stats-prune the target-side matched-key
+    * scan. Only types the stats domain can compare participate; null keys
+    * never match a target row under SQL equality, so a non-null range is
+    * sound.
+    */
+  private def srcKeyRangeFilters(
+      src: DataFrame, keys: Seq[String], meta: Meta): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val statKeys = keys.filter(k => meta.schema(k).dataType match {
+      case IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType |
+           StringType => true
+      case _ => false
+    })
+    if (statKeys.isEmpty) Nil
+    else {
+      val aggs = statKeys.flatMap(k =>
+        Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
+      val row = src.agg(aggs.head, aggs.tail: _*).collect().head
+      statKeys.flatMap { k =>
+        val mn = row.getAs[Any](s"__min_$k")
+        val mx = row.getAs[Any](s"__max_$k")
+        if (mn == null || mx == null) Nil
+        else Seq(GreaterThanOrEqual(k, mn), LessThanOrEqual(k, mx))
+      }
+    }
   }
 
   private def dbg[T](label: String)(f: => T): T =
@@ -475,7 +554,8 @@ final class WarehouseTable(val root: String) {
         case None =>
           val target = read(spark)
           val merged = upsert(target, src)
-          commit(cur, Manifest(writeDataDir(merged, meta), Nil))
+          val (entries, stats) = writeDataDir(merged, meta)
+          commit(cur, Manifest(entries, Nil, stats))
         case Some(p) =>
           // 1. partitions the program writes into (null → the hive default
           //    partition name so the keys line up with the manifest's)
@@ -485,12 +565,18 @@ final class WarehouseTable(val root: String) {
               // unbounded writes (partition-moving update): rewrite all
               val target = read(spark)
               val merged = upsert(target, src)
-              commit(cur, Manifest(writeDataDir(merged, meta), Nil))
+              val (entries, stats) = writeDataDir(merged, meta)
+              commit(cur, Manifest(entries, Nil, stats))
             case Some(sp) =>
               // 2. partitions holding targets of matched keys (pruned scan:
-              //    parquet reads only keys + partition column)
+              //    parquet reads only keys + partition column, and the
+              //    source's key RANGE prunes target dirs via file stats —
+              //    an append-mostly table with time-ordered keys reads
+              //    only the dirs whose [min,max] overlaps the batch)
               val keyCols = keys.map(col)
-              val targetKeys = read(spark).select((keys :+ p).map(col): _*)
+              val keyRangeFilters = srcKeyRangeFilters(src, keys, meta)
+              val targetKeys = read(spark, None, keyRangeFilters)
+                .select((keys :+ p).map(col): _*)
               val matchedParts = dbg("matchedParts")(targetKeys
                 .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
                 .select(col(p).cast("string")).distinct()
@@ -499,9 +585,10 @@ final class WarehouseTable(val root: String) {
               // 3. merge only affected partitions
               val target = read(spark, Some(affected.toSeq))
               val merged = upsert(target, src)
-              val rewritten = dbg("write")(writeDataDir(merged, meta))
+              val (rewritten, stats) = dbg("write")(writeDataDir(merged, meta))
               val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
-              dbg("commit")(commit(cur, Manifest(untouched ++ rewritten, Nil)))
+              dbg("commit")(commit(cur,
+                Manifest(untouched ++ rewritten, Nil, old.stats ++ stats).pruneStats))
           }
       }
     } finally src.unpersist()
@@ -515,7 +602,8 @@ final class WarehouseTable(val root: String) {
     val cur = currentSnapshotId
     if (readManifest(cur).deltas.nonEmpty) {
       val full = read(spark)
-      commit(cur, Manifest(writeDataDir(full, meta), Nil))
+      val (entries, stats) = writeDataDir(full, meta)
+      commit(cur, Manifest(entries, Nil, stats))
     }
   }
 

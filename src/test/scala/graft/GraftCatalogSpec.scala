@@ -133,6 +133,41 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.pr")
   }
 
+  test("file min/max stats prune data dirs for range filters") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.st (id BIGINT, v STRING)")
+    // two appends → two data dirs with disjoint id ranges
+    spark.sql("INSERT INTO graft.db.st VALUES (1, 'lo'), (10, 'lo')")
+    spark.sql("INSERT INTO graft.db.st VALUES (100, 'hi'), (110, 'hi')")
+    // destroy the hi-range dir's files: a query bounded to id < 50 must
+    // still succeed — its dir was skipped from footer stats, never read
+    import scala.jdk.CollectionConverters._
+    val wt = graft.table.WarehouseTable(s"$wh/db/st")
+    val dataDir = java.nio.file.Paths.get(s"$wh/db/st/data")
+    val hiDirs = {
+      val l = java.nio.file.Files.list(dataDir)
+      try l.iterator().asScala.toList finally l.close()
+    }.filter { d =>
+      val files = java.nio.file.Files.list(d)
+      val names = try files.iterator().asScala.map(_.toString).toList finally files.close()
+      // identify the hi dir by reading footers through the stats helper
+      val rel = s"data/${d.getFileName}"
+      val st = graft.table.TableStats.collect(s"$wh/db/st", Seq(rel))
+      st.get(rel).exists(_.get("id").exists { case (mn, _) =>
+        mn.values.toString.toLong >= 100
+      })
+    }
+    assert(hiDirs.size == 1)
+    val walk = java.nio.file.Files.walk(hiDirs.head)
+    try walk.iterator().asScala.toSeq.reverse
+      .filter(_.toString.endsWith(".parquet")).foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    val out = spark.sql("SELECT id FROM graft.db.st WHERE id < 50 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 10L))
+    spark.sql("DROP TABLE graft.db.st")
+  }
+
   test("SQL reads see snapshots committed by the native merge path") {
     import spark.implicits._
     val wh = warehouse // force catalog registration

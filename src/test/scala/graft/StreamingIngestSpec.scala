@@ -55,6 +55,40 @@ class StreamingIngestSpec extends SparkSpec {
     assert(table.read(spark).count() == 3)
   }
 
+  test("stateful streaming sessionization closes sessions by gap and timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{ClosedSession, SessionEvent}
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingIngest.sessionizeStream(
+      input.toDS(), gapMs = 60000L, watermark = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    def ev(uid: Long, sec: Long, v: Double) =
+      SessionEvent(uid, new java.sql.Timestamp(sec * 1000), v)
+
+    // batch 1: user 1 has two events 10 s apart (one session), user 2 one
+    input.addData(ev(1, 100, 1.0), ev(1, 110, 2.0), ev(2, 100, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // nothing closed yet
+
+    // batch 2: user 1's next event is 300 s later — closes the first
+    // session immediately (intra-group gap). The advancing watermark (now
+    // past 100+gap) also times out user 2's idle session without any new
+    // data for that key — exactly the bounded-state property under test.
+    input.addData(ev(1, 410, 4.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table("sess_out").as[ClosedSession].collect()
+      .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(afterB2.contains((1L, 2L, 3.0))) // gap-closed with both events
+    assert(afterB2.contains((2L, 1L, 5.0))) // timeout-closed, no new data
+    assert(spark.table("sess_out").as[ClosedSession].collect()
+      .forall(s => s.session_end.getTime >= s.session_start.getTime))
+    q.stop()
+  }
+
   test("watermarked windowed rollup produces bounded-state aggregates") {
     import spark.implicits._
     val events = Seq(
