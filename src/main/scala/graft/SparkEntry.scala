@@ -273,8 +273,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
       // fingerprint over the same shingled frame the verifier uses — one
-      // shingle computation, not two
-      val cands = TextDedup.simHashCandidates(
+      // shingle computation, not two. Radius 17 is DENSE for a 64-bit
+      // fingerprint (18 pigeonhole blocks of <4 bits collide for nearly
+      // every pair), so the direct XOR+popcount pair scan is used; the
+      // block-join generator remains the path for small radii.
+      val cands = TextDedup.simHashCandidatesDense(
         sh.select(col("doc_id"), col("sh").as("toks")), maxHamming = 17)
       TextDedup.verifyPairs(cands, sh, 0.5)
     }),

@@ -106,6 +106,29 @@ object TextDedup {
       .distinct()
   }
 
+  /** SimHash candidates for a DENSE radius (maxHamming large relative to
+    * the 64-bit fingerprint): direct all-pairs XOR+popcount on the
+    * fingerprints with one side broadcast. Rationale: pigeonhole blocking
+    * at radius r needs r+1 blocks, and at r ≳ 16 each block carries < 4
+    * bits ⇒ each pair collides in ~(r+1)/2^bits ≈ ≥1 expected blocks —
+    * the "candidates" are all pairs anyway, but produced through a shuffle
+    * with per-block duplication (measured: slower than brute force). A
+    * 64-bit fp per doc broadcasts at ~12 bytes/doc (millions of docs fit
+    * comfortably), and XOR+POPCNT is ~1 cycle/pair inside codegen. For
+    * genuinely large corpora at dense radii the structural fix is a longer
+    * fingerprint (more bits per block), not more blocks.
+    */
+  def simHashCandidatesDense(
+      docsTokens: DataFrame, // doc_id, toks (array<string>)
+      maxHamming: Int): DataFrame = {
+    val fp = docsTokens.select(col("doc_id"), SimHash64(col("toks")).as("fp"))
+    val right = fp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+    fp.join(broadcast(right),
+        col("doc_id") < col("doc_id_b") &&
+          bit_count(col("fp").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+  }
+
   /** SimHash candidates: fingerprint the token array (custom codegen
     * expression [[SimHash64]]), split the 64 bits into `maxHamming + 1`
     * blocks and equi-join on any equal block. The block count is DERIVED

@@ -442,6 +442,16 @@ final class WarehouseTable(val root: String) {
     val (added, stats) = writeDataDir(src, meta)
     val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
     commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added), old.stats ++ stats))
+    // compaction policy: read amplification grows linearly with delta
+    // count (every read unions base + all deltas and re-arbitrates), so
+    // once it crosses the table's threshold the deltas fold back into the
+    // base — Iceberg's maintenance action, run inline while the batch's
+    // context is warm. Threshold via table property
+    // 'compact.delta.threshold' (0 disables; default 8).
+    val threshold = meta.properties.get("compact.delta.threshold")
+      .map(_.toInt).getOrElse(8)
+    if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
+      compact(spark)
   }
 
   /** Min/max range filters of the source's key columns (one tiny agg on
@@ -604,6 +614,27 @@ final class WarehouseTable(val root: String) {
       val full = read(spark)
       val (entries, stats) = writeDataDir(full, meta)
       commit(cur, Manifest(entries, Nil, stats))
+    }
+  }
+
+  /** Small-file maintenance for append-heavy COW tables: partitions that
+    * accumulated more than `maxDirsPerPartition` data dirs are read and
+    * rewritten as one dir each (partition-level, untouched partitions carry
+    * by reference — same commit shape as the COW merge). Many tiny dirs
+    * cost listing time and per-file open overhead at scan; this bounds
+    * read amplification the way [[compact]] bounds MOR's.
+    */
+  def compactBase(spark: SparkSession, maxDirsPerPartition: Int = 8): Unit = {
+    val meta = readMeta()
+    if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val crowded = old.base.filter(_._2.size > maxDirsPerPartition).keySet
+    if (crowded.nonEmpty) {
+      val slice = read(spark, Some(crowded.toSeq))
+      val (rewritten, stats) = writeDataDir(slice, meta)
+      val untouched = old.base.view.filterKeys(k => !crowded.contains(k)).toMap
+      commit(cur, Manifest(untouched ++ rewritten, Nil, old.stats ++ stats).pruneStats)
     }
   }
 

@@ -35,6 +35,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == exactPairs)
   }
 
+  test("dense simhash pair scan equals the block-LSH candidate semantics") {
+    val toks = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("toks"))
+    val dense = TextDedup.verifyPairs(
+      TextDedup.simHashCandidatesDense(toks, maxHamming = 17), sh, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(dense == exactPairs)
+  }
+
   test("simhash64 expression: interpreted eval == codegen result, stable") {
     val df = Seq(
       Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "d"), Seq.empty[String]

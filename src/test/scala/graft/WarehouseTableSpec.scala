@@ -128,6 +128,42 @@ class WarehouseTableSpec extends SparkSpec {
     assert(t.read(spark).count() == 4)
   }
 
+  test("MOR auto-compacts when deltas cross the table's threshold") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy")
+        + ("compact.delta.threshold" -> "2"))
+    t.append(df((1, "a", "CA")))
+    t.merge(spark, df((1, "a1", "CA")), Seq("k"))       // delta 1 (< threshold)
+    t.merge(spark, df((2, "b", "NY")), Seq("k"))        // delta 2 → auto-compact
+    // the fold leaves a delta-free snapshot with arbitrated contents
+    val out = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a1"), (2, "b")))
+    // observable: another merge does NOT trigger the "fold leftover
+    // deltas first" path — snapshot advances exactly once per write now
+    val snap = t.currentSnapshotId
+    t.merge(spark, df((3, "c", "TX")), Seq("k"))
+    assert(t.currentSnapshotId == snap + 1)
+  }
+
+  test("compactBase folds a crowded partition into one dir") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    (1 to 5).foreach(i => t.append(df((i, s"v$i", "CA"))))
+    t.append(df((99, "ny", "NY")))
+    val before = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    t.compactBase(spark, maxDirsPerPartition = 3)
+    assert(t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet == before)
+    // CA collapsed to one dir; NY (1 dir ≤ threshold) untouched
+    val mf = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"${t.root}/snaps/snap-${t.currentSnapshotId}.json")))
+    val caDirs = """data/[0-9a-f-]+/state=CA""".r.findAllIn(mf).toSet
+    assert(caDirs.size == 1)
+  }
+
   test("MOR rejects inconsistent merge keys across merges") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
