@@ -61,11 +61,15 @@ object MergeInto {
     * order (SQL MERGE semantics): a matched pair falls through the matched
     * clauses until one condition holds (none ⇒ target row kept as-is); an
     * unmatched source row falls through the insert clauses (none ⇒
-    * dropped); an unmatched target row is always kept.
+    * dropped); an unmatched target row falls through the
+    * `notMatchedBySource` clauses (SQL's WHEN NOT MATCHED BY SOURCE —
+    * conditions/values may reference TARGET columns only, spelled
+    * `__t_<name>`; none firing ⇒ the row is kept).
     */
   final case class MergeClauses(
       matched: Seq[MatchedClause],
-      notMatched: Seq[InsertClause])
+      notMatched: Seq[InsertClause],
+      notMatchedBySource: Seq[MatchedClause] = Nil)
 
   /** The plain upsert as a program (UPDATE SET all + INSERT all) — what the
     * reference's mergeSQL.sql expresses.
@@ -105,30 +109,31 @@ object MergeInto {
       }
     val mDec = decide(clauses.matched.map(_.cond))
     val iDec = decide(clauses.notMatched.map(_.cond))
+    val nDec = decide(clauses.notMatchedBySource.map(_.cond))
 
-    val deleteIdx = clauses.matched.zipWithIndex.collect {
-      case (_: DeleteClause, i) => i
-    }.toSet
+    def deleteDecision(cls: Seq[MatchedClause], dec: Column): Column = {
+      val idx = cls.zipWithIndex.collect { case (_: DeleteClause, i) => i }
+      if (idx.isEmpty) lit(true) else !idx.map(i => dec === i).reduce(_ || _)
+    }
     val keep =
-      when(tPresent && sPresent,
-        if (deleteIdx.isEmpty) lit(true)
-        else !deleteIdx.map(i => mDec === i).reduce(_ || _))
-      .when(tPresent, lit(true))
+      when(tPresent && sPresent, deleteDecision(clauses.matched, mDec))
+      .when(tPresent, deleteDecision(clauses.notMatchedBySource, nDec))
       .otherwise(iDec =!= -1)
 
-    val outCols = tCols.map { c =>
-      val dt = target.schema(c).dataType
-      val matchedValue = clauses.matched.zipWithIndex.foldRight(col(s"__t_$c")) {
+    def clauseValue(cls: Seq[MatchedClause], dec: Column, c: String, dt: org.apache.spark.sql.types.DataType): Column =
+      cls.zipWithIndex.foldRight(col(s"__t_$c")) {
         case ((UpdateClause(_, set), i), els) if set.contains(c) =>
-          when(mDec === i, set(c).cast(dt)).otherwise(els)
+          when(dec === i, set(c).cast(dt)).otherwise(els)
         case (_, els) => els
       }
+    val outCols = tCols.map { c =>
+      val dt = target.schema(c).dataType
       val insertValue = clauses.notMatched.zipWithIndex
         .foldRight(lit(null).cast(dt)) { case ((InsertClause(_, values), i), els) =>
           when(iDec === i, values(c).cast(dt)).otherwise(els)
         }
-      when(tPresent && sPresent, matchedValue)
-        .when(tPresent, col(s"__t_$c"))
+      when(tPresent && sPresent, clauseValue(clauses.matched, mDec, c, dt))
+        .when(tPresent, clauseValue(clauses.notMatchedBySource, nDec, c, dt))
         .otherwise(insertValue)
         .cast(dt).as(c)
     }

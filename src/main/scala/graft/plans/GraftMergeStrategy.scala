@@ -97,8 +97,6 @@ case class GraftMergeExec(
   // ---- lowering ----------------------------------------------------------
 
   private def run(): Unit = {
-    require(merge.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported yet")
     require(!merge.withSchemaEvolution, "MERGE schema evolution is not supported")
 
     val targetAttrs = merge.targetTable.output
@@ -162,8 +160,19 @@ case class GraftMergeExec(
       case other => throw new IllegalArgumentException(
         s"unsupported WHEN NOT MATCHED action: $other")
     }
+    // target-only clauses: conditions/values reference target columns only
+    // (Catalyst enforces this during analysis), so toCol maps them all to
+    // __t_ names resolvable on the arbitration frame
+    val notMatchedBySource = merge.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assignments, _) =>
+        UpdateClause(cond.map(toCol), assignmentMap(assignments))
+      case DeleteAction(cond) => DeleteClause(cond.map(toCol))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
 
-    table.warehouse.mergeClauses(spark, src, keys, MergeClauses(matched, notMatched))
+    table.warehouse.mergeClauses(spark, src, keys,
+      MergeClauses(matched, notMatched, notMatchedBySource))
     // the table contents changed under any cached plans over this relation
     spark.sharedState.cacheManager.recacheByPlan(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], merge.targetTable)

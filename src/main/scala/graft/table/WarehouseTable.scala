@@ -157,42 +157,109 @@ final class WarehouseTable(val root: String) {
     case _ => Map.empty
   }
 
-  private def readManifest(id: Long): Manifest = {
+  /** Read a snapshot. Three on-disk generations are understood:
+    *   v1 — flat partition→dirs map;
+    *   v2 — inline {base, deltas, stats};
+    *   v3 — SPLIT: the snapshot holds a partition→manifest-file pointer
+    *        map ("parts"); each `manifests/mf-*.json` fragment carries one
+    *        partition's dirs + stats. Commits reuse unchanged fragments by
+    *        reference, so per-commit metadata writes scale with TOUCHED
+    *        partitions, not table size (Iceberg's manifest-list idea).
+    * `onlyParts` restricts fragment loading to the named partitions —
+    * partition-pruned reads never open the other fragments.
+    */
+  private def readManifest(id: Long, onlyParts: Option[Set[String]] = None): Manifest = {
     val j = JsonMethods.parse(readString(snapPath(id)))
-    (j \ "base") match {
-      case JNothing => Manifest(partsFromJson(j), Nil) // v1 flat format
-      case baseJ =>
-        val deltas = (j \ "deltas") match {
-          case JArray(ds) => ds.map { d =>
-            Delta((d \ "seq").extract[Long], partsFromJson(d \ "data"))
-          }
-          case _ => Nil
+    (j \ "parts") match {
+      case JObject(parts) => // v3 split format
+        val wanted = parts.filter { case (pv, _) =>
+          onlyParts.forall(_.contains(pv))
         }
-        Manifest(partsFromJson(baseJ), deltas, statsFromJson(j \ "stats"))
+        val frags = wanted.map { case (pv, pathJ) =>
+          val fj = JsonMethods.parse(readString(rootPath.resolve(pathJ.extract[String])))
+          val dirs = (fj \ "dirs").extract[List[String]]
+          (pv, dirs, statsFromJson(fj \ "stats"))
+        }
+        val deltas = deltasFromJson(j)
+        Manifest(
+          frags.map(f => f._1 -> f._2).toMap,
+          deltas,
+          frags.flatMap(_._3).toMap)
+      case _ => (j \ "base") match {
+        case JNothing => Manifest(partsFromJson(j), Nil) // v1 flat format
+        case baseJ =>
+          Manifest(partsFromJson(baseJ), deltasFromJson(j), statsFromJson(j \ "stats"))
+      }
     }
   }
 
-  private def manifestJson(m: Manifest): String = {
-    val j: JValue =
-      if (m.deltas.isEmpty && m.stats.isEmpty) partsToJson(m.base)
-      else JObject(
-        "base" -> partsToJson(m.base),
-        "deltas" -> JArray(m.deltas.map(d => JObject(
-          "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))),
-        "stats" -> statsToJson(m.stats))
-    JsonMethods.compact(JsonMethods.render(j))
+  private def deltasFromJson(j: JValue): List[Delta] = (j \ "deltas") match {
+    case JArray(ds) => ds.map { d =>
+      Delta((d \ "seq").extract[Long], partsFromJson(d \ "data"))
+    }
+    case _ => Nil
+  }
+
+  /** The partition→fragment-path pointer map of a v3 snapshot (empty for
+    * v1/v2 or snapshot 0).
+    */
+  private def snapFragmentPaths(id: Long): Map[String, String] = {
+    val p = snapPath(id)
+    if (!Files.exists(p)) Map.empty
+    else JsonMethods.parse(readString(p)) \ "parts" match {
+      case JObject(parts) => parts.map { case (pv, v) => pv -> v.extract[String] }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Write snapshot `id` in the v3 split format, reusing the previous
+    * snapshot's fragment files for partitions whose dirs+stats did not
+    * change. `createNew` guards the snapshot pointer file against racing
+    * commits (fragments carry uuid names and cannot collide).
+    */
+  private def writeSnapshot(
+      id: Long, m: Manifest, prevId: Option[Long], createNew: Boolean): Unit = {
+    val prevPaths = prevId.map(snapFragmentPaths).getOrElse(Map.empty)
+    val prev = prevId
+      .filter(_ => prevPaths.nonEmpty)
+      .map(pid => readManifest(pid))
+    val parts = m.base.map { case (pv, dirs) =>
+      val stats = m.stats.view.filterKeys(dirs.contains).toMap
+      val unchanged = prev.exists(pm =>
+        pm.base.get(pv).contains(dirs) &&
+          pm.stats.view.filterKeys(dirs.contains).toMap == stats) &&
+        prevPaths.contains(pv)
+      val path =
+        if (unchanged) prevPaths(pv)
+        else {
+          val rel = s"manifests/mf-${UUID.randomUUID()}.json"
+          writeString(rootPath.resolve(rel), JsonMethods.compact(JsonMethods.render(
+            JObject("dirs" -> JArray(dirs.map(JString(_))),
+              "stats" -> statsToJson(stats)))))
+          rel
+        }
+      pv -> (JString(path): JValue)
+    }
+    val snap = JObject(
+      "parts" -> JObject(parts.toList),
+      "deltas" -> JArray(m.deltas.map(d => JObject(
+        "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))))
+    val bytes = JsonMethods.compact(JsonMethods.render(snap))
+      .getBytes(StandardCharsets.UTF_8)
+    val p = snapPath(id)
+    Files.createDirectories(p.getParent)
+    if (createNew)
+      Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+    else
+      Files.write(p, bytes)
   }
 
   private def writeManifest(id: Long, m: Manifest): Unit =
-    writeString(snapPath(id), manifestJson(m))
+    writeSnapshot(id, m, None, createNew = false)
 
   /** CREATE_NEW write — fails if a racing commit already claimed this id. */
-  private def writeManifestNew(id: Long, m: Manifest): Unit = {
-    val p = snapPath(id)
-    Files.createDirectories(p.getParent)
-    Files.write(p, manifestJson(m).getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-  }
+  private def writeManifestNew(id: Long, m: Manifest): Unit =
+    writeSnapshot(id, m, Some(id - 1), createNew = true)
 
   private def atomicWriteCurrent(id: Long): Unit = {
     val tmp = rootPath.resolve(s"_current.tmp.${UUID.randomUUID()}")
@@ -214,7 +281,10 @@ final class WarehouseTable(val root: String) {
       partitions: Option[Seq[Any]] = None,
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val meta = readMeta()
-    val manifest = readManifest(currentSnapshotId)
+    // partition-pruned reads load only the wanted fragments of a split
+    // snapshot — the other partitions' file lists are never even parsed
+    val manifest = readManifest(currentSnapshotId,
+      partitions.map(_.map(String.valueOf).toSet))
     // file-stats pruning is sound per-dir on a COW snapshot; with MOR
     // deltas, a pruned base dir could hide a row a delta supersedes, so
     // only filters touching merge-key columns may prune (a dir without a
@@ -513,11 +583,13 @@ final class WarehouseTable(val root: String) {
     //    row into ANY partition (its value may reference the target side),
     //    so that rare shape falls back to rewriting all base partitions.
     def writtenParts(src: DataFrame, p: String): Option[Set[String]] = {
-      val updatesPartition = clauses.matched.exists {
+      val updatesPartition = (clauses.matched ++ clauses.notMatchedBySource).exists {
         case MergeInto.UpdateClause(_, set) => set.contains(p)
         case _ => false
       }
-      if (updatesPartition) None
+      // NOT MATCHED BY SOURCE clauses touch target rows in ANY partition —
+      // no batch-derived bound exists, rewrite everything
+      if (updatesPartition || clauses.notMatchedBySource.nonEmpty) None
       else Some(clauses.notMatched.flatMap { ic =>
         src.select(ic.values(p).cast("string")).distinct()
           .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition))

@@ -90,6 +90,27 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.lww")
   }
 
+  test("MERGE INTO supports WHEN NOT MATCHED BY SOURCE update and delete") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql("CREATE TABLE graft.db.nbs (k INT, v STRING, stale INT)")
+    spark.sql(
+      "INSERT INTO graft.db.nbs VALUES (1, 'a', 0), (2, 'b', 0), (3, 'c', 9)")
+    spark.sql("SELECT * FROM VALUES (1, 'A') AS s(k, v)")
+      .createOrReplaceTempView("nbs_src")
+    spark.sql(
+      """MERGE INTO graft.db.nbs AS t USING nbs_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v, stale) VALUES (s.k, s.v, 0)
+        |WHEN NOT MATCHED BY SOURCE AND t.stale >= 9 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.stale = t.stale + 1""".stripMargin)
+    val out = spark.sql("SELECT k, v, stale FROM graft.db.nbs ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // 1 matched→updated; 2 unmatched-by-source→stale bumped; 3 stale→deleted
+    assert(out == Seq((1, "A", 0), (2, "b", 1)))
+    spark.sql("DROP TABLE graft.db.nbs")
+  }
+
   test("MERGE INTO rejects unsupported shapes loudly") {
     val wh = warehouse
     graft.plans.GraftMergeStrategy.register(spark)

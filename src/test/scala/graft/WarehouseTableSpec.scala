@@ -157,11 +157,36 @@ class WarehouseTableSpec extends SparkSpec {
     t.compactBase(spark, maxDirsPerPartition = 3)
     assert(t.read(spark).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet == before)
-    // CA collapsed to one dir; NY (1 dir ≤ threshold) untouched
-    val mf = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+    // CA collapsed to one dir; NY (1 dir ≤ threshold) untouched. The
+    // split snapshot stores dirs in per-partition fragment files — read
+    // them through the snapshot's pointer map.
+    import scala.jdk.CollectionConverters._
+    val snap = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       s"${t.root}/snaps/snap-${t.currentSnapshotId}.json")))
-    val caDirs = """data/[0-9a-f-]+/state=CA""".r.findAllIn(mf).toSet
+    val frags = """manifests/mf-[0-9a-f-]+\.json""".r.findAllIn(snap).toSeq
+      .map(f => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${t.root}/$f"))))
+    val caDirs = frags.flatMap("""data/[0-9a-f-]+/state=CA""".r.findAllIn(_)).toSet
     assert(caDirs.size == 1)
+  }
+
+  test("split snapshots reuse unchanged partition fragments across commits") {
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    t.merge(spark, df((1, "a2", "CA")), Seq("k")) // touches CA only
+    def partPointer(snapId: Long, pv: String): String = {
+      val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"${t.root}/snaps/snap-$snapId.json")))
+      raw""""$pv":"(manifests/[^"]+)"""".r.findFirstMatchIn(s)
+        .getOrElse(fail(s"no fragment pointer for $pv in snap $snapId")).group(1)
+    }
+    // NY untouched → same fragment file by reference; CA rewritten → new one
+    assert(partPointer(1, "NY") == partPointer(2, "NY"))
+    assert(partPointer(1, "CA") != partPointer(2, "CA"))
+    // contents still correct
+    assert(t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a2"), (2, "b")))
   }
 
   test("MOR rejects inconsistent merge keys across merges") {
