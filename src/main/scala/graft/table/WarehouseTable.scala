@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
@@ -43,6 +43,8 @@ import graft.operators.{Dedup, MergeInto}
 final class WarehouseTable(val root: String) {
 
   private val NoPart = "__ALL__"
+  /** MOR delete-marker column persisted in delta files (never in base). */
+  private val TombstoneCol = "__graft_deleted"
   // Spark writes null partition values to this hive dir name; manifest keys
   // must use the same spelling or null-partition rows silently diverge.
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -312,45 +314,68 @@ final class WarehouseTable(val root: String) {
     else {
       val keys = mergeKeys(meta).getOrElse(throw new IllegalStateException(
         "MOR table has deltas but no merge.keys property"))
-      val frames = baseDf.withColumn("__seq", lit(0L)) ::
+      // deltas may carry delete tombstones: the newest row per key wins,
+      // and a winning tombstone removes the key entirely
+      val frames = baseDf
+        .withColumn(TombstoneCol, lit(false)).withColumn("__seq", lit(0L)) ::
         manifest.deltas.map(d =>
-          readParts(spark, meta, prune(d.data)).withColumn("__seq", lit(d.seq)))
+          readParts(spark, meta, prune(d.data), withTombstone = true)
+            .withColumn("__seq", lit(d.seq)))
       val unioned = frames.reduce(_ unionByName _)
-      Dedup.latestByKey(unioned, keys, orderDesc = "__seq").drop("__seq")
+      Dedup.latestByKey(unioned, keys, orderDesc = "__seq")
+        .filter(!col(TombstoneCol))
+        .drop("__seq", TombstoneCol)
     }
   }
 
-  /** DataFrame over a set of manifest entries (empty → empty frame). */
+  /** DataFrame over a set of manifest entries (empty → empty frame).
+    * `withTombstone` additionally surfaces the MOR delete marker
+    * [[TombstoneCol]] (false where files predate tombstones — parquet
+    * fills the missing column with null, coalesced here).
+    */
   private def readParts(
       spark: SparkSession,
       meta: Meta,
-      wanted: Map[String, List[String]]): DataFrame = {
+      wanted: Map[String, List[String]],
+      withTombstone: Boolean = false): DataFrame = {
+    val schema =
+      if (withTombstone)
+        StructType(meta.schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            TombstoneCol, org.apache.spark.sql.types.BooleanType))
+      else meta.schema
     val dirs = wanted.values.flatten.toSeq.distinct
-    if (dirs.isEmpty) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], meta.schema)
-    } else {
-      // Data dirs are grouped by their parent uuid dir so hive partition
-      // discovery (basePath) restores the partition column.
-      meta.partition match {
-        case None =>
-          spark.read.schema(meta.schema)
-            .parquet(dirs.map(d => s"$root/$d"): _*)
-        case Some(p) =>
-          val byBase = dirs.groupBy(d => d.split("/").take(2).mkString("/"))
-          val parts = byBase.map { case (base, subdirs) =>
-            spark.read
-              .option("basePath", s"$root/$base")
-              .parquet(subdirs.map(d => s"$root/$d"): _*)
-          }.toSeq
-          val unioned = parts.reduce(_ unionByName _)
-          // restore declared column order + types (hive discovery reads
-          // the partition col as its inferred type and puts it last)
-          val cols = meta.schema.fields.toIndexedSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name))
-          unioned.select(cols: _*)
+    val frame =
+      if (dirs.isEmpty) {
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      } else {
+        // Data dirs are grouped by their parent uuid dir so hive partition
+        // discovery (basePath) restores the partition column.
+        meta.partition match {
+          case None =>
+            spark.read.schema(schema)
+              .parquet(dirs.map(d => s"$root/$d"): _*)
+          case Some(p) =>
+            val byBase = dirs.groupBy(d => d.split("/").take(2).mkString("/"))
+            val parts = byBase.map { case (base, subdirs) =>
+              spark.read
+                .option("basePath", s"$root/$base")
+                .parquet(subdirs.map(d => s"$root/$d"): _*)
+            }.toSeq
+            val unioned = parts.reduce(_ unionByName _)
+            // restore declared column order + types (hive discovery reads
+            // the partition col as its inferred type and puts it last)
+            val cols = schema.fields.toIndexedSeq.map(f =>
+              if (!withTombstone || f.name != TombstoneCol || unioned.columns.contains(f.name))
+                col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name))
+            unioned.select(cols: _*)
+        }
       }
-    }
+    if (withTombstone)
+      frame.withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
+    else frame
   }
 
   /** Merge keys recorded for MOR arbitration (set on first MOR merge). */
@@ -381,11 +406,16 @@ final class WarehouseTable(val root: String) {
     * the freshly written parquet footers.
     */
   private def writeDataDir(
-      df: DataFrame, meta: Meta): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
+      df: DataFrame, meta: Meta,
+      extraCols: Seq[String] = Nil): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
     val uuid = UUID.randomUUID().toString
     val rel = s"data/$uuid"
     val dest = s"$root/$rel"
-    val aligned = alignToSchema(df, meta.schema)
+    val aligned = df.select(
+      (meta.schema.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ extraCols.map(col)): _*)
     val entries: Map[String, List[String]] = meta.partition match {
       case None =>
         aligned.write
@@ -485,16 +515,31 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession,
       source: DataFrame,
       keys: Seq[String],
-      updateCols: Option[Seq[String]] = None): Unit = {
+      updateCols: Option[Seq[String]] = None,
+      deleteWhere: Option[Column] = None): Unit = {
     val meta = readMeta()
     val partial = updateCols.exists(cols =>
       meta.schema.fieldNames.exists(c => !keys.contains(c) && !cols.contains(c)))
     if (meta.properties.get("write.merge.mode").contains("merge-on-read")) {
       require(!partial,
         "merge-on-read deltas carry whole rows; partial UPDATE SET lists need COW")
-      mergeMor(spark, source, keys, meta)
-    } else {
-      mergeCow(spark, source, keys, meta, if (partial) updateCols else None)
+      mergeMor(spark, source, keys, meta, deleteWhere)
+    } else deleteWhere match {
+      case Some(del) =>
+        // CDC deletes over COW run as a merge program: delete-marked
+        // matches drop, others update, non-delete unmatched rows insert
+        require(updateCols.isEmpty, "deleteWhere with a partial SET list is unsupported")
+        val cols = meta.schema.fieldNames.toSeq
+        mergeClauses(spark, source, keys, MergeInto.MergeClauses(
+          matched = Seq(
+            MergeInto.DeleteClause(Some(del)),
+            MergeInto.UpdateClause(None,
+              cols.filterNot(keys.contains).map(c => c -> col(c)).toMap)),
+          notMatched = Seq(MergeInto.InsertClause(
+            Some(!coalesce(del, lit(false))),
+            cols.map(c => c -> col(c)).toMap))))
+      case None =>
+        mergeCow(spark, source, keys, meta, if (partial) updateCols else None)
     }
   }
 
@@ -504,12 +549,16 @@ final class WarehouseTable(val root: String) {
     * into the base when read amplification grows.
     */
   private def mergeMor(
-      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta): Unit = {
+      spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta,
+      deleteWhere: Option[Column] = None): Unit = {
     recordMergeKeys(meta, keys)
     val cur = currentSnapshotId
     val old = readManifest(cur)
-    val src = alignToSchema(source, meta.schema)
-    val (added, stats) = writeDataDir(src, meta)
+    // tombstone flag rides along in the delta file: a delete is an O(batch)
+    // append exactly like an upsert, resolved at read/compaction time
+    val src = source.withColumn(TombstoneCol,
+      coalesce(deleteWhere.getOrElse(lit(false)), lit(false)))
+    val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
     val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
     commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added), old.stats ++ stats))
     // compaction policy: read amplification grows linearly with delta

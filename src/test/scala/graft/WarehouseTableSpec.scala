@@ -189,6 +189,41 @@ class WarehouseTableSpec extends SparkSpec {
       == Set((1, "a2"), (2, "b")))
   }
 
+  test("MOR deletes are tombstones: O(batch) append, resolved at read") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), WarehouseTable.tableProperties("MOR", "snappy"))
+    t.append(df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "TX")))
+    val baseSnap = t.currentSnapshotId
+    // CDC batch: op column drives deletes — row 2 deleted, row 3 updated
+    val batch = df((2, "DEAD", "NY"), (3, "c2", "TX"))
+    t.merge(spark, batch, Seq("k"), deleteWhere = Some(col("v") === "DEAD"))
+    assert(t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a"), (3, "c2")))
+    // the delete was a delta append — base untouched (one commit, no rewrite)
+    assert(t.currentSnapshotId == baseSnap + 1)
+    // a later upsert resurrects the key (tombstone superseded by seq order)
+    t.merge(spark, df((2, "back", "NY")), Seq("k"))
+    assert(t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a"), (2, "back"), (3, "c2")))
+    // compaction folds tombstones away; contents stable
+    t.compact(spark)
+    assert(t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a"), (2, "back"), (3, "c2")))
+  }
+
+  test("COW deleteWhere removes matched rows and blocks delete-op inserts") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    // 2 deleted; 3 is a delete-op with no match → NOT inserted; 4 inserts
+    val batch = df((2, "DEAD", "NY"), (3, "DEAD", "TX"), (4, "d", "TX"))
+    t.merge(spark, batch, Seq("k"), deleteWhere = Some(col("v") === "DEAD"))
+    assert(t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a"), (4, "d")))
+  }
+
   test("MOR rejects inconsistent merge keys across merges") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
