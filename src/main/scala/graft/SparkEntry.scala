@@ -480,6 +480,46 @@ object SparkEntry {
       s.sql("SELECT user_id, event_type, event_id, value FROM graft_q23.db.events_t")
     }),
 
+    // PIVOT: per-user event-type columns in one aggregation pass (explicit
+    // value list ⇒ no extra distinct-values job; single agg ⇒ unsuffixed
+    // column names). The oracle is the equivalent conditional aggregation.
+    "q26_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+    }),
+
+    // Correlated EXISTS / NOT EXISTS subqueries through spark.sql —
+    // Catalyst rewrites them to left-semi / left-anti joins.
+    "q27_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q27_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q27_orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name FROM q27_customer c
+          |WHERE EXISTS (SELECT 1 FROM q27_orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM q27_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F' AND o.o_totalprice < 10000)""".stripMargin)
+    }),
+
+    // Multimodal frame sampling with an exact oracle: the text payload
+    // plays an opaque byte stream (all-ASCII corpus ⇒ char == byte), cut
+    // into 64-byte frames, every 2nd frame fingerprinted. Same chunking
+    // shape as Multimodal.sampleFrames, expressed scan-side: explode of a
+    // bounded sequence, no driver involvement.
+    "q28_multimodal_frames" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_frames", expr("int(length(text) div 64)"))
+        .filter(col("n_frames") > 0)
+        .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1L, 2L)")))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr("cast(substring(text, int(frame_idx * 64 + 1), 64) as binary)"))
+            .as("frame_md5"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -694,6 +734,34 @@ object SparkEntry {
         |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
+
+    "q26_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+
+    "q27_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F' AND o.o_totalprice < 10000)""".stripMargin,
+
+    "q28_multimodal_frames" ->
+      """SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(length(text) // 64 AS BIGINT), 2)) AS frame_idx
+        |  FROM documents
+        |  WHERE length(text) // 64 > 0
+        |)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
