@@ -703,15 +703,22 @@ final class WarehouseTable(val root: String) {
               //    parquet reads only keys + partition column, and the
               //    source's key RANGE prunes target dirs via file stats —
               //    an append-mostly table with time-ordered keys reads
-              //    only the dirs whose [min,max] overlaps the batch)
+              //    only the dirs whose [min,max] overlaps the batch).
+              //    SKIPPED entirely when the batch's own partitions already
+              //    cover every base partition (nothing left to discover) —
+              //    in particular on the first merge into an empty table.
               val keyCols = keys.map(col)
-              val keyRangeFilters = srcKeyRangeFilters(src, keys, meta)
-              val targetKeys = read(spark, None, keyRangeFilters)
-                .select((keys :+ p).map(col): _*)
-              val matchedParts = dbg("matchedParts")(targetKeys
-                .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
-                .select(col(p).cast("string")).distinct()
-                .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet)
+              val matchedParts =
+                if (old.base.keySet.subsetOf(sp)) Set.empty[String]
+                else {
+                  val keyRangeFilters = srcKeyRangeFilters(src, keys, meta)
+                  val targetKeys = read(spark, None, keyRangeFilters)
+                    .select((keys :+ p).map(col): _*)
+                  dbg("matchedParts")(targetKeys
+                    .join(broadcastIfSmall(src.select(keyCols: _*).distinct()), keys, "left_semi")
+                    .select(col(p).cast("string")).distinct()
+                    .collect().map(r => Option(r.getString(0)).getOrElse(HiveNullPartition)).toSet)
+                }
               val affected = (sp ++ matchedParts).filter(old.base.contains)
               // 3. merge only affected partitions
               val target = read(spark, Some(affected.toSeq))
