@@ -33,11 +33,12 @@ import graft.table.WarehouseTable
   *
   * Reads and writes bridge to the engine's [[WarehouseTable]] through the
   * public V1Scan/V1Write adapters (the same mechanism Spark's own JDBC
-  * source uses): the scan hands Catalyst an RDD of the current snapshot —
+  * source uses): the scan hands Catalyst an RDD of the requested snapshot —
   * snapshot isolation and MOR arbitration come from `WarehouseTable.read`
-  * — and inserts map to append/overwrite commits. `MERGE INTO` still goes
-  * through [[MergeSqlRunner]] (SupportsRowLevelOperations is the planned
-  * next step).
+  * — with negotiated column pruning and filter pushdown, and inserts map
+  * to append/overwrite commits. `SELECT ... VERSION AS OF n` time-travels
+  * to snapshot n. `MERGE INTO` plans natively via [[GraftMergeStrategy]];
+  * the literal reference file also runs through [[MergeSqlRunner]].
   */
 class GraftCatalog extends TableCatalog {
 
@@ -81,6 +82,23 @@ class GraftCatalog extends TableCatalog {
     new GraftDsv2Table(ident.toString, wt)
   }
 
+  /** Time travel — `SELECT ... FROM graft.db.t VERSION AS OF <snapshotId>`.
+    * Snapshots are immutable, so a pinned table is just a scan of an older
+    * manifest; writes against a pinned table are rejected by Spark itself
+    * (time-travel relations are read-only).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val wt = warehouseTable(ident)
+    if (!wt.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name())
+    val snap = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft snapshot versions are numeric snapshot ids, got '$version'")
+    }
+    new GraftDsv2Table(s"$ident@v$snap", wt, Some(snap))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -110,8 +128,11 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME TABLE not supported yet")
 }
 
-/** One warehouse table exposed through the DSv2 Table interface. */
-final class GraftDsv2Table(ident: String, wt: WarehouseTable)
+/** One warehouse table exposed through the DSv2 Table interface;
+  * `pinnedSnapshot` fixes reads to one snapshot id (time travel).
+  */
+final class GraftDsv2Table(
+    ident: String, wt: WarehouseTable, pinnedSnapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   /** The engine table behind this DSv2 facade (used by the MERGE planner
@@ -171,7 +192,8 @@ final class GraftDsv2Table(ident: String, wt: WarehouseTable)
         override def readSchema(): StructType = schema
         override def toV1TableScan[T <: BaseRelation with sources.TableScan](
             context: SQLContext): T =
-          new GraftV1Relation(context, wt, schema, filters).asInstanceOf[T]
+          new GraftV1Relation(context, wt, schema, filters, pinnedSnapshot)
+            .asInstanceOf[T]
         override def description(): String =
           s"GraftWarehouseScan(${wt.root}, " +
             s"cols=${schema.fieldNames.mkString(",")}, " +
@@ -198,7 +220,8 @@ final class GraftV1Relation(
     ctx: SQLContext,
     wt: WarehouseTable,
     required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    asOf: Option[Long] = None)
     extends BaseRelation with sources.TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -209,7 +232,7 @@ final class GraftV1Relation(
     // manifest-level partition pruning from conjunctive partition filters,
     // plus file-stats dir pruning from the remaining pushed filters
     val parts = wt.partitionColumn.flatMap(p => partitionValues(p, filters))
-    val base = wt.read(spark, parts, filters.toSeq)
+    val base = wt.read(spark, parts, filters.toSeq, asOf)
     val filtered = filters.flatMap(GraftV1Relation.translate)
       .foldLeft(base)((df, c) => df.filter(c))
     // prune AFTER the snapshot read: MOR key arbitration needs its merge

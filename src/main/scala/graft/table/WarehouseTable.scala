@@ -281,11 +281,17 @@ final class WarehouseTable(val root: String) {
   def read(
       spark: SparkSession,
       partitions: Option[Seq[Any]] = None,
-      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      asOf: Option[Long] = None): DataFrame = {
     val meta = readMeta()
+    // time travel: snapshots are immutable, so reading an older id is just
+    // resolving its manifest instead of the current pointer
+    val snapId = asOf.getOrElse(currentSnapshotId)
+    require(Files.exists(snapPath(snapId)),
+      s"snapshot $snapId does not exist (expired or never created)")
     // partition-pruned reads load only the wanted fragments of a split
     // snapshot — the other partitions' file lists are never even parsed
-    val manifest = readManifest(currentSnapshotId,
+    val manifest = readManifest(snapId,
       partitions.map(_.map(String.valueOf).toSet))
     // file-stats pruning is sound per-dir on a COW snapshot; with MOR
     // deltas, a pruned base dir could hide a row a delta supersedes, so
@@ -763,6 +769,59 @@ final class WarehouseTable(val root: String) {
       val (rewritten, stats) = writeDataDir(slice, meta)
       val untouched = old.base.view.filterKeys(k => !crowded.contains(k)).toMap
       commit(cur, Manifest(untouched ++ rewritten, Nil, old.stats ++ stats).pruneStats)
+    }
+  }
+
+  /** Expire old snapshots and physically remove everything only they
+    * reference: snapshot files, manifest fragments, and whole data dirs.
+    * Keeps the newest `keepLast` snapshots (the current one always
+    * survives). Time travel to an expired id fails loudly afterwards —
+    * the trade every snapshot-versioned store makes between history depth
+    * and storage.
+    */
+  def expireSnapshots(keepLast: Int = 5): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    import scala.jdk.CollectionConverters._
+    val cur = currentSnapshotId
+    val snapDir = rootPath.resolve("snaps")
+    val ids = {
+      val l = Files.list(snapDir)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toLong
+        }.toList.sorted
+      finally l.close()
+    }
+    val (expired, kept) = ids.partition(id => id < cur - keepLast + 1 && id != cur)
+    if (expired.nonEmpty) {
+      val liveFragments = kept.flatMap(snapFragmentPaths(_).values).toSet
+      val liveDataRoots = kept.flatMap { id =>
+        val m = readManifest(id)
+        (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten))
+          .map(_.split("/").take(2).mkString("/"))
+      }.toSet
+      expired.foreach(id => Files.deleteIfExists(snapPath(id)))
+      val mfDir = rootPath.resolve("manifests")
+      if (Files.isDirectory(mfDir)) {
+        val l = Files.list(mfDir)
+        try l.iterator().asScala.toList
+          .filterNot(p => liveFragments.contains(s"manifests/${p.getFileName}"))
+          .foreach(Files.deleteIfExists)
+        finally l.close()
+      }
+      val dataDir = rootPath.resolve("data")
+      if (Files.isDirectory(dataDir)) {
+        val l = Files.list(dataDir)
+        val dead =
+          try l.iterator().asScala.toList
+            .filterNot(p => liveDataRoots.contains(s"data/${p.getFileName}"))
+          finally l.close()
+        dead.foreach { d =>
+          val walk = Files.walk(d)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          finally walk.close()
+        }
+      }
     }
   }
 

@@ -189,6 +189,36 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.st")
   }
 
+  test("VERSION AS OF time-travels to an older snapshot; expiry removes it") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.tt (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1, 'first')")   // snapshot 1
+    spark.sql("INSERT OVERWRITE graft.db.tt VALUES (2, 'second')") // snapshot 2
+    val now = spark.sql("SELECT k, v FROM graft.db.tt").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(now == Set((2, "second")))
+    val old = spark.sql("SELECT k, v FROM graft.db.tt VERSION AS OF 1").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(old == Set((1, "first")))
+
+    // expiry keeps only the current snapshot; the overwritten data dir and
+    // snapshot 1's metadata are physically deleted, so time travel fails
+    val wt = graft.table.WarehouseTable(s"$wh/db/tt")
+    wt.expireSnapshots(keepLast = 1)
+    assert(spark.sql("SELECT k, v FROM graft.db.tt").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == now)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.tt VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("snapshot") || e.getMessage.contains("exist"))
+    // snapshot 1's data dir is gone from disk (one uuid dir remains)
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$wh/db/tt/data"))
+    val nDirs = try l.iterator().asScala.size finally l.close()
+    assert(nDirs == 1)
+    spark.sql("DROP TABLE graft.db.tt")
+  }
+
   test("SQL reads see snapshots committed by the native merge path") {
     import spark.implicits._
     val wh = warehouse // force catalog registration
