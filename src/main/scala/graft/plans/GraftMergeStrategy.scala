@@ -44,6 +44,15 @@ case class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       graftTable(m.targetTable).map { table =>
         GraftMergeExec(spark, table, m) :: Nil
       }.getOrElse(Nil)
+    case d: DeleteFromTable =>
+      graftTable(d.table).map { table =>
+        GraftDmlExec(spark, table, d.table, Left(d.condition)) :: Nil
+      }.getOrElse(Nil)
+    case u: UpdateTable =>
+      graftTable(u.table).map { table =>
+        GraftDmlExec(spark, table, u.table,
+          Right((u.assignments, u.condition))) :: Nil
+      }.getOrElse(Nil)
     case _ => Nil
   }
 
@@ -182,5 +191,79 @@ case class GraftMergeExec(
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+}
+
+/** Physical node for `DELETE FROM` (Left(condition)) and `UPDATE`
+  * (Right(assignments, condition)) statements against warehouse tables —
+  * lowered onto the dir-surgery rewrites, with a conservative Filter
+  * rendering of the condition driving partition/file-stats pruning.
+  */
+case class GraftDmlExec(
+    spark: SparkSession,
+    table: GraftDsv2Table,
+    targetPlan: LogicalPlan,
+    dml: Either[Expression, (Seq[Assignment], Option[Expression])])
+    extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Array[InternalRow] = { run(); Array.empty }
+  override def executeCollect(): Array[InternalRow] = done
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(done.toSeq, 1)
+
+  private def toCol(e: Expression): Column = GraftBridge.column(e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  })
+
+  /** Conservative sources.Filter rendering of a condition's conjuncts for
+    * pruning only — untranslatable conjuncts are simply dropped (fewer
+    * filters ⇒ less pruning, never wrong results).
+    */
+  private def pruneFilters(e: Expression): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => f}
+    def lit(l: Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => Some(f.EqualTo(a.name, lit(l)))
+      case EqualTo(l: Literal, a: AttributeReference) => Some(f.EqualTo(a.name, lit(l)))
+      case GreaterThan(a: AttributeReference, l: Literal) => Some(f.GreaterThan(a.name, lit(l)))
+      case GreaterThan(l: Literal, a: AttributeReference) => Some(f.LessThan(a.name, lit(l)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => Some(f.GreaterThanOrEqual(a.name, lit(l)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => Some(f.LessThanOrEqual(a.name, lit(l)))
+      case LessThan(a: AttributeReference, l: Literal) => Some(f.LessThan(a.name, lit(l)))
+      case LessThan(l: Literal, a: AttributeReference) => Some(f.GreaterThan(a.name, lit(l)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => Some(f.LessThanOrEqual(a.name, lit(l)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => Some(f.GreaterThanOrEqual(a.name, lit(l)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(f.In(a.name, vs.map(v => lit(v.asInstanceOf[Literal])).toArray))
+      case _ => None
+    }
+  }
+
+  private def run(): Unit = {
+    dml match {
+      case Left(cond) =>
+        table.warehouse.deleteRows(spark, toCol(cond), pruneFilters(cond))
+      case Right((assignments, cond)) =>
+        val set = assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new IllegalArgumentException(
+              s"only top-level column assignments are supported: ${other.sql}")
+          }
+          name -> toCol(a.value)
+        }.toMap
+        table.warehouse.updateRows(spark, set, cond.map(toCol),
+          cond.map(pruneFilters).getOrElse(Nil))
+    }
+    spark.sharedState.cacheManager.recacheByPlan(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], targetPlan)
   }
 }

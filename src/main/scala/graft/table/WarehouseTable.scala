@@ -772,6 +772,86 @@ final class WarehouseTable(val root: String) {
     }
   }
 
+  /** DELETE FROM: remove rows matching `cond`. Dir-level surgery, not a
+    * table rewrite — `pruneFilters` (a conservative Filter rendering of
+    * the condition) selects the data dirs that MAY hold matching rows via
+    * partition values and file stats; only those dirs are read, filtered
+    * and rewritten, every other dir carries into the new snapshot by
+    * reference. A partition-predicate delete therefore touches exactly the
+    * matching partitions (and writes nothing back when all their rows go).
+    */
+  def deleteRows(
+      spark: SparkSession,
+      cond: Column,
+      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Unit =
+    rewriteRows(spark, pruneFilters) { slice =>
+      slice.filter(!coalesce(cond, lit(false)))
+    }
+
+  /** UPDATE: assign `set` columns on rows matching `cond` (None = all).
+    * Same dir-level pruning as [[deleteRows]]; an update that changes the
+    * partition column moves rows — the dynamic-partition write files them
+    * under their new value and the manifest entries follow.
+    */
+  def updateRows(
+      spark: SparkSession,
+      set: Map[String, Column],
+      cond: Option[Column],
+      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Unit = {
+    val meta = readMeta()
+    val bad = set.keySet.filterNot(meta.schema.fieldNames.contains)
+    require(bad.isEmpty, s"UPDATE SET of unknown columns: ${bad.mkString(", ")}")
+    rewriteRows(spark, pruneFilters) { slice =>
+      val hit = cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      slice.select(meta.schema.fields.toIndexedSeq.map { f =>
+        if (set.contains(f.name))
+          when(hit, set(f.name).cast(f.dataType)).otherwise(col(f.name))
+            .cast(f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
+    }
+  }
+
+  /** Shared dir-surgery machinery for DELETE/UPDATE: rewrite only the dirs
+    * that may hold affected rows, carry the rest.
+    */
+  private def rewriteRows(
+      spark: SparkSession,
+      pruneFilters: Seq[org.apache.spark.sql.sources.Filter])(
+      transform: DataFrame => DataFrame): Unit = {
+    val meta = readMeta()
+    // MOR deltas fold first: dir surgery below assumes COW semantics
+    if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    // partition-value restriction from equality/IN filters on the col
+    val partVals: Option[Set[String]] = meta.partition.flatMap { p =>
+      pruneFilters.collectFirst {
+        case org.apache.spark.sql.sources.EqualTo(`p`, v) => Set(String.valueOf(v))
+        case org.apache.spark.sql.sources.In(`p`, vs) if !vs.contains(null) =>
+          vs.map(String.valueOf).toSet
+      }
+    }
+    val (rewrite, carry) = old.base.toSeq.map { case (pv, dirs) =>
+      if (partVals.exists(!_.contains(pv))) (pv -> Nil, pv -> dirs)
+      else {
+        val (r, c) = dirs.partition(dir =>
+          old.stats.get(dir).forall(TableStats.mayMatch(_, pruneFilters)))
+        (pv -> r, pv -> c)
+      }
+    }.unzip
+    val toRewrite = rewrite.toMap.filter(_._2.nonEmpty)
+    if (toRewrite.nonEmpty) {
+      val slice = readParts(spark, meta, toRewrite)
+      val (entries, stats) = writeDataDir(transform(slice), meta)
+      val carried = carry.toMap
+      val newBase = (carried.keySet ++ entries.keySet).map { k =>
+        k -> (carried.getOrElse(k, Nil) ++ entries.getOrElse(k, Nil))
+      }.toMap.filter(_._2.nonEmpty)
+      commit(cur, Manifest(newBase, Nil, old.stats ++ stats).pruneStats)
+    }
+  }
+
   /** Expire old snapshots and physically remove everything only they
     * reference: snapshot files, manifest fragments, and whole data dirs.
     * Keeps the newest `keepLast` snapshots (the current one always

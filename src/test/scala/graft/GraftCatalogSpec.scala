@@ -189,6 +189,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.st")
   }
 
+  test("DELETE FROM and UPDATE SQL run as dir-level rewrites") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql(
+      "CREATE TABLE graft.db.dml (k INT, v STRING, state STRING) PARTITIONED BY (state)")
+    spark.sql(
+      """INSERT INTO graft.db.dml VALUES
+        |(1, 'a', 'CA'), (2, 'b', 'CA'), (3, 'c', 'NY'), (4, 'd', 'TX')""".stripMargin)
+    // partition-predicate delete: only the NY dirs are touched. Destroy
+    // TX's files first to PROVE the delete never read or rewrote them.
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$wh/db/dml/data"))
+    try walk.iterator().asScala.toSeq.reverse
+      .filter(p => p.toString.contains("state=TX") && p.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    spark.sql("DELETE FROM graft.db.dml WHERE state = 'NY'")
+    // arbitrary-predicate update on the surviving CA partition
+    spark.sql("UPDATE graft.db.dml SET v = concat(v, '!') WHERE k >= 2 AND state = 'CA'")
+    val out = spark.sql("SELECT k, v FROM graft.db.dml WHERE state = 'CA' ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "a"), (2, "b!")))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dml WHERE state = 'NY'")
+      .head().getLong(0) == 0)
+    spark.sql("DROP TABLE graft.db.dml")
+  }
+
   test("VERSION AS OF time-travels to an older snapshot; expiry removes it") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tt (k INT, v STRING)")
