@@ -116,8 +116,27 @@ class GraftCatalog extends TableCatalog {
     new GraftDsv2Table(ident.toString, wt)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported yet")
+  /** ALTER TABLE: ADD COLUMN (metadata-only schema evolution — old files
+    * surface NULL for the new column) and SET/UNSET TBLPROPERTIES.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val wt = warehouseTable(ident)
+    if (!wt.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name())
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "only top-level ADD COLUMN is supported")
+        wt.addColumn(add.fieldNames.head, add.dataType)
+      case set: TableChange.SetProperty =>
+        wt.setProperties(Map(set.property -> set.value))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
+    new GraftDsv2Table(ident.toString, wt)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val wt = warehouseTable(ident)

@@ -852,6 +852,37 @@ final class WarehouseTable(val root: String) {
     }
   }
 
+  /** Schema evolution: append a nullable column to the declared schema.
+    * Metadata-only — existing parquet files simply lack the column and
+    * every read path goes through an explicit schema (or align-select), so
+    * old rows surface NULL without any rewrite, exactly Iceberg's
+    * add-column semantics.
+    */
+  def addColumn(name: String, dataType: DataType): Unit = {
+    val meta = readMeta()
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    val newSchema = StructType(meta.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    writeMeta(meta.copy(schemaDdl = newSchema.toDDL))
+  }
+
+  /** Update table properties (set wins, null/absent keys unchanged). */
+  def setProperties(props: Map[String, String]): Unit = {
+    val meta = readMeta()
+    writeMeta(meta.copy(properties = meta.properties ++ props))
+  }
+
+  private def writeMeta(meta: Meta): Unit = {
+    val props = JObject(meta.properties.map { case (k, v) =>
+      k -> (JString(v): JValue)
+    }.toList)
+    writeString(metaPath, JsonMethods.compact(JsonMethods.render(JObject(
+      "schema" -> JString(meta.schemaDdl),
+      "partition" -> JString(meta.partition.getOrElse("")),
+      "properties" -> props))))
+  }
+
   /** Expire old snapshots and physically remove everything only they
     * reference: snapshot files, manifest fragments, and whole data dirs.
     * Keeps the newest `keepLast` snapshots (the current one always

@@ -189,6 +189,21 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.st")
   }
 
+  test("ALTER TABLE ADD COLUMN: old rows surface NULL, new writes carry it") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.evo (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graft.db.evo VALUES (2, 'b', 0.5)")
+    val out = spark.sql("SELECT k, v, score FROM graft.db.evo ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(out == Seq((1, "a", None), (2, "b", Some(0.5))))
+    spark.sql("ALTER TABLE graft.db.evo SET TBLPROPERTIES ('compact.delta.threshold' = '4')")
+    assert(graft.table.WarehouseTable(s"$wh/db/evo")
+      .properties("compact.delta.threshold") == "4")
+    spark.sql("DROP TABLE graft.db.evo")
+  }
+
   test("DELETE FROM and UPDATE SQL run as dir-level rewrites") {
     val wh = warehouse
     graft.plans.GraftMergeStrategy.register(spark)
