@@ -99,6 +99,18 @@ class GraftCatalog extends TableCatalog {
     new GraftDsv2Table(s"$ident@v$snap", wt, Some(snap))
   }
 
+  /** Time travel — `... TIMESTAMP AS OF <ts>` (Spark hands micros). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val wt = warehouseTable(ident)
+    if (!wt.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace().toSeq :+ ident.name())
+    val snap = wt.snapshotAt(timestamp / 1000).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $ident at or before timestamp $timestamp"))
+    new GraftDsv2Table(s"$ident@t$snap", wt, Some(snap))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

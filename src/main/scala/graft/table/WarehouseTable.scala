@@ -244,6 +244,7 @@ final class WarehouseTable(val root: String) {
     }
     val snap = JObject(
       "parts" -> JObject(parts.toList),
+      "ts" -> JLong(System.currentTimeMillis()), // commit time, for AS OF
       "deltas" -> JArray(m.deltas.map(d => JObject(
         "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))))
     val bytes = JsonMethods.compact(JsonMethods.render(snap))
@@ -881,6 +882,28 @@ final class WarehouseTable(val root: String) {
       "schema" -> JString(meta.schemaDdl),
       "partition" -> JString(meta.partition.getOrElse("")),
       "properties" -> props))))
+  }
+
+  /** Newest snapshot committed at or before `tsMillis` (TIMESTAMP AS OF).
+    * Commit times come from the snapshot json ("ts"); snapshots written
+    * before that field existed fall back to file modification time.
+    */
+  def snapshotAt(tsMillis: Long): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val l = Files.list(rootPath.resolve("snaps"))
+    val ids =
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toLong
+        }.toList.sorted
+      finally l.close()
+    def commitTime(id: Long): Long =
+      JsonMethods.parse(readString(snapPath(id))) \ "ts" match {
+        case JLong(t) => t
+        case JInt(t) => t.toLong
+        case _ => Files.getLastModifiedTime(snapPath(id)).toMillis
+      }
+    ids.reverse.find(commitTime(_) <= tsMillis)
   }
 
   /** Expire old snapshots and physically remove everything only they

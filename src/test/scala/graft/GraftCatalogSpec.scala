@@ -244,6 +244,17 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(old == Set((1, "first")))
 
+    // TIMESTAMP AS OF resolves to the newest snapshot at/before the time
+    Thread.sleep(5)
+    val mid = java.time.Instant.now().toString.replace("T", " ").stripSuffix("Z")
+    Thread.sleep(5)
+    spark.sql("INSERT OVERWRITE graft.db.tt VALUES (3, 'third')") // snapshot 3
+    val asOfMid = spark.sql(
+      s"SELECT k, v FROM graft.db.tt TIMESTAMP AS OF '$mid'").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(asOfMid == Set((2, "second")))
+    spark.sql("INSERT OVERWRITE graft.db.tt VALUES (2, 'second')") // back to state
+
     // expiry keeps only the current snapshot; the overwritten data dir and
     // snapshot 1's metadata are physically deleted, so time travel fails
     val wt = graft.table.WarehouseTable(s"$wh/db/tt")

@@ -102,6 +102,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("property: the upsert MERGE program == upsertAll on any input") {
+    // applyClauses with the plain upsert program must be observationally
+    // identical to the specialized anti-join rewrite
+    forAllSeeded(twoBatches) { case (t0, b) =>
+      val target = Dedup.latestByKey(
+        t0.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+      val batch = Dedup.latestByKey(
+        b.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+      val viaProgram = MergeInto.applyClauses(target, batch, Seq("k"),
+        MergeInto.upsertProgram(Seq("k", "ts", "v"), Seq("k")))
+      val viaAnti = MergeInto.upsertAll(target, batch, Seq("k"))
+      assert(viaProgram.collect().toSet == viaAnti.collect().toSet)
+    }
+  }
+
+  test("property: delete clause == upsert then anti-join on delete keys") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    forAllSeeded(twoBatches) { case (t0, b) =>
+      val target = Dedup.latestByKey(
+        t0.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+      val batch = Dedup.latestByKey(
+        b.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+      val del = col("ts") % 3 === 0 // arbitrary predicate over the batch
+      val viaProgram = MergeInto.applyClauses(target, batch, Seq("k"),
+        MergeInto.MergeClauses(
+          matched = Seq(
+            MergeInto.DeleteClause(Some(del)),
+            MergeInto.UpdateClause(None, Map("ts" -> col("ts"), "v" -> col("v")))),
+          notMatched = Seq(MergeInto.InsertClause(
+            Some(not(coalesce(del, lit(false)))),
+            Map("k" -> col("k"), "ts" -> col("ts"), "v" -> col("v"))))))
+      // reference semantics: upsert the non-delete rows, then remove all
+      // keys the batch marked for deletion
+      val deletes = batch.filter(del).select("k")
+      val expected = MergeInto.upsertAll(target, batch.filter(!del), Seq("k"))
+        .join(deletes, Seq("k"), "left_anti")
+      assert(viaProgram.collect().toSet == expected.collect().toSet)
+    }
+  }
+
   test("property: last-writer-wins — B1 then B2 == dedup(B1 ∪ B2) when ts distinct") {
     // force globally distinct timestamps so LWW order is total
     forAllSeeded(twoBatches) { case (b1raw, b2raw) =>
