@@ -520,6 +520,20 @@ object SparkEntry {
             .as("frame_md5"))
     }),
 
+    // UNPIVOT (wide→long melt) + per-metric rollup: the inverse of q26's
+    // pivot, one Expand pass, no join.
+    "q29_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "val")
+        .groupBy(col("metric"))
+        .agg(dsum(col("val")).as("total"), count(lit(1)).as("n"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -762,6 +776,17 @@ object SparkEntry {
         |  FROM documents
         |  WHERE length(text) // 64 > 0
         |)""".stripMargin,
+
+    "q29_unpivot" ->
+      """SELECT metric,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |) GROUP BY metric""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -133,6 +133,28 @@ object StreamingIngest {
       }
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose time falls in
+    * `[leftTime - lookback, leftTime]` (e.g. purchases joined to the
+    * clicks of the preceding minutes). Both sides carry watermarks and the
+    * join condition bounds the time skew, so Spark provably expires
+    * buffered state — the two requirements for a stream-stream join to run
+    * with bounded memory at all.
+    */
+  def intervalJoin(
+      left: DataFrame,  // key, ts, left payload
+      right: DataFrame, // key, ts, right payload
+      key: String,
+      lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $lookback") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * late rows beyond the watermark are dropped, state is bounded (the
     * piece the reference's upsert pattern never needed but a streaming

@@ -89,6 +89,32 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join pairs events within the lookback") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = graft.streaming.StreamingIngest.intervalJoin(
+      purchases.toDS().toDF("user_id", "ts", "order_id"),
+      clicks.toDS().toDF("user_id", "ts", "page")
+        .withColumnRenamed("ts", "ts").select(col("user_id"), col("ts"), col("page")),
+      key = "user_id", lookback = "60 seconds", watermark = "0 seconds")
+      .select(col("l.order_id"), col("r.page"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    clicks.addData((1L, ts(100), "home"), (1L, ts(130), "item"),
+      (1L, ts(10), "stale"), (2L, ts(100), "other"))
+    purchases.addData((1L, ts(150), "ord-1"))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").as[(String, String)].collect().toSet
+    // clicks at 100/130 are within 60 s of the purchase at 150; the click
+    // at 10 is outside the lookback, user 2's click is a different key
+    assert(out == Set(("ord-1", "home"), ("ord-1", "item")))
+    q.stop()
+  }
+
   test("watermarked windowed rollup produces bounded-state aggregates") {
     import spark.implicits._
     val events = Seq(
