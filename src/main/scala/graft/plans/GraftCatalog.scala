@@ -155,8 +155,20 @@ class GraftCatalog extends TableCatalog {
     if (wt.exists) { wt.drop(); true } else false
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE not supported yet")
+  /** RENAME TABLE: a directory move — snapshots/manifests/data all use
+    * table-relative paths, so the layout is position-independent.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = warehouseTable(oldIdent)
+    if (!from.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent.namespace().toSeq :+ oldIdent.name())
+    val toPath = java.nio.file.Paths.get(tablePath(newIdent))
+    require(!WarehouseTable(toPath.toString).exists,
+      s"table $newIdent already exists")
+    java.nio.file.Files.createDirectories(toPath.getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tablePath(oldIdent)), toPath)
+  }
 }
 
 /** One warehouse table exposed through the DSv2 Table interface;

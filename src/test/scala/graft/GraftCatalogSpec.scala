@@ -273,6 +273,19 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.tt")
   }
 
+  test("ALTER TABLE RENAME moves the table; contents and history survive") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.rn1 (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.db.rn1 VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft.db.rn1 RENAME TO db.rn2")
+    assert(spark.sql("SELECT v FROM graft.db.rn2").head().getString(0) == "a")
+    assert(!graft.table.WarehouseTable(s"$wh/db/rn1").exists)
+    // snapshots are table-relative: time travel still works post-rename
+    assert(spark.sql("SELECT count(*) FROM graft.db.rn2 VERSION AS OF 0")
+      .head().getLong(0) == 0)
+    spark.sql("DROP TABLE graft.db.rn2")
+  }
+
   test("SQL reads see snapshots committed by the native merge path") {
     import spark.implicits._
     val wh = warehouse // force catalog registration
