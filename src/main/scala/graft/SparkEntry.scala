@@ -263,22 +263,23 @@ object SparkEntry {
       TextDedup.verifyPairs(cands, sh, 0.5)
     }),
 
-    // SimHash near-dup: 64-bit fingerprints via a custom codegen
-    // Expression, block-join candidates, exact-Jaccard verify. The
-    // fingerprint is over SHINGLES, not tokens: on a shared-vocabulary
-    // corpus token-level fingerprints correlate (measured: 4M candidate
-    // pairs within hamming 20), while shingle sets are near-disjoint for
-    // unrelated docs, so hamming separates signal (≤17) from noise (≥18).
+    // SimHash near-dup: 128-bit fingerprints (two independently-seeded
+    // codegen SimHash64 halves) with pigeonhole block-join candidates and
+    // exact-Jaccard verify. The fingerprint is over SHINGLES, not tokens:
+    // shingle sets are near-disjoint for unrelated docs, so hamming
+    // separates signal from noise. Doubling 64→128 bits is what retires
+    // the round-2 dense all-pairs scan: the radius that needed 17/64
+    // (sub-4-bit blocks ⇒ blocking degenerated) needs only ~27/128 —
+    // measured on this corpus: true pairs ≤ 22-25 bits, noise ≥ 32 — so
+    // 28 pigeonhole blocks of ≥4 bits guarantee recall with an equi-join
+    // plan (explode + shuffle join, no broadcast cartesian anywhere).
     "q13_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
       // fingerprint over the same shingled frame the verifier uses — one
-      // shingle computation, not two. Radius 17 is DENSE for a 64-bit
-      // fingerprint (18 pigeonhole blocks of <4 bits collide for nearly
-      // every pair), so the direct XOR+popcount pair scan is used; the
-      // block-join generator remains the path for small radii.
-      val cands = TextDedup.simHashCandidatesDense(
-        sh.select(col("doc_id"), col("sh").as("toks")), maxHamming = 17)
+      // shingle computation, not two
+      val cands = TextDedup.simHash128Candidates(
+        sh.select(col("doc_id"), col("sh").as("toks")), maxHamming = 27)
       TextDedup.verifyPairs(cands, sh, 0.5)
     }),
 
@@ -373,20 +374,60 @@ object SparkEntry {
 
     // Exact order-statistic quantiles (p50/p90) per group — rank-based
     // selection, not approx sketches, so the oracle matches bit-for-bit.
+    // Two-phase selection, NOT a per-group window sort: with ~5 distinct
+    // event_types a Window.partitionBy(event_type) global sort puts 20% of
+    // the table through ONE task at 100 TB. Phase 1 bins values and counts
+    // per (group, bin) — a plain hash aggregation, fully parallel. The
+    // cumulative bin histogram (5 groups × 1024 bins, driver-light) locates
+    // which bin holds each target rank; phase 2 sorts ONLY the rows of the
+    // target bins (~n/1024 of the data per group) to pick the exact ranked
+    // row. Ties are safe: a bin is a function of value alone, and the
+    // in-bin rank offset comes from the strictly-smaller bins' counts.
     "q20_quantiles" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val w = Window.partitionBy(col("event_type"))
+        .select(col("event_type"), col("value"), col("event_id"))
+      val nBins = 1024
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      // bin id in [0, nBins): value-only function, degenerate range → bin 0
+      def binOf(v: Column, vmin: Column, vmax: Column): Column =
+        when(vmax <= vmin, lit(0)).otherwise(
+          least(lit(nBins - 1),
+            floor((v - vmin) / ((vmax - vmin) / nBins)).cast("int")))
+      val binned = ev.join(broadcast(stats), "event_type")
+        .withColumn("bin", binOf(col("value"), col("vmin"), col("vmax")))
+      val binCounts = binned.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("bn"))
+      // rows strictly before each bin (tiny frame: groups × bins)
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = binCounts.withColumn("before",
+        coalesce(sum(col("bn")).over(wb), lit(0L)))
+      // target ranks per group; one row per (group, quantile-bin)
+      val targets = stats.select(
+        col("event_type"), col("cnt"),
+        explode(array(
+          struct(lit("p50").as("q"), ceil(col("cnt") * 0.5).cast("long").as("r")),
+          struct(lit("p90").as("q"), ceil(col("cnt") * 0.9).cast("long").as("r"))))
+          .as("t"))
+        .select(col("event_type"), col("cnt"), col("t.q").as("q"), col("t.r").as("r"))
+      // (cnt travels with `binned` via the stats join; don't duplicate it)
+      val hitBins = targets.join(cum, "event_type")
+        .filter(col("r") > col("before") && col("r") <= col("before") + col("bn"))
+        .select(col("event_type"), col("bin"), col("q"), col("r"), col("before"))
+      // phase 2: rank only inside the hit bins (≈ cnt/nBins rows per group)
+      val win = Window.partitionBy(col("event_type"), col("bin"), col("q"))
         .orderBy(col("value").asc, col("event_id").asc)
-      val cw = Window.partitionBy(col("event_type"))
-      ev.withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(cw))
-        .groupBy(col("event_type"))
+      val picked = binned.join(broadcast(hitBins), Seq("event_type", "bin"))
+        .withColumn("rin", row_number().over(win))
+        .filter(col("before") + col("rin") === col("r"))
+      picked.groupBy(col("event_type"))
         .agg(
           max(col("cnt")).as("n"),
-          max(when(col("rn") === ceil(col("cnt") * 0.5).cast("long"),
-            col("value"))).as("p50"),
-          max(when(col("rn") === ceil(col("cnt") * 0.9).cast("long"),
-            col("value"))).as("p90"))
+          max(when(col("q") === "p50", col("value"))).as("p50"),
+          max(when(col("q") === "p90", col("value"))).as("p90"))
     }),
 
     // ROLLUP grouping sets (subtotals + grand total in one pass).
@@ -411,22 +452,29 @@ object SparkEntry {
       pure.unionByName(both)
     }),
 
-    // Embedding-cosine near-dup pairs, exact baseline: all vector pairs
-    // with cosine ≥ τ. One side broadcasts (it is the whole corpus — fine
-    // to |corpus| ≈ millions of rows; beyond that the RP-LSH variant
-    // SimilaritySearch.embeddingNearDupPairs bounds compared pairs to
-    // ~nTables/2^nPlanes of all-pairs, verified by the same exact cosine).
-    // This corpus has no planted high-cosine dups (max ≈ 0.51), so recall
-    // guarantees for LSH are vacuous here and the exact form is the
-    // oracle-checkable semantics.
+    // Embedding-cosine near-dup pairs through the 100 TB path: multi-table
+    // RP-LSH candidate buckets + exact-cosine verify
+    // (SimilaritySearch.embeddingNearDupPairs) — an equi-join on
+    // (table, bucket), never an all-pairs cartesian. The driver corpus has
+    // no high-cosine dups (max ≈ 0.51), so near-dups are PLANTED
+    // deterministically inside the query: each of the first 25 vectors
+    // gains a ×2-scaled copy (id + 1_000_000). Scaling by an exact power
+    // of two keeps every random-projection sign identical (sign(r·2v) ≡
+    // sign(r·v) — products and sums scale exactly in IEEE arithmetic), so
+    // each planted pair collides in EVERY LSH table: recall 1.0 at
+    // τ = 0.95 is provable, not sampled. The DuckDB oracle builds the same
+    // augmented corpus and runs the exact all-pairs semantics — the
+    // brute-force twin verifying the LSH path end-to-end. (The spec
+    // additionally asserts LSH ≡ exact-broadcast on the augmented corpus.)
     "q24_embedding_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val base = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val b = e.select(col("id").as("id_b"), col("vec").as("vec_b"))
-      e.join(broadcast(b), col("id") < col("id_b"))
-        .withColumn("cos", graft.functions.CosineSim(col("vec"), col("vec_b")))
-        .filter(col("cos") >= 0.45)
-        .select(col("id").as("d1"), col("id_b").as("d2"), col("cos"))
+      val planted = base.filter(col("id") < 25)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("vec"), x => x * lit(2.0f)).as("vec"))
+      val corpus = base.unionByName(planted)
+      SimilaritySearch.embeddingNearDupPairs(
+        corpus, nPlanes = 12, threshold = 0.95, nTables = 4)
     }),
 
     // Running / navigational window functions (cumulative sum, lag, lead,
@@ -706,14 +754,20 @@ object SparkEntry {
       val dotAA = sqlListDot("a.vec", "a.vec")
       val dotBB = sqlListDot("b.vec", "b.vec")
       val dotAB = sqlListDot("a.vec", "b.vec")
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      s"""WITH base AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |planted AS (
+         |  SELECT id + 1000000 AS id,
+         |    list_transform(vec, x -> CAST(x * 2 AS FLOAT)) AS vec
+         |  FROM base WHERE id < 25
+         |),
+         |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
          |p AS (
          |  SELECT a.id AS d1, b.id AS d2,
          |    CASE WHEN sqrt($dotAA) = 0 OR sqrt($dotBB) = 0 THEN 0.0
          |         ELSE $dotAB / (sqrt($dotAA) * sqrt($dotBB)) END AS cos
          |  FROM e a JOIN e b ON a.id < b.id
          |)
-         |SELECT d1, d2, cos FROM p WHERE cos >= 0.45""".stripMargin
+         |SELECT d1, d2, cos FROM p WHERE cos >= 0.95""".stripMargin
     },
 
     "q25_window_running" ->

@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * A custom Expression (not a UDF) keeps this inside Tungsten codegen: no
   * row boxing, no Scala closure dispatch per row.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, seedLo: Int, seedHi: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -40,11 +40,11 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.compute(arr)
+    SimHash64.compute(arr, seedLo, seedHi)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c, $seedLo, $seedHi)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -54,15 +54,26 @@ case class SimHash64(child: Expression)
 
 object SimHash64 {
 
+  /** Default token-hash seeds (the historical 64-bit fingerprint). A second
+    * fingerprint from independent seeds gives 64 more independent sign bits:
+    * two seeded fingerprints concatenate into a 128-bit SimHash with exactly
+    * the statistics of a native 128-bit one (each bit is the sign of an
+    * independent random projection of the token set).
+    */
+  val SeedLoA = 42
+  val SeedHiA = 1871
+  val SeedLoB = 7777
+  val SeedHiB = 24036583
+
   /** Shared by interpreted eval and generated code. */
-  def compute(arr: ArrayData): Long = {
+  def compute(arr: ArrayData, seedLo: Int, seedHi: Int): Long = {
     val counters = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h = hash64(s)
+        val h = hash64(s, seedLo, seedHi)
         var p = 0
         while (p < 64) {
           if (((h >>> p) & 1L) == 1L) counters(p) += 1 else counters(p) -= 1
@@ -81,16 +92,20 @@ object SimHash64 {
   }
 
   /** 64-bit token hash from two seeded Murmur3_x86_32 passes. */
-  def hash64(s: UTF8String): Long = {
+  def hash64(s: UTF8String, seedLo: Int, seedHi: Int): Long = {
     val lo = Murmur3_x86_32.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+      s.getBaseObject, s.getBaseOffset, s.numBytes, seedLo)
     val hi = Murmur3_x86_32.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 1871)
+      s.getBaseObject, s.getBaseOffset, s.numBytes, seedHi)
     (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
   }
 
   import org.apache.spark.sql.GraftBridge
 
   def apply(c: Column): Column =
-    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+    GraftBridge.column(SimHash64(GraftBridge.expression(c), SeedLoA, SeedHiA))
+
+  /** The second, independent 64 bits of the 128-bit fingerprint. */
+  def part2(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c), SeedLoB, SeedHiB))
 }

@@ -129,6 +129,74 @@ object TextDedup {
       .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
   }
 
+  /** SimHash128 pigeonhole candidates: a 128-bit fingerprint (two
+    * independently-seeded 64-bit SimHashes — bit-for-bit the statistics of a
+    * native 128-bit one) split into `maxHamming + 1` blocks, equi-joined on
+    * any equal block. Doubling the fingerprint doubles the bits available
+    * per pigeonhole block at a given *relative* radius: the radius 17/64
+    * that forced sub-4-bit blocks (and the dense all-pairs scan) becomes
+    * ≲34/128 with ≥4-bit blocks — recall is still GUARANTEED by pigeonhole
+    * (a pair within maxHamming bits cannot differ in all maxHamming+1
+    * blocks), and the 128-bit hamming filter sits inside the join condition
+    * so false candidates die during the probe, not in a materialized
+    * intermediate.
+    *
+    * Scale honesty: per-block collision probability for an unrelated pair
+    * is 2^-(128/(maxHamming+1)); at radius ~30 that is ~6% per block, so
+    * blocking prunes the *join fanout* per bucket but an O(n²)-ish candidate
+    * stream survives at extreme corpus sizes — for low-similarity thresholds
+    * (Jaccard ~0.5) banded MinHash ([[minHashCandidates]]) remains the
+    * preferred 100 TB path; SimHash blocking wins for tight radii. Both are
+    * one explode + one equi-join shuffle, nothing is a cartesian.
+    */
+  def simHash128Candidates(
+      docsTokens: DataFrame, // doc_id, toks (array<string>)
+      maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks >= 2 && nBlocks <= 64, s"radius $maxHamming out of range")
+    // block i covers bit range [i*128/n, (i+1)*128/n) of (fp2 ++ fp1)
+    val bounds = (0 to nBlocks).map(i => i * 128 / nBlocks)
+    // exchange barrier: materialize the two fingerprint longs once instead
+    // of once per block expression (CollapseProject — see minHashCandidates)
+    val fp = docsTokens.select(
+      col("doc_id"),
+      SimHash64(col("toks")).as("fp1"),
+      SimHash64.part2(col("toks")).as("fp2"))
+      .repartition(col("doc_id"))
+    // extract bit range [lo, hi) of the logical 128-bit word fp2:fp1 as a
+    // long; a block can straddle the 64-bit boundary
+    def bits(lo: Int, hi: Int): Column = {
+      def from(word: Column, base: Int): Column = {
+        val l = math.max(lo, base); val h = math.min(hi, base + 64)
+        if (l >= h) lit(0L)
+        else {
+          val width = h - l
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          val piece = shiftrightunsigned(word, l - base).bitwiseAND(lit(mask))
+          if (l == lo) piece else shiftleft(piece, l - lo)
+        }
+      }
+      from(col("fp1"), 0).bitwiseOR(from(col("fp2"), 64))
+    }
+    val blocks = fp.select(
+      col("doc_id"), col("fp1"), col("fp2"),
+      explode(array((0 until nBlocks).map { b =>
+        struct(lit(b).as("blk"), bits(bounds(b), bounds(b + 1)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp1"), col("fp2"),
+        col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    val right = blocks.select(
+      col("doc_id").as("doc_id_b"), col("fp1").as("fp1_b"),
+      col("fp2").as("fp2_b"), col("blk").as("blk_b"), col("bv").as("bv_b"))
+    blocks.join(right,
+        col("blk") === col("blk_b") && col("bv") === col("bv_b") &&
+          col("doc_id") < col("doc_id_b") &&
+          (bit_count(col("fp1").bitwiseXOR(col("fp1_b"))) +
+            bit_count(col("fp2").bitwiseXOR(col("fp2_b")))) <= maxHamming)
+      .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+      .distinct()
+  }
+
   /** SimHash candidates: fingerprint the token array (custom codegen
     * expression [[SimHash64]]), split the 64 bits into `maxHamming + 1`
     * blocks and equi-join on any equal block. The block count is DERIVED

@@ -35,6 +35,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == exactPairs)
   }
 
+  test("simhash128 pigeonhole blocking recovers every exact pair (q13 path)") {
+    // radius 27 = 28 blocks of ≥4 bits over the 128-bit fingerprint; the
+    // measured signal max is 19/22/25 bits at sf0.001/0.01/0.1 (probe
+    // tool), so pigeonhole guarantees recall with margin — and the plan is
+    // an equi-join, not the dense broadcast pair scan
+    val toks = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("toks"))
+    val got = TextDedup.verifyPairs(
+      TextDedup.simHash128Candidates(toks, maxHamming = 27), sh, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == exactPairs)
+  }
+
   test("dense simhash pair scan equals the block-LSH candidate semantics") {
     val toks = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("toks"))
     val dense = TextDedup.verifyPairs(
@@ -71,6 +83,29 @@ class DedupSimilaritySpec extends SparkSpec {
     // barely correlates with label), so the honest bound is ~nprobe/nlist
     assert(recall >= 0.25, s"IVF recall $recall below scan fraction")
     assert(approx.size == exact.size)
+  }
+
+  test("q24 LSH path ≡ exact broadcast twin on the augmented corpus") {
+    // the gated q24 runs RP-LSH over the corpus augmented with ×2-scaled
+    // copies; the exact all-pairs broadcast form is its verification twin —
+    // identical output required (recall 1.0 comes from scaled copies
+    // sharing every RP bucket: sign(r·2v) ≡ sign(r·v) exactly)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = base.filter(col("id") < 25)
+      .select((col("id") + 1000000L).as("id"),
+        transform(col("vec"), x => x * lit(2.0f)).as("vec"))
+    val corpus = base.unionByName(planted)
+    val lsh = SimilaritySearch.embeddingNearDupPairs(
+      corpus, nPlanes = 12, threshold = 0.95, nTables = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val b = corpus.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val exact = corpus.join(broadcast(b), col("id") < col("id_b"))
+      .withColumn("cos", graft.functions.CosineSim(col("vec"), col("vec_b")))
+      .filter(col("cos") >= 0.95)
+      .select(col("id").as("d1"), col("id_b").as("d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && exact.size == 25) // all planted pairs, nothing else
+    assert(lsh == exact)
   }
 
   test("RP-LSH near-dup mining recovers planted high-cosine pairs") {
