@@ -582,6 +582,46 @@ object SparkEntry {
         .agg(dsum(col("val")).as("total"), count(lit(1)).as("n"))
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION through the full SQL stack: the second
+    // CDC batch carries a column the table was not created with
+    // (batch_tag); the analyzer's ResolveMergeIntoSchemaEvolution diffs
+    // source vs target and ADDs it through GraftCatalog.alterTable
+    // (metadata-only — no rewrite), the planner strategy lowers the merge
+    // onto the partition-pruned COW rewrite, and pre-evolution rows
+    // surface NULL — the implicit Iceberg widening the reference pipeline
+    // relies on for its float/double schema quirk (SURVEY.md §1.2).
+    "q30_merge_schema_evolution" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q30_scratch"
+      graft.table.WarehouseTable(s"$wh/db/events_t").drop()
+      s.conf.set("spark.sql.catalog.graft_q30", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q30.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val keys = Seq("user_id", "event_type")
+      val cut = lit(utcNanos("2024-01-16"))
+      val cols = Seq("user_id", "event_type", "event_id", "value")
+      Dedup.latestByKey(ev.filter(col("ts") < cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*).createOrReplaceTempView("q30_b1")
+      Dedup.latestByKey(ev.filter(col("ts") >= cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*)
+        .withColumn("batch_tag", col("event_id") % 7)
+        .createOrReplaceTempView("q30_b2")
+      s.sql(
+        """CREATE TABLE graft_q30.db.events_t (
+          |  user_id BIGINT, event_type STRING, event_id BIGINT, value DOUBLE
+          |) PARTITIONED BY (event_type)""".stripMargin)
+      s.sql("INSERT INTO graft_q30.db.events_t SELECT * FROM q30_b1")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_q30.db.events_t AS t
+          |USING q30_b2 AS s
+          |ON t.user_id = s.user_id AND t.event_type = s.event_type
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_type, event_id, value, batch_tag
+          |FROM graft_q30.db.events_t""".stripMargin)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -841,6 +881,31 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
         |) GROUP BY metric""".stripMargin,
+
+    "q30_merge_schema_evolution" ->
+      """WITH tgt AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |), src AS (
+        |  SELECT user_id, event_type, event_id, value, event_id % 7 AS batch_tag
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |)
+        |-- src rows update-or-insert (carrying batch_tag); pre-evolution
+        |-- target-only rows surface NULL for the evolved column
+        |SELECT user_id, event_type, event_id, value, batch_tag FROM src
+        |UNION ALL
+        |SELECT t.user_id, t.event_type, t.event_id, t.value,
+        |  CAST(NULL AS BIGINT) AS batch_tag
+        |FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -198,11 +198,18 @@ final class GraftDsv2Table(
 
   override def properties(): util.Map[String, String] = cachedProperties
 
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into the analyzer's
+  // ResolveMergeIntoSchemaEvolution: `MERGE WITH SCHEMA EVOLUTION INTO`
+  // computes the source-minus-target column diff and applies it through
+  // `alterTable(AddColumn)` (metadata-only here) before planning — the
+  // same implicit widening Iceberg performs for the reference pipeline's
+  // new-column batches (SURVEY.md §1.2).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Scan builder with column pruning + filter pushdown (the JDBC-source
     * pattern: pushdown negotiated at the DSv2 layer, executed by the V1

@@ -106,8 +106,12 @@ case class GraftMergeExec(
   // ---- lowering ----------------------------------------------------------
 
   private def run(): Unit = {
-    require(!merge.withSchemaEvolution, "MERGE schema evolution is not supported")
-
+    // WITH SCHEMA EVOLUTION needs no work here: the analyzer's
+    // ResolveMergeIntoSchemaEvolution has already diffed source vs target
+    // and applied AddColumn through GraftCatalog.alterTable (gated on the
+    // AUTOMATIC_SCHEMA_EVOLUTION capability), then reloaded the relation —
+    // by planning time `table.warehouse.schema` is the widened schema and
+    // the clause assignments cover it.
     val targetAttrs = merge.targetTable.output
     val sourceAttrs = merge.sourceTable.output
     val targetIds = targetAttrs.map(_.exprId).toSet

@@ -365,19 +365,19 @@ final class WarehouseTable(val root: String) {
               .parquet(dirs.map(d => s"$root/$d"): _*)
           case Some(p) =>
             val byBase = dirs.groupBy(d => d.split("/").take(2).mkString("/"))
+            // explicit declared schema on every group: files predating a
+            // schema evolution simply lack the added columns and parquet
+            // fills them with NULL (same contract as the unpartitioned
+            // branch), the partition column resolves from the dir path with
+            // its declared type, and column order follows the schema —
+            // no per-column existence probing needed
             val parts = byBase.map { case (base, subdirs) =>
-              spark.read
+              spark.read.schema(schema)
                 .option("basePath", s"$root/$base")
                 .parquet(subdirs.map(d => s"$root/$d"): _*)
             }.toSeq
             val unioned = parts.reduce(_ unionByName _)
-            // restore declared column order + types (hive discovery reads
-            // the partition col as its inferred type and puts it last)
-            val cols = schema.fields.toIndexedSeq.map(f =>
-              if (!withTombstone || f.name != TombstoneCol || unioned.columns.contains(f.name))
-                col(f.name).cast(f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name))
-            unioned.select(cols: _*)
+            unioned.select(schema.fieldNames.toIndexedSeq.map(col): _*)
         }
       }
     if (withTombstone)
@@ -523,7 +523,19 @@ final class WarehouseTable(val root: String) {
       source: DataFrame,
       keys: Seq[String],
       updateCols: Option[Seq[String]] = None,
-      deleteWhere: Option[Column] = None): Unit = {
+      deleteWhere: Option[Column] = None,
+      evolveSchema: Boolean = false): Unit = {
+    // MERGE WITH SCHEMA EVOLUTION (the implicit Iceberg widening the
+    // reference relies on, SURVEY.md §1.2): source columns absent from the
+    // declared schema are ADDed (nullable, metadata-only) before the merge;
+    // existing rows surface NULL for them through the explicit-schema read
+    // paths, and alignToSchema then carries the batch's values through.
+    if (evolveSchema) {
+      val existing = schema.fieldNames.map(_.toLowerCase).toSet
+      source.schema.fields
+        .filterNot(f => existing.contains(f.name.toLowerCase))
+        .foreach(f => addColumn(f.name, f.dataType))
+    }
     val meta = readMeta()
     val partial = updateCols.exists(cols =>
       meta.schema.fieldNames.exists(c => !keys.contains(c) && !cols.contains(c)))

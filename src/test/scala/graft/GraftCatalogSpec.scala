@@ -204,6 +204,32 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.evo")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns during analysis") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql(
+      "CREATE TABLE graft.db.mevo (k INT, v STRING, state STRING) PARTITIONED BY (state)")
+    spark.sql(
+      "INSERT INTO graft.db.mevo VALUES (1, 'a', 'CA'), (2, 'b', 'NY')")
+    spark.sql(
+      """SELECT * FROM VALUES (2, 'B', 'NY', 20), (3, 'c', 'CA', 30)
+        |AS s(k, v, state, score)""".stripMargin)
+      .createOrReplaceTempView("mevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.db.mevo AS t
+        |USING mevo_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the catalog evolved the declared schema (metadata-only)...
+    assert(graft.table.WarehouseTable(s"$wh/db/mevo")
+      .schema.fieldNames.toSeq == Seq("k", "v", "state", "score"))
+    // ...and pre-evolution rows surface NULL for the new column
+    val out = spark.sql("SELECT k, v, score FROM graft.db.mevo ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(out == Seq((1, "a", None), (2, "B", Some(20)), (3, "c", Some(30))))
+    spark.sql("DROP TABLE graft.db.mevo")
+  }
+
   test("DELETE FROM and UPDATE SQL run as dir-level rewrites") {
     val wh = warehouse
     graft.plans.GraftMergeStrategy.register(spark)

@@ -234,6 +234,26 @@ class WarehouseTableSpec extends SparkSpec {
     assert(e.getMessage.contains("merge keys"))
   }
 
+  test("merge with evolveSchema adds new source columns; old rows read NULL") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh_evo"))
+    t.create(schema, Some("state"), WarehouseTable.tableProperties("COW", "snappy"))
+    t.merge(spark, df((1, "a", "CA"), (2, "b", "NY")), Seq("k"))
+    // second batch carries a column the table lacks
+    val evolved = df((2, "B", "NY"), (3, "c", "CA"))
+      .withColumn("score", col("k") * 10)
+    t.merge(spark, evolved, Seq("k"), evolveSchema = true)
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("k", "v", "state", "score"))
+    val got = t.read(spark).select("k", "v", "score").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got == Set((1, "a", None), (2, "B", Some(20)), (3, "c", Some(30))))
+    // without the flag, unknown source columns are still dropped by align
+    t.merge(spark, df((4, "d", "TX")), Seq("k"))
+    assert(t.read(spark).count() == 4)
+  }
+
   test("alignToSchema casts and fills missing columns") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, None, Map.empty)
