@@ -20,6 +20,13 @@ trait QueueSource {
   def receive(max: Int): Seq[QueueMessage]
   def commit(): Unit
   def abandon(): Unit
+
+  /** Ack a subset of in-flight messages by receipt (SQS DeleteMessageBatch
+    * — the granularity the streaming source needs: a micro-batch commit
+    * acks exactly the receipts of the batches at or before the committed
+    * offset, never messages received for a later, still-running trigger).
+    */
+  def ack(receipts: Seq[String]): Unit
 }
 
 /** Local directory-backed queue (no AWS egress): each message is a file in
@@ -56,6 +63,32 @@ final class LocalDirQueue(dir: String) extends QueueSource {
   override def commit(): Unit = {
     inflight.foreach(Files.deleteIfExists)
     inflight = Nil
+  }
+
+  override def ack(receipts: Seq[String]): Unit = {
+    val done = receipts.toSet
+    val (acked, rest) = inflight.partition(p => done.contains(p.toString))
+    acked.foreach(Files.deleteIfExists)
+    inflight = rest
+  }
+
+  /** Return ORPHANED in-flight files (a previous consumer crashed without
+    * commit or abandon) to the queue — the local analog of SQS's visibility
+    * timeout expiring. Called by a new consumer before its first receive.
+    */
+  def reclaimInflight(): Unit = {
+    val listing = Files.list(base)
+    val orphans =
+      try listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".inflight"))
+        .filterNot(inflight.contains)
+        .toSeq
+      finally listing.close()
+    orphans.foreach { p =>
+      val orig = p.getFileName.toString.stripSuffix(".inflight")
+      try Files.move(p, base.resolve(orig), StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    }
   }
 
   override def abandon(): Unit = {

@@ -55,6 +55,93 @@ class StreamingIngestSpec extends SparkSpec {
     assert(table.read(spark).count() == 3)
   }
 
+  test("graft-queue DSv2 stream: poll batches flow to a merge, ack after commit") {
+    import org.apache.spark.sql.DataFrame
+    val qdir = tmpDir("queue_src")
+    val queue = new graft.sources.LocalDirQueue(qdir)
+    // bodies: CSV-ish control messages (k,ts,v,part) — stand-ins for the
+    // reference's S3 event notifications
+    queue.send("m1", "1,10,a,CA")
+    queue.send("m2", "2,10,b,NY")
+
+    val table = WarehouseTable(tmpDir("wh_qs") + "/t")
+    table.create(schema, Some("part"), Map.empty)
+
+    val stream = spark.readStream.format("graft-queue")
+      .option("dir", qdir).load()
+    val query = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("queue_ck"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val parsed = batch.select(split(col("body"), ",").as("f"))
+            .select(
+              col("f")(0).cast("int").as("k"),
+              col("f")(1).cast("long").as("ts"),
+              col("f")(2).as("v"),
+              col("f")(3).as("part"))
+          table.merge(batch.sparkSession,
+            graft.operators.Dedup.latestByKey(parsed, Seq("k"), "ts"), Seq("k"))
+        }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    // a message arriving mid-stream flows through the SAME query
+    queue.send("m3", "1,20,a2,CA")
+    query.processAllAvailable()
+    // ack-after-commit: the DSv2 contract commits batch N's offsets on the
+    // NEXT trigger's cleanup, so acking lags one (fast) trigger — await it
+    // rather than racing it. Once every batch is committed the queue dir is
+    // EMPTY: no pending files, no in-flight receipts.
+    def dirEmpty() = {
+      val l = Files.list(Paths.get(qdir))
+      try !l.iterator().hasNext finally l.close()
+    }
+    val deadline = System.currentTimeMillis + 30000
+    while (!dirEmpty() && System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(dirEmpty(), "all receipts acked after their batches committed")
+    query.stop()
+    val out = table.read(spark)
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a2"), (2, "b")))
+  }
+
+  test("graft-queue stream redelivers messages whose batch failed before commit") {
+    import org.apache.spark.sql.DataFrame
+    val qdir = tmpDir("queue_fail")
+    val queue = new graft.sources.LocalDirQueue(qdir)
+    queue.send("m1", "poison")
+
+    def run(fail: Boolean): Either[Throwable, Set[String]] = {
+      val seen = scala.collection.mutable.Set[String]()
+      val query = spark.readStream.format("graft-queue")
+        .option("dir", qdir).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmpDir("queue_fail_ck"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bodies = batch.collect().map(_.getString(1))
+          if (fail && bodies.nonEmpty) sys.error("sink failure before commit")
+          seen ++= bodies
+          ()
+        }
+        .start()
+      try {
+        query.processAllAvailable()
+        query.stop()
+        Right(seen.toSet)
+      } catch { case e: Throwable => Left(e) }
+    }
+
+    assert(run(fail = true).isLeft)   // batch failed → never committed
+    // the message was NOT acked: after reclaim (new consumer), it redelivers.
+    // (No final-ack assert: stopping right after the batch may beat the
+    // next-trigger commit — the message then legitimately returns to the
+    // queue, which is exactly at-least-once delivery.)
+    val got = run(fail = false)
+    assert(got == Right(Set("poison")))
+  }
+
   test("stateful streaming sessionization closes sessions by gap and timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
