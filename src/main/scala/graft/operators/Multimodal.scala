@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * Scala analog of arrow-batched pandas UDFs: per-partition batching, no
   * per-row closure dispatch into Python).
   *
-  * The actual media codecs are STUBBED behind [[FakeCodec]] (no image/audio
-  * libraries in this environment): the container format is a deterministic
-  * fake (`GFT1` magic + big-endian u16 width/height + payload), so the
-  * Spark-side plumbing — schema, batching, partitioning, null handling —
-  * is real and tested while the codec is swappable.
+  * Two [[MediaCodec]] implementations sit behind the seam:
+  * [[ImageCodec]] — REAL PNG/JPEG/GIF/BMP decode + resize on the JDK's
+  * `javax.imageio` (no external jars) — and [[FakeCodec]], a deterministic
+  * container (`GFT1` magic + u16 dims + payload) kept for reproducible
+  * frame-sampling tests and the synthetic bench corpus. Every operator
+  * takes the codec as a parameter, so the pipeline shape (schema,
+  * batching, partitioning, null handling) is identical either way.
   */
 object Multimodal {
 
@@ -25,11 +27,62 @@ object Multimodal {
   final case class MediaMeta(
       id: Long, width: Int, height: Int, nBytes: Int, valid: Boolean)
 
-  /** The codec seam. A real deployment swaps this for javax.imageio /
-    * ffmpeg bindings; the interface (bytes in, small struct or bytes out)
-    * is what the pipeline depends on.
+  /** The codec seam: bytes in → small struct or bytes out. Implementations
+    * must be Serializable — they execute inside tasks, partition-parallel.
     */
-  object FakeCodec {
+  trait MediaCodec extends Serializable {
+    def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta
+    def resize(bytes: Array[Byte], stride: Int): Array[Byte]
+  }
+
+  /** Real image codec on `javax.imageio` (ships with the JDK): decodes
+    * PNG/JPEG/GIF/BMP metadata and performs an actual rescale (bilinear
+    * `Graphics2D.drawImage` onto a `stride`-times smaller canvas,
+    * re-encoded as PNG). Undecodable/corrupt payloads degrade to
+    * `valid = false` metadata — never a task failure, same contract as the
+    * fake codec.
+    */
+  object ImageCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    override def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta =
+      if (bytes == null) MediaMeta(id, 0, 0, 0, valid = false)
+      else try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) MediaMeta(id, 0, 0, bytes.length, valid = false)
+        else MediaMeta(id, img.getWidth, img.getHeight, bytes.length, valid = true)
+      } catch {
+        case _: Exception => MediaMeta(id, 0, 0, bytes.length, valid = false)
+      }
+
+    override def resize(bytes: Array[Byte], stride: Int): Array[Byte] =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) bytes
+        else {
+          val w = math.max(1, img.getWidth / stride)
+          val h = math.max(1, img.getHeight / stride)
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => bytes }
+  }
+
+  /** Deterministic fake container (tests/bench): `GFT1` magic + u16
+    * width/height + payload bytes derived from a seed.
+    */
+  object FakeCodec extends MediaCodec {
     /** Encode a fake "image": magic, u16 width, u16 height, then a payload
       * of (width*height) bytes derived deterministically from the seed.
       */
@@ -48,7 +101,7 @@ object Multimodal {
       buf.array()
     }
 
-    def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta = {
+    override def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta = {
       if (bytes == null || bytes.length < 8 ||
         !bytes.take(4).sameElements(Magic)) {
         MediaMeta(id, 0, 0, if (bytes == null) 0 else bytes.length, valid = false)
@@ -62,7 +115,7 @@ object Multimodal {
     /** "Resize": keep every stride-th payload byte — stands in for a real
       * scaler; preserves the container format.
       */
-    def resize(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    override def resize(bytes: Array[Byte], stride: Int): Array[Byte] = {
       val m = decodeMeta(0, bytes)
       if (!m.valid) return bytes
       val w = math.max(1, m.width / stride)
@@ -82,16 +135,20 @@ object Multimodal {
     * shape a 100 TB media scan needs (each task touches only its split's
     * blobs; nothing collects to the driver).
     */
-  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def decodeMeta(
+      media: Dataset[MediaRow],
+      codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => FakeCodec.decodeMeta(r.id, r.content)))
+    media.mapPartitions(_.map(r => codec.decodeMeta(r.id, r.content)))
   }
 
   /** Resize every blob; returns the same schema (id, content). */
-  def resizeAll(media: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
+  def resizeAll(
+      media: Dataset[MediaRow], stride: Int,
+      codec: MediaCodec = FakeCodec): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
-      MediaRow(r.id, FakeCodec.resize(r.content, stride))))
+      MediaRow(r.id, codec.resize(r.content, stride))))
   }
 
   /** Frame sampling for "video" blobs: treat the payload as a sequence of
