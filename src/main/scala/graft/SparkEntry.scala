@@ -622,6 +622,25 @@ object SparkEntry {
           |FROM graft_q30.db.events_t""".stripMargin)
     }),
 
+    // LATERAL correlated derived table (top-3 orders per customer of one
+    // segment): Catalyst decorrelates the per-row ORDER BY + LIMIT into a
+    // windowed rank over one shuffle on the join key — no per-customer
+    // subquery execution, the plan a 100 TB top-N-per-group needs.
+    "q31_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q31_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q31_orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM q31_customer c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM q31_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 3
+          |) t
+          |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -906,6 +925,17 @@ object SparkEntry {
         |FROM tgt t
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
+
+    "q31_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3
+        |) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
