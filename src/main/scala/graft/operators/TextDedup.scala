@@ -178,6 +178,15 @@ object TextDedup {
       }
       from(col("fp1"), 0).bitwiseOR(from(col("fp2"), 64))
     }
+    // EXPLICIT partition count on the join key: the exploded block rows are
+    // tiny by bytes (a few MB), so AQE's size-based coalescing would fold
+    // the shuffle into ~1 partition — but the pair enumeration inside each
+    // (blk, bv) bucket is quadratic CPU work AQE's byte estimates cannot
+    // see (measured at sf0.1: 16M pair evaluations serialized onto one
+    // task, 4.3 s; spread across the default parallelism it is ~0.3 s). A
+    // user-specified numPartitions is exempt from AQE coalescing, and both
+    // sides sharing it means the join needs no further exchange.
+    val np = docsTokens.sparkSession.sparkContext.defaultParallelism
     val blocks = fp.select(
       col("doc_id"), col("fp1"), col("fp2"),
       explode(array((0 until nBlocks).map { b =>
@@ -185,6 +194,7 @@ object TextDedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp1"), col("fp2"),
         col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+      .repartition(np, col("blk"), col("bv"))
     val right = blocks.select(
       col("doc_id").as("doc_id_b"), col("fp1").as("fp1_b"),
       col("fp2").as("fp2_b"), col("blk").as("blk_b"), col("bv").as("bv_b"))
