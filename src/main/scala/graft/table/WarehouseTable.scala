@@ -592,6 +592,40 @@ final class WarehouseTable(val root: String) {
       compact(spark)
   }
 
+  /** MOR EQUALITY DELETE: drop every row matching one of the given key
+    * tuples — an O(batch) delta append of keys + tombstone flag only
+    * (Iceberg's equality-delete files): no target read, no full rows from
+    * the caller, non-key columns travel as parquet nulls (def-levels only,
+    * ~bits per row). Read-time arbitration already does the rest: the
+    * newest sequence per key wins and a winning tombstone removes the key.
+    * A later upsert of the same key resurrects it, same as row tombstones.
+    *
+    * The key set must include the partition column (deltas are stored and
+    * pruned per partition — a delete that cannot be routed to partitions
+    * would be invisible to partition-pruned reads).
+    */
+  def deleteKeysMor(spark: SparkSession, keyRows: DataFrame, keys: Seq[String]): Unit = {
+    val meta = readMeta()
+    require(meta.properties.get("write.merge.mode").contains("merge-on-read"),
+      "equality deletes are a merge-on-read operation; COW tables use deleteRows")
+    meta.partition.foreach(p => require(keys.contains(p),
+      s"equality-delete keys must include the partition column $p"))
+    val missing = keys.filterNot(keyRows.columns.contains)
+    require(missing.isEmpty, s"key columns absent from input: ${missing.mkString(", ")}")
+    recordMergeKeys(meta, keys)
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val src = keyRows.select(keys.map(col): _*).distinct()
+      .withColumn(TombstoneCol, lit(true))
+    val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
+    val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
+    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added), old.stats ++ stats))
+    val threshold = meta.properties.get("compact.delta.threshold")
+      .map(_.toInt).getOrElse(8)
+    if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
+      compact(spark)
+  }
+
   /** Min/max range filters of the source's key columns (one tiny agg on
     * the cached batch), used to stats-prune the target-side matched-key
     * scan. Only types the stats domain can compare participate; null keys

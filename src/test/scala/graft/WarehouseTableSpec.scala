@@ -234,6 +234,31 @@ class WarehouseTableSpec extends SparkSpec {
     assert(e.getMessage.contains("merge keys"))
   }
 
+  test("MOR equality delete: keys-only tombstone delta, no target read") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh_eqdel"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.merge(spark, df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "CA")), Seq("k", "state"))
+    val nDeltasBefore = t.read(spark).count() // force a read; 3 rows live
+    assert(nDeltasBefore == 3)
+    // delete by KEY TUPLES only — no value columns supplied
+    import spark.implicits._
+    val delKeys = Seq((1, "CA"), (3, "CA")).toDF("k", "state")
+    t.deleteKeysMor(spark, delKeys, Seq("k", "state"))
+    val left = t.read(spark).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(left == Set((2, "b")))
+    // a later upsert of a deleted key resurrects it (newest seq wins)
+    t.merge(spark, df((1, "a2", "CA")), Seq("k", "state"))
+    assert(t.read(spark).filter(col("k") === 1).select("v").head().getString(0) == "a2")
+    // guard rails: partition column must be among the keys
+    intercept[IllegalArgumentException] {
+      t.deleteKeysMor(spark, Seq(Tuple1(2)).toDF("k"), Seq("k"))
+    }
+  }
+
   test("merge with evolveSchema adds new source columns; old rows read NULL") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wh_evo"))
