@@ -641,6 +641,20 @@ object SparkEntry {
           |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
     }),
 
+    // Winnowing (rolling-hash) document fingerprints: min-hash of each
+    // sliding window over positional trigram hashes — the MOSS scheme as
+    // one posexplode + one partition-window pass. Output: per-doc window
+    // count, distinct-fingerprint count, smallest fingerprint.
+    "q32_winnow_fingerprint" -> ((s, dir) => {
+      graft.operators.TextDedup.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, window = 4)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          countDistinct(col("fp")).as("n_fp"),
+          min(col("fp")).as("min_fp"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -936,6 +950,26 @@ object SparkEntry {
         |  LIMIT 3
         |) t
         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q32_winnow_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+        |), win AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM g
+        |)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
+        |FROM win WHERE wn = 4 GROUP BY doc_id""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.shingles
@@ -104,6 +105,46 @@ object TextDedup {
           col("doc_id") < col("doc_id_b"))
       .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
       .distinct()
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    * hash every positional word k-gram, slide a `window`-wide window over
+    * the hash sequence and keep the minimum of each full window. Robust to
+    * local edits (an edit perturbs only the windows covering it) and
+    * position-independent for matching — the classic rolling-hash
+    * fingerprinting scheme for plagiarism/near-dup detection, here as a
+    * pure DataFrame program: posexplode + ONE partition-window min, no
+    * state, no driver loops. Emits (doc_id, pos, fp) for every full
+    * window; callers aggregate (distinct fingerprints per doc, inverted
+    * index for matching, ...).
+    *
+    * The hash is md5 of the k-gram text — chosen over a cheaper rolling
+    * multiply-add precisely because it is engine-portable (the DuckDB
+    * oracle computes the identical fingerprints); winnowing's guarantees
+    * only need the hash to be deterministic and well-mixed.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    // positional k-grams, in token order (no dedup — positions matter)
+    val grams = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> " +
+            (0 until k).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") +
+            ")")).as(Seq("pos", "gram")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.currentRow, window - 1)
+    grams
+      .withColumn("h", md5(col("gram")))
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("wn") === window) // full windows only
+      .select(col("doc_id"), col("pos"), col("fp"))
   }
 
   /** SimHash candidates for a DENSE radius (maxHamming large relative to
