@@ -30,7 +30,7 @@ object ExplainAudit {
       "ReusedExchange" -> "reusedEx")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       // the warehouse queries execute side effects on explain; skip them
-      if (!Set("q17_warehouse_cdc", "q23_sql_merge").contains(name)) {
+      if (!Set("q17_warehouse_cdc", "q23_sql_merge", "q30_merge_schema_evolution").contains(name)) {
         try {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           val found = markers.collect { case (m, tag) if plan.contains(m) => tag }
