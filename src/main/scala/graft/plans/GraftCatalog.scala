@@ -143,6 +143,10 @@ class GraftCatalog extends TableCatalog {
         wt.addColumn(add.fieldNames.head, add.dataType)
       case set: TableChange.SetProperty =>
         wt.setProperties(Map(set.property -> set.value))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "only top-level ALTER COLUMN TYPE is supported")
+        wt.widenColumn(upd.fieldNames.head, upd.newDataType)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")

@@ -914,6 +914,34 @@ final class WarehouseTable(val root: String) {
     writeMeta(meta.copy(schemaDdl = newSchema.toDDL))
   }
 
+  /** Schema evolution: WIDEN a column's type (INT→LONG, FLOAT→DOUBLE,
+    * INT/LONG→DOUBLE). Metadata-only: Spark 4's parquet readers perform
+    * widening promotions when the requested schema is wider than the file
+    * schema, so existing files read back promoted without a rewrite —
+    * Iceberg's `ALTER COLUMN ... TYPE` semantics. Narrowing or unrelated
+    * changes are rejected loudly.
+    */
+  def widenColumn(name: String, newType: DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val meta = readMeta()
+    val field = meta.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    val ok = (field.dataType, newType) match {
+      case (a, b) if a == b => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | LongType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok,
+      s"only widening changes are supported: ${field.dataType.catalogString} -> ${newType.catalogString}")
+    require(!meta.partition.exists(_.equalsIgnoreCase(name)),
+      "cannot change the partition column's type")
+    val newSchema = StructType(meta.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f))
+    writeMeta(meta.copy(schemaDdl = newSchema.toDDL))
+  }
+
   /** Update table properties (set wins, null/absent keys unchanged). */
   def setProperties(props: Map[String, String]): Unit = {
     val meta = readMeta()

@@ -230,6 +230,25 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.mevo")
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; old files read promoted") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.widen (k INT, v FLOAT, state STRING) PARTITIONED BY (state)")
+    spark.sql("INSERT INTO graft.db.widen VALUES (1, CAST(1.5 AS FLOAT), 'CA')")
+    spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN v TYPE DOUBLE")
+    // post-widening writes use the wide types; pre-widening files promote
+    spark.sql("INSERT INTO graft.db.widen VALUES (4000000000, 2.25, 'NY')")
+    val out = spark.sql("SELECT k, v FROM graft.db.widen ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 1.5), (4000000000L, 2.25)))
+    // narrowing rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN k TYPE INT")
+    }
+    assert(e.getMessage.contains("widening") || e.getMessage.contains("NOT_SUPPORTED_CHANGE"))
+    spark.sql("DROP TABLE graft.db.widen")
+  }
+
   test("DELETE FROM and UPDATE SQL run as dir-level rewrites") {
     val wh = warehouse
     graft.plans.GraftMergeStrategy.register(spark)
