@@ -107,6 +107,60 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out == Set((1, "a2"), (2, "b")))
   }
 
+  test("full reference pipeline under real streaming: S3 events → files → merge") {
+    // the reference's whole loop — SQS poll → S3-event parse → file read →
+    // dedup → MERGE — driven by Structured Streaming over the graft-queue
+    // source instead of the driver loop
+    import org.apache.spark.sql.DataFrame
+    val qdir = tmpDir("queue_e2e")
+    val landing = tmpDir("landing_e2e")
+    val queue = new graft.sources.LocalDirQueue(qdir)
+    // bucket = landing dir, key = object name (the reference's S3 layout)
+    def csv(name: String, rows: String): String = {
+      Files.write(Paths.get(s"$landing/$name"),
+        s"k,ts,v,part\n$rows".getBytes(StandardCharsets.UTF_8))
+      name
+    }
+    def s3Event(names: Seq[String]): String =
+      names.map(n =>
+        s"""{"s3":{"bucket":{"name":"$landing"},"object":{"key":"$n"}}}""")
+        .mkString("""{"Records":[""", ",", "]}")
+    queue.send("e1", s3Event(Seq(
+      csv("b1.csv", "1,10,a,CA\n2,10,b,NY"),
+      csv("b2.csv", "1,11,a2,CA"))))
+
+    val table = WarehouseTable(tmpDir("wh_e2e") + "/t")
+    table.create(schema, Some("part"), Map.empty)
+
+    val query = spark.readStream.format("graft-queue")
+      .option("dir", qdir).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("queue_e2e_ck"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bodies = batch.select("body").collect().map(_.getString(0)).toSeq
+        // batch amalgamation: every file of the poll becomes ONE scan
+        val files = graft.sources.S3EventParser.parseBatch(bodies, "file")
+        if (files.nonEmpty) {
+          val s = batch.sparkSession
+          val df = s.read.option("header", "true").schema(schema)
+            .csv(files: _*)
+          table.merge(s,
+            graft.operators.Dedup.latestByKey(df, Seq("k"), "ts", Seq("v")),
+            Seq("k"))
+        }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    // a second event arrives mid-stream (the CDC update batch)
+    queue.send("e2", s3Event(Seq(csv("b3.csv", "2,20,B,NY\n3,20,c,TX"))))
+    query.processAllAvailable()
+    query.stop()
+    val out = table.read(spark).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a2"), (2, "B"), (3, "c")))
+  }
+
   test("graft-queue stream redelivers messages whose batch failed before commit") {
     import org.apache.spark.sql.DataFrame
     val qdir = tmpDir("queue_fail")
