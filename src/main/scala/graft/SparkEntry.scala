@@ -296,8 +296,9 @@ object SparkEntry {
     }),
 
     // IVF (inverted-file) ANN: label-bucketed coarse quantizer, probe the
-    // 3 nearest centroids only. Approximate by design → no SQL oracle;
-    // recall vs q14 is asserted in the test suite.
+    // 3 nearest centroids only. Deterministic end-to-end (label-means
+    // codebook, total-order probe ranking + top-k), so it carries a full
+    // DuckDB oracle; recall vs q14 is additionally asserted in the suite.
     "q15_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 10)
@@ -758,6 +759,49 @@ object SparkEntry {
          |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
          |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
          |  FROM c, q
+         |)
+         |SELECT qid, id, cos, rank FROM (
+         |  SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5""".stripMargin
+    },
+
+    // IVF is deterministic end-to-end (label-means quantizer, total-order
+    // probe ranking and top-k), so DuckDB can replay it exactly: per-label
+    // element-wise avg centroids, rank buckets per query by centroid
+    // cosine (bucket asc tiebreak), probe the top 3, exact cosine top-5
+    // inside them. The output cosines come from the ORIGINAL vectors (same
+    // fold as q14), so only probe-set choice depends on the centroids.
+    "q15_ivf_topk" -> {
+      val dotQQc = sqlListDot("p.qvec", "p.qvec")
+      val dotCC = sqlListDot("cent.cvec", "cent.cvec")
+      val dotQC = sqlListDot("p.qvec", "cent.cvec")
+      val dotQQ = sqlListDot("p.qvec", "p.qvec")
+      val dotVV = sqlListDot("c.vec", "c.vec")
+      val dotQV = sqlListDot("p.qvec", "c.vec")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS id, embedding AS vec, label AS bucket FROM embeddings WHERE vec_id >= 10),
+         |cent AS (
+         |  SELECT bucket, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT bucket, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
+         |    FROM c, unnest(range(1, len(vec) + 1)) AS t(pos)
+         |    GROUP BY bucket, pos
+         |  ) GROUP BY bucket
+         |), probed AS (
+         |  SELECT qid, qvec, bucket FROM (
+         |    SELECT p.qid, p.qvec, cent.bucket,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY
+         |        CASE WHEN sqrt($dotQQc) = 0 OR sqrt($dotCC) = 0 THEN 0.0
+         |             ELSE $dotQC / (sqrt($dotQQc) * sqrt($dotCC)) END DESC,
+         |        cent.bucket ASC) AS crank
+         |    FROM q p, cent
+         |  ) WHERE crank <= 3
+         |), scored AS (
+         |  SELECT p.qid, c.id,
+         |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+         |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
+         |  FROM c JOIN probed p ON c.bucket = p.bucket
          |)
          |SELECT qid, id, cos, rank FROM (
          |  SELECT qid, id, cos,
