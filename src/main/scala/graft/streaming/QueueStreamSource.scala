@@ -54,14 +54,17 @@ class QueueSourceProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dir = properties.get("dir")
+    // Spark hands getTable the case-PRESERVING map — re-wrap it so
+    // .option("maxPerPoll", ...) and .option("maxperpoll", ...) both land
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir = opts.get("dir")
     require(dir != null, "graft-queue requires option 'dir'")
-    val max = Option(properties.get("maxperpoll")).map(_.toInt).getOrElse(10)
+    val max = Option(opts.get("maxperpoll")).map(_.toInt).getOrElse(10)
     new QueueStreamTable(dir, max)
   }
 }
 
-final class QueueStreamTable(dir: String, maxPerPoll: Int)
+final class QueueStreamTable(val dir: String, val maxPerPoll: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft-queue:$dir"
   override def schema(): StructType = QueueStream.Schema
@@ -94,6 +97,9 @@ final class QueueStream(dir: String, maxPerPoll: Int) extends MicroBatchStream {
   // in-flight poll batches by sequence number (driver-side only; bodies are
   // small control messages by design)
   private var batches = TreeMap.empty[Long, Seq[QueueMessage]]
+  // batch seqs that went through planInputPartitions — i.e. Spark actually
+  // read their rows. Only these may be acked (see commit).
+  private var delivered = Set.empty[Long]
   private var maxBatch = -1L
 
   override def initialOffset(): Offset = QueueOffset(-1L)
@@ -116,7 +122,20 @@ final class QueueStream(dir: String, maxPerPoll: Int) extends MicroBatchStream {
     QueueOffset(maxBatch)
   }
 
-  override def deserializeOffset(json: String): Offset = QueueOffset(json.toLong)
+  /** Restores a checkpointed offset — and resyncs the batch sequence past
+    * it, so post-restart polls number their messages ABOVE the restored
+    * offset whenever Spark deserializes before polling (the
+    * uncommitted-last-batch replay path). On a cleanly-committed restart
+    * Spark 4.1 polls FIRST (latestOffset) and only deserializes the
+    * restored start inside runBatch, so this resync alone cannot prevent
+    * messages being numbered below the restored offset — commit()'s
+    * delivered-check is the correctness backstop for that path.
+    */
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val b = json.toLong
+    maxBatch = math.max(maxBatch, b)
+    QueueOffset(b)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[QueueOffset].batch
@@ -125,20 +144,37 @@ final class QueueStream(dir: String, maxPerPoll: Int) extends MicroBatchStream {
     // receipts died with that consumer) — empty batch; the reclaimed
     // messages redeliver in later polls
     maxBatch = math.max(maxBatch, e)
-    val msgs = batches.range(s + 1, e + 1).values.flatten.toArray
+    val range = batches.range(s + 1, e + 1)
+    delivered ++= range.keys
+    val msgs = range.values.flatten.toArray
     if (msgs.isEmpty) Array.empty
     else Array(QueuePartition(msgs))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
 
-  /** Ack-after-write: receipts of batches ≤ the committed offset. */
+  /** Ack-after-write: receipts of batches ≤ the committed offset — but
+    * ONLY batches whose rows Spark actually planned (delivered). A batch
+    * below the committed offset that never went through
+    * planInputPartitions exists only after a checkpoint restart whose
+    * first poll numbered fresh messages below the restored offset (the
+    * poll precedes the restored start's deserialization in Spark 4.1's
+    * committed-restart path); acking it would DELETE messages no sink ever
+    * saw. Those are requeued above the current sequence instead, so the
+    * next trigger delivers them — at-least-once holds across restarts.
+    */
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[QueueOffset].batch
     val done = batches.rangeTo(e)
     if (done.nonEmpty) {
-      queue.ack(done.values.flatten.map(_.receipt).toSeq)
+      val (acked, undelivered) = done.partition { case (seq, _) => delivered(seq) }
+      queue.ack(acked.values.flatten.map(_.receipt).toSeq)
       batches = batches.rangeFrom(e + 1)
+      delivered = delivered.filter(_ > e)
+      undelivered.values.foreach { msgs =>
+        maxBatch += 1
+        batches += maxBatch -> msgs
+      }
     }
   }
 

@@ -196,6 +196,71 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == Right(Set("poison")))
   }
 
+  test("graft-queue restart from a committed checkpoint delivers pending messages") {
+    // Regression: a restarted QueueStream starts its batch sequence at -1,
+    // and on a cleanly-committed restart Spark polls (latestOffset) BEFORE
+    // deserializing the restored offset N — so the first poll numbers its
+    // messages batch 0 < N, the replayed range (N, 0) delivers nothing,
+    // and the next commit's rangeTo would ack — delete — the
+    // never-delivered messages: silent loss. commit() must only ack
+    // batches that went through planInputPartitions, requeueing the rest.
+    import org.apache.spark.sql.DataFrame
+    val qdir = tmpDir("queue_restart")
+    val ckpt = tmpDir("queue_restart_ck")
+    val queue = new graft.sources.LocalDirQueue(qdir)
+
+    def dirEmpty() = {
+      val l = Files.list(Paths.get(qdir))
+      try !l.iterator().hasNext finally l.close()
+    }
+    def run(awaitAck: Boolean): Set[String] = {
+      val seen = scala.collection.mutable.Set[String]()
+      val query = spark.readStream.format("graft-queue")
+        .option("dir", qdir).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen ++= batch.collect().map(_.getString(1))
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      if (awaitAck) { // ack lags one trigger — await it before stopping
+        val deadline = System.currentTimeMillis + 30000
+        while (!dirEmpty() && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+      }
+      query.stop()
+      seen.toSet
+    }
+
+    queue.send("m1", "one")
+    assert(run(awaitAck = true) == Set("one"))
+    assert(dirEmpty(), "first run's message acked")
+
+    // arrives while the stream is down; the restarted run restores offset
+    // N from the checkpoint and must still deliver this message
+    queue.send("m2", "two")
+    assert(run(awaitAck = true) == Set("two"),
+      "message pending across a restart must be delivered, not silently acked")
+    assert(dirEmpty(), "delivered message acked after its batch committed")
+  }
+
+  test("graft-queue options are case-insensitive (maxPerPoll)") {
+    // getTable receives Spark's case-PRESERVING map; the provider must not
+    // silently drop a user's .option("maxPerPoll", ...) camelCase spelling
+    val provider = new graft.streaming.QueueSourceProvider
+    def table(opts: Map[String, String]) = {
+      val m = new java.util.HashMap[String, String]
+      opts.foreach { case (k, v) => m.put(k, v) }
+      provider.getTable(graft.streaming.QueueStream.Schema, Array.empty, m)
+        .asInstanceOf[graft.streaming.QueueStreamTable]
+    }
+    assert(table(Map("dir" -> "/q", "maxPerPoll" -> "5")).maxPerPoll == 5)
+    assert(table(Map("dir" -> "/q", "maxperpoll" -> "7")).maxPerPoll == 7)
+    assert(table(Map("dir" -> "/q")).maxPerPoll == 10)
+  }
+
   test("stateful streaming sessionization closes sessions by gap and timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
