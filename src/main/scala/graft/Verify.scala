@@ -19,6 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A filtered run must not masquerade as a full one: stale parquet
+    // outputs of the SKIPPED queries (from an earlier full run into the
+    // same outDir) would let a compare silently mix results from different
+    // code versions — delete them so only this run's queries are present.
+    only.foreach { names =>
+      SparkEntry.queries.keys.filterNot(names.contains).foreach { name =>
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -158,10 +158,25 @@ object TextDedup {
     * comfortably), and XOR+POPCNT is ~1 cycle/pair inside codegen. For
     * genuinely large corpora at dense radii the structural fix is a longer
     * fingerprint (more bits per block), not more blocks.
+    *
+    * GUARDED: the pair scan is O(n²) by construction, so the corpus size is
+    * checked (one cheap count over the input) against `maxRows` and the call
+    * REFUSES oversized inputs instead of silently running a quadratic plan
+    * at scale — callers with a bigger corpus must use
+    * [[simHash128Candidates]] (tight radii) or [[minHashCandidates]]
+    * (low-similarity thresholds), both equi-join plans. The default bound
+    * (1M docs ⇒ ≤ 5·10^11 codegen'd XOR+POPCNT pair evals, ~12 MB
+    * broadcast) is the point where brute force stops beating blocking.
     */
   def simHashCandidatesDense(
       docsTokens: DataFrame, // doc_id, toks (array<string>)
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxRows: Long = 1L << 20): DataFrame = {
+    val n = docsTokens.count()
+    require(n <= maxRows,
+      s"simHashCandidatesDense refuses $n rows (bound $maxRows): the dense " +
+        "all-pairs scan is O(n²) — use simHash128Candidates or " +
+        "minHashCandidates for large corpora, or raise maxRows explicitly")
     val fp = docsTokens.select(col("doc_id"), SimHash64(col("toks")).as("fp"))
     val right = fp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
     fp.join(broadcast(right),

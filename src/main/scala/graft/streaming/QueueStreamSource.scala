@@ -171,6 +171,10 @@ final class QueueStream(dir: String, maxPerPoll: Int) extends MicroBatchStream {
       queue.ack(acked.values.flatten.map(_.receipt).toSeq)
       batches = batches.rangeFrom(e + 1)
       delivered = delivered.filter(_ > e)
+      // INVARIANT: each requeued entry is one ORIGINAL poll's message list
+      // (≤ maxPerPoll by construction at poll time), requeued one-to-one —
+      // never coalesced — so re-numbering them above the current sequence
+      // cannot produce a batch exceeding the poll ceiling.
       undelivered.values.foreach { msgs =>
         maxBatch += 1
         batches += maxBatch -> msgs
