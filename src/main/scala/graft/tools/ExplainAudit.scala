@@ -1,11 +1,23 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Plan audit: prints the physical-plan markers that matter at scale for
   * each query (pushdown, window-group-limit, join strategies, partial
   * aggregation, codegen coverage) so regressions in plan shape are visible
   * without reading full explains. runMain graft.tools.ExplainAudit [sfDir]
+  *
+  * Side-effecting warehouse queries (q17/q23/q30) cannot be audited by
+  * explaining the returned frame alone — explain would EXECUTE their merges
+  * and the interesting plans (the partition-pruned COW rewrites) run inside
+  * the pipeline, not in the final read. They are audited by EXECUTION
+  * instead: a [[QueryExecutionListener]] captures every action's executed
+  * plan while the query runs against its scratch warehouse, and the markers
+  * aggregate over all captured plans — so merge-path plan regressions (a
+  * broadcast falling back to shuffle, a cartesian sneaking into the
+  * matched-partition probe) are visible in the same one-line format.
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
@@ -28,16 +40,43 @@ object ExplainAudit {
       "partial_" -> "partialAgg",
       "WholeStageCodegen" -> "codegen",
       "ReusedExchange" -> "reusedEx")
+    val sideEffecting =
+      Set("q17_warehouse_cdc", "q23_sql_merge", "q30_merge_schema_evolution")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
-      // the warehouse queries execute side effects on explain; skip them
-      if (!Set("q17_warehouse_cdc", "q23_sql_merge", "q30_merge_schema_evolution").contains(name)) {
-        try {
+      try {
+        if (!sideEffecting.contains(name)) {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           val found = markers.collect { case (m, tag) if plan.contains(m) => tag }
           println(s"[audit] $name: ${found.mkString(" ")}")
-        } catch {
-          case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage.take(80)}")
+        } else {
+          val captured = new scala.collection.mutable.ArrayBuffer[String]
+          val listener = new QueryExecutionListener {
+            override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+              captured.synchronized { captured += qe.executedPlan.toString }
+            override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(listener)
+          try {
+            val df = fn(spark, sfDir) // executes create/insert/merge side effects
+            df.count()                // executes the final snapshot read
+            // listener events are delivered asynchronously — drain until the
+            // captured set is stable (bounded wait)
+            var last = -1
+            var spins = 0
+            while (captured.synchronized(captured.size) != last && spins < 50) {
+              last = captured.synchronized(captured.size)
+              Thread.sleep(100)
+              spins += 1
+            }
+            val plans = captured.synchronized(captured.toList)
+            val found = markers.collect {
+              case (m, tag) if plans.exists(_.contains(m)) => tag
+            }
+            println(s"[audit] $name: ${found.mkString(" ")} (executed, ${plans.size} plans)")
+          } finally spark.listenerManager.unregister(listener)
         }
+      } catch {
+        case e: Throwable => println(s"[audit] $name: ERROR ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.stop()
