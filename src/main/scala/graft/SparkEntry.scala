@@ -656,6 +656,37 @@ object SparkEntry {
           min(col("fp")).as("min_fp"))
     }),
 
+    // Op-aware CDC pipeline (the extension point SURVEY.md §2.2 names; the
+    // reference upserts deletes — read.py ignores the DMS Op column its own
+    // sampledata carries). Batch 2 derives an op code per row (event_id
+    // divisible by 10 ⇒ 'D'), and the SAME WarehouseTable.merge(deleteWhere)
+    // path IngestRunner's cdc_op_column mode wires runs it: delete-marked
+    // matches drop, other matches update, unmarked unmatched rows insert,
+    // delete-of-absent-key is a no-op. On-disk COW with partition pruning,
+    // exactly like q17.
+    "q33_cdc_delete_pipeline" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q33_scratch/events_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val keys = Seq("user_id", "event_type")
+      val cut = lit(utcNanos("2024-01-16"))
+      val cols = Seq("user_id", "event_type", "event_id", "value")
+      val b1 = Dedup.latestByKey(
+        ev.filter(col("ts") < cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val b2 = Dedup.latestByKey(
+        ev.filter(col("ts") >= cut), keys, "ts_us", Seq("event_id"))
+        .select(cols.map(col): _*)
+        .withColumn("op",
+          when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      table.create(b1.schema, partition = Some("event_type"),
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.merge(s, b1, keys)
+      table.merge(s, b2, keys, deleteWhere = Some(col("op").isin("D")))
+      table.read(s).select(cols.map(col): _*)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1014,6 +1045,30 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_windows,
         |  count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
         |FROM win WHERE wn = 4 GROUP BY doc_id""".stripMargin,
+
+    // survivors: src rows not op-marked 'D' (update or insert), plus target
+    // rows whose key no src row touches (a matching 'D' deletes, a matching
+    // 'U' replaces); a 'D' on an absent key inserts nothing
+    "q33_cdc_delete_pipeline" ->
+      """WITH tgt AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |), src AS (
+        |  SELECT user_id, event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1
+        |)
+        |SELECT user_id, event_type, event_id, value FROM src
+        |WHERE event_id % 10 <> 0
+        |UNION ALL
+        |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -20,7 +20,19 @@ final case class InputConfig(
     format: String,
     transformQuery: String,
     commitCheckpoint: Boolean,
-    csvOptions: Map[String, String])
+    csvOptions: Map[String, String],
+    // ---- CDC op-code extension (SURVEY.md §2.2 extension point) ---------
+    // The reference IGNORES the DMS `Op` column (deletes get upserted —
+    // read.py treats every row as an upsert; sampledata col 1 carries
+    // I/U/D). When `cdc_op_column` names that column, merge mode becomes
+    // op-aware: the batch is deduped to the LATEST op per merge key
+    // (ordered by `cdc_order_column`) and rows whose op is in
+    // `cdc_delete_values` (default ["D"]) DELETE their target row instead
+    // of upserting — a delete-of-absent-key is a no-op, so replays stay
+    // idempotent.
+    cdcOpColumn: String = "",
+    cdcOrderColumn: String = "",
+    cdcDeleteValues: Seq[String] = Seq("D"))
 
 final case class OutputConfig(
     catalogName: String,
@@ -32,7 +44,10 @@ final case class OutputConfig(
     mergeQueryPath: String,
     tableType: String, // COW | MOR (read.py:208-216 semantics)
     compression: String,
-    partition: Option[String]) {
+    partition: Option[String],
+    // merge keys for the op-aware CDC mode (normally the keys live in the
+    // merge SQL's ON clause; op-aware mode has no merge SQL to parse)
+    mergeKeys: Seq[String] = Nil) {
   def fqTableName: String = s"$catalogName.$database.$tableName"
 }
 
@@ -82,7 +97,14 @@ object JobConfig {
         case JBool(b) => b
         case _        => true
       },
-      csvOptions = csvOpts)
+      csvOptions = csvOpts,
+      cdcOpColumn = str(in, "cdc_op_column"),
+      cdcOrderColumn = str(in, "cdc_order_column"),
+      cdcDeleteValues = (in \ "cdc_delete_values") match {
+        case JArray(vs) => vs.collect { case JString(v) => v }
+        case JString(s) if s.nonEmpty => s.split(",").toSeq.map(_.trim)
+        case _ => Seq("D")
+      })
 
     val out = root \ "output_config"
     val output = OutputConfig(
@@ -98,7 +120,9 @@ object JobConfig {
       partition = (out \ "partition") match {
         case JString(p) if p.nonEmpty => Some(p)
         case _                        => None
-      })
+      },
+      mergeKeys = str(out, "merge_keys").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty))
 
     JobConfig(sparkConf, input, output)
   }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.config.JobConfig
+import graft.operators.Dedup
 import graft.plans.MergeSqlRunner
 import graft.schema.AvroSchemaConverter
 import graft.sources.{CsvBatchReader, QueueSource, S3EventParser}
@@ -75,6 +76,13 @@ final class IngestRunner(
       val schema =
         if (config.output.schemaPath.nonEmpty)
           AvroSchemaConverter.load(config.output.schemaPath)
+        else if (config.input.cdcOpColumn.nonEmpty)
+          // CDC mode without a declared schema: the op/order columns are
+          // merge plumbing, not table columns (the reference's avsc also
+          // excludes Op/replicadmstimestamp)
+          org.apache.spark.sql.types.StructType(batch.schema.fields.filterNot(
+            f => f.name == config.input.cdcOpColumn ||
+              f.name == config.input.cdcOrderColumn))
         else batch.schema
       table.create(
         schema,
@@ -87,6 +95,7 @@ final class IngestRunner(
   private def write(df: DataFrame): Unit = config.output.mode match {
     case "append"    => table.append(df)
     case "overwrite" => table.overwrite(df)
+    case "merge" if config.input.cdcOpColumn.nonEmpty => writeCdc(df)
     case "merge" =>
       df.createOrReplaceTempView("source_table") // read.py:176
       val mergeSql = readMergeQuery()
@@ -95,6 +104,28 @@ final class IngestRunner(
     case other =>
       // read.py:241 raises ValueError on unknown mode
       throw new IllegalArgumentException(s"Invalid write mode: $other")
+  }
+
+  /** Op-aware CDC merge (the extension point SURVEY.md §2.2 names — the
+    * reference upserts deletes; a real DMS feed needs `Op='D'` to DELETE).
+    * The batch is deduped to the latest op per merge key (the same window
+    * the reference's merge SQL applies, ordered by `cdc_order_column`),
+    * then merged with a DELETE branch: delete-marked matches drop, other
+    * matches update, unmarked unmatched rows insert — a delete of an
+    * absent key is a no-op, which keeps at-least-once replays idempotent.
+    * The op/order columns ride along only as merge-condition inputs; the
+    * written rows align to the table schema, which excludes them.
+    */
+  private def writeCdc(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val opCol = config.input.cdcOpColumn
+    val keys = config.output.mergeKeys
+    val orderCol = config.input.cdcOrderColumn
+    require(keys.nonEmpty, "cdc_op_column requires output_config.merge_keys")
+    require(orderCol.nonEmpty, "cdc_op_column requires input_config.cdc_order_column")
+    val deduped = Dedup.latestByKey(df, keys, orderDesc = orderCol)
+    table.merge(spark, deduped, keys,
+      deleteWhere = Some(col(opCol).isin(config.input.cdcDeleteValues: _*)))
   }
 
   private def readMergeQuery(): String = {

@@ -213,6 +213,77 @@ class IngestPipelineSpec extends SparkSpec {
     runner0.table // touch to avoid unused warning
   }
 
+  test("op-aware CDC mode: I/U/D sequence deletes, updates, inserts, replays") {
+    // the reference UPSERTS deletes (read.py ignores the Op column its own
+    // sampledata carries); cdc_op_column turns merge mode op-aware
+    val land = tmpDir("cdcland")
+    val queueDir = tmpDir("cdcqueue")
+    val wh = tmpDir("cdcwh") + "/orders"
+    val schemaPath = tmpDir("cdccfg") + "/silver.avsc"
+    Files.write(Paths.get(schemaPath), avsc.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$land/b1.csv"), batch1.getBytes(StandardCharsets.UTF_8))
+    val cdcBatch2 = Seq(
+      header,
+      // U updates 101; D deletes 102; I inserts 104; D on absent 999 no-ops
+      "U\t2025-03-02 09:00:00.000\t101\t1\tbooks##\t11.00\t2\t2025-03-01\tCA\tair\tweb",
+      "D\t2025-03-02 09:00:01.000\t102\t2\ttoys\t5.25\t1\t2025-03-01\tNY\tground\tad",
+      "I\t2025-03-02 09:00:02.000\t104\t4\tpens\t1.10\t6\t2025-03-02\tWA\tair\tweb",
+      "D\t2025-03-02 09:00:03.000\t999\t9\tghost\t0.00\t0\t2025-03-02\tTX\tair\tweb",
+      // intra-batch sequence on 103: U first, D later — latest op must win
+      "U\t2025-03-02 09:00:04.000\t103\t3\tgames##\t7.50\t4\t2025-03-01\tCA\tair\tweb",
+      "D\t2025-03-02 09:00:05.000\t103\t3\tgames##\t7.50\t4\t2025-03-01\tCA\tair\tweb"
+    ).mkString("\n")
+    Files.write(Paths.get(s"$land/b2.csv"), cdcBatch2.getBytes(StandardCharsets.UTF_8))
+
+    val config = JobConfig.fromJson(
+      s"""{
+         |  "spark": {},
+         |  "input_config": {
+         |    "queue_url": "$queueDir", "poll_interval": "1",
+         |    "protocol": "file", "type": "sqs", "format": "csv",
+         |    "commit_checkpoint": true,
+         |    "cdc_op_column": "Op",
+         |    "cdc_order_column": "replicadmstimestamp",
+         |    "csv_options": {"sep": "\\t", "header": "true", "inferSchema": "true"}
+         |  },
+         |  "output_config": {
+         |    "catalog_name": "whcat", "database": "db", "table_name": "orders",
+         |    "type": "unmanaged_iceberg", "mode": "merge",
+         |    "schema": "$schemaPath",
+         |    "merge_keys": "invoiceid,itemid",
+         |    "table_type": "COW", "compression": "snappy",
+         |    "partition": "destinationstate"
+         |  }
+         |}""".stripMargin)
+    assert(config.input.cdcOpColumn == "Op")
+    assert(config.output.mergeKeys == Seq("invoiceid", "itemid"))
+    assert(config.input.cdcDeleteValues == Seq("D"))
+    val queue = new LocalDirQueue(queueDir)
+    val runner = new IngestRunner(spark, config, queue, wh)
+
+    def state(): Set[(Int, Int, String)] = runner.table.read(spark)
+      .select("invoiceid", "itemid", "category").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+
+    queue.send("001.json", S3EventParser.eventJson(land, Seq("b1.csv")))
+    assert(runner.runOnce() == 1)
+    assert(state() == Set((101, 1, "books"), (102, 2, "toys"), (103, 3, "games")))
+
+    queue.send("002.json", S3EventParser.eventJson(land, Seq("b2.csv")))
+    assert(runner.runOnce() == 1)
+    val expected = Set(
+      (101, 1, "books##"), // U updated
+      (104, 4, "pens"))    // I inserted; 102 and 103 deleted, 999 no-op
+    assert(state() == expected)
+    assert(queue.pendingCount == 0)
+
+    // at-least-once replay of the CDC batch is idempotent (incl. deletes of
+    // now-absent keys)
+    queue.send("003.json", S3EventParser.eventJson(land, Seq("b2.csv")))
+    assert(runner.runOnce() == 1)
+    assert(state() == expected)
+  }
+
   test("transform_query hook filters the batch before the sink") {
     val (base, _, land) = setupJob()
     val queueDir = tmpDir("q3")
