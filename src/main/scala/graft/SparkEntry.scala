@@ -687,6 +687,16 @@ object SparkEntry {
       table.read(s).select(cols.map(col): _*)
     }),
 
+    // Winnow-based clone detection (the matching half of MOSS, completing
+    // q32's fingerprint extraction): inverted-index join on distinct
+    // winnow fingerprints, containment |∩| / min(|FP|) — document pairs
+    // sharing at least half their fingerprints.
+    "q35_winnow_match" -> ((s, dir) => {
+      val fps = graft.operators.TextDedup.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, window = 4)
+      graft.operators.TextDedup.winnowMatches(fps, threshold = 0.5)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1069,6 +1079,37 @@ object SparkEntry {
         |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin,
+
+    "q35_winnow_match" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+        |), win AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM g
+        |), dfp AS (
+        |  SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4
+        |), counts AS (
+        |  SELECT doc_id, count(*) AS n_fp FROM dfp GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, shared,
+        |  round(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp), 4) AS containment
+        |FROM pairs
+        |JOIN counts c1 ON c1.doc_id = d1
+        |JOIN counts c2 ON c2.doc_id = d2
+        |WHERE round(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp), 4) >= 0.5""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -147,6 +147,38 @@ object TextDedup {
       .select(col("doc_id"), col("pos"), col("fp"))
   }
 
+  /** Winnow-based clone detection (the matching half of MOSS): inverted-
+    * index join on the [[winnowFingerprints]] output, scored by containment
+    * `|FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|)` over DISTINCT fingerprints —
+    * the measure MOSS reports, robust to length asymmetry (a file pasted
+    * into a bigger one still scores ~1.0).
+    *
+    * Plan shape mirrors the q11 inverted-index join: distinct (doc, fp)
+    * pairs repartitioned on the fingerprint so both self-join sides reuse
+    * ONE exchange, pair counts from a hash aggregation, per-doc totals
+    * joined back as a broadcast. Winnowing keeps this tractable at corpus
+    * scale where raw k-gram indexing is not: only ~2/(window+1) of the
+    * k-gram hashes survive as fingerprints, and only REPEATED fingerprints
+    * fan out in the join.
+    */
+  def winnowMatches(fps: DataFrame, threshold: Double): DataFrame = {
+    val dfp = fps.select(col("doc_id"), col("fp")).distinct()
+      .repartition(col("fp"))
+    val counts = dfp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val right = dfp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+    val pairs = dfp.join(right,
+        col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
+      .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts.select(col("doc_id").as("d1"), col("n_fp").as("n1"))), "d1")
+      .join(broadcast(counts.select(col("doc_id").as("d2"), col("n_fp").as("n2"))), "d2")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("n1"), col("n2")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"), col("containment"))
+  }
+
   /** SimHash candidates for a DENSE radius (maxHamming large relative to
     * the 64-bit fingerprint): direct all-pairs XOR+popcount on the
     * fingerprints with one side broadcast. Rationale: pigeonhole blocking

@@ -92,6 +92,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(minMargin > 1e-6, s"probe-boundary margin $minMargin too tight")
   }
 
+  test("winnow matching: clone and containment semantics (MOSS)") {
+    // A=original, B=A with one word edited (near-clone), C=unrelated,
+    // D=A's first half pasted verbatim (containment ~1.0 despite size gap)
+    val words = (1 to 60).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = words.updated(30, "EDIT").mkString(" ")
+    val c = (1 to 60).map(i => s"z$i").mkString(" ")
+    val d = words.take(30).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text", k = 3, window = 4)
+    val got = TextDedup.winnowMatches(fps, threshold = 0.5)
+      .select("d1", "d2", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got((1L, 2L)) > 0.8)  // one edit perturbs only nearby windows
+    assert(got((1L, 4L)) >= 0.9) // pasted subset: containment ~1.0
+  }
+
   test("simhash64 expression: interpreted eval == codegen result, stable") {
     val df = Seq(
       Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "d"), Seq.empty[String]
