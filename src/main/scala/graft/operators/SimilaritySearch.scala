@@ -42,6 +42,61 @@ object SimilaritySearch {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** Batch-kNN for LARGE query sets. [[bruteForceTopK]]'s
+    * `crossJoin(broadcast(queries))` is the right plan for a handful of
+    * probe vectors but caps the query side at broadcast size — a
+    * million-query batch would OOM the broadcast. This variant distributes
+    * the same all-pairs compute as an EQUI-JOIN: corpus rows hash into
+    * `blocks` disjoint blocks, each query replicates into every block
+    * (explode of a `blocks`-long sequence — shuffle volume `blocks × |Q|`,
+    * the knob trading replication against per-task pair count), and a
+    * per-(query, block) top-k (WindowGroupLimit keeps ≤k rows per group
+    * per partition) shrinks the global shuffle to `blocks × k` rows per
+    * query before the final per-query top-k. Nothing is broadcast, nothing
+    * is a cartesian; both sides scale horizontally.
+    *
+    * Output is identical to [[bruteForceTopK]] (exact search, same
+    * tiebreaks) — asserted in the suite. [[topKAuto]] dispatches between
+    * the two by query count.
+    */
+  def bruteForceTopKShuffle(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame,  // id, vec
+      k: Int,
+      blocks: Int = 64): DataFrame = {
+    val c = corpus.withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)))
+    val q = queries.withColumn("blk",
+      explode(sequence(lit(0L), lit(blocks - 1L))))
+    val scored = c.join(q, "blk")
+      .withColumn("cos", CosineSim(col("qvec"), col("vec")))
+    val wLocal = Window.partitionBy(col("qid"), col("blk"))
+      .orderBy(col("cos").desc, col("id").asc)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    scored
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
+  /** Size-dispatching front door for exact top-k: broadcast path for small
+    * query sets (one cheap count on the query side — negligible next to
+    * the kNN itself), shuffle path beyond the bound. The default bound
+    * (100k queries ≈ a few MB of vectors) stays far under Spark's 8 GB
+    * broadcast ceiling while keeping the common probe-set case on the
+    * cheaper plan.
+    */
+  def topKAuto(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      maxBroadcastQueries: Long = 100000,
+      blocks: Int = 64): DataFrame =
+    if (queries.count() <= maxBroadcastQueries) bruteForceTopK(queries, corpus, k)
+    else bruteForceTopKShuffle(queries, corpus, k, blocks)
+
   /** Per-bucket mean vector (the coarse quantizer codebook). Element-wise
     * mean via posexplode + groupBy — one shuffle of (bucket, pos) pairs.
     */
@@ -54,23 +109,39 @@ object SimilaritySearch {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("bucket"), transform(col("pm"), p => p.getField("m")).as("cvec"))
 
+  /** (qid, qvec, bucket) rows naming the `nprobe` buckets whose centroids
+    * are nearest each query. The centroid table is always tiny (nlist
+    * rows) and broadcasts; the output scales with |Q| × nprobe.
+    */
+  def probeBuckets(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(cosine(col("qvec"), col("cvec")).desc, col("bucket").asc)
+    queries.crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("bucket"))
+  }
+
   /** IVF top-k: probe the `nprobe` buckets whose centroids are nearest to
     * the query, brute-force only inside them.
+    *
+    * `broadcastProbe = true` (the default — right for probe-sized query
+    * sets) broadcasts the (qid, qvec, bucket) probe table so the corpus
+    * never shuffles; `false` is the large-query-set path: a plain shuffle
+    * hash join on the bucket key, both sides partition-parallel, nothing
+    * driver-bound. Results are identical — [[ivfTopKAuto]] dispatches by
+    * query count.
     */
   def ivfTopK(
       queries: DataFrame, // qid, qvec
       corpus: DataFrame,  // id, vec, bucket
       cents: DataFrame,   // bucket, cvec
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      broadcastProbe: Boolean = true): DataFrame = {
     // rank buckets per query by centroid cosine (tiny: nlist × queries)
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(cosine(col("qvec"), col("cvec")).desc, col("bucket").asc)
-    val probed = broadcast(
-      queries.crossJoin(broadcast(cents))
-        .withColumn("crank", row_number().over(wq))
-        .filter(col("crank") <= nprobe)
-        .select(col("qid"), col("qvec"), col("bucket")))
+    val probe0 = probeBuckets(queries, cents, nprobe)
+    val probed = if (broadcastProbe) broadcast(probe0) else probe0
     // search only the probed buckets
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id").asc)
@@ -80,6 +151,20 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
+
+  /** Size-dispatching IVF front door (see [[topKAuto]] for the rationale):
+    * small query sets broadcast the probe table, large ones shuffle-join
+    * the corpus on the bucket key.
+    */
+  def ivfTopKAuto(
+      queries: DataFrame,
+      corpus: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      nprobe: Int,
+      maxBroadcastQueries: Long = 100000): DataFrame =
+    ivfTopK(queries, corpus, cents, k, nprobe,
+      broadcastProbe = queries.count() <= maxBroadcastQueries)
 
   /** Random-projection LSH bucketing for cosine ANN: 2^nPlanes buckets,
     * no training step. Near-dup mining = join within buckets.

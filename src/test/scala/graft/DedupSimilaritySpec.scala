@@ -140,6 +140,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("large-query-set shuffle paths ≡ broadcast paths (exact equivalence)") {
+    // the shuffle variants exist for query sets too big to broadcast; they
+    // must return EXACTLY what the broadcast plans return (same tiebreaks)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "cos", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val bcBrute = rows(SimilaritySearch.bruteForceTopK(qs, corpus.drop("bucket"), 5))
+    val shBrute = rows(SimilaritySearch.bruteForceTopKShuffle(qs, corpus.drop("bucket"), 5, blocks = 7))
+    assert(shBrute == bcBrute)
+
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val bcIvf = rows(SimilaritySearch.ivfTopK(qs, corpus, cents, 5, nprobe = 3))
+    val shIvf = rows(SimilaritySearch.ivfTopK(qs, corpus, cents, 5, nprobe = 3,
+      broadcastProbe = false))
+    assert(shIvf == bcIvf)
+
+    // the dispatcher keeps a small probe set on the broadcast plan and
+    // routes an oversized one to the shuffle plan — results identical
+    assert(rows(SimilaritySearch.topKAuto(qs, corpus.drop("bucket"), 5)) == bcBrute)
+    assert(rows(SimilaritySearch.topKAuto(qs, corpus.drop("bucket"), 5,
+      maxBroadcastQueries = 1)) == bcBrute)
+    assert(rows(SimilaritySearch.ivfTopKAuto(qs, corpus, cents, 5, 3,
+      maxBroadcastQueries = 1)) == bcIvf)
+  }
+
   test("q24 LSH path ≡ exact broadcast twin on the augmented corpus") {
     // the gated q24 runs RP-LSH over the corpus augmented with ×2-scaled
     // copies; the exact all-pairs broadcast form is its verification twin —
