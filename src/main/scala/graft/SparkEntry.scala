@@ -687,6 +687,27 @@ object SparkEntry {
       table.read(s).select(cols.map(col): _*)
     }),
 
+    // IVF bucketed AT REST: the corpus persists in a WarehouseTable
+    // partitioned by quantizer bucket, and the probe reads ONLY the nprobe
+    // probed buckets' partitions (manifest-level pruning — unprobed
+    // partitions' file lists are never parsed). Same quantizer, probe
+    // ranking and tiebreaks as q15, so the q15 oracle certifies it; the
+    // pruning itself is asserted in the suite via inputFiles.
+    "q34_ivf_at_rest" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q34_scratch/emb_ivf"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").as("bucket"))
+      val cents = SimilaritySearch.centroids(corpus, "bucket")
+      SimilaritySearch.ivfIndexAtRest(corpus, table)
+      SimilaritySearch.ivfTopKAtRest(s, qs, table, cents, k = 5, nprobe = 3)
+    }),
+
     // Winnow-based clone detection (the matching half of MOSS, completing
     // q32's fingerprint extraction): inverted-index join on distinct
     // winnow fingerprints, containment |∩| / min(|FP|) — document pairs
@@ -814,45 +835,14 @@ object SparkEntry {
     // cosine (bucket asc tiebreak), probe the top 3, exact cosine top-5
     // inside them. The output cosines come from the ORIGINAL vectors (same
     // fold as q14), so only probe-set choice depends on the centroids.
-    "q15_ivf_topk" -> {
-      val dotQQc = sqlListDot("p.qvec", "p.qvec")
-      val dotCC = sqlListDot("cent.cvec", "cent.cvec")
-      val dotQC = sqlListDot("p.qvec", "cent.cvec")
-      val dotQQ = sqlListDot("p.qvec", "p.qvec")
-      val dotVV = sqlListDot("c.vec", "c.vec")
-      val dotQV = sqlListDot("p.qvec", "c.vec")
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS id, embedding AS vec, label AS bucket FROM embeddings WHERE vec_id >= 10),
-         |cent AS (
-         |  SELECT bucket, list(m ORDER BY pos) AS cvec FROM (
-         |    SELECT bucket, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
-         |    FROM c, unnest(range(1, len(vec) + 1)) AS t(pos)
-         |    GROUP BY bucket, pos
-         |  ) GROUP BY bucket
-         |), probed AS (
-         |  SELECT qid, qvec, bucket FROM (
-         |    SELECT p.qid, p.qvec, cent.bucket,
-         |      row_number() OVER (PARTITION BY p.qid ORDER BY
-         |        CASE WHEN sqrt($dotQQc) = 0 OR sqrt($dotCC) = 0 THEN 0.0
-         |             ELSE $dotQC / (sqrt($dotQQc) * sqrt($dotCC)) END DESC,
-         |        cent.bucket ASC) AS crank
-         |    FROM q p, cent
-         |  ) WHERE crank <= 3
-         |), scored AS (
-         |  SELECT p.qid, c.id,
-         |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
-         |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
-         |  FROM c JOIN probed p ON c.bucket = p.bucket
-         |)
-         |SELECT qid, id, cos, rank FROM (
-         |  SELECT qid, id, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
-         |  FROM scored
-         |) WHERE rank <= 5""".stripMargin
-    },
+    "q15_ivf_topk" -> ivfTopkOracle,
 
     // the on-disk warehouse pipeline must converge to the q05 upsert state
     "q17_warehouse_cdc" -> mergeUpsertOracle,
+
+    // the at-rest IVF reads only probed partitions but must produce
+    // EXACTLY the q15 result (same quantizer, probe ranking, tiebreaks)
+    "q34_ivf_at_rest" -> ivfTopkOracle,
 
     "q18_asof_join" ->
       """SELECT l.user_id, l.event_id, l.value, r.event_id AS asof_click_id
@@ -1137,6 +1127,49 @@ object SparkEntry {
       |SELECT t.user_id, t.event_type, t.event_id, t.value FROM tgt t
       |WHERE NOT EXISTS (SELECT 1 FROM src s
       |  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)""".stripMargin
+
+  /** Shared by q15 (in-memory IVF) and q34 (IVF at rest): both run the same
+    * deterministic pipeline — per-label element-wise avg centroids, probe
+    * ranking by centroid cosine (bucket asc tiebreak), exact cosine top-5
+    * over the probed buckets (id asc tiebreak) — so one DuckDB replay
+    * certifies both.
+    */
+  private lazy val ivfTopkOracle: String = {
+    val dotQQc = sqlListDot("p.qvec", "p.qvec")
+    val dotCC = sqlListDot("cent.cvec", "cent.cvec")
+    val dotQC = sqlListDot("p.qvec", "cent.cvec")
+    val dotQQ = sqlListDot("p.qvec", "p.qvec")
+    val dotVV = sqlListDot("c.vec", "c.vec")
+    val dotQV = sqlListDot("p.qvec", "c.vec")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS id, embedding AS vec, label AS bucket FROM embeddings WHERE vec_id >= 10),
+       |cent AS (
+       |  SELECT bucket, list(m ORDER BY pos) AS cvec FROM (
+       |    SELECT bucket, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
+       |    FROM c, unnest(range(1, len(vec) + 1)) AS t(pos)
+       |    GROUP BY bucket, pos
+       |  ) GROUP BY bucket
+       |), probed AS (
+       |  SELECT qid, qvec, bucket FROM (
+       |    SELECT p.qid, p.qvec, cent.bucket,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        CASE WHEN sqrt($dotQQc) = 0 OR sqrt($dotCC) = 0 THEN 0.0
+       |             ELSE $dotQC / (sqrt($dotQQc) * sqrt($dotCC)) END DESC,
+       |        cent.bucket ASC) AS crank
+       |    FROM q p, cent
+       |  ) WHERE crank <= 3
+       |), scored AS (
+       |  SELECT p.qid, c.id,
+       |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+       |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
+       |  FROM c JOIN probed p ON c.bucket = p.bucket
+       |)
+       |SELECT qid, id, cos, rank FROM (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= 5""".stripMargin
+  }
 
   /** In-order double dot product over two float-list columns (bit-identical
     * to Spark's `aggregate(zip_with(...))` left fold — verified).

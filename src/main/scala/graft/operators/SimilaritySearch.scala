@@ -166,6 +166,55 @@ object SimilaritySearch {
     ivfTopK(queries, corpus, cents, k, nprobe,
       broadcastProbe = queries.count() <= maxBroadcastQueries)
 
+  /** Persist an IVF index AT REST: the corpus (id, vec, bucket) lands in a
+    * [[graft.table.WarehouseTable]] PARTITIONED BY the quantizer bucket, so
+    * probes become partition-pruned reads — [[ivfTopKAtRest]] lists and
+    * scans ONLY the nprobe probed buckets' files instead of scanning the
+    * full corpus and filtering (the residual weakness the in-memory
+    * [[ivfTopK]] carries: its bucket join still reads every corpus file).
+    * At 100 TB this is the difference between touching nprobe/nlist of the
+    * data and touching all of it.
+    */
+  def ivfIndexAtRest(
+      corpus: DataFrame, // id, vec, bucket
+      table: graft.table.WarehouseTable,
+      compression: String = "snappy"): Unit = {
+    table.create(corpus.schema, partition = Some("bucket"),
+      properties = graft.table.WarehouseTable.tableProperties("COW", compression))
+    table.append(corpus)
+  }
+
+  /** IVF top-k over a bucket-partitioned [[graft.table.WarehouseTable]]:
+    * rank buckets per query by centroid cosine exactly as [[ivfTopK]], then
+    * read ONLY those buckets' partitions (manifest-level pruning — other
+    * partitions' file lists are never parsed, let alone scanned). The
+    * driver-side collect is the probed bucket-value set: ≤ nlist values,
+    * the same bounded planning step Iceberg does. Scoring and tiebreaks are
+    * identical to [[ivfTopK]], so results match bit-for-bit.
+    */
+  def ivfTopKAtRest(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, // qid, qvec
+      table: graft.table.WarehouseTable,
+      cents: DataFrame,   // bucket, cvec
+      k: Int,
+      nprobe: Int,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val probe0 = probeBuckets(queries, cents, nprobe)
+    val probed = if (broadcastProbe) broadcast(probe0) else probe0
+    // bounded: at most nlist distinct bucket values reach the driver
+    val bucketVals = probe0.select(col("bucket")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val corpus = table.read(spark, partitions = Some(bucketVals))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    corpus.join(probed, "bucket")
+      .withColumn("cos", CosineSim(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   /** Random-projection LSH bucketing for cosine ANN: 2^nPlanes buckets,
     * no training step. Near-dup mining = join within buckets.
     */

@@ -41,7 +41,8 @@ object ExplainAudit {
       "WholeStageCodegen" -> "codegen",
       "ReusedExchange" -> "reusedEx")
     val sideEffecting =
-      Set("q17_warehouse_cdc", "q23_sql_merge", "q30_merge_schema_evolution")
+      Set("q17_warehouse_cdc", "q23_sql_merge", "q30_merge_schema_evolution",
+        "q33_cdc_delete_pipeline", "q34_ivf_at_rest")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       try {
         if (!sideEffecting.contains(name)) {

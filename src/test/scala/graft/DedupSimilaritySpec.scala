@@ -171,6 +171,36 @@ class DedupSimilaritySpec extends SparkSpec {
       maxBroadcastQueries = 1)) == bcIvf)
   }
 
+  test("IVF at rest: probe reads ONLY probed buckets' files, same results") {
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val table = graft.table.WarehouseTable(tmpDir("ivfrest") + "/emb")
+    SimilaritySearch.ivfIndexAtRest(corpus, table)
+    val atRest = SimilaritySearch.ivfTopKAtRest(spark, qs, table, cents, 5, nprobe = 3)
+    val inMem = SimilaritySearch.ivfTopK(qs, corpus, cents, 5, nprobe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "cos", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(atRest) == rows(inMem))
+
+    // the at-rest scan touches only the probed partitions' files — the
+    // point of bucketing at rest (ivfTopK would read every corpus file)
+    val probed = SimilaritySearch.probeBuckets(qs, cents, 3)
+      .select("bucket").distinct().collect().map(_.get(0).toString).toSet
+    val all = corpus.select("bucket").distinct().count()
+    assert(probed.size < all) // pruning is non-trivial for this query set
+    // inputFiles also lists the probe side's source (embeddings.parquet);
+    // the warehouse's own files are the hive-partitioned bucket=<v> dirs
+    val files = atRest.inputFiles.filter(_.contains("bucket="))
+    assert(files.nonEmpty)
+    assert(files.forall(f => probed.exists(b => f.contains(s"bucket=$b"))),
+      s"unprobed partition leaked into scan: ${files.filterNot(f => probed.exists(b => f.contains(s"bucket=$b"))).take(3).mkString(",")}")
+  }
+
   test("q24 LSH path ≡ exact broadcast twin on the augmented corpus") {
     // the gated q24 runs RP-LSH over the corpus augmented with ×2-scaled
     // copies; the exact all-pairs broadcast form is its verification twin —
