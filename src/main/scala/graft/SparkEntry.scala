@@ -232,10 +232,13 @@ object SparkEntry {
       // repartition on the join key: both self-join sides then share one
       // identical Exchange subtree, which ReuseExchange dedupes — the
       // (interpreted, HOF-heavy) shingle explode runs ONCE, not once per
-      // side, and the join needs no further shuffle.
+      // side, and the join needs no further shuffle. EXPLICIT partition
+      // count: the exploded frame is small by bytes, so AQE would coalesce
+      // the exchange and serialize the per-shingle pair enumeration
+      // (CPU-quadratic in doc frequency) onto a handful of tasks.
       val ex = docs.select(
         col("doc_id"), explode(shingles(col("text"), 3)).as("tri"))
-        .repartition(col("tri"))
+        .repartition(s.sparkContext.defaultParallelism, col("tri"))
       // rename one side so the self-join has unambiguous equi-keys
       // (same-lineage aliases can collapse the condition and degrade to a
       // nested-loop join — 50× slower even at tiny scale)

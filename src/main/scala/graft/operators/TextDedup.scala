@@ -41,8 +41,14 @@ object TextDedup {
       sh: DataFrame,
       threshold: Double): DataFrame = {
     // exchange barrier on doc_id: the shingle arrays materialize once and
-    // the identical Exchange is reused by both sides of the pair join
-    val shR = sh.repartition(col("doc_id"))
+    // the identical Exchange is reused by both sides of the pair join.
+    // EXPLICIT numPartitions everywhere a barrier feeds CPU-heavy per-row
+    // work (array_intersect here): a user-specified count is AQE-exempt,
+    // while a bare repartition(col) gets byte-coalesced — shingle frames
+    // are tiny by bytes, so AQE would serialize the verification onto a
+    // handful of tasks (measured on q35's cousin at 10× sf0.1: 31 s → 3 s)
+    val np = sh.sparkSession.sparkContext.defaultParallelism
+    val shR = sh.repartition(np, col("doc_id"))
     val left = shR.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
     val right = shR.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2"))
     candidates
@@ -60,8 +66,12 @@ object TextDedup {
     * the LSH generators.
     */
   def allPairsByShingle(sh: DataFrame): DataFrame = {
+    val np = sh.sparkSession.sparkContext.defaultParallelism
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .repartition(col("tok")) // shared exchange for both self-join sides
+      // shared exchange for both self-join sides; explicit numPartitions so
+      // AQE's byte-based coalescing cannot serialize the per-token pair
+      // enumeration (quadratic in doc frequency — CPU the byte stats miss)
+      .repartition(np, col("tok"))
     val exB = ex.select(col("doc_id").as("doc_id_b"), col("tok").as("tok_b"))
     ex.join(exB, col("tok") === col("tok_b") && col("doc_id") < col("doc_id_b"))
       .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
@@ -88,9 +98,10 @@ object TextDedup {
     // measured 4× wall-clock). Post-exchange, bands read the materialized
     // `sig` attribute. At cluster scale this shuffle is tiny (64 longs/doc)
     // and doubles as the natural persistence point for signatures.
+    val np = sh.sparkSession.sparkContext.defaultParallelism
     val withSig = sh
       .select(col("doc_id"), minHashSignature(col("sh"), bands * rows).as("sig"))
-      .repartition(col("doc_id"))
+      .repartition(np, col("doc_id"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*).as("bh"))
@@ -98,6 +109,10 @@ object TextDedup {
     val exploded = withSig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      // explicit-numPartitions barrier on the join key: band buckets are
+      // tiny by bytes but quadratic in CPU per bucket — AQE-exempt
+      // partitioning keeps the pair enumeration parallel (q13's lesson)
+      .repartition(np, col("band"), col("bh"))
     val right = exploded.select(
       col("doc_id").as("doc_id_b"), col("band").as("band_b"), col("bh").as("bh_b"))
     exploded.join(right,
@@ -161,9 +176,41 @@ object TextDedup {
     * k-gram hashes survive as fingerprints, and only REPEATED fingerprints
     * fan out in the join.
     */
-  def winnowMatches(fps: DataFrame, threshold: Double): DataFrame = {
-    val dfp = fps.select(col("doc_id"), col("fp")).distinct()
-      .repartition(col("fp"))
+  /** `maxDocFreq`: MOSS's stop-fingerprint rule — a fingerprint shared by
+    * more than this many documents is boilerplate (license headers, common
+    * phrases), carries no clone signal, and its join fanout is quadratic in
+    * its document frequency. Dropping those fingerprints BEFORE the pair
+    * join bounds the per-fingerprint work at maxDocFreq² regardless of
+    * corpus size — the knob that keeps the inverted index sub-quadratic at
+    * 100 TB. Denominators count only surviving fingerprints (MOSS
+    * semantics: ignored fingerprints vanish from both sets). Int.MaxValue
+    * = exact containment (the gated q35 default, mirrored by its oracle).
+    */
+  def winnowMatches(
+      fps: DataFrame, threshold: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // explicit numPartitions: the fingerprint exchange is small by bytes
+    // (AQE would coalesce it to ~1 partition) but the per-fingerprint pair
+    // enumeration in the join below is CPU-quadratic in doc frequency.
+    val np = fps.sparkSession.sparkContext.defaultParallelism
+    // Materialize the distinct fingerprint index ONCE: it is consumed three
+    // times (both self-join sides + the per-doc totals), and the two
+    // totals broadcasts canonicalize differently (n1 vs n2 renames), so
+    // without a barrier each rebuilds the WHOLE extract+distinct pipeline
+    // — the window pass over every k-gram of the corpus. The index is tiny
+    // (distinct (doc, fp) pairs — winnowing keeps ~2/(window+1) of the
+    // grams, dedup collapses repeats), so eager local materialization
+    // costs one pipeline run and saves two; at warehouse scale this is
+    // the index table you'd persist anyway.
+    val dedup0 = fps.select(col("doc_id"), col("fp")).distinct()
+    val indexed =
+      if (maxDocFreq == Int.MaxValue) dedup0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        dedup0.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
+    val dfp = indexed.localCheckpoint().repartition(np, col("fp"))
     val counts = dfp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val right = dfp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
     val pairs = dfp.join(right,
@@ -250,7 +297,8 @@ object TextDedup {
       col("doc_id"),
       SimHash64(col("toks")).as("fp1"),
       SimHash64.part2(col("toks")).as("fp2"))
-      .repartition(col("doc_id"))
+      .repartition(docsTokens.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     // extract bit range [lo, hi) of the logical 128-bit word fp2:fp1 as a
     // long; a block can straddle the 64-bit boundary
     def bits(lo: Int, hi: Int): Column = {
@@ -313,9 +361,10 @@ object TextDedup {
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
     // exchange barrier: materialize fp once instead of once per block
     // (see minHashCandidates for the CollapseProject rationale)
+    val np = docsTokens.sparkSession.sparkContext.defaultParallelism
     val fp = docsTokens.select(
       col("doc_id"), SimHash64(col("toks")).as("fp"))
-      .repartition(col("doc_id"))
+      .repartition(np, col("doc_id"))
     val blocks = fp.select(
       col("doc_id"), col("fp"),
       explode(array((0 until nBlocks).map { b =>
@@ -326,6 +375,8 @@ object TextDedup {
           shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+      // AQE-exempt partitioning on the join key (see simHash128Candidates)
+      .repartition(np, col("blk"), col("bv"))
     val right = blocks.select(
       col("doc_id").as("doc_id_b"), col("fp").as("fp_b"),
       col("blk").as("blk_b"), col("bv").as("bv_b"))

@@ -53,6 +53,45 @@ object QProf {
     trivial(spark, "end")
   }
 
+  def q35stages(spark: SparkSession, dir: String): Unit = {
+    val np = spark.sparkContext.defaultParallelism
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fps = graft.operators.TextDedup.winnowFingerprints(
+      docs, "doc_id", "text", k = 3, window = 4)
+    time("fps.count")(fps.count())
+    time("fps agg-minfp")( // forces real fp evaluation (count() prunes it)
+      fps.groupBy(col("doc_id")).agg(min(col("fp"))).count())
+    val distinctOnly = fps.select(col("doc_id"), col("fp")).distinct()
+    time("distinct.count")(distinctOnly.count())
+    val dfp = distinctOnly.repartition(np, col("fp"))
+    time("dfp.count")(dfp.count())
+    System.err.println(dfp.queryExecution.executedPlan.toString.take(4000))
+    val right = dfp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+    val pairs = dfp.join(right,
+        col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
+      .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    time("pairs.count")(pairs.count())
+    // variant: checkpoint the (small) fingerprint index, then join
+    val ck = time("dfp.localCheckpoint")(distinctOnly.localCheckpoint())
+    val ckR = ck.repartition(np, col("fp"))
+    val rightCk = ckR.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+    val pairsCk = ckR.join(rightCk,
+        col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
+      .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    time("pairsCk.count")(pairsCk.count())
+    // variant: wider shuffle for the distinct
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    time("distinct @256")(fps.select(col("doc_id"), col("fp")).distinct().count())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("distinct @256 noAQE")(fps.select(col("doc_id"), col("fp")).distinct().count())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", np.toString)
+    time("full q35")(
+      graft.operators.TextDedup.winnowMatches(fps, 0.5).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -74,6 +113,7 @@ object QProf {
           val t0 = System.nanoTime()
           val cnt =
             if (n == "q17stages") { q17stages(spark, sfDir); -1L }
+            else if (n == "q35stages") { q35stages(spark, sfDir); -1L }
             else graft.SparkEntry.queries(n)(spark, sfDir).count()
           System.err.println(f"[qprof] run$i $n ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$cnt")
           spark.catalog.clearCache()
@@ -82,6 +122,10 @@ object QProf {
       } else if (name == "q17stages") {
         val t0 = System.nanoTime()
         q17stages(spark, sfDir)
+        System.err.println(f"[qprof] run$i total ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      } else if (name == "q35stages") {
+        val t0 = System.nanoTime()
+        q35stages(spark, sfDir)
         System.err.println(f"[qprof] run$i total ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } else {
         val t0 = System.nanoTime()
