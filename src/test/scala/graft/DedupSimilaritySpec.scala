@@ -110,6 +110,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got((1L, 4L)) >= 0.9) // pasted subset: containment ~1.0
   }
 
+  test("winnow matching: stop-fingerprint rule drops boilerplate pairs") {
+    // every doc shares a boilerplate prefix (license-header shape); two
+    // docs are additionally real clones. With the df cap, boilerplate
+    // fingerprints (df = 4 > cap) vanish from numerator AND denominators,
+    // so only the true clone pair survives.
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 30).map(i => s"x$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 30).map(i => s"x$i").mkString(" ")), // clone of 1
+      (3L, boiler + " " + (1 to 30).map(i => s"y$i").mkString(" ")),
+      (4L, boiler + " " + (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text", k = 3, window = 4)
+    val exact = TextDedup.winnowMatches(fps, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // uncapped: the shared boilerplate inflates EVERY pair's containment
+    assert(exact.contains((1L, 2L)) && exact.size > 1)
+    val capped = TextDedup.winnowMatches(fps, threshold = 0.5, maxDocFreq = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
   test("simhash64 expression: interpreted eval == codegen result, stable") {
     val df = Seq(
       Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "d"), Seq.empty[String]

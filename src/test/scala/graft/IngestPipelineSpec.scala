@@ -284,6 +284,51 @@ class IngestPipelineSpec extends SparkSpec {
     assert(state() == expected)
   }
 
+  test("op-aware CDC mode composes with MOR tables (tombstone deltas)") {
+    // same I/U/D semantics through the merge-on-read path: the delete
+    // lands as an O(batch) tombstone delta, resolved at read time
+    val land = tmpDir("cdcmorland")
+    val queueDir = tmpDir("cdcmorqueue")
+    val wh = tmpDir("cdcmorwh") + "/orders"
+    val schemaPath = tmpDir("cdcmorcfg") + "/silver.avsc"
+    Files.write(Paths.get(schemaPath), avsc.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$land/b1.csv"), batch1.getBytes(StandardCharsets.UTF_8))
+    val b2 = Seq(
+      header,
+      "U\t2025-03-02 09:00:00.000\t101\t1\tbooks##\t11.00\t2\t2025-03-01\tCA\tair\tweb",
+      "D\t2025-03-02 09:00:01.000\t102\t2\ttoys\t5.25\t1\t2025-03-01\tNY\tground\tad"
+    ).mkString("\n")
+    Files.write(Paths.get(s"$land/b2.csv"), b2.getBytes(StandardCharsets.UTF_8))
+    val config = JobConfig.fromJson(
+      s"""{
+         |  "spark": {},
+         |  "input_config": {
+         |    "queue_url": "$queueDir", "protocol": "file", "format": "csv",
+         |    "commit_checkpoint": true,
+         |    "cdc_op_column": "Op",
+         |    "cdc_order_column": "replicadmstimestamp",
+         |    "csv_options": {"sep": "\\t", "header": "true", "inferSchema": "true"}
+         |  },
+         |  "output_config": {
+         |    "catalog_name": "whcat", "database": "db", "table_name": "orders",
+         |    "mode": "merge", "schema": "$schemaPath",
+         |    "merge_keys": "invoiceid,itemid",
+         |    "table_type": "MOR", "compression": "snappy",
+         |    "partition": "destinationstate"
+         |  }
+         |}""".stripMargin)
+    val queue = new LocalDirQueue(queueDir)
+    val runner = new IngestRunner(spark, config, queue, wh)
+    queue.send("001.json", S3EventParser.eventJson(land, Seq("b1.csv")))
+    assert(runner.runOnce() == 1)
+    queue.send("002.json", S3EventParser.eventJson(land, Seq("b2.csv")))
+    assert(runner.runOnce() == 1)
+    val got = runner.table.read(spark)
+      .select("invoiceid", "itemid", "category").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((101, 1, "books##"), (103, 3, "games"))) // 102 deleted
+  }
+
   test("transform_query hook filters the batch before the sink") {
     val (base, _, land) = setupJob()
     val queueDir = tmpDir("q3")
