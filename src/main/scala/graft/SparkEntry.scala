@@ -721,6 +721,34 @@ object SparkEntry {
       graft.operators.TextDedup.winnowMatches(fps, threshold = 0.5)
     }),
 
+    // The dedup DECISION step: connected components over the MinHash+LSH
+    // pair set (q12's scale path) — transitive closure grouped into
+    // clusters, cluster id = min reachable doc_id ("keep the oldest").
+    // Min-label propagation to fixpoint: O(cluster diameter) rounds of one
+    // shuffle join + agg each; near-dup clusters are tiny so the round
+    // count stays small. Oracle: DuckDB WITH RECURSIVE closure.
+    "q36_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+      val pairs = TextDedup.verifyPairs(TextDedup.minHashCandidates(sh), sh, 0.5)
+      Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("d1"), col("d2")))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // Deterministic stratified sampling — training-data mixture building
+    // without rand(): the sampling decision is a pure function of the row
+    // key (first two hex chars of md5 < '28' ⇒ ~15.6%), so the sample is
+    // reproducible across engines, runs and partitionings, and the
+    // per-stratum rates are auditable. The same trick shards corpora into
+    // train/val/test splits that survive recomputation.
+    "q37_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "28")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1103,6 +1131,23 @@ object SparkEntry {
         |JOIN counts c1 ON c1.doc_id = d1
         |JOIN counts c2 ON c2.doc_id = d2
         |WHERE round(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp), 4) >= 0.5""".stripMargin,
+
+    // transitive closure of the near-dup pair set via WITH RECURSIVE; the
+    // UNION (distinct) bounds the recursion, min(label) per doc = cluster
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS ($oracleSqlQ11),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+         |          UNION ALL SELECT d2, d1 FROM p),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    "q37_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -132,6 +132,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("connected components: chains, singletons, multi-round convergence") {
+    import graft.operators.Dedup
+    // chain 1-2-3 (diameter 2 forces >1 propagation round), pair 5-6,
+    // singletons 4 and 7
+    val ids = (1L to 7L).toDF("id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("simhash64 expression: interpreted eval == codegen result, stable") {
     val df = Seq(
       Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "d"), Seq.empty[String]
