@@ -749,6 +749,36 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // TF-IDF top terms per document — the classic text-analysis scoring as
+    // two hash aggregations and a broadcast: term frequencies per (doc,
+    // term), document frequencies per term (tf is already distinct per
+    // doc, so count(*) = df), idf = ln(N/df) with the corpus size joined
+    // in as a 1-row broadcast (no driver collect). Ranking happens on the
+    // ROUNDED score (4 decimals, term-asc tiebreak) so the order is
+    // deterministic across engines — ln() may differ in the last ulp
+    // between libm implementations, and an unrounded ORDER BY could flip
+    // near-ties.
+    "q38_tfidf_topterms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("w").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("tfidf"), col("rank"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1148,6 +1178,27 @@ object SparkEntry {
     "q37_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'""".stripMargin,
+
+    "q38_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents
+        |  ) GROUP BY doc_id, w
+        |), dfreq AS (
+        |  SELECT w, count(*) AS df FROM tf GROUP BY w
+        |), total AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.w,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN total
+        |)
+        |SELECT doc_id, w AS term, tfidf, rank FROM (
+        |  SELECT doc_id, w, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, w ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 3""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
