@@ -779,6 +779,47 @@ object SparkEntry {
         .select(col("doc_id"), col("w").as("term"), col("tfidf"), col("rank"))
     }),
 
+    // Training-mixture construction: per-source target rates (upsample
+    // common-crawl-ish bulk down, keep curated sources whole) applied as
+    // per-stratum deterministic hash thresholds — the q37 sampler with a
+    // rate PER STRATUM. One scan, no shuffle except the audit rollup; the
+    // mixture is reproducible across engines and runs.
+    "q39_mixture_weights" -> ((s, dir) => {
+      // hex-prefix thresholds: keep fraction = x/256 of each source tier
+      val thr =
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit("29")) // ~16%
+        .when(col("source").isin("src4", "src5", "src6", "src7"), lit("80")) // 50%
+        .otherwise(lit("zz")) // keep whole (every hex prefix < "zz")
+      t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+    }),
+
+    // INT8 embedding quantization — the storage/serving transform a 100 TB
+    // vector corpus needs (4× smaller, SIMD-friendly): per-vector absmax
+    // scaling, q = clamp(round(x * 127 / absmax)). Rounding is spelled
+    // floor(v + 0.5) explicitly because engine-native round() disagrees
+    // between engines (HALF_UP vs banker's); floor is exact IEEE in both.
+    // Emits the quantized vector plus reconstruction error stats.
+    "q40_embedding_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("absmax", expr(
+          "aggregate(vec, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      e.withColumn("q", expr(
+          """transform(vec, x -> CAST(CASE WHEN absmax = 0.0 THEN 0.0
+            |  ELSE greatest(-127.0, least(127.0,
+            |    floor(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5))) END AS INT))""".stripMargin))
+        .withColumn("recon_mae", round(expr(
+          """aggregate(zip_with(vec, q, (x, qq) ->
+            |  abs(CAST(x AS DOUBLE) - CAST(qq AS DOUBLE) * absmax / 127.0)),
+            |  CAST(0.0 AS DOUBLE), (a, b) -> a + b) / size(vec)""".stripMargin), 6))
+        // CSV-string the int8 vector: the compare gate hashes scalar cells
+        .select(col("vec_id"), array_join(col("q"), ",").as("q_csv"),
+          round(col("absmax"), 6).as("absmax_r"), col("recon_mae"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1199,6 +1240,34 @@ object SparkEntry {
         |                       ORDER BY tfidf DESC, w ASC) AS rank
         |  FROM scored
         |) WHERE rank <= 3""".stripMargin,
+
+    "q39_mixture_weights" ->
+      """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3') THEN '29'
+        |       WHEN source IN ('src4','src5','src6','src7') THEN '80'
+        |       ELSE 'zz' END
+        |GROUP BY source""".stripMargin,
+
+    "q40_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS vec,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id, vec, absmax,
+        |    list_transform(vec, x -> CAST(CASE WHEN absmax = 0 THEN 0
+        |      ELSE greatest(-127.0, least(127.0,
+        |        floor(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5))) END AS INT)) AS q
+        |  FROM e
+        |)
+        |SELECT vec_id, array_to_string(q, ',') AS q_csv,
+        |  round(absmax, 6) AS absmax_r,
+        |  round(list_sum(list_transform(range(1, len(vec) + 1), i ->
+        |    abs(CAST(vec[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * absmax / 127.0)))
+        |    / len(vec), 6) AS recon_mae
+        |FROM qz""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
