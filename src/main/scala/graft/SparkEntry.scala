@@ -820,6 +820,47 @@ object SparkEntry {
           round(col("absmax"), 6).as("absmax_r"), col("recon_mae"))
     }),
 
+    // Sequence packing — batching documents into ~fixed-token training
+    // sequences. Packing is inherently order-dependent, so the scalable
+    // shape is SHARDED contiguous packing: docs partition into contiguous
+    // doc_id shards (independent ⇒ parallel; one window each), a running
+    // token sum within the shard assigns bin = cumsum div budget, and the
+    // rollup reports per-bin fill. No global sort anywhere — the
+    // single-sequence "optimal" packing would serialize the corpus.
+    "q41_sequence_pack" -> ((s, dir) => {
+      val budget = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          (col("doc_id") / 100).cast("long").as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      docs
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", ((col("cum") - 1) / budget).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+    // Benchmark decontamination — the GPT-3/Pile-style n-gram filter: a
+    // training document is contaminated if it shares ANY 8-gram with the
+    // benchmark set (here: doc_id < 50 plays the benchmark). Inverted-
+    // index equi-join on the gram (benchmark side is small → broadcast);
+    // emits contaminated docs with shared-gram counts — the removal list
+    // a training pipeline consumes.
+    "q42_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame, idAs: String) = df
+        .select(col("doc_id").as(idAs), explode(shingles(col("text"), 8)).as("gram"))
+      val bench = grams(docs.filter(col("doc_id") < 50), "bench_id")
+        .select(col("gram")).distinct()
+      grams(docs.filter(col("doc_id") >= 50), "doc_id")
+        .join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1268,6 +1309,39 @@ object SparkEntry {
         |    abs(CAST(vec[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * absmax / 127.0)))
         |    / len(vec), 6) AS recon_mae
         |FROM qz""".stripMargin,
+
+    "q41_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    doc_id // 100 AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM d
+        |)
+        |SELECT shard, (cum_bin) AS bin, count(*) AS n_docs,
+        |  sum(n_tokens) AS tok_sum, min(doc_id) AS first_doc
+        |FROM (SELECT *, (cum - 1) // 2048 AS cum_bin FROM c)
+        |GROUP BY shard, cum_bin""".stripMargin,
+
+    "q42_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+        |            for i in range(1, len(w) - 6)]
+        |      END)) AS gram
+        |  FROM toks
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+        |SELECT g.doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN bench ON g.gram = bench.gram
+        |WHERE g.doc_id >= 50
+        |GROUP BY g.doc_id""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
