@@ -272,17 +272,19 @@ object SparkEntry {
     // shingle sets are near-disjoint for unrelated docs, so hamming
     // separates signal from noise. Doubling 64→128 bits is what retires
     // the round-2 dense all-pairs scan: the radius that needed 17/64
-    // (sub-4-bit blocks ⇒ blocking degenerated) needs only ~27/128 —
-    // measured on this corpus: true pairs ≤ 22-25 bits, noise ≥ 32 — so
-    // 28 pigeonhole blocks of ≥4 bits guarantee recall with an equi-join
-    // plan (explode + shuffle join, no broadcast cartesian anywhere).
+    // (sub-4-bit blocks ⇒ blocking degenerated) needs only ~30/128 —
+    // measured on this corpus: true pairs ≤ 22-25 bits, noise ≥ 32; the
+    // sf1 scale harness showed a marginal pair at 28 bits, so radius 30
+    // (31 pigeonhole blocks, still ≥4 bits each) keeps recall with real
+    // margin at the same equi-join plan (explode + shuffle join, no
+    // broadcast cartesian anywhere).
     "q13_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
       // fingerprint over the same shingled frame the verifier uses — one
       // shingle computation, not two
       val cands = TextDedup.simHash128Candidates(
-        sh.select(col("doc_id"), col("sh").as("toks")), maxHamming = 27)
+        sh.select(col("doc_id"), col("sh").as("toks")), maxHamming = 30)
       TextDedup.verifyPairs(cands, sh, 0.5)
     }),
 

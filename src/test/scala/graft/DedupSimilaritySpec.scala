@@ -36,13 +36,14 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhash128 pigeonhole blocking recovers every exact pair (q13 path)") {
-    // radius 27 = 28 blocks of ≥4 bits over the 128-bit fingerprint; the
+    // radius 30 = 31 blocks of ≥4 bits over the 128-bit fingerprint; the
     // measured signal max is 19/22/25 bits at sf0.001/0.01/0.1 (probe
-    // tool), so pigeonhole guarantees recall with margin — and the plan is
-    // an equi-join, not the dense broadcast pair scan
+    // tool; a marginal 28-bit pair appeared on the sf1 scale harness), so
+    // pigeonhole guarantees recall with margin — and the plan is an
+    // equi-join, not the dense broadcast pair scan
     val toks = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("toks"))
     val got = TextDedup.verifyPairs(
-      TextDedup.simHash128Candidates(toks, maxHamming = 27), sh, 0.5)
+      TextDedup.simHash128Candidates(toks, maxHamming = 30), sh, 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(got == exactPairs)
   }
