@@ -28,7 +28,16 @@ import graft.table.WarehouseTable
   */
 object StreamingIngest {
 
-  /** Start a CSV-landing-dir → warehouse merge stream. */
+  /** Start a CSV-landing-dir → warehouse merge stream.
+    *
+    * `cdcOpColumn` (optional) turns the merge op-aware — the streaming twin
+    * of [[graft.pipeline.IngestRunner]]'s `cdc_op_column` mode: each
+    * micro-batch dedupes to the LATEST op per key, and rows whose op is in
+    * `cdcDeleteValues` DELETE their target row instead of upserting.
+    * Checkpoint replays stay idempotent: a replayed delete of an
+    * already-absent key is a no-op, a replayed upsert rewrites the same
+    * row.
+    */
   def start(
       spark: SparkSession,
       landingDir: String,
@@ -39,7 +48,9 @@ object StreamingIngest {
       orderDesc: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 10,
-      tiebreakDesc: Seq[String] = Nil): StreamingQuery = {
+      tiebreakDesc: Seq[String] = Nil,
+      cdcOpColumn: String = "",
+      cdcDeleteValues: Seq[String] = Seq("D")): StreamingQuery = {
     val stream = spark.readStream
       .options(csvOptions)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -53,10 +64,11 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           // the tiebreak keeps checkpoint replays deterministic: a ts tie
           // within a micro-batch must pick the same winner on every attempt
-          table.merge(
-            batch.sparkSession,
-            Dedup.latestByKey(batch, keys, orderDesc, tiebreakDesc),
-            keys)
+          val deduped = Dedup.latestByKey(batch, keys, orderDesc, tiebreakDesc)
+          val deleteWhere =
+            if (cdcOpColumn.isEmpty) None
+            else Some(col(cdcOpColumn).isin(cdcDeleteValues: _*))
+          table.merge(batch.sparkSession, deduped, keys, deleteWhere = deleteWhere)
         }
         ()
       }

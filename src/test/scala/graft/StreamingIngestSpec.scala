@@ -55,6 +55,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(table.read(spark).count() == 3)
   }
 
+  test("streaming op-aware CDC: I/U/D micro-batches delete through the stream") {
+    val cdcSchema = StructType(Seq(
+      StructField("op", StringType),
+      StructField("k", IntegerType),
+      StructField("ts", LongType),
+      StructField("v", StringType),
+      StructField("part", StringType)))
+    val landing = tmpDir("cdcland_s")
+    val ckpt = tmpDir("cdcckpt_s")
+    val table = WarehouseTable(tmpDir("cdcwh_s") + "/t")
+    // table schema EXCLUDES the op column (merge plumbing, not data)
+    table.create(schema, Some("part"), Map.empty)
+
+    // the file source orders batches by MODIFICATION TIME; same-second
+    // writes tie and the order becomes arbitrary — for CDC the cross-batch
+    // order is semantic (merge is last-writer-wins), so pin b1 older
+    Files.write(Paths.get(s"$landing/b1.csv"),
+      "op,k,ts,v,part\nI,1,10,a,CA\nI,2,10,b,NY\nI,3,10,c,TX\n"
+        .getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(Paths.get(s"$landing/b1.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    Files.write(Paths.get(s"$landing/b2.csv"),
+      // U updates 1; D deletes 2; intra-batch U-then-D on 3 (latest wins);
+      // D on absent key 9 no-ops
+      ("op,k,ts,v,part\nU,1,20,a2,CA\nD,2,20,b,NY\n" +
+        "U,3,20,c2,TX\nD,3,21,c2,TX\nD,9,20,x,CA\n")
+        .getBytes(StandardCharsets.UTF_8))
+
+    val q = StreamingIngest.start(
+      spark, landing, cdcSchema, Map("header" -> "true"),
+      table, keys = Seq("k"), orderDesc = "ts",
+      checkpointDir = ckpt, maxFilesPerTrigger = 1,
+      tiebreakDesc = Seq("op"), cdcOpColumn = "op")
+    q.awaitTermination(120000)
+
+    val out = table.read(spark)
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a2"))) // 2 and 3 deleted, 9 never existed
+  }
+
   test("graft-queue DSv2 stream: poll batches flow to a merge, ack after commit") {
     import org.apache.spark.sql.DataFrame
     val qdir = tmpDir("queue_src")
