@@ -19,19 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // A filtered run must not masquerade as a full one: stale parquet
-    // outputs of the SKIPPED queries (from an earlier full run into the
-    // same outDir) would let a compare silently mix results from different
-    // code versions — delete them so only this run's queries are present.
-    only.foreach { names =>
-      SparkEntry.queries.keys.filterNot(names.contains).foreach { name =>
-        val d = Paths.get(s"$outDir/$name")
-        if (Files.exists(d)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
+    def deleteDir(path: java.nio.file.Path): Unit =
+      if (Files.exists(path)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(path)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
       }
-    }
+    // No run may inherit a previous run's parquet for any query it does
+    // not itself produce: stale outputs of SKIPPED queries (filtered run
+    // into a reused outDir) or of FAILED queries (the catch below keeps
+    // going) would let the compare silently certify results from an older
+    // code version. Deleting every query's output up front — skipped and
+    // about-to-run alike — means anything present afterwards was written
+    // by THIS run.
+    SparkEntry.queries.keys.foreach(name => deleteDir(Paths.get(s"$outDir/$name")))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

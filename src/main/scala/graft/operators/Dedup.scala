@@ -70,6 +70,12 @@ object Dedup {
     * This is the plain-DataFrame form of the classic iterative CC (the
     * alternating large/small-star optimization exists for adversarially
     * deep graphs; dedup graphs don't need it — documented trade).
+    *
+    * Storage note: each round's checkpoint pins one labels-sized frame
+    * (16 bytes/row) in executor storage until the superseded frame becomes
+    * unreachable and the ContextCleaner reclaims its blocks — worst case
+    * `maxRounds × |ids|` transiently. The Dataset API exposes no handle to
+    * free a localCheckpoint eagerly; `maxRounds` is the bound.
     */
   def connectedComponents(
       ids: DataFrame,   // id

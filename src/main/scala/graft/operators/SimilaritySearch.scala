@@ -94,7 +94,12 @@ object SimilaritySearch {
       k: Int,
       maxBroadcastQueries: Long = 100000,
       blocks: Int = 64): DataFrame =
-    if (queries.count() <= maxBroadcastQueries) bruteForceTopK(queries, corpus, k)
+    // limit(bound+1).count() answers "≤ bound?" scanning at most bound+1
+    // rows — a full count() would execute the whole query-side plan once
+    // for the dispatch and again in the chosen path, which is exactly the
+    // unbounded work the shuffle path exists to avoid
+    if (queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+      bruteForceTopK(queries, corpus, k)
     else bruteForceTopKShuffle(queries, corpus, k, blocks)
 
   /** Per-bucket mean vector (the coarse quantizer codebook). Element-wise
@@ -164,7 +169,8 @@ object SimilaritySearch {
       nprobe: Int,
       maxBroadcastQueries: Long = 100000): DataFrame =
     ivfTopK(queries, corpus, cents, k, nprobe,
-      broadcastProbe = queries.count() <= maxBroadcastQueries)
+      broadcastProbe = queries.limit((maxBroadcastQueries + 1).toInt).count()
+        <= maxBroadcastQueries)
 
   /** Persist an IVF index AT REST: the corpus (id, vec, bucket) lands in a
     * [[graft.table.WarehouseTable]] PARTITIONED BY the quantizer bucket, so
@@ -200,7 +206,13 @@ object SimilaritySearch {
       k: Int,
       nprobe: Int,
       broadcastProbe: Boolean = true): DataFrame = {
-    val probe0 = probeBuckets(queries, cents, nprobe)
+    // Materialize the probe table ONCE: it feeds both the driver-side
+    // bucket collect (which decides the partitions to READ) and the
+    // scoring join (which decides the candidates to KEEP). Two separate
+    // executions could diverge on a nondeterministic query frame — the
+    // join would then probe a bucket the scan never read and silently
+    // drop its candidates. The frame is tiny (|Q| × nprobe rows).
+    val probe0 = probeBuckets(queries, cents, nprobe).localCheckpoint()
     val probed = if (broadcastProbe) broadcast(probe0) else probe0
     // bounded: at most nlist distinct bucket values reach the driver
     val bucketVals = probe0.select(col("bucket")).distinct()

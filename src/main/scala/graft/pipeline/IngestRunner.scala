@@ -123,7 +123,13 @@ final class IngestRunner(
     val orderCol = config.input.cdcOrderColumn
     require(keys.nonEmpty, "cdc_op_column requires output_config.merge_keys")
     require(orderCol.nonEmpty, "cdc_op_column requires input_config.cdc_order_column")
-    val deduped = Dedup.latestByKey(df, keys, orderDesc = orderCol)
+    // The op column doubles as the dedup tiebreak: a same-timestamp D/U
+    // tie for one key (common at ms-precision DMS feeds) must pick the
+    // SAME winner on every at-least-once replay, or replays diverge —
+    // without a tiebreak the row_number choice is partition-order luck.
+    // 'U' > 'I' > 'D' descending ⇒ a tied upsert beats a tied delete.
+    val deduped = Dedup.latestByKey(df, keys,
+      orderDesc = orderCol, tiebreakDesc = Seq(opCol))
     table.merge(spark, deduped, keys,
       deleteWhere = Some(col(opCol).isin(config.input.cdcDeleteValues: _*)))
   }
