@@ -1461,14 +1461,16 @@ object SparkEntry {
     val hits = sqlStopHits(allStops)
     val nTok = s"len($sqlTokens)"
     val meanWl = s"(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok)"
-    s"""SELECT doc_id, round(
+    // floor(x*10^4 + 0.5)/10^4 instead of round(): engine-native round()
+    // diverges on exact half boundaries (see TextFunctions.qualityScore)
+    s"""SELECT doc_id, floor((
        |  least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) * 0.25
        |  + (CASE WHEN len(text) = 0 THEN 0.0
        |      ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text) END) * 0.25
        |  + least((CASE WHEN $nTok = 0 THEN 0.0
        |      ELSE CAST($hits AS DOUBLE) / $nTok END) * 4.0, 1.0) * 0.25
        |  + (CASE WHEN $meanWl >= 3 AND $meanWl <= 10 THEN 1.0 ELSE 0.5 END) * 0.25
-       |, 4) AS quality
+       |) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM documents""".stripMargin
   }
 

@@ -111,7 +111,14 @@ object TextFunctions {
     val stopT = least(stopwordRatio(text) * 4.0, lit(1.0))
     val mwl = meanWordLen(text)
     val mwlTerm = when(mwl >= 3 && mwl <= 10, lit(1.0)).otherwise(lit(0.5))
-    round(lenTerm * 0.25 + alphaT * 0.25 + stopT * 0.25 + mwlTerm * 0.25, 4)
+    // ENGINE-STABLE rounding: Spark's round() goes through BigDecimal (the
+    // double's shortest decimal repr, HALF_UP) while DuckDB rounds the
+    // binary double — a score landing on an exact x.xxxx5 boundary flips
+    // between them (measured at sf0.1: one doc at 0.78375 → 0.7838 vs
+    // 0.7837). floor(x·10⁴ + 0.5)/10⁴ is pure IEEE arithmetic, identical
+    // in both engines for the same input double.
+    floor((lenTerm * 0.25 + alphaT * 0.25 + stopT * 0.25 + mwlTerm * 0.25)
+      * 10000.0 + 0.5) / 10000.0
   }
 
   /** Document fingerprint: md5 of normalized text (lowercase, collapsed
