@@ -838,7 +838,11 @@ object SparkEntry {
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
       docs
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("bin", ((col("cum") - 1) / budget).cast("long"))
+        // greatest(cum-1, 0) keeps the dividend non-negative, where trunc
+        // (Spark cast) and floor (DuckDB //) agree — the cum=0 edge (empty
+        // docs heading a shard) cannot diverge between engines.
+        .withColumn("bin",
+          floor(greatest(col("cum") - 1, lit(0L)) / budget).cast("long"))
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("tok_sum"),
@@ -1319,13 +1323,16 @@ object SparkEntry {
         |    doc_id // 100 AS shard
         |  FROM documents
         |), c AS (
+        |  -- CAST: DuckDB widens sum(BIGINT) window to HUGEINT, which the
+        |  -- driver's hash canonicalization renders differently — no HUGEINT
+        |  -- may escape. greatest(cum-1, 0) floor/trunc-aligns with Spark.
         |  SELECT doc_id, n_tokens, shard,
-        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
         |  FROM d
         |)
         |SELECT shard, (cum_bin) AS bin, count(*) AS n_docs,
-        |  sum(n_tokens) AS tok_sum, min(doc_id) AS first_doc
-        |FROM (SELECT *, (cum - 1) // 2048 AS cum_bin FROM c)
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
+        |FROM (SELECT *, CAST(greatest(cum - 1, 0) // 2048 AS BIGINT) AS cum_bin FROM c)
         |GROUP BY shard, cum_bin""".stripMargin,
 
     "q42_decontaminate" ->
