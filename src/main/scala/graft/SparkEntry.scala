@@ -726,9 +726,9 @@ object SparkEntry {
     // The dedup DECISION step: connected components over the MinHash+LSH
     // pair set (q12's scale path) — transitive closure grouped into
     // clusters, cluster id = min reachable doc_id ("keep the oldest").
-    // Min-label propagation to fixpoint: O(cluster diameter) rounds of one
-    // shuffle join + agg each; near-dup clusters are tiny so the round
-    // count stays small. Oracle: DuckDB WITH RECURSIVE closure.
+    // Alternating large-star/small-star contraction: O(log n) rounds
+    // regardless of cluster diameter (a chain of versioned near-dups
+    // cannot stall it). Oracle: DuckDB WITH RECURSIVE closure.
     "q36_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)

@@ -58,61 +58,128 @@ object Dedup {
     * the pair graph (singletons map to themselves) — the deterministic
     * "keep the oldest" policy.
     *
-    * Algorithm: min-label propagation to fixpoint. Each round joins the
-    * current labels to the (symmetrized) edge list, takes the min of own
-    * and neighbors' labels, and stops when no label changed — O(cluster
-    * diameter) rounds, each one shuffle join + aggregation. Near-dup
-    * clusters are overwhelmingly tiny (pairs/cliques), so the diameter —
-    * and the round count — is small in practice; each round's frame is
-    * checkpointed so lineage (and recomputation) doesn't grow with
-    * rounds. The driver sees only the converged-or-not count, never data.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the edge
+    * set itself is contracted toward one star per component centered at the
+    * component minimum:
     *
-    * This is the plain-DataFrame form of the classic iterative CC (the
-    * alternating large/small-star optimization exists for adversarially
-    * deep graphs; dedup graphs don't need it — documented trade).
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: with edges oriented large→small, every node attaches
+    *    its smaller neighbors and itself to that minimum.
     *
-    * Storage note: each round's checkpoint pins one labels-sized frame
-    * (16 bytes/row) in executor storage until the superseded frame becomes
-    * unreachable and the ContextCleaner reclaims its blocks — worst case
-    * `maxRounds × |ids|` transiently. The Dataset API exposes no handle to
-    * free a localCheckpoint eagerly; `maxRounds` is the bound.
+    * Convergence is O(log n) rounds INDEPENDENT of cluster diameter — the
+    * previous min-label-propagation version moved labels one hop per round
+    * and aborted at 20 rounds, which a chain of versioned near-identical
+    * documents (diameter > 20) hits by construction at corpus scale. Each
+    * round is two window-min passes + distinct (plain shuffles, no driver
+    * data); the driver sees only a (count, xor-of-hashes) fingerprint per
+    * round for the fixpoint test.
+    *
+    * Storage note: each round's frame is local-checkpointed to cut lineage,
+    * and the PREVIOUS round's checkpoint blocks are unpersisted explicitly
+    * as soon as the new round is materialized — at most two edge-set-sized
+    * frames are pinned at any moment, regardless of round count. The final
+    * round's blocks stay pinned (the returned plan reads them) until the
+    * ContextCleaner reclaims the frame.
     */
   def connectedComponents(
       ids: DataFrame,   // id
       pairs: DataFrame, // d1, d2 (undirected)
-      maxRounds: Int = 20): DataFrame = {
-    val np = ids.sparkSession.sparkContext.defaultParallelism
-    // symmetrize once; explicit partitioning on the join key (AQE-exempt —
-    // edge frames are tiny by bytes, the per-round join must stay parallel)
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(np, col("src"))
-      .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("cluster"))
-      .repartition(np, col("id"))
-      .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // min over own label and every neighbor's label
-      val neighborMin = edges
-        .join(labels.select(col("id").as("src"), col("cluster").as("nc")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("nc")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .repartition(np, col("id"))
-        .localCheckpoint()
-      val changed = next.join(
-          labels.select(col("id"), col("cluster").as("old")), "id")
-        .filter(col("cluster") =!= col("old"))
-        .count()
-      labels = next
-      converged = changed == 0
-      round += 1
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(ids, pairs, maxRounds)._1
+
+  /** As `connectedComponents`, also returning the round count — exposed so
+    * specs can assert the O(log n) bound on adversarially deep graphs.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      ids: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val sc = ids.sparkSession.sparkContext
+    val np = sc.defaultParallelism
+
+    // local checkpoint + the RDD blocks it pinned, so the superseded
+    // round's storage can be freed eagerly (the Dataset API exposes no
+    // direct handle to a localCheckpoint's blocks; the persistent-RDD
+    // registry diff is the public seam — this loop is the only thing
+    // creating checkpoints between the two snapshots)
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint() // eager: materialized here
+      val pinned = sc.getPersistentRDDs.collect {
+        case (k, r) if !before.contains(k) => r
+      }.toSeq
+      (cp, pinned)
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    labels
+
+    // large-star: for each u, attach neighbors v > u to min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy(col("src"))
+      sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: orient large→small; attach smaller neighbors and self
+    // to the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val w = Window.partitionBy(col("src"))
+      val withMin = directed.withColumn("m", least(min(col("dst")).over(w), col("src")))
+      withMin.select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // order-independent set fingerprint: row count + xor of per-edge
+    // hashes. Equal fingerprints on consecutive rounds = fixpoint (the
+    // alternation's only fixpoints are min-centered star sets).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var (edges, pinned) = checkpointTracked(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        // explicit partitioning (AQE-exempt): edge frames are tiny by
+        // bytes, the per-round passes must stay parallel
+        .repartition(np, col("src")))
+    var prev: Option[(Long, Long)] = None
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val (next, nextPinned) =
+        checkpointTracked(smallStar(largeStar(edges)).repartition(np, col("src")))
+      val cur = fingerprint(next)
+      converged = prev.contains(cur)
+      prev = Some(cur)
+      // `next` is materialized (eager checkpoint) — the previous round's
+      // blocks are now unreachable from any future computation
+      pinned.foreach(_.unpersist(blocking = false))
+      edges = next
+      pinned = nextPinned
+      rounds += 1
+    }
+    // With O(log n) convergence this bound is a genuine-bug backstop
+    // (maxRounds = 50 covers components of ~2^50 nodes), not a data-shape
+    // hazard like the old diameter-bounded propagation.
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    val labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("cluster"))
+    val out = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (out, rounds)
   }
 }

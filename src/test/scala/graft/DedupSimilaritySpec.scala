@@ -145,6 +145,36 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components: 1000-node chain converges in O(log n) rounds") {
+    import graft.operators.Dedup
+    // a versioned-document chain: diameter 999 — the shape that killed the
+    // old one-hop-per-round propagation (hard abort at 20 rounds). The
+    // star contraction must cluster it correctly in ~log2(n) rounds.
+    val n = 1000L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(ids, pairs, maxRounds = 50)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
+    assert(rounds <= 15, s"expected ~log2(1000)+c rounds, got $rounds")
+  }
+
+  test("connected components: interleaved components and duplicate edges") {
+    import graft.operators.Dedup
+    // two interleaved odd/even chains + duplicate and self edges: the
+    // contraction must neither merge the components nor choke on dups
+    val ids = (1L to 10L).toDF("id")
+    val pairs = ((1L to 8L by 2).map(i => (i, i + 2)) ++   // odds: 1-3-5-7-9
+      (2L to 8L by 2).map(i => (i + 2, i)) ++              // evens, reversed
+      Seq((3L, 5L), (5L, 3L), (4L, 4L))).toDF("d1", "d2")  // dup + self
+    val got = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    val expected = (1L to 10L).map(i => i -> (if (i % 2 == 1) 1L else 2L)).toMap
+    assert(got == expected)
+  }
+
   test("simhash64 expression: interpreted eval == codegen result, stable") {
     val df = Seq(
       Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "b", "d"), Seq.empty[String]
