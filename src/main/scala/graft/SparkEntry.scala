@@ -768,11 +768,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("n_docs"))
+      // dfreq is the full vocabulary (executor-memory-bound at corpus
+      // scale) — no broadcast hint; AQE size-dispatches, and the w-keyed
+      // aggregation output is already co-partitioned with tf for the
+      // shuffle-join case. The 1-row corpus count stays broadcast.
+      // tfidf uses engine-stable rounding (floor(x·10⁴+0.5)/10⁴) because
+      // the RANK runs on the rounded value: a half-boundary divergence
+      // between Spark's BigDecimal HALF_UP and DuckDB's binary-double
+      // round() would flip the order.
       val scored = tf
-        .join(broadcast(dfreq), "w")
+        .join(dfreq, "w")
         .crossJoin(broadcast(total))
         .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+          floor(col("tf") * log(col("n_docs").cast("double") / col("df"))
+            * 10000.0 + 0.5) / 10000.0)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("w").asc)
       scored
@@ -1244,11 +1253,13 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |SELECT d1, d2, shared,
-        |  round(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp), 4) AS containment
+        |  floor(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp)
+        |    * 10000.0 + 0.5) / 10000.0 AS containment
         |FROM pairs
         |JOIN counts c1 ON c1.doc_id = d1
         |JOIN counts c2 ON c2.doc_id = d2
-        |WHERE round(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp), 4) >= 0.5""".stripMargin,
+        |WHERE floor(CAST(shared AS DOUBLE) / least(c1.n_fp, c2.n_fp)
+        |    * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
 
     // transitive closure of the near-dup pair set via WITH RECURSIVE; the
     // UNION (distinct) bounds the recursion, min(label) per doc = cluster
@@ -1278,7 +1289,8 @@ object SparkEntry {
         |), total AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT doc_id, tf.w,
-        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |    floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000.0 + 0.5)
+        |      / 10000.0 AS tfidf
         |  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN total
         |)
         |SELECT doc_id, w AS term, tfidf, rank FROM (

@@ -98,9 +98,14 @@ object SimilaritySearch {
     // rows — a full count() would execute the whole query-side plan once
     // for the dispatch and again in the chosen path, which is exactly the
     // unbounded work the shuffle path exists to avoid
-    if (queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+    if (queries.limit(boundedLimit(maxBroadcastQueries)).count() <= maxBroadcastQueries)
       bruteForceTopK(queries, corpus, k)
     else bruteForceTopKShuffle(queries, corpus, k, blocks)
+
+  // limit() takes an Int: clamp so a Long bound >= Int.MaxValue means
+  // "always broadcast" instead of overflowing to a negative/small limit
+  private def boundedLimit(bound: Long): Int =
+    if (bound >= Int.MaxValue) Int.MaxValue else (bound + 1).toInt
 
   /** Per-bucket mean vector (the coarse quantizer codebook). Element-wise
     * mean via posexplode + groupBy — one shuffle of (bucket, pos) pairs.
@@ -169,7 +174,7 @@ object SimilaritySearch {
       nprobe: Int,
       maxBroadcastQueries: Long = 100000): DataFrame =
     ivfTopK(queries, corpus, cents, k, nprobe,
-      broadcastProbe = queries.limit((maxBroadcastQueries + 1).toInt).count()
+      broadcastProbe = queries.limit(boundedLimit(maxBroadcastQueries)).count()
         <= maxBroadcastQueries)
 
   /** Persist an IVF index AT REST: the corpus (id, vec, bucket) lands in a

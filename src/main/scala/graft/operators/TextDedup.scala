@@ -217,11 +217,20 @@ object TextDedup {
         col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
       .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
       .agg(count(lit(1)).as("shared"))
+    // totals joins are NOT hinted broadcast: counts has one row per
+    // document, which is executor-memory-bound at corpus scale. AQE
+    // size-dispatches — broadcast when the measured side is small, shuffle
+    // join beyond that (both sides re-aggregate from the checkpointed dfp,
+    // so neither rebuilds the fingerprint pipeline).
     pairs
-      .join(broadcast(counts.select(col("doc_id").as("d1"), col("n_fp").as("n1"))), "d1")
-      .join(broadcast(counts.select(col("doc_id").as("d2"), col("n_fp").as("n2"))), "d2")
+      .join(counts.select(col("doc_id").as("d1"), col("n_fp").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_fp").as("n2")), "d2")
+      // engine-stable rounding (floor(x·10⁴+0.5)/10⁴, exact IEEE in both
+      // engines): containment feeds the threshold FILTER — a half-boundary
+      // value rounded differently would flip pair inclusion vs the oracle
       .withColumn("containment",
-        round(col("shared").cast("double") / least(col("n1"), col("n2")), 4))
+        floor(col("shared").cast("double") / least(col("n1"), col("n2"))
+          * 10000.0 + 0.5) / 10000.0)
       .filter(col("containment") >= threshold)
       .select(col("d1"), col("d2"), col("shared"), col("containment"))
   }

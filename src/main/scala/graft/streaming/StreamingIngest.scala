@@ -63,8 +63,16 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           // the tiebreak keeps checkpoint replays deterministic: a ts tie
-          // within a micro-batch must pick the same winner on every attempt
-          val deduped = Dedup.latestByKey(batch, keys, orderDesc, tiebreakDesc)
+          // within a micro-batch must pick the same winner on every attempt.
+          // In op-aware mode the op column is always part of the tiebreak —
+          // otherwise a same-order D/U tie for one key would be resolved by
+          // partition-order luck and replays could nondeterministically
+          // delete vs upsert (mirrors IngestRunner.writeCdc).
+          val tiebreak =
+            if (cdcOpColumn.nonEmpty && !tiebreakDesc.contains(cdcOpColumn))
+              tiebreakDesc :+ cdcOpColumn
+            else tiebreakDesc
+          val deduped = Dedup.latestByKey(batch, keys, orderDesc, tiebreak)
           val deleteWhere =
             if (cdcOpColumn.isEmpty) None
             else Some(col(cdcOpColumn).isin(cdcDeleteValues: _*))
