@@ -876,6 +876,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared_grams"))
     }),
 
+    // PII redaction — the content-scrubbing stage of a training pipeline:
+    // regex-class scrub (email/SSN/phone/IPv4) as a codegen'd
+    // regexp_replace chain plus per-class audit counts (map-only, no
+    // shuffle, no UDF). The corpus carries no organic PII, so
+    // deterministic patterns are planted INSIDE the query (the q24
+    // planted-pair trick): docs at doc_id % {3,4,5} == 0 gain an email /
+    // phone / SSN; the oracle plants and scrubs identically. Output keys
+    // the redacted text by md5 so the gate hashes a bounded cell.
+    "q43_pii_redaction" -> ((s, dir) => {
+      import graft.operators.PiiRedaction
+      val id = col("doc_id").cast("string")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), id, lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      PiiRedaction.scrub(planted, "text")
+        .select(col("doc_id"), md5(col("redacted")).as("red_md5"),
+          col("n_email"), col("n_ssn"), col("n_phone"), col("n_ipv4"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1363,6 +1390,38 @@ object SparkEntry {
         |FROM g JOIN bench ON g.gram = bench.gram
         |WHERE g.doc_id >= 50
         |GROUP BY g.doc_id""".stripMargin,
+
+    "q43_pii_redaction" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  md5(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b555-\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+        |  ) AS red_md5,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b', 0)) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b555-\d{4}\b', 0)) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS BIGINT) AS n_ipv4
+        |FROM planted""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
