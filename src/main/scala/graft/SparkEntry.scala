@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, MergeInto, SimilaritySearch, TemporalJoins, TextDedup}
+import graft.operators.{Dedup, MergeInto, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -747,7 +747,7 @@ object SparkEntry {
     // train/val/test splits that survive recomputation.
     "q37_stratified_sample" -> ((s, dir) => {
       t(s, dir, "documents")
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "28")
+        .filter(Sampling.keep(col("doc_id"), lit("28")))
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -802,7 +802,7 @@ object SparkEntry {
         .when(col("source").isin("src4", "src5", "src6", "src7"), lit("80")) // 50%
         .otherwise(lit("zz")) // keep whole (every hex prefix < "zz")
       t(s, dir, "documents")
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+        .filter(Sampling.keep(col("doc_id"), thr))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
     }),

@@ -83,6 +83,50 @@ object StreamingIngest {
       .start()
   }
 
+  /** Deterministic train/val/test sharding as a STREAMING stage — the
+    * streaming twin of the batch samplers (q37 stratified sample, q39
+    * mixture): micro-batches from a landing dir get a shard label from
+    * [[graft.operators.Sampling.shard]] (a pure function of the row key)
+    * and land in `outDir` partitioned by shard.
+    *
+    * Because the shard decision carries no state and no randomness, the
+    * stage needs no aggregation, no watermark, and no custom state: a
+    * replayed micro-batch re-derives the identical labels, and the UNION
+    * of all micro-batch outputs equals the batch sampler run over the same
+    * files — asserted in `StreamingIngestSpec`. At scale this is a
+    * map-only stage appended to any ingest stream.
+    */
+  def startSampler(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String, // "parquet" | "csv" | "json"
+      options: Map[String, String],
+      keyCol: String,
+      cuts: Seq[(String, String)],
+      defaultShard: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream
+      .withColumn("shard",
+        graft.operators.Sampling.shard(col(keyCol), cuts, defaultShard))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .partitionBy("shard")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** One keyed event on the session stream. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

@@ -55,6 +55,44 @@ class StreamingIngestSpec extends SparkSpec {
     assert(table.read(spark).count() == 3)
   }
 
+  test("streaming sampler emits the exact batch q37 sample on the same files") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(src)
+    val landing = tmpDir("samp_land")
+    // two parquet files in the landing dir: maxFilesPerTrigger=1 forces
+    // two micro-batches, so the equivalence covers the multi-batch union
+    val staging = tmpDir("samp_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    val outDir = tmpDir("samp_out") + "/shards"
+    val ckpt = tmpDir("samp_ckpt")
+    def run() = {
+      val q = StreamingIngest.startSampler(
+        spark, landing, docs.schema, "parquet", Map.empty,
+        keyCol = "doc_id", cuts = Seq("sample" -> "28"), defaultShard = "rest",
+        outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination(120000)
+    }
+    run()
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("shard") === "sample")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val batch = SparkEntry.queries("q37_stratified_sample")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    // partition completeness: every input row lands in exactly one shard
+    assert(spark.read.parquet(outDir).count() == docs.count())
+    // checkpoint replay: a second AvailableNow pass finds no new files
+    run()
+    assert(spark.read.parquet(outDir).count() == docs.count())
+  }
+
   test("streaming op-aware CDC: I/U/D micro-batches delete through the stream") {
     val cdcSchema = StructType(Seq(
       StructField("op", StringType),
