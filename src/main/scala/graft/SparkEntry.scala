@@ -175,9 +175,10 @@ object SparkEntry {
           tokenCount(col("text")).cast("long").as("n_tokens"),
           bpeishCount(col("text")).as("n_bpeish"),
           punctCount(col("text")).cast("long").as("n_punct"),
-          round(
-            length(regexp_replace(col("text"), "\\s+", "")).cast("double")
-              / tokenCount(col("text")), 4).as("mean_word_len"))
+          // engine-stable rounding (see TextFunctions.qualityScore)
+          (floor(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+              / tokenCount(col("text")) * 10000.0 + 0.5) / 10000.0)
+            .as("mean_word_len"))
     }),
 
     // Quality scoring (length/alpha/stopword/word-length blend).
@@ -250,9 +251,11 @@ object SparkEntry {
       pairs
         .join(broadcast(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), "d1")
         .join(broadcast(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), "d2")
+        // engine-stable rounding: see TextDedup.verifyPairs (the jaccard
+        // feeds the threshold filter)
         .withColumn("jaccard",
-          round(col("inter").cast("double")
-            / (col("n1") + col("n2") - col("inter")), 4))
+          floor(col("inter").cast("double")
+            / (col("n1") + col("n2") - col("inter")) * 10000.0 + 0.5) / 10000.0)
         .filter(col("jaccard") >= 0.5)
         .select(col("d1"), col("d2"), col("jaccard"))
     }),
@@ -822,13 +825,17 @@ object SparkEntry {
           """transform(vec, x -> CAST(CASE WHEN absmax = 0.0 THEN 0.0
             |  ELSE greatest(-127.0, least(127.0,
             |    floor(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5))) END AS INT))""".stripMargin))
-        .withColumn("recon_mae", round(expr(
+        // engine-stable rounding at 6 decimals (floor(x·10⁶+0.5)/10⁶) —
+        // same half-boundary rationale as qualityScore, at this scale
+        .withColumn("recon_mae", floor(expr(
           """aggregate(zip_with(vec, q, (x, qq) ->
             |  abs(CAST(x AS DOUBLE) - CAST(qq AS DOUBLE) * absmax / 127.0)),
-            |  CAST(0.0 AS DOUBLE), (a, b) -> a + b) / size(vec)""".stripMargin), 6))
+            |  CAST(0.0 AS DOUBLE), (a, b) -> a + b) / size(vec)""".stripMargin)
+          * 1000000.0 + 0.5) / 1000000.0)
         // CSV-string the int8 vector: the compare gate hashes scalar cells
         .select(col("vec_id"), array_join(col("q"), ",").as("q_csv"),
-          round(col("absmax"), 6).as("absmax_r"), col("recon_mae"))
+          (floor(col("absmax") * 1000000.0 + 0.5) / 1000000.0).as("absmax_r"),
+          col("recon_mae"))
     }),
 
     // Sequence packing — batching documents into ~fixed-token training
@@ -978,8 +985,9 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |    w -> greatest(1, CAST(ceil(len(w) / 4.0) AS BIGINT)))) AS BIGINT) AS n_bpeish,
         |  CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
-        |  round(CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |    / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len
+        |  floor(CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+'))
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_word_len
         |FROM documents""".stripMargin,
 
     "q09_quality_score" -> qualityOracleSql,
@@ -1349,10 +1357,10 @@ object SparkEntry {
         |  FROM e
         |)
         |SELECT vec_id, array_to_string(q, ',') AS q_csv,
-        |  round(absmax, 6) AS absmax_r,
-        |  round(list_sum(list_transform(range(1, len(vec) + 1), i ->
+        |  floor(absmax * 1000000.0 + 0.5) / 1000000.0 AS absmax_r,
+        |  floor(list_sum(list_transform(range(1, len(vec) + 1), i ->
         |    abs(CAST(vec[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * absmax / 127.0)))
-        |    / len(vec), 6) AS recon_mae
+        |    / len(vec) * 1000000.0 + 0.5) / 1000000.0 AS recon_mae
         |FROM qz""".stripMargin,
 
     "q41_sequence_pack" ->
@@ -1520,9 +1528,11 @@ object SparkEntry {
       |  GROUP BY 1, 2
       |)
       |SELECT d1, d2,
-      |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+      |  floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 10000.0 + 0.5)
+      |    / 10000.0 AS jaccard
       |FROM pairs
-      |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= 0.5""".stripMargin
+      |WHERE floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 10000.0 + 0.5)
+      |    / 10000.0 >= 0.5""".stripMargin
 
   // The quality/langid oracle SQL is generated from the same stopword
   // tables as the Spark functions so the two can never drift.

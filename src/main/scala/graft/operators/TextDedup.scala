@@ -54,8 +54,13 @@ object TextDedup {
     candidates
       .join(left, "d1").join(right, "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      // engine-stable rounding (floor(x·10⁴+0.5)/10⁴): jaccard feeds the
+      // threshold filter, so a half-boundary divergence between Spark's
+      // BigDecimal HALF_UP round() and DuckDB's binary-double round()
+      // would flip pair inclusion vs the oracle
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+        floor(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")) * 10000.0 + 0.5) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -213,7 +218,13 @@ object TextDedup {
     val dfp = indexed.localCheckpoint().repartition(np, col("fp"))
     val counts = dfp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val right = dfp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
-    val pairs = dfp.join(right,
+    // shuffle_hash hint: the index is SMALL BY BYTES, so size-based
+    // planning picks a broadcast hash join here — which serializes the
+    // CPU-quadratic per-fingerprint pair fanout onto whatever stage reads
+    // the broadcast (measured 4-8x slower at sf1). The hint pins the
+    // equi-join to the fp-partitioned parallel plan; bytes are the wrong
+    // cost model for this join, exactly like the AQE-exempt repartition.
+    val pairs = dfp.join(right.hint("shuffle_hash"),
         col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
       .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
       .agg(count(lit(1)).as("shared"))
