@@ -127,6 +127,61 @@ object StreamingIngest {
       .start()
   }
 
+  /** Benchmark decontamination as a STREAMING stage — the q42 shape
+    * (GPT-3/Pile shared-n-gram filter) applied per micro-batch: every
+    * arriving document is tagged `contaminated` (+ shared-gram count) by
+    * joining its distinct word n-grams against a STATIC benchmark gram
+    * set. The benchmark side is fixed for the life of the stream, so the
+    * stage is stateless: no watermark, no streaming aggregation — each
+    * micro-batch runs the plain batch join inside `foreachBatch`.
+    *
+    * Replay idempotency comes from keying the output by micro-batch id
+    * (`outDir/batch=<id>`, overwrite): a batch replayed after a crash
+    * rewrites its own directory rather than appending duplicates —
+    * the same guarantee the file sink's manifest gives the sampler stage.
+    *
+    * At scale the benchmark gram set is bounded by the benchmark suite
+    * (millions of grams, not corpus-sized), so the per-batch join
+    * broadcast-dispatches under AQE exactly like batch q42.
+    */
+  def startDecontaminator(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      benchGrams: DataFrame, // one column: gram (distinct)
+      gramN: Int,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grams = batch.select(col(idCol),
+          explode(graft.functions.TextFunctions.shingles(col(textCol), gramN)).as("gram"))
+        val hits = grams.join(benchGrams, "gram")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared_grams"))
+        batch.join(hits, Seq(idCol), "left")
+          .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+          .withColumn("contaminated", col("n_shared_grams") > 0)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** One keyed event on the session stream. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

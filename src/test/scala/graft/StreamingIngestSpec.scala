@@ -93,6 +93,42 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == docs.count())
   }
 
+  test("streaming decontaminator flags exactly the batch q42 set") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // same split as q42: doc_id < 50 is the benchmark, the rest streams in
+    val benchGrams = docs.filter(col("doc_id") < 50)
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 8)).as("gram"))
+      .distinct()
+    val training = docs.filter(col("doc_id") >= 50)
+    val landing = tmpDir("decon_land")
+    val staging = tmpDir("decon_stage") + "/files"
+    training.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("decon_out") + "/tagged"
+    val ckpt = tmpDir("decon_ckpt")
+    def run() = StreamingIngest.startDecontaminator(
+      spark, landing, training.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", benchGrams = benchGrams, gramN = 8,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination(120000)
+    run()
+    val flagged = spark.read.parquet(outDir)
+      .filter(col("contaminated"))
+      .select("doc_id", "n_shared_grams").as[(Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q42_decontaminate")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty && flagged == batch)
+    // pass-through completeness: every training doc is tagged exactly once
+    assert(spark.read.parquet(outDir).count() == training.count())
+    // checkpoint replay: nothing new to process, nothing duplicated
+    run()
+    assert(spark.read.parquet(outDir).count() == training.count())
+  }
+
   test("streaming op-aware CDC: I/U/D micro-batches delete through the stream") {
     val cdcSchema = StructType(Seq(
       StructField("op", StringType),
