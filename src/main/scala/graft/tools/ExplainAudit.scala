@@ -38,46 +38,43 @@ object ExplainAudit {
       "BroadcastNestedLoopJoin" -> "bnlj",
       "CartesianProduct" -> "cartesian",
       "partial_" -> "partialAgg",
-      "WholeStageCodegen" -> "codegen",
+      // executed-plan tree strings render whole-stage codegen spans as
+      // "*(n) Operator" prefixes, not the node class name
+      "*(" -> "codegen",
       "ReusedExchange" -> "reusedEx")
-    // q36 is iterative: its label-propagation rounds execute eagerly while
-    // the query builds, so listener-capture (not explain) sees every round
-    val sideEffecting =
-      Set("q17_warehouse_cdc", "q23_sql_merge", "q30_merge_schema_evolution",
-        "q33_cdc_delete_pipeline", "q34_ivf_at_rest", "q36_dedup_clusters")
+    // EVERY query is audited BY EXECUTION: a pre-execution explain shows
+    // AQE's speculative plan (join strategies may still flip, and
+    // WholeStageCodegen spans only appear in the final plan). The listener
+    // captures each action's executed plan — for side-effecting queries
+    // (q17/q23/q30/q33/q34) that includes the merge-path plans that run
+    // inside the pipeline, for iterative ones (q36) every round.
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        if (!sideEffecting.contains(name)) {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          val found = markers.collect { case (m, tag) if plan.contains(m) => tag }
-          println(s"[audit] $name: ${found.mkString(" ")}")
-        } else {
-          val captured = new scala.collection.mutable.ArrayBuffer[String]
-          val listener = new QueryExecutionListener {
-            override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-              captured.synchronized { captured += qe.executedPlan.toString }
-            override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
-          }
-          spark.listenerManager.register(listener)
-          try {
-            val df = fn(spark, sfDir) // executes create/insert/merge side effects
-            df.count()                // executes the final snapshot read
-            // listener events are delivered asynchronously — drain until the
-            // captured set is stable (bounded wait)
-            var last = -1
-            var spins = 0
-            while (captured.synchronized(captured.size) != last && spins < 50) {
-              last = captured.synchronized(captured.size)
-              Thread.sleep(100)
-              spins += 1
-            }
-            val plans = captured.synchronized(captured.toList)
-            val found = markers.collect {
-              case (m, tag) if plans.exists(_.contains(m)) => tag
-            }
-            println(s"[audit] $name: ${found.mkString(" ")} (executed, ${plans.size} plans)")
-          } finally spark.listenerManager.unregister(listener)
+        val captured = new scala.collection.mutable.ArrayBuffer[String]
+        val listener = new QueryExecutionListener {
+          override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+            captured.synchronized { captured += qe.executedPlan.toString }
+          override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
         }
+        spark.listenerManager.register(listener)
+        try {
+          val df = fn(spark, sfDir) // executes any pipeline side effects
+          df.count()                // executes the returned frame
+          // listener events are delivered asynchronously — drain until the
+          // captured set is stable (bounded wait)
+          var last = -1
+          var spins = 0
+          while (captured.synchronized(captured.size) != last && spins < 50) {
+            last = captured.synchronized(captured.size)
+            Thread.sleep(100)
+            spins += 1
+          }
+          val plans = captured.synchronized(captured.toList)
+          val found = markers.collect {
+            case (m, tag) if plans.exists(_.contains(m)) => tag
+          }
+          println(s"[audit] $name: ${found.mkString(" ")} (executed, ${plans.size} plans)")
+        } finally spark.listenerManager.unregister(listener)
       } catch {
         case e: Throwable => println(s"[audit] $name: ERROR ${String.valueOf(e.getMessage).take(80)}")
       }
