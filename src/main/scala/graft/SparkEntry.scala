@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, MergeInto, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
+import graft.operators.{Dedup, MergeInto, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -910,6 +910,32 @@ object SparkEntry {
           col("n_email"), col("n_ssn"), col("n_phone"), col("n_ipv4"))
     }),
 
+    // Segment-level exact dedup (the C4/RefinedWeb line-dedup stage): the
+    // corpus is re-crawled inside the query (every doc_id % 7 == 0 doc
+    // reappears under doc_id + 100000 — the planted-duplicate trick, so
+    // the dup counts are deterministic at every SF) and each 16-word
+    // segment keeps only its global first occurrence.
+    "q44_segment_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      TextDedup.segmentDedup(base.unionAll(recrawl), "doc_id", "text", segWords = 16)
+    }),
+
+    // Gopher-style repetition quality signals: duplicate-word fraction,
+    // top-word share, top-bigram coverage, and a threshold flag computed
+    // on the rounded fractions (engine-reproducible cut).
+    "q45_repetition_quality" -> ((s, dir) =>
+      Repetition.signals(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Deterministic global training order: 16-way shard + dense position
+    // within shard from the md5 of the key — built two-level (micro-bucket
+    // rank + prefix-sum offsets over a ≤4096-row coordination table) so no
+    // single task ever sorts a whole shard. Semantically identical to
+    // row_number() OVER (PARTITION BY shard ORDER BY hashkey, doc_id).
+    "q46_training_order" -> ((s, dir) =>
+      Sampling.trainingOrder(t(s, dir, "documents"), "doc_id")),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1430,6 +1456,82 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS BIGINT) AS n_ipv4
         |FROM planted""".stripMargin,
+
+    "q44_segment_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+        |), words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS ord
+        |  FROM base
+        |), segs AS (
+        |  SELECT doc_id, CAST((ord - 1) // 16 AS BIGINT) AS pos,
+        |    string_agg(w, ' ' ORDER BY ord) AS seg
+        |  FROM words GROUP BY doc_id, (ord - 1) // 16
+        |), marked AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM segs
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_segs,
+        |  md5(coalesce(
+        |    string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')) AS clean_md5
+        |FROM marked GROUP BY doc_id""".stripMargin,
+
+    "q45_repetition_quality" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents
+        |  ) GROUP BY doc_id, w
+        |), wa AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |    CAST(max(cnt) AS BIGINT) AS top_word_cnt
+        |  FROM wc GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id, w || ' ' || nxt AS bg FROM (
+        |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+        |    FROM (
+        |      SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS ord
+        |      FROM documents
+        |    )
+        |  ) WHERE nxt IS NOT NULL
+        |), ba AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt FROM (
+        |    SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg
+        |  ) GROUP BY doc_id
+        |), fr AS (
+        |  SELECT wa.doc_id, n_words,
+        |    floor((1 - CAST(n_distinct_words AS DOUBLE) / n_words)
+        |      * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+        |    floor(CAST(top_word_cnt AS DOUBLE) / n_words
+        |      * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+        |    floor(CAST(coalesce(top_bigram_cnt, 0) AS DOUBLE) * 2.0 / n_words
+        |      * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
+        |  FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+        |)
+        |SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+        |  CAST(CASE WHEN dup_word_frac > 0.5 OR top_bigram_frac > 0.18
+        |       THEN 1 ELSE 0 END AS INT) AS is_repetitive
+        |FROM fr""".stripMargin,
+
+    "q46_training_order" ->
+      """SELECT doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 2, 16), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

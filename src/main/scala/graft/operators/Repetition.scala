@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality signals (the Gopher/MassiveText repetition
+  * rules, Rae et al. 2021 §A1.1): heavily repetitive documents — boiler-
+  * plate, keyword stuffing, generation loops — are the single biggest
+  * class of low-quality training text that length/stopword heuristics
+  * (q09) miss. Per document:
+  *
+  *  - `dup_word_frac`   — 1 − distinct/total words (Gopher's duplicate
+  *    n-gram fraction at n=1)
+  *  - `top_word_frac`   — share of the most frequent word
+  *  - `top_bigram_frac` — share of words covered by the most frequent
+  *    bigram (count·2 / n_words)
+  *  - `is_repetitive`   — threshold flag on the ROUNDED fractions, so the
+  *    cut is engine-reproducible (a raw-double comparison could flip on
+  *    the last ulp between engines)
+  *
+  * Scale shape: two explode→hash-aggregate passes (words, bigrams), both
+  * map-side partial-agg friendly, joined per-doc. Bigrams are built
+  * map-side from the word array (`transform` over indices — no self-join,
+  * no window over the corpus). All fractions use the engine-stable
+  * `floor(x·10⁴ + 0.5)/10⁴` rounding shared with q09/q38.
+  */
+object Repetition {
+
+  private def stable4(c: org.apache.spark.sql.Column) =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
+  def signals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dupWordMax: Double = 0.5,
+      topBigramMax: Double = 0.18): DataFrame = {
+    val ws = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+    val wordStats = ws
+      .select(col(idCol), explode(col("ws")).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("cnt")).as("top_word_cnt"))
+    val bigramStats = ws
+      .select(col(idCol), explode(
+        when(size(col("ws")) < 2, expr("array()").cast("array<string>"))
+          .otherwise(expr(
+            """transform(sequence(0, size(ws) - 2),
+              |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"""
+              .stripMargin))).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("top_bigram_cnt"))
+    wordStats
+      .join(bigramStats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        stable4(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        stable4(col("top_word_cnt").cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        stable4(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") * 2.0
+          / col("n_words")).as("top_bigram_frac"))
+      .withColumn("is_repetitive",
+        when(col("dup_word_frac") > dupWordMax
+          || col("top_bigram_frac") > topBigramMax, 1).otherwise(0))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/sharding primitives — the decision is a pure
@@ -44,5 +45,51 @@ object Sampling {
     cuts.foldRight(lit(default)) { case ((name, cut), rest) =>
       when(h < cut, lit(name)).otherwise(rest)
     }
+  }
+
+  /** Deterministic global training order: every row gets a 16-way shard
+    * (first md5 hex char of its key) and a dense 1-based position within
+    * that shard, ordered by the next 16 hex chars (a reproducible
+    * pseudo-random permutation — the shuffled-shard layout a training
+    * run reads).
+    *
+    * Semantically this is `row_number() OVER (PARTITION BY shard ORDER BY
+    * hashkey, id)` — but a direct window would sort each shard in ONE
+    * task (16 tasks for 100 TB). Instead the rank is built two-level:
+    *
+    *  1. micro-bucket = next `bucketChars` hex chars of the hash key
+    *     (256 buckets/shard at 2 chars, 4096/shard at 3), so row_number
+    *     runs per (shard, bucket) — thousands of parallel sorts;
+    *  2. a (shard, bucket) count table (≤ 16·16^bucketChars rows — a
+    *     coordination table, never data-sized) turned into per-bucket
+    *     prefix-sum offsets with a window over the TINY table, then
+    *     broadcast back: pos = bucket offset + within-bucket rank.
+    *
+    * The two-level order equals the flat order because the bucket is a
+    * PREFIX of the order key: (bucket asc, suffix asc) = hashkey asc.
+    * Ties on the full 16-char key break on the id, so the permutation is
+    * total and engine-reproducible.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, bucketChars: Int = 2): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1,8]")
+    val keyed = df.select(
+      col(idCol),
+      substring(md5(col(idCol).cast("string")), 1, 1).as("shard"),
+      substring(md5(col(idCol).cast("string")), 2, 16).as("okey"))
+      .withColumn("bucket", substring(col("okey"), 1, bucketChars))
+    val offsets = keyed
+      .groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(Window.partitionBy(col("shard")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("okey"), col(idCol))
+    keyed
+      .withColumn("rn", row_number().over(inBucket))
+      .join(broadcast(offsets), Seq("shard", "bucket"))
+      .select(col(idCol), col("shard"), (col("offset") + col("rn")).as("pos"))
   }
 }

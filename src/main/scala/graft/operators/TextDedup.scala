@@ -409,4 +409,51 @@ object TextDedup {
       .select(col("d1"), col("d2"))
       .distinct()
   }
+
+  /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" stage,
+    * applied WITHIN documents: text is chunked into fixed `segWords`-word
+    * segments (this corpus has no newlines; a newline-split is the same
+    * program with a different splitter), and every segment that already
+    * occurred anywhere in the corpus — earlier doc, or earlier position
+    * in the same doc — is dropped. Returns one row per document:
+    * `(id, n_segs, n_dup_segs, clean_md5)` where `clean_md5` hashes the
+    * surviving text (md5 of '' when every segment was a duplicate).
+    *
+    * "First occurrence" is the global minimum of (id, pos) per segment —
+    * a total, engine-reproducible rule. Scale shape: segment construction
+    * is map-side (one `transform` over the word array, no join); the
+    * first-occurrence decision is ONE shuffle keyed by segment content
+    * (hash-partitioned — identical segments co-locate, so the row_number
+    * window never sees more rows than a segment's duplicate count); the
+    * reassembly is the groupBy(id) aggregation any per-doc stat pays.
+    * Nothing is quadratic and no driver state exists.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int = 16): DataFrame = {
+    require(segWords >= 1, "segWords must be positive")
+    val segs = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(int(ceil(size(ws) / ${segWords}d)), 1) - 1),
+           |  i -> array_join(slice(ws, i * $segWords + 1, $segWords), ' '))"""
+          .stripMargin)).as(Seq("pos", "seg")))
+    val firstOccurrence = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("pos"))
+    segs
+      .withColumn("keep", row_number().over(firstOccurrence) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_segs"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("seg"))))),
+            _.getField("seg")),
+          " ")).as("clean_md5"))
+  }
 }

@@ -35,6 +35,7 @@ object ExplainAudit {
       "WindowGroupLimit" -> "wgl",
       "BroadcastHashJoin" -> "bhj",
       "SortMergeJoin" -> "smj",
+      "ShuffledHashJoin" -> "shj",
       "BroadcastNestedLoopJoin" -> "bnlj",
       "CartesianProduct" -> "cartesian",
       "partial_" -> "partialAgg",

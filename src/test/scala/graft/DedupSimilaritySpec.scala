@@ -306,4 +306,38 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (got & planted).size.toDouble / planted.size
     assert(recall >= 0.8, s"RP-LSH recall $recall too low")
   }
+
+  test("segment dedup: first occurrence survives, later copies drop (q44)") {
+    // 4-word segments; doc 2 repeats doc 1's first segment, doc 3 is a
+    // full copy of doc 1, doc 4 repeats its own first segment in-doc
+    val df = Seq(
+      (1L, "a b c d e f g h"),          // segs: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),          // first seg is a dup of doc 1's
+      (3L, "a b c d e f g h"),          // both segs dup doc 1
+      (4L, "p q r s p q r s")           // second seg dups its own first
+    ).toDF("doc_id", "text")
+    val out = TextDedup.segmentDedup(df, "doc_id", "text", segWords = 4)
+      .select("doc_id", "n_segs", "n_dup_segs", "clean_md5")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+
+    def m(s: String) = {
+      import java.security.MessageDigest
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(out(0) == ((1L, 2L, 0L, m("a b c d e f g h"))))
+    assert(out(1) == ((2L, 2L, 1L, m("x y z w"))))
+    assert(out(2) == ((3L, 2L, 2L, m("")))) // everything was a duplicate
+    assert(out(3) == ((4L, 2L, 1L, m("p q r s"))))
+  }
+
+  test("segment dedup: ragged tail segment is its own unit") {
+    val df = Seq((1L, "a b c d e"), (2L, "e")).toDF("doc_id", "text")
+    val out = TextDedup.segmentDedup(df, "doc_id", "text", segWords = 4)
+      .select("doc_id", "n_segs", "n_dup_segs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1: ["a b c d", "e"]; doc 2's "e" duplicates doc 1's tail seg
+    assert(out(0) == ((1L, 2L, 0L)))
+    assert(out(1) == ((2L, 1L, 1L)))
+  }
 }

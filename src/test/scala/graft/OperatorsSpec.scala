@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, MergeInto}
+import graft.operators.{Dedup, MergeInto, Repetition, Sampling}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -156,5 +156,69 @@ class OperatorsSpec extends SparkSpec {
       assert(sequential.select("k", "v").collect().toSet ==
         combined.select("k", "v").collect().toSet)
     }
+  }
+
+  test("trainingOrder: two-level rank == flat per-shard row_number") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (0L until 500L).toDF("id")
+    val naive = df.select(
+      col("id"),
+      substring(md5(col("id").cast("string")), 1, 1).as("shard"),
+      substring(md5(col("id").cast("string")), 2, 16).as("okey"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("okey"), col("id"))).cast("long"))
+      .select("id", "shard", "pos")
+    // both micro-bucket widths must reproduce the flat order exactly
+    for (bc <- Seq(1, 2)) {
+      val got = Sampling.trainingOrder(df, "id", bucketChars = bc)
+      assert(got.select("id", "shard", "pos").as[(Long, String, Long)].collect().toSet ==
+        naive.as[(Long, String, Long)].collect().toSet, s"bucketChars=$bc")
+    }
+  }
+
+  test("trainingOrder: positions are dense 1..n per shard") {
+    val out = Sampling.trainingOrder((0L until 300L).toDF("id"), "id")
+      .groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("pos").as("lo"),
+        org.apache.spark.sql.functions.max("pos").as("hi"),
+        org.apache.spark.sql.functions.count_distinct(
+          org.apache.spark.sql.functions.col("pos")).as("nd"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (shard, n, lo, hi, nd) =>
+      assert(lo == 1L && hi == n && nd == n, s"shard $shard not dense: $lo..$hi/$n")
+    }
+  }
+
+  test("repetition signals: loops flag, diverse text does not (q45)") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog near an oak"),
+      (3L, "go go go go stop")
+    ).toDF("doc_id", "text")
+    val out = Repetition.signals(df, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_word_frac",
+        "top_bigram_frac", "is_repetitive")
+      .as[(Long, Long, Double, Double, Double, Int)].collect().sortBy(_._1)
+    // doc 1: 10 words, 1 distinct; top bigram "spam spam" covers 9·2/10
+    assert(out(0) == ((1L, 10L, 0.9, 1.0, 1.8, 1)))
+    // doc 2: 12 distinct words, every bigram unique (2/12 coverage —
+    // note a fully-diverse doc under ~11 words would still trip the 0.18
+    // Gopher bigram cut: its floor is 2/n; Gopher pairs this rule with
+    // minimum-length gates, as does any real pipeline)
+    assert(out(1) == ((2L, 12L, 0.0, 0.0833, 0.1667, 0)))
+    // doc 3: 5 words {go:4, stop:1}; "go go" ×3 → 6/5 coverage
+    assert(out(2) == ((3L, 5L, 0.6, 0.8, 1.2, 1)))
+  }
+
+  test("repetition signals: single-word doc has zero bigram coverage") {
+    val out = Repetition.signals(Seq((1L, "word")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "top_bigram_frac", "is_repetitive")
+      .as[(Long, Double, Int)].collect()
+    assert(out.head == ((1L, 0.0, 0)))
   }
 }
