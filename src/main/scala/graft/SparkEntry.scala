@@ -94,8 +94,12 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
+      // customer is NOT hinted broadcast: it scales with the data (TPC-H
+      // grows it with SF), so a hint would pin an executor-memory-bound
+      // plan at corpus scale. AQE size-dispatches (still a broadcast at
+      // bench SFs). nation is a fixed 25-row dim — hint is safe.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -111,7 +115,8 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // unhinted: customer is data-scaled (see q02) — AQE size-dispatches
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn"))
@@ -249,8 +254,13 @@ object SparkEntry {
         .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
         .agg(count(lit(1)).as("inter"))
       pairs
-        .join(broadcast(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), "d1")
-        .join(broadcast(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), "d2")
+        // totals joins unhinted (one row per doc = executor-memory-bound
+        // at corpus scale; AQE size-dispatches) — same rule as
+        // TextDedup.winnowMatches. The count-aggregate-then-join shape
+        // itself stays: it is what avoids the measured 450 s
+        // CollapseProject shingle recomputation, independent of strategy.
+        .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
         // engine-stable rounding: see TextDedup.verifyPairs (the jaccard
         // feeds the threshold filter)
         .withColumn("jaccard",

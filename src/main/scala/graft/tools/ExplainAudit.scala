@@ -60,7 +60,12 @@ object ExplainAudit {
         spark.listenerManager.register(listener)
         try {
           val df = fn(spark, sfDir) // executes any pipeline side effects
-          df.count()                // executes the returned frame
+          // materialize via the noop SINK: under count() Catalyst prunes
+          // every operator that can't change cardinality (q45's outer join
+          // to a unique-keyed aggregate vanishes; map-only queries reduce
+          // to row-count scans), so the captured "executed plan" was a
+          // reduced one. The noop write evaluates the full plan.
+          df.write.format("noop").mode("overwrite").save()
           // listener events are delivered asynchronously — drain until the
           // captured set is stable (bounded wait)
           var last = -1

@@ -2,9 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dump the EXECUTED physical plan of one gated query (post-AQE, the plan
-  * that actually ran — a pre-execution explain still shows speculative
-  * join strategies). runMain graft.tools.PlanDump <queryName> [sfDir]
+/** Dump the EXECUTED physical plans of one gated query (post-AQE, the
+  * plans that actually ran — a pre-execution explain still shows
+  * speculative join strategies, and driving execution with count() would
+  * let Catalyst prune the plan under audit). The query is materialized
+  * through the noop sink and every action's executed plan is captured via
+  * a QueryExecutionListener (side-effecting queries run several).
+  * runMain graft.tools.PlanDump <queryName> [sfDir]
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -19,11 +23,30 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    val n = df.count()
+    val captured = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    // listener delivery is async — drain until stable
+    var last = -1
+    var spins = 0
+    while (captured.synchronized(captured.size) != last && spins < 50) {
+      last = captured.synchronized(captured.size)
+      Thread.sleep(100)
+      spins += 1
+    }
     // scalastyle:off println
-    println(s"=== $name rows=$n executed plan ===")
-    println(df.queryExecution.executedPlan.toString)
+    captured.synchronized(captured.toList).zipWithIndex.foreach { case (p, i) =>
+      println(s"=== $name executed plan ${i + 1} ===")
+      println(p)
+    }
     // scalastyle:on println
     spark.stop()
   }
