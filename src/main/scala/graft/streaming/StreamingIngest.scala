@@ -182,6 +182,48 @@ object StreamingIngest {
       .start()
   }
 
+  /** PII scrubbing as a STREAMING stage — the streaming twin of batch q43:
+    * every arriving document is redacted ([[graft.operators.PiiRedaction]]
+    * regexp_replace chain) and lands with its per-class audit counts.
+    *
+    * Like the sampler, the stage is a pure per-row function — no state, no
+    * watermark, no aggregation — so replay safety is exactly the file
+    * sink's manifest guarantee, and the union of micro-batch outputs
+    * equals the batch scrub over the same files (asserted in
+    * `StreamingIngestSpec`). Scrub-then-land also gives the right privacy
+    * ordering at scale: raw text never reaches the warehouse.
+    */
+  def startScrubber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      classes: Seq[graft.operators.PiiRedaction.PiiClass] =
+        graft.operators.PiiRedaction.defaultClasses,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    graft.operators.PiiRedaction.scrub(stream, textCol, classes)
+      // the scrubbed text REPLACES the raw column: downstream consumers of
+      // the landed data cannot accidentally read unredacted text
+      .withColumn(textCol, col("redacted")).drop("redacted")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** One keyed event on the session stream. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

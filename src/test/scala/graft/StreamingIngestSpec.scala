@@ -93,6 +93,56 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == docs.count())
   }
 
+  test("streaming scrubber output equals the batch PII scrub on the same files") {
+    import spark.implicits._
+    import graft.operators.PiiRedaction
+    val landing = tmpDir("scrub_land")
+    // plant PII deterministically (the q43 trick) across two files so the
+    // equivalence covers the multi-batch union
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"), lit("@x.org")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" ssn 123-45-6789"))
+            .otherwise(lit(""))).as("text"))
+    val staging = tmpDir("scrub_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    val outDir = tmpDir("scrub_out") + "/clean"
+    val ckpt = tmpDir("scrub_ckpt")
+    def run() = {
+      val q = StreamingIngest.startScrubber(
+        spark, landing, docs.schema, "parquet", Map.empty,
+        textCol = "text", outDir = outDir, checkpointDir = ckpt,
+        maxFilesPerTrigger = 1)
+      q.awaitTermination(120000)
+    }
+    run()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "text", "n_email", "n_ssn")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = PiiRedaction.scrub(docs, "text")
+      .select(col("doc_id"), col("redacted").as("text"),
+        col("n_email"), col("n_ssn"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // the landed data carries NO raw text: every planted pattern is gone
+    assert(spark.read.parquet(outDir)
+      .filter(col("text").rlike("@x\\.org|123-45-6789")).count() == 0L)
+    // audit counts actually fired on the planted rows
+    assert(spark.read.parquet(outDir).filter(col("n_email") > 0).count() > 0L)
+    // checkpoint replay: a second AvailableNow pass is a no-op
+    run()
+    assert(spark.read.parquet(outDir).count() == docs.count())
+  }
+
   test("streaming decontaminator flags exactly the batch q42 set") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
