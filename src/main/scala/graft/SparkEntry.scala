@@ -946,6 +946,26 @@ object SparkEntry {
     "q46_training_order" -> ((s, dir) =>
       Sampling.trainingOrder(t(s, dir, "documents"), "doc_id")),
 
+    // Incremental dedup — the arriving-batch-vs-existing-corpus decision:
+    // corpus = even doc_ids; incoming = odd doc_ids (organic) plus planted
+    // arrivals derived from the corpus (every doc_id % 10 == 0 corpus doc
+    // re-arrives verbatim → exact dup; every doc_id % 10 == 4 re-arrives
+    // with 3 appended words → near dup at jaccard m/(m+3) ≥ 0.5). Exact =
+    // q07's normalized fingerprint vs the corpus set; near = q11's exact
+    // shingle-Jaccard vs any corpus doc.
+    "q47_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200001L).as("doc_id"), col("text")))
+        .unionAll(corpus.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 400001L).as("doc_id"),
+            concat(col("text"), lit(" zz yy xx")).as("text")))
+      TextDedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1542,6 +1562,57 @@ object SparkEntry {
         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 2, 16), doc_id)
         |    AS BIGINT) AS pos
         |FROM documents""".stripMargin,
+
+    "q47_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200001, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400001, text || ' zz yy xx' FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 4
+        |), cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus
+        |), ifp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM incoming
+        |), ctris AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |    END) AS t
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus)
+        |), itris AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |    END) AS t
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM incoming)
+        |), cex AS (SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM ctris
+        |), iex AS (SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM itris
+        |), pairs AS (
+        |  SELECT i.doc_id AS inc_id, c.doc_id AS corp_id, count(*) AS inter,
+        |    any_value(i.n_sh) AS ni, any_value(c.n_sh) AS nc
+        |  FROM iex i JOIN cex c ON i.tri = c.tri
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT inc_id, CAST(count(*) AS BIGINT) AS n_near FROM pairs
+        |  WHERE floor(CAST(inter AS DOUBLE) / (ni + nc - inter) * 10000.0 + 0.5)
+        |    / 10000.0 >= 0.5
+        |  GROUP BY inc_id
+        |)
+        |SELECT i.doc_id,
+        |  CAST(CASE WHEN cfp.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+        |  CAST(coalesce(n_near, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(CASE WHEN cfp.fp IS NULL AND coalesce(n_near, 0) = 0
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM ifp i
+        |LEFT JOIN cfp ON i.fp = cfp.fp
+        |LEFT JOIN near ON i.doc_id = near.inc_id""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -410,6 +410,71 @@ object TextDedup {
       .distinct()
   }
 
+  /** Incremental (cross-corpus) dedup — the decision a continuously-fed
+    * pipeline makes for every ARRIVING document: does it duplicate the
+    * corpus already ingested? Returns one row per incoming doc:
+    * `(id, exact_dup, n_near_dups, keep)` where exact means the
+    * whitespace-normalized text fingerprint (q07's rule) already exists
+    * in the corpus, and near means shingle-Jaccard ≥ `threshold` against
+    * ≥1 corpus document (q11's exact verification, not an LSH
+    * approximation). Within-batch duplicates are NOT this operator's job
+    * (exactByColumns / the pair miners handle those) — the decision here
+    * is strictly incoming-vs-corpus, so it composes with a static
+    * corpus index.
+    *
+    * Scale shape: the exact check is one equi-join on the fingerprint
+    * (hash shuffle, no broadcast — the corpus fingerprint set is
+    * data-sized). The near check is the q11 inverted-index join keyed by
+    * shingle CONTENT with AQE-exempt explicit partitioning (byte-light
+    * exploded frames would otherwise coalesce onto a handful of tasks and
+    * serialize the per-shingle pair enumeration), and the per-doc totals
+    * join after aggregation — unhinted, AQE size-dispatches. Both sides'
+    * columns are renamed apart: incoming and corpus usually derive from
+    * the same source, and same-lineage equi-keys can collapse the join
+    * condition into a nested-loop join.
+    */
+  def dedupAgainstCorpus(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val np = incoming.sparkSession.sparkContext.defaultParallelism
+    def fp(c: Column) = md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val corpusFp = corpus.select(fp(col(textCol)).as("fp")).distinct()
+      .withColumn("fp_hit", lit(1))
+    val exact = incoming.select(col(idCol), fp(col(textCol)).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col(idCol), coalesce(col("fp_hit"), lit(0)).as("exact_dup"))
+    val iCounts = incoming.select(
+      col(idCol), size(shingles(col(textCol), shingleN)).as("ni"))
+    val cCounts = corpus.select(
+      col(idCol).as("corp_id"), size(shingles(col(textCol), shingleN)).as("nc"))
+    val iEx = incoming.select(
+      col(idCol), explode(shingles(col(textCol), shingleN)).as("tri"))
+      .repartition(np, col("tri"))
+    val cEx = corpus.select(
+      col(idCol).as("corp_id"), explode(shingles(col(textCol), shingleN)).as("tri_c"))
+      .repartition(np, col("tri_c"))
+    val near = iEx.join(cEx, col("tri") === col("tri_c"))
+      .groupBy(col(idCol), col("corp_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(iCounts, idCol)
+      .join(cCounts, "corp_id")
+      // engine-stable rounding: the jaccard feeds the threshold filter
+      .withColumn("jaccard",
+        floor(col("inter").cast("double")
+          / (col("ni") + col("nc") - col("inter")) * 10000.0 + 0.5) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_near_dups"))
+    exact.join(near, Seq(idCol), "left")
+      .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
+      .withColumn("keep",
+        when(col("exact_dup") === 0 && col("n_near_dups") === 0L, 1).otherwise(0))
+  }
+
   /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" stage,
     * applied WITHIN documents: text is chunked into fixed `segWords`-word
     * segments (this corpus has no newlines; a newline-split is the same

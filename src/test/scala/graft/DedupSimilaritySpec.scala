@@ -307,6 +307,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"RP-LSH recall $recall too low")
   }
 
+  test("incremental dedup: exact, near and fresh arrivals classified (q47)") {
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // exact
+      (103L, "one two three four five six seven eight nine ten zz yy xx"), // near
+      (105L, "totally fresh content with no overlap whatsoever here") // keep
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .select("doc_id", "exact_dup", "n_near_dups", "keep")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    // exact dup also clears the near bar (jaccard 1.0) — both flags fire
+    assert(out(0) == ((101L, 1, 1L, 0)))
+    // 8 shared trigrams of 11 incoming / 8 corpus: 8/11 ≥ 0.5, not exact
+    assert(out(1) == ((103L, 0, 1L, 0)))
+    assert(out(2) == ((105L, 0, 0L, 1)))
+  }
+
   test("segment dedup: first occurrence survives, later copies drop (q44)") {
     // 4-word segments; doc 2 repeats doc 1's first segment, doc 3 is a
     // full copy of doc 1, doc 4 repeats its own first segment in-doc
