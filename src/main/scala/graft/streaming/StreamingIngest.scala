@@ -182,6 +182,56 @@ object StreamingIngest {
       .start()
   }
 
+  /** Incremental dedup as a STREAMING stage — the streaming twin of batch
+    * q47: every arriving micro-batch is classified against a STATIC
+    * corpus ([[graft.operators.TextDedup.dedupAgainstCorpus]] — exact
+    * fingerprint + exact shingle-Jaccard) and lands with its decision
+    * columns (`exact_dup`, `n_near_dups`, `keep`), so a downstream
+    * consumer reads `keep = 1` for the deduplicated stream.
+    *
+    * The corpus side is fixed for the life of the stream (the operator's
+    * own contract: incoming-vs-corpus only), so the stage is stateless —
+    * like the decontaminator, each micro-batch runs the plain batch
+    * operator inside `foreachBatch`, and replay idempotency comes from
+    * keying the output by micro-batch id (overwrite `batch=<id>`).
+    * Refreshing the corpus index is a stream restart with a new corpus
+    * frame — the checkpoint replays nothing because processed files are
+    * committed.
+    */
+  def startIncrementalDeduper(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val decided = graft.operators.TextDedup.dedupAgainstCorpus(
+          batch, corpus, idCol, textCol, shingleN, threshold)
+        batch.join(decided, Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** PII scrubbing as a STREAMING stage — the streaming twin of batch q43:
     * every arriving document is redacted ([[graft.operators.PiiRedaction]]
     * regexp_replace chain) and lands with its per-class audit counts.

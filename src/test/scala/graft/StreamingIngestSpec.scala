@@ -143,6 +143,55 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == docs.count())
   }
 
+  test("streaming incremental deduper matches the batch decision per arrival") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    // arrivals: organic odd docs + one verbatim corpus re-arrival (exact
+    // dup) + one 3-words-appended corpus re-arrival (near dup)
+    val incoming = all.filter(col("doc_id") % 2 === 1)
+      .unionAll(corpus.limit(1)
+        .select((col("doc_id") + 9001L).as("doc_id"), col("text")))
+      .unionAll(corpus.orderBy(col("doc_id").desc).limit(1)
+        .select((col("doc_id") + 9002L).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+    val landing = tmpDir("incdedup_land")
+    val staging = tmpDir("incdedup_stage") + "/files"
+    incoming.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    val outDir = tmpDir("incdedup_out")
+    val ckpt = tmpDir("incdedup_ckpt")
+    def run() = {
+      val q = StreamingIngest.startIncrementalDeduper(
+        spark, landing, incoming.schema, "parquet", Map.empty,
+        idCol = "doc_id", textCol = "text", corpus = corpus,
+        outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination(180000)
+    }
+    run()
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "exact_dup", "n_near_dups", "keep")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val batch = TextDedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .select("doc_id", "exact_dup", "n_near_dups", "keep")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    // the planted arrivals were caught
+    assert(streamed.count(_._1 > 9000L) == 2)
+    assert(streamed.filter(_._1 > 9000L).forall(_._4 == 0)) // neither kept
+    // replay: a second AvailableNow pass rewrites nothing new
+    val before = spark.read.parquet(s"$outDir/batch=*").count()
+    run()
+    assert(spark.read.parquet(s"$outDir/batch=*").count() == before)
+  }
+
   test("streaming decontaminator flags exactly the batch q42 set") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
