@@ -114,7 +114,11 @@ object QProf {
           val cnt =
             if (n == "q17stages") { q17stages(spark, sfDir); -1L }
             else if (n == "q35stages") { q35stages(spark, sfDir); -1L }
-            else graft.SparkEntry.queries(n)(spark, sfDir).count()
+            else {
+              // noop sink, not count(): full-plan evaluation (see Bench)
+              graft.SparkEntry.queries(n)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save(); -1L
+            }
           System.err.println(f"[qprof] run$i $n ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$cnt")
           spark.catalog.clearCache()
           System.gc()
@@ -129,9 +133,11 @@ object QProf {
         System.err.println(f"[qprof] run$i total ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } else {
         val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        // noop sink, not count(): full-plan evaluation (see Bench)
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[qprof] run$i $name $dt%8.2f s rows=$n")
+        System.err.println(f"[qprof] run$i $name $dt%8.2f s")
       }
     }
     spark.stop()
