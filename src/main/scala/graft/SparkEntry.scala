@@ -966,6 +966,37 @@ object SparkEntry {
         shingleN = 3, threshold = 0.5)
     }),
 
+    // The full curation pipeline (scrub → exact dedup → repetition/length
+    // gates → deterministic sample) as ONE tagged-decision program: PII is
+    // planted per-doc (q43's trick) BEFORE the re-crawl union (so copies
+    // carry identical planted text and stay exact dups after scrubbing),
+    // every doc_id % 9 == 1 doc re-arrives under doc_id + 300001, and the
+    // output carries each stage's INT decision plus the conjunction.
+    "q48_curation_pipeline" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      val id = col("doc_id").cast("string")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), id, lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      val docs = planted.unionAll(
+        planted.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 300001L).as("doc_id"), col("text")))
+      CurationPipeline.curate(docs, "doc_id", "text",
+        CurationPipeline.Config(minWords = 10, sampleHex = "d0"))
+        .select(col("doc_id"), md5(col("text")).as("red_md5"),
+          (col("n_email") + col("n_ssn") + col("n_phone") + col("n_ipv4")).as("n_pii"),
+          col("exact_dup"), col("repetitive"), col("short"),
+          col("sampled_out"), col("keep"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1613,6 +1644,92 @@ object SparkEntry {
         |FROM ifp i
         |LEFT JOIN cfp ON i.fp = cfp.fp
         |LEFT JOIN near ON i.doc_id = near.inc_id""".stripMargin,
+
+    "q48_curation_pipeline" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents
+        |), all_docs AS (
+        |  SELECT doc_id, text FROM planted
+        |  UNION ALL
+        |  SELECT doc_id + 300001, text FROM planted WHERE doc_id % 9 = 1
+        |), scrubbed AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b555-\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b\d{3}-\d{2}-\d{4}\b', 0)) AS BIGINT) AS n_ssn,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b555-\d{4}\b', 0)) AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS BIGINT) AS n_ipv4
+        |  FROM all_docs
+        |), dedup AS (
+        |  SELECT *, CASE WHEN row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS exact_dup
+        |  FROM scrubbed
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM scrubbed
+        |  ) GROUP BY doc_id, w
+        |), wa AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM wc GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id, w || ' ' || nxt AS bg FROM (
+        |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+        |    FROM (
+        |      SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS ord
+        |      FROM scrubbed
+        |    )
+        |  ) WHERE nxt IS NOT NULL
+        |), ba AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt FROM (
+        |    SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg
+        |  ) GROUP BY doc_id
+        |), flags AS (
+        |  SELECT d.doc_id, d.text, d.n_email, d.n_ssn, d.n_phone, d.n_ipv4,
+        |    d.exact_dup,
+        |    CASE WHEN floor((1 - CAST(n_distinct AS DOUBLE) / n_words)
+        |        * 10000.0 + 0.5) / 10000.0 > 0.5
+        |      OR floor(CAST(coalesce(top_bigram_cnt, 0) AS DOUBLE) * 2.0
+        |        / n_words * 10000.0 + 0.5) / 10000.0 > 0.18
+        |      THEN 1 ELSE 0 END AS repetitive,
+        |    CASE WHEN n_words < 10 THEN 1 ELSE 0 END AS short,
+        |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'd0'
+        |      THEN 0 ELSE 1 END AS sampled_out
+        |  FROM dedup d
+        |  JOIN wa ON d.doc_id = wa.doc_id
+        |  LEFT JOIN ba ON d.doc_id = ba.doc_id
+        |)
+        |SELECT doc_id, md5(text) AS red_md5,
+        |  CAST(n_email + n_ssn + n_phone + n_ipv4 AS BIGINT) AS n_pii,
+        |  CAST(exact_dup AS INT) AS exact_dup,
+        |  CAST(repetitive AS INT) AS repetitive,
+        |  CAST(short AS INT) AS short,
+        |  CAST(sampled_out AS INT) AS sampled_out,
+        |  CAST(CASE WHEN exact_dup = 0 AND repetitive = 0 AND short = 0
+        |       AND sampled_out = 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM flags""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,
