@@ -774,33 +774,14 @@ object SparkEntry {
     // between libm implementations, and an unrounded ORDER BY could flip
     // near-ties.
     "q38_tfidf_topterms" -> ((s, dir) => {
+      // fit + apply on the same corpus ≡ the classic single-pass TF-IDF;
+      // the split exists so the SAME scoring code serves the streaming
+      // scorer (frozen model, arriving docs). Plan shape is unchanged:
+      // vocabulary-sized model join unhinted, 1-row corpus count
+      // broadcast, rank on the engine-stable ROUNDED score.
       val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val total = docs.agg(count(lit(1)).as("n_docs"))
-      // dfreq is the full vocabulary (executor-memory-bound at corpus
-      // scale) — no broadcast hint; AQE size-dispatches, and the w-keyed
-      // aggregation output is already co-partitioned with tf for the
-      // shuffle-join case. The 1-row corpus count stays broadcast.
-      // tfidf uses engine-stable rounding (floor(x·10⁴+0.5)/10⁴) because
-      // the RANK runs on the rounded value: a half-boundary divergence
-      // between Spark's BigDecimal HALF_UP and DuckDB's binary-double
-      // round() would flip the order.
-      val scored = tf
-        .join(dfreq, "w")
-        .crossJoin(broadcast(total))
-        .withColumn("tfidf",
-          floor(col("tf") * log(col("n_docs").cast("double") / col("df"))
-            * 10000.0 + 0.5) / 10000.0)
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("w").asc)
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("w").as("term"), col("tfidf"), col("rank"))
+      graft.operators.TfIdf.scoreTopTerms(docs, "doc_id", "text",
+        graft.operators.TfIdf.idfModel(docs, "doc_id", "text"), 3)
     }),
 
     // Training-mixture construction: per-source target rates (upsample

@@ -232,6 +232,50 @@ object StreamingIngest {
       .start()
   }
 
+  /** TF-IDF scoring as a STREAMING stage — the train-offline /
+    * score-online shape: a FROZEN IDF model (fit with
+    * [[graft.operators.TfIdf.idfModel]] over the reference corpus) scores
+    * every arriving micro-batch's documents and lands their top-k terms.
+    * A streaming-global TF-IDF would need stateful vocabulary counts and
+    * would change already-emitted scores retroactively — freezing the
+    * model is both the scalable and the statistically honest choice
+    * (scores are comparable across batches because the model is fixed).
+    *
+    * Stateless per batch ⇒ replay idempotency via batch-id-keyed
+    * overwrite, like the decontaminator and incremental-dedup stages.
+    */
+  def startTfIdfScorer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      idfModel: DataFrame, // columns: w, idf — vocabulary-sized, frozen
+      topK: Int,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TfIdf
+          .scoreTopTerms(batch, idCol, textCol, idfModel, topK)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** PII scrubbing as a STREAMING stage — the streaming twin of batch q43:
     * every arriving document is redacted ([[graft.operators.PiiRedaction]]
     * regexp_replace chain) and lands with its per-class audit counts.

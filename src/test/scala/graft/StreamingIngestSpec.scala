@@ -192,6 +192,41 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/batch=*").count() == before)
   }
 
+  test("streaming tf-idf scorer under a frozen model matches batch q38") {
+    import spark.implicits._
+    import graft.operators.TfIdf
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(src)
+    // freeze the model over the full corpus, then stream the same docs:
+    // scoring arriving batches under the frozen model must reproduce the
+    // batch fit+apply (q38) exactly
+    val model = TfIdf.idfModel(docs, "doc_id", "text").cache()
+    val landing = tmpDir("tfidf_land")
+    val staging = tmpDir("tfidf_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    val outDir = tmpDir("tfidf_out")
+    val ckpt = tmpDir("tfidf_ckpt")
+    val q = StreamingIngest.startTfIdfScorer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", idfModel = model, topK = 3,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "term", "tfidf", "rank")
+      .as[(Long, String, Double, Int)].collect().toSet
+    val batch = SparkEntry.queries("q38_tfidf_topterms")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(streamed == batch)
+    model.unpersist()
+    ()
+  }
+
   test("streaming decontaminator flags exactly the batch q42 set") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
