@@ -978,6 +978,34 @@ object SparkEntry {
           col("sampled_out"), col("keep"))
     }),
 
+    // Packed-sequence MATERIALIZATION — q41 assigns documents to ~2048-
+    // token bins; this emits the training file content: per (shard, bin),
+    // the member documents concatenated in doc_id order with an <eos>
+    // separator (md5'd so the gate hashes a bounded cell). The concat is
+    // the per-bin groupBy any packing writer pays — bins are budget-
+    // bounded, so collect_list memory is capped by the token budget, and
+    // shards pack independently (no global sort).
+    "q49_pack_materialize" -> ((s, dir) => {
+      val budget = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          (col("doc_id") / 100).cast("long").as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      docs
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor(greatest(col("cum") - 1, lit(0L)) / budget).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              _.getField("text")),
+            " <eos> ")).as("packed_md5"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1711,6 +1739,23 @@ object SparkEntry {
         |  CAST(CASE WHEN exact_dup = 0 AND repetitive = 0 AND short = 0
         |       AND sampled_out = 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM flags""".stripMargin,
+
+    "q49_pack_materialize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    doc_id // 100 AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, n_tokens, shard,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM d
+        |)
+        |SELECT shard, CAST(greatest(cum - 1, 0) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+        |  md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS packed_md5
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -49,9 +49,14 @@ object CurationPipeline {
       idCol: String,
       textCol: String,
       config: Config = Config()): DataFrame = {
+    // null text is normalized to '' up front: every stage treats the doc
+    // as empty (0 words → short) instead of each reacting differently —
+    // explode-based stages would silently DROP a null-text row from their
+    // aggregates, and an inner join downstream would lose the doc
+    val nonNull = docs.na.fill("", Seq(textCol))
     // 1. scrub FIRST: dedup and quality then see normalized text, and raw
     //    PII never flows past this point
-    val scrubbed = PiiRedaction.scrub(docs, textCol, config.piiClasses)
+    val scrubbed = PiiRedaction.scrub(nonNull, textCol, config.piiClasses)
       .withColumn(textCol, col("redacted")).drop("redacted")
     // 2. exact dedup on the scrubbed text (q07's normalization), first
     //    occurrence by id wins — one hash shuffle on the fingerprint

@@ -196,7 +196,9 @@ object StreamingIngest {
     * keying the output by micro-batch id (overwrite `batch=<id>`).
     * Refreshing the corpus index is a stream restart with a new corpus
     * frame — the checkpoint replays nothing because processed files are
-    * committed.
+    * committed. The corpus frame is re-evaluated every micro-batch;
+    * callers with many small batches should pass it `.cache()`d (or as a
+    * pre-shingled materialized table).
     */
   def startIncrementalDeduper(
       spark: SparkSession,

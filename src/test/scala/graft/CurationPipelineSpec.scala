@@ -52,6 +52,18 @@ class CurationPipelineSpec extends SparkSpec {
     ()
   }
 
+  test("null text flows through as empty: tagged short, never dropped") {
+    val docs = Seq(
+      (1L, "a perfectly ordinary document with plenty of distinct words in here"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val tagged = CurationPipeline.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id", "short", "keep")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(tagged.length == 2) // the null-text row is not silently lost
+    assert(tagged(1) == ((2L, 1, 0)))
+  }
+
   test("dedup keeps the scrubbed-identical pair together") {
     // two docs whose RAW texts differ only in their PII payload become
     // identical after scrubbing — the dedup must see the scrubbed text
