@@ -48,22 +48,34 @@ object Bench {
         // heavy query doesn't pay GC debt accrued by its predecessors
         spark.catalog.clearCache()
         System.gc()
-        (dt, if (ok) rows else -1L)
+        (dt, ok)
       }
-      // a failed run scores the full elapsed time, never a sentinel: min()
-      // must not prefer a crash over a slow success
-      val score = runs.map(_._1).min
-      val rendered = runs.map { case (dt, _) => f"$dt%.2f" }.mkString("/")
-      System.err.println(f"[bench] $name%-24s $score%8.2f s  (runs $rendered)  rows=$rows")
-      name -> runs.map(_._1)
+      // a crashed run must never win min(): score over SUCCESSFUL runs
+      // only; if every run failed, score the slowest elapsed time (the
+      // cost actually paid) and flag the query loudly in line + JSON
+      val okTimes = runs.collect { case (dt, true) => dt }
+      val score = if (okTimes.nonEmpty) okTimes.min else runs.map(_._1).max
+      val rendered = runs
+        .map { case (dt, ok) => f"$dt%.2f" + (if (ok) "" else "!") }
+        .mkString("/")
+      val status =
+        if (okTimes.size == runs.size) ""
+        else if (okTimes.isEmpty) "  ALL RUNS FAILED"
+        else s"  (${runs.size - okTimes.size} run(s) failed)"
+      System.err.println(
+        f"[bench] $name%-24s $score%8.2f s  (runs $rendered)  rows=$rows$status")
+      name -> (runs, score)
     }
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
+    val qs = results.map { case (k, (_, score)) => "\"" + k + "\":" + fmt(score) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) => "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]" }
+    val raw = results.map { case (k, (v, _)) => "\"" + k + "\":[" + v.map(r => fmt(r._1)).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"runs_per_query":$runsPerQuery,"shuffle_partitions":$shuffle,"sf":"$sfDir"}""")
+    val failed = results.collect {
+      case (k, (v, _)) if v.exists(!_._2) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"runs_per_query":$runsPerQuery,"shuffle_partitions":$shuffle,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -441,7 +441,10 @@ object TextDedup {
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val np = incoming.sparkSession.sparkContext.defaultParallelism
-    def fp(c: Column) = md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    // q07's normalization rule, via the ONE shared definition — the
+    // exact-dedup decision must not drift between the batch query, this
+    // operator and the curation pipeline
+    val fp = graft.functions.TextFunctions.fingerprint _
     val corpusFp = corpus.select(fp(col(textCol)).as("fp")).distinct()
       .withColumn("fp_hit", lit(1))
     val exact = incoming.select(col(idCol), fp(col(textCol)).as("fp"))

@@ -14,9 +14,13 @@ import graft.operators.{PiiRedaction, Repetition, Sampling}
   * Design rule: TAG, don't drop. Each stage appends a decision column to
   * the same frame instead of materializing a filtered copy, so
   *
-  *  - the corpus is scanned ONCE (the only data-sized shuffles are the
-  *    fingerprint window and the repetition aggregates — both inherent to
-  *    their stages, not to the composition);
+  *  - no stage materializes an intermediate corpus copy; the program is
+  *    three map-side scans of the (scrubbed) source — the fingerprint
+  *    pass plus the word and bigram aggregates, each inherent to its
+  *    stage. The scrub expression re-evaluates on each scan (Spark has no
+  *    cross-branch CSE); a production layout lands the scrubbed corpus
+  *    first (`StreamingIngest.startScrubber` / a scrub-only pass) and
+  *    runs `curate(scrub = false)` over it, reducing this to stat scans;
   *  - the audit is a single aggregation over the decision columns — at
   *    100 TB "count the rows each stage dropped" must not cost one action
   *    per stage;
@@ -32,8 +36,13 @@ object CurationPipeline {
 
   /** Stage toggles + thresholds. `sampleHex = "zz"` keeps everything
     * (every md5 prefix sorts below it); `"d0"` keeps ≈ 208/256.
+    * `scrub = false` for input that was already scrubbed on landing
+    * (e.g. by `StreamingIngest.startScrubber`) — the PII audit columns
+    * are then emitted as zeros and the downstream stages read the text
+    * as-is, avoiding the re-evaluated regex chain entirely.
     */
   final case class Config(
+      scrub: Boolean = true,
       piiClasses: Seq[PiiRedaction.PiiClass] = PiiRedaction.defaultClasses,
       dupWordMax: Double = 0.5,
       topBigramMax: Double = 0.18,
@@ -56,13 +65,18 @@ object CurationPipeline {
     val nonNull = docs.na.fill("", Seq(textCol))
     // 1. scrub FIRST: dedup and quality then see normalized text, and raw
     //    PII never flows past this point
-    val scrubbed = PiiRedaction.scrub(nonNull, textCol, config.piiClasses)
-      .withColumn(textCol, col("redacted")).drop("redacted")
+    val scrubbed =
+      if (config.scrub)
+        PiiRedaction.scrub(nonNull, textCol, config.piiClasses)
+          .withColumn(textCol, col("redacted")).drop("redacted")
+      else
+        config.piiClasses.foldLeft(nonNull)((d, k) =>
+          d.withColumn(s"n_${k.name}", lit(0L)))
     // 2. exact dedup on the scrubbed text (q07's normalization), first
     //    occurrence by id wins — one hash shuffle on the fingerprint
     val fpWin = Window.partitionBy(col("fp")).orderBy(col(idCol))
     val deduped = scrubbed
-      .withColumn("fp", md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withColumn("exact_dup",
         when(row_number().over(fpWin) > 1, 1).otherwise(0))
     // 3. repetition + length gates (Gopher rules) on the scrubbed text

@@ -225,9 +225,15 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // classify one row per id: a micro-batch can span several landing
+        // files carrying the same id, and dedupAgainstCorpus emits one
+        // decision per input ROW — joining row-level decisions back would
+        // fan out n×n for an id duplicated n times. First-arrival wins
+        // (min orderDesc-free rule keeps it deterministic per batch).
+        val uniq = batch.dropDuplicates(idCol)
         val decided = graft.operators.TextDedup.dedupAgainstCorpus(
-          batch, corpus, idCol, textCol, shingleN, threshold)
-        batch.join(decided, Seq(idCol))
+          uniq, corpus, idCol, textCol, shingleN, threshold)
+        uniq.join(decided, Seq(idCol))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }

@@ -51,36 +51,20 @@ object ExplainAudit {
     // inside the pipeline, for iterative ones (q36) every round.
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        val captured = new scala.collection.mutable.ArrayBuffer[String]
-        val listener = new QueryExecutionListener {
-          override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-            captured.synchronized { captured += qe.executedPlan.toString }
-          override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+        // materialize via the noop SINK: under count() Catalyst prunes
+        // every operator that can't change cardinality (q45's outer join
+        // to a unique-keyed aggregate vanishes; map-only queries reduce
+        // to row-count scans), so the captured "executed plan" was a
+        // reduced one. The noop write evaluates the full plan.
+        val plans = ExecutedPlans.capture(spark) {
+          fn(spark, sfDir) // constructing fn executes pipeline side effects
+            .write.format("noop").mode("overwrite").save()
         }
-        spark.listenerManager.register(listener)
-        try {
-          val df = fn(spark, sfDir) // executes any pipeline side effects
-          // materialize via the noop SINK: under count() Catalyst prunes
-          // every operator that can't change cardinality (q45's outer join
-          // to a unique-keyed aggregate vanishes; map-only queries reduce
-          // to row-count scans), so the captured "executed plan" was a
-          // reduced one. The noop write evaluates the full plan.
-          df.write.format("noop").mode("overwrite").save()
-          // listener events are delivered asynchronously — drain until the
-          // captured set is stable (bounded wait)
-          var last = -1
-          var spins = 0
-          while (captured.synchronized(captured.size) != last && spins < 50) {
-            last = captured.synchronized(captured.size)
-            Thread.sleep(100)
-            spins += 1
-          }
-          val plans = captured.synchronized(captured.toList)
-          val found = markers.collect {
-            case (m, tag) if plans.exists(_.contains(m)) => tag
-          }
-          println(s"[audit] $name: ${found.mkString(" ")} (executed, ${plans.size} plans)")
-        } finally spark.listenerManager.unregister(listener)
+        val found = markers.collect {
+          case (m, tag) if plans.exists(_.contains(m)) => tag
+        }
+        val empty = if (plans.isEmpty) "  WARN: nothing captured" else ""
+        println(s"[audit] $name: ${found.mkString(" ")} (executed, ${plans.size} plans)$empty")
       } catch {
         case e: Throwable => println(s"[audit] $name: ERROR ${String.valueOf(e.getMessage).take(80)}")
       }

@@ -23,31 +23,21 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val captured = new scala.collection.mutable.ArrayBuffer[String]
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
-        captured.synchronized { captured += qe.executedPlan.toString }
-      override def onFailure(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    // listener delivery is async — drain until stable
-    var last = -1
-    var spins = 0
-    while (captured.synchronized(captured.size) != last && spins < 50) {
-      last = captured.synchronized(captured.size)
-      Thread.sleep(100)
-      spins += 1
+    val plans = ExecutedPlans.capture(spark) {
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     }
     // scalastyle:off println
-    captured.synchronized(captured.toList).zipWithIndex.foreach { case (p, i) =>
+    if (plans.isEmpty) {
+      println(s"=== $name: WARN — no executed plans captured " +
+        "(listener bus delivered nothing within the wait budget) ===")
+    }
+    plans.zipWithIndex.foreach { case (p, i) =>
       println(s"=== $name executed plan ${i + 1} ===")
       println(p)
     }
     // scalastyle:on println
     spark.stop()
+    if (plans.isEmpty) sys.exit(1)
   }
 }

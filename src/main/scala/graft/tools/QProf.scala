@@ -111,15 +111,14 @@ object QProf {
       if (name.contains(",")) {
         name.split(",").foreach { n =>
           val t0 = System.nanoTime()
-          val cnt =
-            if (n == "q17stages") { q17stages(spark, sfDir); -1L }
-            else if (n == "q35stages") { q35stages(spark, sfDir); -1L }
-            else {
-              // noop sink, not count(): full-plan evaluation (see Bench)
-              graft.SparkEntry.queries(n)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save(); -1L
-            }
-          System.err.println(f"[qprof] run$i $n ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$cnt")
+          if (n == "q17stages") q17stages(spark, sfDir)
+          else if (n == "q35stages") q35stages(spark, sfDir)
+          else {
+            // noop sink, not count(): full-plan evaluation (see Bench)
+            graft.SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          System.err.println(f"[qprof] run$i $n ${(System.nanoTime() - t0) / 1e9}%8.2f s")
           spark.catalog.clearCache()
           System.gc()
         }

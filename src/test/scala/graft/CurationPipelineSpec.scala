@@ -52,6 +52,19 @@ class CurationPipelineSpec extends SparkSpec {
     ()
   }
 
+  test("scrub=false trusts pre-scrubbed input: zero PII audit, text as-is") {
+    val docs = Seq(
+      (1L, "already scrubbed content [EMAIL] with plenty of distinct words here ok thanks")
+    ).toDF("doc_id", "text")
+    val tagged = CurationPipeline.curate(docs, "doc_id", "text",
+      cfg.copy(scrub = false))
+      .select("doc_id", "text", "n_email", "keep")
+      .as[(Long, String, Long, Int)].collect()
+    assert(tagged.head._2.contains("[EMAIL]")) // untouched
+    assert(tagged.head._3 == 0L)
+    assert(tagged.head._4 == 1)
+  }
+
   test("null text flows through as empty: tagged short, never dropped") {
     val docs = Seq(
       (1L, "a perfectly ordinary document with plenty of distinct words in here"),

@@ -152,7 +152,7 @@ class StreamingIngestSpec extends SparkSpec {
     // arrivals: organic odd docs + one verbatim corpus re-arrival (exact
     // dup) + one 3-words-appended corpus re-arrival (near dup)
     val incoming = all.filter(col("doc_id") % 2 === 1)
-      .unionAll(corpus.limit(1)
+      .unionAll(corpus.orderBy(col("doc_id").asc).limit(1)
         .select((col("doc_id") + 9001L).as("doc_id"), col("text")))
       .unionAll(corpus.orderBy(col("doc_id").desc).limit(1)
         .select((col("doc_id") + 9002L).as("doc_id"),
