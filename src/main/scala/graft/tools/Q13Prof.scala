@@ -58,8 +58,8 @@ object Q13Prof {
         .select(col("bk.blk").as("blk"), col("bk.bv").as("bv"))
       val sizes = blocks.groupBy("blk", "bv").count()
       time("pairTotal")(System.err.println("[q13prof] total pairs = " +
-        sizes.agg(sum(col("count") * (col("count") - 1) / 2)).head.get(0) +
-        " max bucket = " + sizes.agg(max("count")).head.get(0)))
+        sizes.agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0) +
+        " max bucket = " + sizes.agg(max("count")).head().get(0)))
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()
