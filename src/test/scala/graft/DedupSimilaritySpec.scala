@@ -351,6 +351,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3) == ((4L, 2L, 1L, m("p q r s"))))
   }
 
+  test("property: segmentDedup matches an in-memory reference implementation") {
+    import java.security.MessageDigest
+    def m(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // reference: global first-occurrence in (id, pos) order
+    def ref(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, String)] = {
+      val segs = docs.flatMap { case (id, t) =>
+        t.trim.split("\\s+").toSeq.grouped(k).zipWithIndex
+          .map { case (g, i) => (id, i, g.mkString(" ")) }
+      }.sortBy(s => (s._1, s._2))
+      val seen = scala.collection.mutable.Set[String]()
+      val marked = segs.map { case (id, pos, seg) =>
+        val keep = !seen.contains(seg); seen += seg; (id, pos, seg, keep)
+      }
+      marked.groupBy(_._1).map { case (id, ss) =>
+        id -> ((ss.size.toLong, ss.count(!_._4).toLong,
+          m(ss.filter(_._4).sortBy(_._2).map(_._3).mkString(" "))))
+      }
+    }
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 3) {
+      val fixture = (0L until 20L).map { id =>
+        // small vocab + short docs force plenty of cross-doc segment hits
+        (id, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = TextDedup.segmentDedup(fixture.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .select("doc_id", "n_segs", "n_dup_segs", "clean_md5")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == ref(fixture, 3))
+    }
+  }
+
   test("segment dedup: ragged tail segment is its own unit") {
     val df = Seq((1L, "a b c d e"), (2L, "e")).toDF("doc_id", "text")
     val out = TextDedup.segmentDedup(df, "doc_id", "text", segWords = 4)

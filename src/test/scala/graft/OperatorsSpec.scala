@@ -193,6 +193,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("property: trainingOrder is the reference permutation on random ids") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 2) {
+      // sparse, non-contiguous ids — the operator must not assume density
+      val ids = Seq.fill(400)(rnd.nextLong().abs % 1000000L).distinct
+      val expected = ids
+        .map(id => (id, md5hex(id.toString)))
+        .groupBy(_._2.substring(0, 1))
+        .flatMap { case (shard, rows) =>
+          rows.sortBy(r => (r._2.substring(1, 17), r._1)).zipWithIndex
+            .map { case ((id, _), i) => (id, shard, i + 1L) }
+        }.toSet
+      val got = Sampling.trainingOrder(ids.toDF("id"), "id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == expected)
+    }
+  }
+
   test("repetition signals: loops flag, diverse text does not (q45)") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
