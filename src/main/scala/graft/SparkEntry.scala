@@ -1006,6 +1006,16 @@ object SparkEntry {
             " <eos> ")).as("packed_md5"))
     }),
 
+    // C4-style per-source cap: at most 20 docs per source, selected by
+    // the deterministic md5 order (rerun-stable). Built on the same
+    // two-level rank as q46 — per-domain caps are where a flat
+    // row_number-per-domain window dies in one task under domain skew.
+    "q50_source_cap" -> ((s, dir) =>
+      Sampling.capPerKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", maxPerKey = 20L)
+        .select(col("doc_id"), col("source"), col("pos"))),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1756,6 +1766,14 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
         |  md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS packed_md5
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q50_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS pos FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 2, 16), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 20""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

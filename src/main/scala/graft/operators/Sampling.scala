@@ -70,26 +70,69 @@ object Sampling {
     * Ties on the full 16-char key break on the id, so the permutation is
     * total and engine-reproducible.
     */
-  def trainingOrder(df: DataFrame, idCol: String, bucketChars: Int = 2): DataFrame = {
+  def trainingOrder(df: DataFrame, idCol: String, bucketChars: Int = 2): DataFrame =
+    stableRank(
+      df.select(col(idCol),
+        substring(md5(col(idCol).cast("string")), 1, 1).as("shard")),
+      Seq("shard"), idCol, bucketChars)
+      .select(col(idCol), col("shard"), col("pos"))
+
+  /** Distributed stable rank within ARBITRARY partition keys: appends
+    * `pos` = `row_number() OVER (PARTITION BY partCols ORDER BY
+    * md5-order-key, id)` — without ever sorting a whole partition in one
+    * task. The two-level construction (micro-bucket rank + per-bucket
+    * prefix-sum offsets over a (keys × 16^bucketChars)-row count table)
+    * is [[trainingOrder]]'s, generalized; correctness rests on the same
+    * prefix argument (bucket = prefix of the order key ⇒ two-level order
+    * = flat order, id tiebreak makes it total).
+    *
+    * The offsets join is NOT broadcast-hinted: with high-cardinality keys
+    * (per-domain caps over millions of domains) the count table is
+    * data-sized; AQE size-dispatches (broadcast at 16-shard scale,
+    * shuffle join beyond).
+    */
+  def stableRank(
+      df: DataFrame,
+      partCols: Seq[String],
+      idCol: String,
+      bucketChars: Int = 2): DataFrame = {
     require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1,8]")
-    val keyed = df.select(
-      col(idCol),
-      substring(md5(col(idCol).cast("string")), 1, 1).as("shard"),
-      substring(md5(col(idCol).cast("string")), 2, 16).as("okey"))
+    require(partCols.nonEmpty, "at least one partition column")
+    val parts = partCols.map(col)
+    val keyed = df
+      .withColumn("okey", substring(md5(col(idCol).cast("string")), 2, 16))
       .withColumn("bucket", substring(col("okey"), 1, bucketChars))
     val offsets = keyed
-      .groupBy(col("shard"), col("bucket"))
+      .groupBy((parts :+ col("bucket")): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("offset", coalesce(
-        sum(col("n")).over(Window.partitionBy(col("shard")).orderBy(col("bucket"))
+        sum(col("n")).over(Window.partitionBy(parts: _*).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("shard"), col("bucket"), col("offset"))
-    val inBucket = Window.partitionBy(col("shard"), col("bucket"))
+      .select((parts :+ col("bucket") :+ col("offset")): _*)
+    val inBucket = Window.partitionBy((parts :+ col("bucket")): _*)
       .orderBy(col("okey"), col(idCol))
     keyed
       .withColumn("rn", row_number().over(inBucket))
-      .join(broadcast(offsets), Seq("shard", "bucket"))
-      .select(col(idCol), col("shard"), (col("offset") + col("rn")).as("pos"))
+      .join(offsets, partCols :+ "bucket")
+      .withColumn("pos", col("offset") + col("rn"))
+      .drop("okey", "bucket", "rn", "offset", "n")
   }
+
+  /** C4-style per-key document cap: keep at most `maxPerKey` rows per
+    * key, chosen by the deterministic md5 order (not arrival order — a
+    * re-partitioned rerun keeps the SAME rows). The classic use is
+    * per-domain caps, where key cardinality is data-sized and key skew is
+    * the norm (one domain with 10⁹ docs) — exactly where a flat
+    * `row_number() OVER (PARTITION BY domain)` dies in one task and this
+    * two-level rank doesn't.
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      maxPerKey: Long,
+      bucketChars: Int = 2): DataFrame =
+    stableRank(df, keyCols, idCol, bucketChars)
+      .filter(col("pos") <= maxPerKey)
 }

@@ -193,6 +193,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("capPerKey: skewed keys capped by deterministic order, small keys intact") {
+    import org.apache.spark.sql.functions._
+    // heavy key with 300 rows, light key with 3
+    val df = ((0L until 300L).map(i => (i, "heavy")) ++
+      Seq((1000L, "light"), (1001L, "light"), (1002L, "light")))
+      .toDF("id", "domain")
+    val out = Sampling.capPerKey(df, Seq("domain"), "id", maxPerKey = 10L)
+    val byKey = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(byKey == Map("heavy" -> 10L, "light" -> 3L))
+    // the capped set equals the flat-window reference selection
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("rn", row_number().over(
+      Window.partitionBy(col("domain"))
+        .orderBy(substring(md5(col("id").cast("string")), 2, 16), col("id"))))
+      .filter(col("rn") <= 10).select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet == ref)
+  }
+
   test("property: trainingOrder is the reference permutation on random ids") {
     import java.security.MessageDigest
     def md5hex(s: String) = MessageDigest.getInstance("MD5")
