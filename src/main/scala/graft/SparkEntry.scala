@@ -1016,6 +1016,34 @@ object SparkEntry {
         Seq("source"), "doc_id", maxPerKey = 20L)
         .select(col("doc_id"), col("source"), col("pos"))),
 
+    // SemDeDup — semantic dedup via embedding clusters: nearest-centroid
+    // assignment confines the pair search to one quantizer cell, exact
+    // cosine >= 0.95 verifies, connected components pick one
+    // representative per duplicate set. Duplicates are planted as
+    // exactly-scaled copies (the q24 trick: x2.0f is exact in float, so
+    // the copy's cosine to every centroid is bit-identical to its
+    // source's — the pair is guaranteed co-clustered in both engines).
+    "q51_semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").as("bucket"))
+      val planted = base.filter(col("id") < 25)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("vec"), x => x * lit(2.0f)).as("vec"), col("bucket"))
+      val cents = SimilaritySearch.centroids(base, "bucket")
+      SimilaritySearch.semanticDedup(
+        base.unionByName(planted).select(col("id"), col("vec")),
+        cents, threshold = 0.95)
+    }),
+
+    // Duplicated-span coverage — substring-level dedup signal (Lee et
+    // al. 2021): fraction of each document's tokens inside an 8-gram
+    // shared with another document, overlapping spans union-counted.
+    "q52_dup_span_coverage" -> ((s, dir) =>
+      TextDedup.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("dup_tokens"), col("dup_frac"))),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1775,6 +1803,38 @@ object SparkEntry {
         |  FROM documents
         |) WHERE rn <= 20""".stripMargin,
 
+    "q51_semantic_dedup" -> semanticDedupOracle,
+
+    "q52_dup_span_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), sized AS (
+        |  SELECT id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM base
+        |), occ AS (
+        |  SELECT id, CAST(i AS BIGINT) AS s, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM sized, unnest(range(1, len(w) - 6)) AS t(i)
+        |  WHERE n_tokens >= 8
+        |), dup AS (
+        |  SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT id) >= 2
+        |), ival AS (
+        |  SELECT id, s, s + 7 AS e FROM occ JOIN dup USING (gram)
+        |), u AS (
+        |  SELECT id, s, e,
+        |    coalesce(max(e) OVER (PARTITION BY id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+        |  FROM ival
+        |), cov AS (
+        |  SELECT id, CAST(sum(greatest(e - greatest(prev_e, s - 1), 0)) AS BIGINT)
+        |    AS dup_tokens
+        |  FROM u GROUP BY id
+        |)
+        |SELECT b.id AS doc_id, b.n_tokens,
+        |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+        |  floor(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+        |    * 10000 + 0.5) / 10000 AS dup_frac
+        |FROM sized b LEFT JOIN cov c USING (id)""".stripMargin,
+
     "q16_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -1843,6 +1903,60 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
        |  FROM scored
        |) WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB twin of q51: same centroids as [[ivfTopkOracle]] (built from
+    * the UNplanted base), nearest-centroid assignment with the identical
+    * (cos DESC, bucket ASC) tiebreak, within-cell pairs at the same exact
+    * cosine threshold, and components via the q36 recursive-CTE pattern.
+    */
+  private lazy val semanticDedupOracle: String = {
+    val dotVV = sqlListDot("c.vec", "c.vec")
+    val dotCC = sqlListDot("cent.cvec", "cent.cvec")
+    val dotVC = sqlListDot("c.vec", "cent.cvec")
+    val dotAA = sqlListDot("a.vec", "a.vec")
+    val dotBB = sqlListDot("b.vec", "b.vec")
+    val dotAB = sqlListDot("a.vec", "b.vec")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id AS id, embedding AS vec, label FROM embeddings
+       |), planted AS (
+       |  SELECT id + 1000000 AS id,
+       |    list_transform(vec, x -> CAST(x * 2 AS FLOAT)) AS vec, label
+       |  FROM base WHERE id < 25
+       |), corpus AS (
+       |  SELECT id, vec FROM base UNION ALL SELECT id, vec FROM planted
+       |), cent AS (
+       |  SELECT label AS bucket, list(m ORDER BY pos) AS cvec FROM (
+       |    SELECT label, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
+       |    FROM base, unnest(range(1, len(vec) + 1)) AS t(pos)
+       |    GROUP BY label, pos
+       |  ) GROUP BY label
+       |), assigned AS (
+       |  SELECT id, vec, bucket AS cluster FROM (
+       |    SELECT c.id, c.vec, cent.bucket,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        CASE WHEN sqrt($dotVV) = 0 OR sqrt($dotCC) = 0 THEN 0.0
+       |             ELSE $dotVC / (sqrt($dotVV) * sqrt($dotCC)) END DESC,
+       |        cent.bucket ASC) AS crank
+       |    FROM corpus c, cent
+       |  ) WHERE crank = 1
+       |), pairs AS (
+       |  SELECT a.id AS d1, b.id AS d2
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE CASE WHEN sqrt($dotAA) = 0 OR sqrt($dotBB) = 0 THEN 0.0
+       |             ELSE $dotAB / (sqrt($dotAA) * sqrt($dotBB)) END >= 0.95
+       |), edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |             UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT a.id, a.cluster, r.rep, (a.id <> r.rep) AS is_dup
+       |FROM assigned a
+       |JOIN (SELECT id, min(lab) AS rep FROM reach GROUP BY id) r USING (id)"""
+      .stripMargin
   }
 
   /** In-order double dot product over two float-list columns (bit-identical

@@ -270,4 +270,45 @@ object SimilaritySearch {
       .filter(col("cos") >= threshold)
       .select(col("id").as("d1"), col("id_b").as("d2"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * embedding clusters. Candidate pairs are confined to one coarse-
+    * quantizer cell (each vector assigned to its nearest centroid — the
+    * same codebook [[ivfTopK]] probes), verified by exact cosine ≥
+    * `threshold`, grouped into duplicate sets with
+    * [[Dedup.connectedComponents]], and represented by the set minimum.
+    *
+    * Output: (id, cluster, rep, is_dup) — one row per corpus vector;
+    * `rep` is the component-minimum id (a singleton represents itself),
+    * `is_dup = id != rep` marks rows SemDeDup would drop.
+    *
+    * Scale shape: the quadratic work is per-cell — pairs ~ Σ|cell|², the
+    * paper's own design point (size nlist so cells stay bounded). The
+    * pair join is a plain shuffle equi-join on the cell key (both sides
+    * data-scaled — no broadcast), and components converge in O(log n)
+    * rounds regardless of duplicate-chain depth.
+    */
+  def semanticDedup(
+      corpus: DataFrame, // id, vec
+      cents: DataFrame,  // bucket, cvec
+      threshold: Double): DataFrame = {
+    val assigned = probeBuckets(
+      corpus.select(col("id").as("qid"), col("vec").as("qvec")),
+      cents, nprobe = 1)
+      .select(col("qid").as("id"), col("qvec").as("vec"),
+        col("bucket").as("cluster"))
+    val right = assigned.select(
+      col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = assigned.join(right, Seq("cluster"))
+      .filter(col("id") < col("id_b") &&
+        CosineSim(col("vec"), col("vec_b")) >= lit(threshold))
+      .select(col("id").as("d1"), col("id_b").as("d2"))
+    val reps = Dedup.connectedComponents(
+      assigned.select(col("id")), pairs.select(col("d1"), col("d2")))
+      .select(col("id"), col("cluster").as("rep"))
+    assigned.select(col("id"), col("cluster"))
+      .join(reps, "id")
+      .select(col("id"), col("cluster"), col("rep"),
+        (col("id") =!= col("rep")).as("is_dup"))
+  }
 }

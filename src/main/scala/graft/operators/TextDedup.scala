@@ -524,4 +524,59 @@ object TextDedup {
             _.getField("seg")),
           " ")).as("clean_md5"))
   }
+
+  /** Duplicated-span coverage — the "how much of this document is exact
+    * duplicated text" signal of substring-level corpus dedup (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * every positional `n`-gram occurring in ≥2 distinct documents marks
+    * its `n`-token span duplicated; a document's `dup_tokens` is the size
+    * of the UNION of those spans (overlapping grams are not
+    * double-counted). Returns one row per document:
+    * `(id, n_tokens, dup_tokens, dup_frac)` — `dup_frac` rounded with the
+    * engine-stable `floor(x·10⁴ + 0.5)/10⁴` rule since it feeds
+    * downstream drop thresholds.
+    *
+    * Scale shape: positional grams are map-side; the duplicated-gram
+    * decision is one shuffle keyed by gram content plus one equi-join
+    * back on the same key (hash-partitioned — no broadcast of a
+    * vocabulary-sized side); the interval union is a per-document
+    * prefix-max window over only the duplicated occurrences. Nothing is
+    * quadratic in corpus size.
+    */
+  def dupSpanCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "span n-gram size must be >= 2")
+    val base = docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    // positional n-grams: docs shorter than n have no candidate span
+    val occ = base
+      .filter(col("n_tokens") >= n)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as(Seq("p", "gram")))
+      .select(col("id"), (col("p") + 1).cast("long").as("start"), col("gram"))
+    val dupGrams = occ.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val w = Window.partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = occ.join(dupGrams, "gram")
+      .select(col("id"), col("start"), (col("start") + (n - 1)).as("end"))
+      .withColumn("prev_end", coalesce(max(col("end")).over(w), lit(0L)))
+      .withColumn("cov",
+        greatest(col("end") - greatest(col("prev_end"), col("start") - 1), lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(col("cov")).as("dup_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        floor(col("dup_tokens").cast("double") / col("n_tokens")
+          * 10000.0 + 0.5) / 10000.0)
+  }
 }

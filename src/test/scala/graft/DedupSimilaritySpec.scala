@@ -394,4 +394,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0) == ((1L, 2L, 0L)))
     assert(out(1) == ((2L, 1L, 1L)))
   }
+
+  test("semanticDedup: within-cell duplicate sets, singletons keep themselves") {
+    // two quantizer cells along e1/e2; cluster {1,2,3} is a duplicate
+    // chain (2 = 2×1 exactly, 3 within cos 0.95 of both), {11,12} a pair,
+    // 21 assigns to cell 0 but is far from the a-chain -> singleton
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),
+      (11L, Array(0f, 1f, 0f, 0f)),
+      (12L, Array(0f, 0.95f, 0.05f, 0f)),
+      (21L, Array(0.71f, 0.7f, 0f, 0f))
+    ).toDF("id", "vec")
+    val cents = SimilaritySearch.centroids(
+      Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+        .toDF("bucket", "vec"), "bucket")
+    val out = SimilaritySearch.semanticDedup(corpus, cents, threshold = 0.95)
+      .select("id", "cluster", "rep", "is_dup")
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 1L, false), (2L, 0, 1L, true), (3L, 0, 1L, true),
+      (11L, 1, 11L, false), (12L, 1, 11L, true),
+      (21L, 0, 21L, false)))
+  }
+
+  test("semanticDedup on the embedding corpus: planted copies dedup to their source") {
+    // the driver corpus has no organic near-dups (max cos ~ 0.51), so the
+    // components must be EXACTLY the planted (i, i+1000000) pairs
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label").as("bucket"))
+    val planted = base.filter(col("id") < 25)
+      .select((col("id") + 1000000L).as("id"),
+        transform(col("vec"), x => x * lit(2.0f)).as("vec"), col("bucket"))
+    val cents = SimilaritySearch.centroids(base, "bucket")
+    val out = SimilaritySearch.semanticDedup(
+      base.unionByName(planted).select(col("id"), col("vec")),
+      cents, threshold = 0.95)
+    assert(out.count() == emb.count() + 25)
+    val dups = out.filter(col("is_dup")).select("id", "rep")
+      .as[(Long, Long)].collect().toSet
+    assert(dups == (0L until 25L).map(i => (i + 1000000L, i)).toSet)
+  }
+
+  test("dupSpanCoverage: overlapping shared spans union-counted, short docs zero") {
+    val common = (1 to 9).map(i => s"c$i").mkString(" ") // 9 tokens, 2 8-grams
+    val docs = Seq(
+      (1L, s"$common x1 x2 x3"),            // shared grams at starts 1,2 -> [1,9]
+      (2L, s"y1 y2 $common"),               // shared grams at starts 3,4 -> [3,11]
+      (3L, "short doc only"),               // < 8 tokens: no candidate span
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8")       // 8 unique tokens, nothing shared
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dupSpanCoverage(docs, "doc_id", "text")
+      .select("id", "n_tokens", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 12L, 9L, 0.75)))
+    assert(out(1) == ((2L, 11L, 9L, 0.8182)))
+    assert(out(2) == ((3L, 3L, 0L, 0.0)))
+    assert(out(3) == ((4L, 8L, 0L, 0.0)))
+  }
 }
