@@ -67,6 +67,32 @@ object NativeTextExprs {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams in document order (no dedup — array index IS the
+    * 0-based start position, the contract [[WordShinglesAll]] exists for).
+    * Texts with fewer than `n` tokens have no length-`n` window: empty
+    * array (NOT the joined-text fallback of [[evalShingles]], whose
+    * consumers are set-similarity ops where every doc needs ≥1 element).
+    */
+  def evalShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // SplitMix64 — derives the per-hash-function affine constants.
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -136,6 +162,39 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
   def apply(c: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+}
+
+/** Positional word n-grams of a text column, natively: element `i` is the
+  * gram starting at token `i` (0-based) — `posexplode` recovers (start,
+  * gram) pairs without interpreted transform/slice/concat_ws HOFs.
+  */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles_all needs string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeTextExprs.evalShinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextExprs.evalShinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles_all"
+}
+
+object WordShinglesAll {
+  def apply(c: Column, n: Int): Column =
+    GraftBridge.column(WordShinglesAll(GraftBridge.expression(c), n))
 }
 
 /** k-slot MinHash signature of a string array, natively. */

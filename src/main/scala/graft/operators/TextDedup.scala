@@ -550,14 +550,15 @@ object TextDedup {
       n: Int = 8): DataFrame = {
     require(n >= 2, "span n-gram size must be >= 2")
     val base = docs
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("w"))
-      .withColumn("n_tokens", size(col("w")).cast("long"))
-    // positional n-grams: docs shorter than n have no candidate span
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+    // positional n-grams, one native pass per row (docs shorter than n
+    // yield an empty array — no candidate span)
     val occ = base
-      .filter(col("n_tokens") >= n)
-      .select(col("id"), posexplode(
-        transform(sequence(lit(1), size(col("w")) - (n - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as(Seq("p", "gram")))
+      .select(col("id"),
+        posexplode(graft.functions.WordShinglesAll(col("text"), n))
+          .as(Seq("p", "gram")))
       .select(col("id"), (col("p") + 1).cast("long").as("start"), col("gram"))
     val dupGrams = occ.groupBy(col("gram"))
       .agg(countDistinct(col("id")).as("ndocs"))
