@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, MergeInto, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
+import graft.operators.{BigramLm, Dedup, MergeInto, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -1044,6 +1044,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("dup_tokens"), col("dup_frac"))),
 
+    // Bigram-LM quality score (the CCNet/KenLM stage): fit an add-one-
+    // smoothed bigram model on the corpus, score each doc's average
+    // per-transition log-likelihood under the frozen model.
+    "q53_bigram_loglik" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      BigramLm.scoreDocs(docs, "doc_id", "text", BigramLm.fit(docs, "text"))
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -1834,6 +1842,40 @@ object SparkEntry {
         |  floor(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens
         |    * 10000 + 0.5) / 10000 AS dup_frac
         |FROM sized b LEFT JOIN cov c USING (id)""".stripMargin,
+
+    // per-transition ln P quantized to 1e-4 fixed point BEFORE the
+    // (exact, order-independent) BIGINT sum — a floating sum's order
+    // differs between engines; the quantized-then-integer-sum form is the
+    // only portable aggregate of libm outputs
+    "q53_bigram_loglik" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+        |), vs AS (SELECT count(*) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2
+        |), bgc AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY gram),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE))
+        |      * 10000 + 0.5) AS BIGINT) AS llq
+        |  FROM bg JOIN bgc USING (gram) JOIN uni USING (w1) CROSS JOIN vs
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_transitions,
+        |    CAST(sum(llq) AS BIGINT) AS s
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  coalesce(a.n_transitions, 0) AS n_transitions,
+        |  CASE WHEN a.s IS NULL THEN 0.0
+        |       ELSE floor(CAST(a.s AS DOUBLE) / a.n_transitions + 0.5) / 10000
+        |  END AS avg_ll
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

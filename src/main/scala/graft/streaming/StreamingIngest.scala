@@ -284,6 +284,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** Bigram-LM quality scoring as a STREAMING stage — the streaming twin
+    * of batch q53, under the same frozen-model rule as the TF-IDF scorer:
+    * the model is fit offline (or on a reference corpus) and arriving
+    * micro-batches are scored against it. A streaming-global LM would
+    * retroactively change already-emitted scores with every batch —
+    * freezing is both the scalable and the statistically honest form
+    * (CCNet scores against a REFERENCE-corpus LM, not the corpus being
+    * filtered). Unseen transitions hit the model's uniform 1/V floor.
+    * Batch-id-keyed overwrite ⇒ replay-idempotent.
+    */
+  def startLmScorer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      model: graft.operators.BigramLm.Model, // frozen
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.BigramLm
+          .scoreDocs(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** PII scrubbing as a STREAMING stage — the streaming twin of batch q43:
     * every arriving document is redacted ([[graft.operators.PiiRedaction]]
     * regexp_replace chain) and lands with its per-class audit counts.

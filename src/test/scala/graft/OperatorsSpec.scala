@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, MergeInto, Repetition, Sampling}
+import graft.operators.{BigramLm, Dedup, MergeInto, Repetition, Sampling}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -191,6 +191,27 @@ class OperatorsSpec extends SparkSpec {
     out.foreach { case (shard, n, lo, hi, nd) =>
       assert(lo == 1L && hi == n && nd == n, s"shard $shard not dense: $lo..$hi/$n")
     }
+  }
+
+  test("bigram LM: hand-computed smoothed log-likelihoods; unseen gram hits the uniform floor") {
+    // corpus: c(a)=3 c(b)=3 c(c)=1, V=3; bigrams: "a b"x3, "b a"x1
+    // P(b|a)=(3+1)/(3+3) -> llq floor(ln(2/3)*1e4+0.5) = -4055
+    // P(a|b)=(1+1)/(3+3) -> llq floor(ln(1/3)*1e4+0.5) = -10986
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c")
+    ).toDF("doc_id", "text")
+    val model = BigramLm.fit(corpus, "text")
+    val out = BigramLm.scoreDocs(corpus, "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc1: (-4055 - 10986 - 4055)/3 -> floor(-6365.33+0.5)/1e4
+    assert(out(0) == ((1L, 3L, -0.6365)))
+    assert(out(1) == ((2L, 1L, -0.4055)))
+    assert(out(2) == ((3L, 0L, 0.0))) // no transition in a 1-token doc
+    // frozen-model apply on unseen text: c2=0, c1=0 -> P = 1/V = 1/3
+    val unseen = BigramLm.scoreDocs(
+      Seq((9L, "z z")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect()
+    assert(unseen.head == ((9L, 1L, -1.0986)))
   }
 
   test("capPerKey: skewed keys capped by deterministic order, small keys intact") {

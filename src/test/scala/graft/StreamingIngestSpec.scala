@@ -227,6 +227,39 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming bigram-LM scorer under a frozen model matches batch q53") {
+    import spark.implicits._
+    import graft.operators.BigramLm
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(src)
+    // freeze the LM over the full corpus, stream the same docs: micro-batch
+    // scores under the frozen model must reproduce the batch fit+apply (q53)
+    val model0 = BigramLm.fit(docs, "text")
+    val model = BigramLm.Model(model0.grams.cache(), model0.vocab.cache())
+    val landing = tmpDir("lm_land")
+    val staging = tmpDir("lm_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("lm_out")
+    val ckpt = tmpDir("lm_ckpt")
+    val q = StreamingIngest.startLmScorer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", model = model,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "n_transitions", "avg_ll")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("q53_bigram_loglik")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    model.grams.unpersist(); model.vocab.unpersist()
+    ()
+  }
+
   test("streaming decontaminator flags exactly the batch q42 set") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
