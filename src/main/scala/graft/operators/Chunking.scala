@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Overlapping fixed-window document chunking — the context-window prep
+  * stage of a training/retrieval pipeline (split every document into
+  * `window`-token chunks advancing by `stride`, so consecutive chunks
+  * share `window - stride` tokens of context). Distinct from q41/q49
+  * packing, which concatenates whole documents INTO a budget; chunking
+  * cuts single documents UP, preserving overlap so no training example
+  * starts context-blind mid-document.
+  *
+  * Chunk `k` covers tokens `[k·stride + 1, k·stride + window]` (1-based,
+  * truncated at the document end); the chunk count
+  * `1 + max(0, ceil((n − window) / stride))` guarantees full coverage —
+  * every token is in at least one chunk, and a document no longer than
+  * `window` is exactly one chunk.
+  *
+  * Scale shape: entirely map-side — one `transform` over the word array
+  * per document, no shuffle, no state; output rows ~ n_tokens/stride per
+  * document. The md5 keys the chunk content so downstream exact-dedup of
+  * chunks (the segment-level rule) composes directly.
+  */
+object Chunking {
+
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(stride >= 1 && stride <= window, "stride in [1, window]")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+           |  sequence(0,
+           |    greatest(int(ceil((size(ws) - $window) / ${stride}d)), 0)),
+           |  k -> slice(ws, k * $stride + 1, $window))""".stripMargin))
+        .as(Seq("k", "chunk")))
+      .select(col(idCol),
+        col("k").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+  }
+
+  /** Content-defined chunking (rolling-hash CDC, the rsync/LBFS family):
+    * chunk boundaries are placed where the hash of the local `k`-gram
+    * matches a pattern, NOT at fixed offsets — so inserting a paragraph
+    * shifts only the chunks it touches, and every downstream chunk
+    * re-aligns byte-identically. Fixed-window chunking ([[chunkTokens]])
+    * invalidates every chunk after an edit; CDC is what makes chunk-level
+    * exact dedup robust to insertions, which is why large-corpus dedup
+    * systems key on it.
+    *
+    * Boundary rule: a new chunk starts at token position `i ≥ 1` iff
+    * `md5(gram(i..i+k−1))` begins with `boundaryHexPrefix` — one hex char
+    * means P(boundary) = 1/16, so mean chunk length ≈ 16 tokens, and the
+    * decision at position `i` depends ONLY on the `k` tokens at `i`
+    * (content-defined: shift-invariant). md5-hex-prefix is the engine's
+    * portable hash idiom (same rule as the samplers), so a SQL oracle
+    * replays boundaries exactly.
+    *
+    * Scale shape: entirely map-side — boundary positions, chunk slicing
+    * and chunk hashing are array expressions over one row; no shuffle, no
+    * window, no state. Output rows ≈ n_tokens/16 per document.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      boundaryHexPrefix: String = "0"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(boundaryHexPrefix.nonEmpty && boundaryHexPrefix.matches("[0-9a-f]+"),
+      "boundaryHexPrefix must be lowercase hex")
+    val p = boundaryHexPrefix
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
+      // 0-based boundary positions: i in [1, n-k] where the k-gram at i
+      // hash-matches (position 0 excluded — chunk 0 starts there anyway).
+      // The sequence() is guarded: Spark's sequence(1, x) DESCENDS for
+      // x < 1, so short docs must short-circuit to "no boundaries".
+      .withColumn("starts", expr(
+        s"""concat(array(0), IF(size(w) <= $k, array(),
+           |  filter(transform(sequence(1, size(w) - $k), i ->
+           |    IF(substring(md5(concat_ws(' ', slice(w, i + 1, $k))),
+           |         1, ${p.length}) = '$p', i, -1)),
+           |    x -> x >= 0)))""".stripMargin))
+      .select(col(idCol), posexplode(expr(
+        """transform(sequence(0, size(starts) - 1), j ->
+          |  slice(w, element_at(starts, j + 1) + 1,
+          |    IF(j + 2 <= size(starts), element_at(starts, j + 2), size(w))
+          |      - element_at(starts, j + 1)))""".stripMargin))
+        .as(Seq("seg", "chunk")))
+      .select(col(idCol),
+        col("seg").cast("long").as("seg_id"),
+        size(col("chunk")).cast("long").as("n_seg_tokens"),
+        md5(array_join(col("chunk"), " ")).as("seg_md5"))
+  }
+
+  /** Chunk-level exact dedup over the CDC chunks — the stage CDC chunking
+    * exists FOR: because boundaries are content-defined, a re-crawled or
+    * lightly edited document re-produces byte-identical chunks for all its
+    * unchanged spans, and this operator drops every chunk whose content
+    * already occurred earlier in the corpus (global first-occurrence rule,
+    * ordered by `(doc_id, seg_id)` — deterministic under any
+    * partitioning). Per-document audit: chunk/token counts kept vs total
+    * and the kept-token fraction (engine-stable 1e-4 rounding — it is a
+    * natural downstream threshold).
+    *
+    * Scale shape: [[cdcChunks]] is map-side; the first-occurrence rule is
+    * ONE content-keyed shuffle (hash agg on `seg_md5`, map-side partial);
+    * the winners table (one row per DISTINCT chunk) joins back on the
+    * same key — co-partitioned with the agg, no extra exchange. Same
+    * shape as segment dedup (q44), with insertion-robust boundaries.
+    */
+  def cdcChunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      boundaryHexPrefix: String = "0"): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, k, boundaryHexPrefix)
+    // global first occurrence per chunk content: lexicographic min of
+    // (doc_id, seg_id) — struct min gives exactly that ordering
+    val first = chunks
+      .groupBy(col("seg_md5"))
+      .agg(min(struct(col(idCol).as("d"), col("seg_id").as("s"))).as("f"))
+      .select(col("seg_md5"),
+        col("f.d").as("first_doc"), col("f.s").as("first_seg"))
+    chunks.join(first, "seg_md5")
+      .withColumn("kept",
+        col(idCol) === col("first_doc") && col("seg_id") === col("first_seg"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_chunks"),
+        sum(col("n_seg_tokens")).as("n_tokens"),
+        sum(when(col("kept"), col("n_seg_tokens")).otherwise(0L))
+          .as("n_kept_tokens"))
+      .withColumn("kept_frac",
+        floor(col("n_kept_tokens").cast("double") / col("n_tokens")
+          * 10000.0 + 0.5) / 10000.0)
+  }
+}

@@ -71,4 +71,40 @@ object Repetition {
         when(col("dup_word_frac") > dupWordMax
           || col("top_bigram_frac") > topBigramMax, 1).otherwise(0))
   }
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * gibberish/binary-junk signal the word-level rules miss: natural text
+    * sits ~4±1 bits/char, base64 blobs and key dumps near log₂(alphabet),
+    * single-character spam near 0. Computed as
+    * `H = log₂(n) − (Σ c·log₂(c)) / n` over per-character counts `c`.
+    *
+    * Cross-engine determinism (the q53 rule): each distinct character's
+    * `c·log₂(c)` is quantized to 1e-4 fixed point and summed as an exact
+    * BIGINT — never an order-dependent floating sum; `log₂(n)` is one
+    * libm call per document, rounded away by the final 1e-4 rounding.
+    *
+    * Scale shape: one explode → two hash aggregations, both map-side
+    * partial-agg friendly; per-doc fanout = text length (the same cost
+    * any per-character scan pays), alphabet-bounded after the first agg.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val log2e = 1.4426950408889634 // 1/ln(2): log2(x) = ln(x) * log2e
+    def log2(c: org.apache.spark.sql.Column) = log(c) * log2e
+    docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      // Java's zero-width split emits empty edge elements ('' at the ends,
+      // version-dependent) the oracle's character enumeration never sees
+      .filter(length(col("ch")) === 1)
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        sum(floor(col("cnt") * log2(col("cnt").cast("double")) * 10000.0 + 0.5)
+          .cast("long")).as("sq"))
+      .select(col(idCol), col("n_chars"),
+        stable4(log2(col("n_chars").cast("double"))
+          - col("sq").cast("double") / 10000.0 / col("n_chars"))
+          .as("entropy"))
+  }
 }

@@ -135,4 +135,62 @@ object Sampling {
       bucketChars: Int = 2): DataFrame =
     stableRank(df, keyCols, idCol, bucketChars)
       .filter(col("pos") <= maxPerKey)
+
+  /** Temperature-rebalanced mixture sampling (the UnifiedQA/mT5 rule):
+    * stratum `i` is sampled with probability ∝ `n_i^T`, so `T = 1`
+    * preserves the natural mix, `T → 0` flattens toward uniform, and the
+    * expected output size is `targetFrac · N`. The per-stratum keep rate
+    * `p_i = min(1, targetFrac · N · w_i / n_i)` with
+    * `w_i = n_i^T / Σ n_j^T` is quantized to a 256-bucket md5 cut (the
+    * engine's deterministic-sampling idiom): the realized rate is exactly
+    * `floor(p_i·256)/256` — reproducible across engines, runs, replays
+    * and partitionings, with the quantization PUBLISHED per stratum
+    * rather than hidden in float jitter.
+    *
+    * `pow` is the one libm call: its output is quantized to 1e-8 fixed
+    * point before the cut arithmetic so a last-ulp divergence between
+    * JVM and C `pow` cannot flip a bucket boundary.
+    *
+    * Scale shape: one hash-agg for stratum sizes (stratum-count rows —
+    * bounded by the label space, broadcast-safe by construction, same
+    * argument as q10's language table), one join back, one scalar filter.
+    * No window, no sort, no driver loop.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      temperature: Double,
+      targetFrac: Double): DataFrame = {
+    require(temperature > 0 && temperature <= 1, "temperature in (0, 1]")
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0, 1]")
+    // n^T quantized to 1e-8 fixed point AS A LONG: the normalizer Σ n_j^T
+    // is then an EXACT integer sum (a floating Σ is partition-order
+    // dependent — the q53 portability rule), and every subsequent double
+    // op is a fixed left-associated expression both engines evaluate
+    // identically
+    val sizes = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("nw8",
+        floor(pow(col("n").cast("double"), temperature) * 1e8 + 0.5)
+          .cast("long"))
+    // Σ n_j^T and N: a one-row aggregate, cross-joined back (1-row
+    // broadcast — provably bounded, the only hinted-broadcast class)
+    val tot = sizes.agg(
+      sum(col("nw8")).as("z8"), sum(col("n")).as("big_n"))
+    val rates = sizes.crossJoin(broadcast(tot))
+      .withColumn("p", least(lit(1.0),
+        lit(targetFrac) * col("big_n") * col("nw8") / col("z8") / col("n")))
+      .withColumn("cut", floor(col("p") * 256).cast("int"))
+      // int cut -> two lowercase hex chars via digit lookup (portable to
+      // any SQL engine without conv()/to_hex agreement)
+      .withColumn("cut_hex", concat(
+        lit("0123456789abcdef")
+          .substr(floor(col("cut") / 16).cast("int") + 1, lit(1)),
+        lit("0123456789abcdef").substr((col("cut") % 16) + 1, lit(1))))
+      .select(col(stratumCol), col("cut"), col("cut_hex"))
+    df.join(rates, stratumCol)
+      .filter(col("cut") === 256 || keyHash(col(keyCol)) < col("cut_hex"))
+      .drop("cut_hex")
+  }
 }

@@ -580,4 +580,74 @@ object TextDedup {
         floor(col("dup_tokens").cast("double") / col("n_tokens")
           * 10000.0 + 0.5) / 10000.0)
   }
+
+  /** Edit-distance verification of near-dup pairs — the EXPENSIVE exact
+    * stage, run only on pairs that already survived the cheap shingle
+    * filter. `levenshtein` is O(|a|·|b|) per pair; unguarded it is the
+    * classic scale-killer, so this operator never sees the corpus
+    * cross-product: candidates come from the inverted index
+    * ([[allPairsByShingle]]; any LSH generator is a drop-in) and are
+    * thinned by [[verifyPairs]] at `jaccardMin` BEFORE a single
+    * character-level comparison runs. At corpus scale the levenshtein
+    * stage therefore costs O(|survivors|·len²) with survivors ≪ pairs —
+    * the filter-then-verify shape production near-dup pipelines use.
+    *
+    * `edit_sim = 1 − lev/max(len)` on raw characters; identical-doc pairs
+    * score 1.0, unrelated same-vocabulary docs far lower. Engine-stable
+    * 1e-4 rounding because the score is an output column (and a natural
+    * downstream threshold).
+    */
+  def editSimilarity(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, jaccardMin: Double = 0.5): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, shingleN)
+    val pairs = verifyPairs(allPairsByShingle(sh), sh, jaccardMin)
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    // one exchange on doc_id, reused by both pair sides (q11's rule);
+    // unhinted — the text table is data-scaled, never broadcast
+    val texts = docs.select(
+      col(idCol).as("doc_id"), col(textCol).as("txt"),
+      length(col(textCol)).cast("long").as("len"))
+      .repartition(np, col("doc_id"))
+    pairs
+      .join(texts.select(col("doc_id").as("d1"), col("txt").as("t1"), col("len").as("l1")), "d1")
+      .join(texts.select(col("doc_id").as("d2"), col("txt").as("t2"), col("len").as("l2")), "d2")
+      .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("edit_sim",
+        when(greatest(col("l1"), col("l2")) === 0, lit(1.0)).otherwise(
+          floor((lit(1.0) - col("lev").cast("double")
+            / greatest(col("l1"), col("l2")).cast("double")) * 10000.0 + 0.5)
+            / 10000.0))
+      .select(col("d1"), col("d2"), col("jaccard"), col("lev"), col("edit_sim"))
+  }
+
+  /** Corpus-level duplicated-n-gram report — the diagnostic that decides
+    * whether substring dedup (q52) is worth running and what its gram
+    * length should be: the `topK` n-grams appearing in ≥2 documents,
+    * ranked by document frequency (occurrence count, then gram text, as
+    * deterministic tiebreaks). Every large-corpus dedup paper starts from
+    * exactly this table (boilerplate headers/footers dominate it).
+    *
+    * Scale shape: native positional-shingle pass per row (all
+    * occurrences), one content-keyed hash agg (map-side partial), then
+    * global top-K — Spark plans the ordered `limit` as
+    * `TakeOrderedAndProject` (per-partition heaps + driver merge of topK
+    * rows, never a full sort). The rank window runs AFTER the limit, on
+    * `topK` rows — bounded by construction.
+    */
+  def topDuplicatedGrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, topK: Int = 20): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("id"),
+      explode(graft.functions.WordShinglesAll(col(textCol), n)).as("gram"))
+    val order = Seq(col("ndocs").desc, col("n_occ").desc, col("gram").asc)
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"), count(lit(1)).as("n_occ"))
+      .filter(col("ndocs") >= 2)
+      .orderBy(order: _*)
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+  }
 }

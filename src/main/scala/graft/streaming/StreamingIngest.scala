@@ -367,6 +367,81 @@ object StreamingIngest {
       .start()
   }
 
+  /** Text canonicalization as a STREAMING stage — the q56 batch pass
+    * (casefold / punctuation-strip / whitespace-collapse) applied to each
+    * arriving document before it lands, so every downstream consumer (the
+    * deduper, the scorers) reads the canonical form by construction.
+    * Pure per-row scalar expressions: stateless, codegen'd, replay safety
+    * is the file-sink manifest guarantee. The raw text is REPLACED (same
+    * rule as the scrubber) and the pre-normalization length lands as an
+    * audit column — the shrinkage ratio is a junk signal at zero cost.
+    */
+  def startNormalizer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream
+      .withColumn("n_raw", length(col(textCol)).cast("long"))
+      .withColumn(textCol, graft.operators.Normalize.normalize(col(textCol)))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
+  /** Content-defined chunking as a STREAMING stage — the q58 batch shape
+    * per micro-batch: each arriving document is cut at rolling-hash
+    * boundaries and lands as chunk rows `(id, seg_id, n_seg_tokens,
+    * seg_md5)`. The boundary rule depends only on the local k-gram, so a
+    * document chunks identically whether it arrives in one batch or is
+    * replayed — no state, no watermark; chunk-level dedup downstream can
+    * treat the landed chunks as a plain append-only table.
+    */
+  def startChunker(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 3,
+      boundaryHexPrefix: String = "0",
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    graft.operators.Chunking
+      .cdcChunks(stream, idCol, textCol, k, boundaryHexPrefix)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** One keyed event on the session stream. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

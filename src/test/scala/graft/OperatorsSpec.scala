@@ -214,6 +214,106 @@ class OperatorsSpec extends SparkSpec {
     assert(unseen.head == ((9L, 1L, -1.0986)))
   }
 
+  test("chunking: overlap, full coverage, short docs are one chunk") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, W=4 S=3
+      (2L, "a b c")                                   // shorter than window
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // ceil((10-4)/3)=2 -> chunks at starts 1,4,7, all full width
+    assert(out == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 3L)))
+    // chunk content is the sliding window: md5 of chunk 1 = md5("w4 w5 w6 w7")
+    val m = Chunking.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .filter(col("doc_id") === 1L && col("chunk_idx") === 1L)
+      .select("chunk_md5").as[String].head()
+    val ref = java.security.MessageDigest.getInstance("MD5")
+      .digest("w4 w5 w6 w7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(m == ref)
+  }
+
+  test("charEntropy: exact bits/char on uniform and degenerate alphabets") {
+    import graft.operators.Repetition
+    val docs = Seq(
+      (1L, "aaaa"), // one symbol -> 0 bits
+      (2L, "ab"),   // two equiprobable -> 1 bit
+      (3L, "abcd")  // four equiprobable -> 2 bits
+    ).toDF("doc_id", "text")
+    val out = Repetition.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 0.0), (2L, 2L, 1.0), (3L, 4L, 2.0)))
+  }
+
+  test("normalize: casefold, punctuation to space, whitespace collapse, trim") {
+    import graft.operators.Normalize
+    val docs = Seq(
+      (1L, "  HeLLo, W**orld!!\tx  "),
+      (2L, "already clean text"),
+      (3L, "(c) 2026, Doc-3...")
+    ).toDF("doc_id", "text")
+    val out = Normalize.normalized(docs, "doc_id", "text")
+      .orderBy("doc_id").select("norm").as[String].collect().toSeq
+    assert(out == Seq("hello w orld x", "already clean text", "c 2026 doc 3"))
+    // shrinkage audit columns reflect raw vs canonical lengths
+    val sizes = Normalize.normalized(docs, "doc_id", "text")
+      .orderBy("doc_id").select("n_raw", "n_norm").as[(Long, Long)].collect()
+    assert(sizes(0) == ((22L, 14L)))
+  }
+
+  test("editSimilarity: identical docs 1.0, near-dups high, filter excludes unrelated") {
+    import graft.operators.TextDedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup -> sim 1.0
+      (3L, base.replace("delta", "DELTA")),        // one word edited
+      (4L, "totally different words nothing shared here at all now")
+    ).toDF("doc_id", "text")
+    // one edited word flips 3 of 8 shingles -> jaccard 5/11 ≈ 0.45, so the
+    // filter sits at 0.4 to let the near-dup pair through
+    val out = TextDedup.editSimilarity(docs, "doc_id", "text", jaccardMin = 0.4)
+      .orderBy("d1", "d2")
+      .select("d1", "d2", "lev", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // pairs (1,2),(1,3),(2,3) survive the jaccard filter; 4 never appears
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out.head._3 == 0L && out.head._4 == 1.0)
+    // "delta" -> "DELTA": 5 char substitutions over a 56-char string
+    assert(out(1)._3 == 5L)
+    assert(out(1)._4 == math.floor((1.0 - 5.0 / 56) * 10000 + 0.5) / 10000)
+  }
+
+  test("cdcChunks: boundaries from content, insertion shifts only local chunks") {
+    import graft.operators.Chunking
+    import org.apache.spark.sql.functions.col
+    // deterministic word-soup; boundary rule md5-prefix '0' over 3-grams
+    val words = (1 to 60).map(i => s"tok${i % 17}").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Chunking.cdcChunks(docs, "doc_id", "text")
+      .orderBy("doc_id", "seg_id")
+      .select("doc_id", "seg_id", "n_seg_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // full coverage: per-doc token counts add back up
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 60L)
+    // short doc (n <= k): exactly one chunk, never a descending sequence()
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 3L)))
+    // content-defined invariance: prepending one token leaves every chunk
+    // after the first boundary byte-identical (fixed-grid chunking would
+    // shift all of them)
+    val shifted = Seq((1L, "extra " + words)).toDF("doc_id", "text")
+    def md5sAfterFirst(df: org.apache.spark.sql.DataFrame) =
+      Chunking.cdcChunks(df, "doc_id", "text")
+        .filter(col("seg_id") >= 1).orderBy("seg_id")
+        .select("seg_md5").as[String].collect().toSeq
+    val a = md5sAfterFirst(docs.filter(col("doc_id") === 1L))
+    val b = md5sAfterFirst(shifted)
+    assert(a.nonEmpty && b.takeRight(a.size) == a)
+  }
+
   test("capPerKey: skewed keys capped by deterministic order, small keys intact") {
     import org.apache.spark.sql.functions._
     // heavy key with 300 rows, light key with 3

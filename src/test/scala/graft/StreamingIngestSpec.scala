@@ -602,6 +602,51 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming normalizer + chunker equal their batch twins on the same files") {
+    import spark.implicits._
+    import graft.operators.{Chunking, Normalize}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        // plant case/punctuation noise so normalization is observable
+        concat(lit("HEAD** "), col("text"), lit(" ,tail!!")).as("text"))
+    val landing = tmpDir("norm_land")
+    val staging = tmpDir("norm_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    // stage 1: normalizer (two micro-batches)
+    val normOut = tmpDir("norm_out") + "/clean"
+    val q1 = StreamingIngest.startNormalizer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      textCol = "text", outDir = normOut, checkpointDir = tmpDir("norm_ckpt"),
+      maxFilesPerTrigger = 1)
+    q1.awaitTermination(120000)
+    val streamedNorm = spark.read.parquet(normOut)
+      .select("doc_id", "text", "n_raw").as[(Long, String, Long)].collect().toSet
+    val batchNorm = Normalize.normalized(docs, "doc_id", "text")
+      .select(col("doc_id"), col("norm"), col("n_raw"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamedNorm == batchNorm)
+    // stage 2: CDC chunker over the normalized landing dir
+    val chunkOut = tmpDir("chunk_out") + "/chunks"
+    val q2 = StreamingIngest.startChunker(
+      spark, normOut, spark.read.parquet(normOut).schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", outDir = chunkOut,
+      checkpointDir = tmpDir("chunk_ckpt"), maxFilesPerTrigger = 1)
+    q2.awaitTermination(120000)
+    val streamedChunks = spark.read.parquet(chunkOut)
+      .select("doc_id", "seg_id", "n_seg_tokens", "seg_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batchChunks = Chunking
+      .cdcChunks(spark.read.parquet(normOut), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamedChunks == batchChunks && streamedChunks.nonEmpty)
+  }
+
   test("watermarked windowed rollup produces bounded-state aggregates") {
     import spark.implicits._
     val events = Seq(
