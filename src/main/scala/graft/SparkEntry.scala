@@ -1091,6 +1091,57 @@ object SparkEntry {
     "q58_cdc_chunks" -> ((s, dir) =>
       Chunking.cdcChunks(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Chunk-level exact dedup over the CDC chunks (what CDC exists for):
+    // the corpus is re-crawled inside the query (q44's planted-duplicate
+    // trick) and every repeated chunk keeps only its global first
+    // occurrence; per-doc kept/total audit.
+    "q59_cdc_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Chunking.cdcChunkDedup(planted, "doc_id", "text")
+    }),
+
+    // Temperature-rebalanced mixture sampling (n_i^T stratum weights,
+    // T=0.5, 30% target). Source skew is planted inside the query (half
+    // the corpus re-labeled 'mega') because the natural source mix is
+    // uniform — rebalancing must be observable to be tested.
+    "q60_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source"))
+          .as("source"))
+      Sampling.temperatureSample(docs, "source", "doc_id",
+        temperature = 0.5, targetFrac = 0.3)
+        .select(col("doc_id"), col("source"), col("cut").cast("long").as("cut"))
+    }),
+
+    // Length-bucketed batching (dynamic-batching prep): equal-count
+    // token-length quantile buckets cut into fixed-size batches; global
+    // length rank built two-level (distinct-value prefix sums), never a
+    // global sort.
+    "q62_length_buckets" -> ((s, dir) =>
+      graft.operators.Batching.lengthBuckets(
+        t(s, dir, "documents"), "doc_id", "text",
+        numBuckets = 16, batchSize = 8)),
+
+    // Exactly-k deterministic sample (fixed-size eval-set carving): the
+    // 100 rows smallest in md5 order — TakeOrderedAndProject, no sort.
+    "q63_exact_k_sample" -> ((s, dir) =>
+      Sampling.exactK(t(s, dir, "documents"), "doc_id", 100)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
+    // Corpus duplicated-8-gram report (the substring-dedup diagnostic):
+    // top 20 grams in >=2 docs after an in-query re-crawl plants real
+    // cross-document duplication.
+    "q61_top_dup_grams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      TextDedup.topDuplicatedGrams(planted, "doc_id", "text", n = 8, topK = 20)
+    }),
+
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
     "q16_binary_meta" -> ((s, dir) => {
@@ -2009,6 +2060,139 @@ object SparkEntry {
         |SELECT doc_id, seg_id, CAST(count(*) AS BIGINT) AS n_seg_tokens,
         |  md5(string_agg(tok, ' ' ORDER BY i)) AS seg_md5
         |FROM seg GROUP BY doc_id, seg_id""".stripMargin,
+
+    "q59_cdc_chunk_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM planted
+        |), pos AS (
+        |  SELECT doc_id, w, i FROM toks, unnest(range(0, len(w))) AS t(i)
+        |), b AS (
+        |  SELECT doc_id, i, w[i + 1] AS tok,
+        |    CASE WHEN i >= 1 AND i + 3 <= len(w)
+        |      AND substr(md5(array_to_string(w[i + 1 : i + 3], ' ')), 1, 1) = '0'
+        |      THEN 1 ELSE 0 END AS bnd
+        |  FROM pos
+        |), seg AS (
+        |  SELECT doc_id, i, tok,
+        |    CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+        |      AS seg_id
+        |  FROM b
+        |), chunks AS (
+        |  SELECT doc_id, seg_id, CAST(count(*) AS BIGINT) AS n_seg_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS seg_md5
+        |  FROM seg GROUP BY doc_id, seg_id
+        |), ranked AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY seg_md5 ORDER BY doc_id, seg_id) AS rn
+        |  FROM chunks
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept_chunks,
+        |  CAST(sum(n_seg_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_seg_tokens ELSE 0 END) AS BIGINT)
+        |    AS n_kept_tokens,
+        |  floor(CAST(sum(CASE WHEN rn = 1 THEN n_seg_tokens ELSE 0 END)
+        |      AS DOUBLE) / sum(n_seg_tokens) * 10000 + 0.5) / 10000
+        |    AS kept_frac
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    // the normalizer sum z8 is an EXACT BIGINT (1e-8 fixed-point n^T), so
+    // the double arithmetic below is a fixed left-associated expression
+    // both engines evaluate identically (the q53 portability rule); the
+    // 256-bucket cut is the engine's deterministic-sampling idiom
+    "q60_temperature_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'mega' ELSE source END AS source
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM docs GROUP BY source
+        |), sized AS (
+        |  SELECT source, n,
+        |    CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1e8 + 0.5) AS BIGINT)
+        |      AS nw8
+        |  FROM sizes
+        |), tot AS (
+        |  SELECT CAST(sum(nw8) AS BIGINT) AS z8,
+        |    CAST(sum(n) AS BIGINT) AS big_n
+        |  FROM sized
+        |), rates AS (
+        |  SELECT source,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |      CAST(0.3 AS DOUBLE) * big_n * nw8 / z8 / n) * 256) AS INT)
+        |      AS cut
+        |  FROM sized, tot
+        |), cuts AS (
+        |  SELECT source, cut,
+        |    substr('0123456789abcdef', CAST(floor(cut / 16) AS INT) + 1, 1) ||
+        |    substr('0123456789abcdef', CAST(cut % 16 AS INT) + 1, 1) AS cut_hex
+        |  FROM rates
+        |)
+        |SELECT d.doc_id, d.source, CAST(c.cut AS BIGINT) AS cut
+        |FROM docs d JOIN cuts c USING (source)
+        |WHERE c.cut = 256
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < c.cut_hex"""
+        .stripMargin,
+
+    "q61_top_dup_grams" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM planted
+        |), grams AS (
+        |  SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+        |  WHERE len(w) >= 8
+        |), agg AS (
+        |  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs,
+        |    CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM grams GROUP BY gram
+        |)
+        |SELECT gram, ndocs, n_occ,
+        |  CAST(row_number()
+        |    OVER (ORDER BY ndocs DESC, n_occ DESC, gram ASC) AS BIGINT)
+        |    AS rank
+        |FROM agg WHERE ndocs >= 2
+        |ORDER BY ndocs DESC, n_occ DESC, gram ASC LIMIT 20""".stripMargin,
+
+    // the oracle uses the flat global row_number the Spark side avoids;
+    // bucket/batch math is exact integer division on both sides
+    "q62_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM toks
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS big_n FROM ranked
+        |)
+        |SELECT doc_id, n_tokens, rank,
+        |  CAST((rank - 1) * 16 // big_n AS BIGINT) AS bucket,
+        |  CAST((rank - 1 - ((rank - 1) * 16 // big_n * big_n + 15) // 16)
+        |    // 8 AS BIGINT) AS batch_id
+        |FROM ranked, tot""".stripMargin,
+
+    "q63_exact_k_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"""
+        .stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

@@ -136,6 +136,25 @@ object Sampling {
     stableRank(df, keyCols, idCol, bucketChars)
       .filter(col("pos") <= maxPerKey)
 
+  /** Exactly-k deterministic sample: the `k` rows smallest in the md5
+    * order (id as tiebreak) — the fixed-SIZE complement to the
+    * fixed-RATE samplers above, for carving eval/calibration sets whose
+    * size must be exact regardless of corpus growth. Membership is still
+    * a pure function of the key set: rerun-stable, partition-independent,
+    * and any row's inclusion is auditable by comparing its hash to the
+    * k-th smallest. Spark plans the ordered limit as
+    * `TakeOrderedAndProject` (per-partition k-heaps + driver merge of k
+    * rows — never a global sort; k rows on the driver is the entire
+    * coordination cost).
+    */
+  def exactK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.withColumn("okey", md5(col(idCol).cast("string")))
+      .orderBy(col("okey"), col(idCol))
+      .limit(k)
+      .drop("okey")
+  }
+
   /** Temperature-rebalanced mixture sampling (the UnifiedQA/mT5 rule):
     * stratum `i` is sampled with probability ∝ `n_i^T`, so `T = 1`
     * preserves the natural mix, `T → 0` flattens toward uniform, and the

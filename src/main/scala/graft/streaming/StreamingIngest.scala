@@ -325,6 +325,45 @@ object StreamingIngest {
       .start()
   }
 
+  /** Character-entropy quality scoring as a STREAMING stage — batch q55
+    * per micro-batch: each arriving document lands with its bits/char
+    * score (the gibberish/binary-junk gate run at ingest, before junk
+    * reaches the corpus). The per-document aggregation is confined to the
+    * micro-batch (a doc arrives whole), so the stage needs no cross-batch
+    * state; batch-id-keyed overwrite output makes checkpoint replays
+    * rewrite, not duplicate (same idempotency rule as the other
+    * foreachBatch stages).
+    */
+  def startEntropyScorer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Repetition
+          .charEntropy(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** PII scrubbing as a STREAMING stage — the streaming twin of batch q43:
     * every arriving document is redacted ([[graft.operators.PiiRedaction]]
     * regexp_replace chain) and lands with its per-class audit counts.

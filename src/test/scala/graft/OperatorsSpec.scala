@@ -314,6 +314,103 @@ class OperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && b.takeRight(a.size) == a)
   }
 
+  test("cdcChunkDedup: re-crawled doc loses all chunks, original keeps all") {
+    import graft.operators.Chunking
+    // all-distinct tokens: no repeated grams, so no intra-doc chunk dups
+    val words = (1 to 80).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, other), (3L, words)) // 3 re-crawls 1
+      .toDF("doc_id", "text")
+    val out = Chunking.cdcChunkDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept_chunks", "n_tokens",
+        "n_kept_tokens", "kept_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val d1 = out(0); val d2 = out(1); val d3 = out(2)
+    // first occurrence wins everything; the exact copy keeps nothing
+    assert(d1._3 == d1._2 && d1._6 == 1.0 && d1._4 == 80L && d1._5 == 80L)
+    assert(d2._3 == d2._2 && d2._6 == 1.0)
+    assert(d3._3 == 0L && d3._5 == 0L && d3._6 == 0.0 && d3._2 == d1._2)
+  }
+
+  test("temperatureSample: exact cut arithmetic, md5 membership, undersized stratum kept whole") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    // stratum a: 100 rows, stratum b: 4 rows; T=0.5, target 30%
+    // nw8: a=10e8, b=2e8; z8=12e8; N=104
+    // p_a = 0.3*104*(1e9/1.2e9)/100 = 0.26 -> cut 66 = hex "42"
+    // p_b = 0.3*104*(0.2e9/1.2e9)/4 = 1.3 -> capped 1.0 -> cut 256: all
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 104).map(i => (i.toLong, "b"))
+    val df = rows.toDF("id", "s")
+    val out = Sampling.temperatureSample(df, "s", "id",
+      temperature = 0.5, targetFrac = 0.3)
+    val cuts = out.select("s", "cut").distinct().as[(String, Int)]
+      .collect().toMap
+    assert(cuts == Map("a" -> 66, "b" -> 256))
+    // every b row kept; a membership is exactly the md5-prefix rule
+    val kept = out.select("id").as[Long].collect().toSet
+    assert((101L to 104L).forall(kept))
+    val expectA = df.filter(col("s") === "a")
+      .filter(substring(md5(col("id").cast("string")), 1, 2) < "42")
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_ <= 100L) == expectA)
+  }
+
+  test("topDuplicatedGrams: rank by ndocs, occurrences, gram; singletons excluded") {
+    import graft.operators.TextDedup
+    val shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"$shared8 one two three"),
+      (2L, s"intro $shared8 tail"),
+      (3L, s"$shared8 $shared8"), // repeats the gram internally
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.topDuplicatedGrams(docs, "doc_id", "text", n = 8, topK = 5)
+      .select("gram", "ndocs", "n_occ", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // the fully shared gram is rank 1 (3 docs); doc 4's grams are singletons
+    assert(out.head._1 == shared8 && out.head._2 == 3L && out.head._4 == 1L)
+    assert(out.forall(_._2 >= 2L))
+    assert(out.map(_._4) == (1L to out.size))
+  }
+
+  test("exactK: k smallest md5 keys, partition-independent membership") {
+    import graft.operators.Sampling
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val out = Sampling.exactK(df, "id", 50).select("id").as[Long].collect().toSet
+    val expected = (1 to 500).map(i => (md5hex(i.toString), i.toLong))
+      .sortBy(identity).take(50).map(_._2).toSet
+    assert(out == expected && out.size == 50)
+    // membership is a function of the key set, not the partitioning
+    val outR = Sampling.exactK(df.repartition(7), "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(outR == out)
+  }
+
+  test("lengthBuckets: equal-count quantile buckets, in-bucket fixed batches") {
+    import graft.operators.Batching
+    // doc i has i tokens; K=4 buckets, B=2 per batch
+    val docs = (1 to 10)
+      .map(i => (i.toLong, (1 to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Batching.lengthBuckets(docs, "doc_id", "text",
+      numBuckets = 4, batchSize = 2)
+      .orderBy("rank")
+      .select("doc_id", "n_tokens", "rank", "bucket", "batch_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // distinct lengths: rank follows doc order exactly
+    assert(out.map(_._1) == (1L to 10L))
+    assert(out.map(_._3) == (1L to 10L))
+    // bucket = (rank-1)*4 div 10 -> 0,0,0,1,1,2,2,2,3,3
+    assert(out.map(_._4) == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+    // per-bucket batches of 2, counted from each bucket's first rank
+    assert(out.map(_._5) == Seq(0L, 0L, 1L, 0L, 0L, 0L, 0L, 1L, 0L, 0L))
+  }
+
   test("capPerKey: skewed keys capped by deterministic order, small keys intact") {
     import org.apache.spark.sql.functions._
     // heavy key with 300 rows, light key with 3

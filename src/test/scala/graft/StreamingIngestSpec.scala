@@ -647,6 +647,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamedChunks == batchChunks && streamedChunks.nonEmpty)
   }
 
+  test("streaming entropy scorer equals batch charEntropy on the same files") {
+    import spark.implicits._
+    import graft.operators.Repetition
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val landing = tmpDir("ent_land")
+    val staging = tmpDir("ent_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    val outDir = tmpDir("ent_out") + "/scored"
+    val q = StreamingIngest.startEntropyScorer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", outDir = outDir,
+      checkpointDir = tmpDir("ent_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_chars", "entropy")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Repetition.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("watermarked windowed rollup produces bounded-state aggregates") {
     import spark.implicits._
     val events = Seq(
