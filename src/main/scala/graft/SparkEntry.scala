@@ -1131,6 +1131,28 @@ object SparkEntry {
       Sampling.exactK(t(s, dir, "documents"), "doc_id", 100)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // Corpus report (the dataset-card rollup): per-language, per-source
+    // and overall doc/token/char totals in ONE grouping-sets scan; gid
+    // spelled as grouping(lang)*2+grouping(source) so both engines emit
+    // the same set discriminator; avg from exact integer sums.
+    "q64_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"),
+        col("n_chars"))
+      d.groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+        .agg(
+          (grouping(col("lang")) * 2 + grouping(col("source")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("avg_chars",
+          floor(col("sum_chars").cast("double") / col("n_docs")
+            * 10000.0 + 0.5) / 10000.0)
+    }),
+
     // Corpus duplicated-8-gram report (the substring-dedup diagnostic):
     // top 20 grams in >=2 docs after an in-query re-crawl plants real
     // cross-document duplication.
@@ -2193,6 +2215,23 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"""
         .stripMargin,
+
+    "q64_corpus_report" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_toks,
+        |    n_chars
+        |  FROM documents
+        |)
+        |SELECT lang, source,
+        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000 + 0.5)
+        |    / 10000 AS avg_chars
+        |FROM d GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin,
 
     "q16_binary_meta" ->
       """SELECT doc_id,

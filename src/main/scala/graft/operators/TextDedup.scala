@@ -600,9 +600,37 @@ object TextDedup {
   def editSimilarity(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, jaccardMin: Double = 0.5): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, shingleN)
-    val pairs = verifyPairs(allPairsByShingle(sh), sh, jaccardMin)
+    // Jaccard stage in q11's aggregate-count shape, NOT candidates →
+    // array_intersect: the inverted-index join COUNTS shared shingles per
+    // pair (map-side partial agg — the per-occurrence join fanout never
+    // shuffles raw), and per-doc set sizes join AFTER the aggregate.
+    // The first cut (allPairsByShingle → verifyPairs) materialized every
+    // candidate pair with both full shingle arrays and intersected them
+    // row-by-row — measured 26 s warm / 328 s cold at sf1 vs ~6 s for
+    // this shape (array_intersect cost ∝ pairs·|sh|, all pairs sharing
+    // ONE shingle; here cost ∝ shared-occurrence count, aggregated).
     val np = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = shingled(docs, idCol, textCol, shingleN)
+    val counts = sh.select(col("doc_id"), col("n_sh"))
+    // explicit-numPartitions barrier on the join key (AQE-exempt): the
+    // exploded frame is byte-small but the per-shingle pair enumeration
+    // is CPU-quadratic in doc frequency — q11's rule
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .repartition(np, col("tok"))
+    val exB = ex.select(col("doc_id").as("doc_id_b"), col("tok").as("tok_b"))
+    val inter = ex.join(exB,
+        col("tok") === col("tok_b") && col("doc_id") < col("doc_id_b"))
+      .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    // totals joins unhinted (one row per doc — data-scaled; AQE dispatches)
+    val pairs = inter
+      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jaccard",
+        floor(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")) * 10000.0 + 0.5) / 10000.0)
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("d1"), col("d2"), col("jaccard"))
     // one exchange on doc_id, reused by both pair sides (q11's rule);
     // unhinted — the text table is data-scaled, never broadcast
     val texts = docs.select(
