@@ -1131,6 +1131,22 @@ object SparkEntry {
       Sampling.exactK(t(s, dir, "documents"), "doc_id", 100)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // Corpus snapshot diff (re-crawl version management): the new
+    // snapshot is derived in-query — docs % 11 dropped, % 13 edited,
+    // % 17 re-added under new ids — so every status class is planted
+    // deterministically at every SF.
+    "q65_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs
+        .filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+    }),
+
     // Corpus report (the dataset-card rollup): per-language, per-source
     // and overall doc/token/char totals in ONE grouping-sets scan; gid
     // spelled as grouping(lang)*2+grouping(source) so both engines emit
@@ -2215,6 +2231,26 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"""
         .stripMargin,
+
+    "q65_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id AS id, md5(text) AS fp_old FROM documents
+        |), new_snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 17 = 0
+        |), new_fp AS (
+        |  SELECT doc_id AS id, md5(text) AS fp_new FROM new_snap
+        |)
+        |SELECT COALESCE(o.id, n.id) AS id, fp_old, fp_new,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new_fp n ON o.id = n.id""".stripMargin,
 
     "q64_corpus_report" ->
       """WITH d AS (

@@ -182,4 +182,31 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     (out, rounds)
   }
+
+  /** Corpus snapshot diff — the version-management tool a periodically
+    * re-crawled corpus needs: classify every document across two
+    * snapshots as `added` / `removed` / `changed` / `unchanged` by key +
+    * content fingerprint. Downstream, `added ∪ changed` is exactly the
+    * incremental-dedup arrival set ([[TextDedup.dedupAgainstCorpus]]) and
+    * `removed` drives retention/tombstoning — this is the planning query
+    * in front of both.
+    *
+    * Scale shape: fingerprints are map-side (md5 per row); the comparison
+    * is ONE full-outer equi-join on the key — no windows, no skew hazard
+    * beyond the join key itself (document ids are unique per side).
+    */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
 }

@@ -375,6 +375,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._4) == (1L to out.size))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged classification") {
+    import graft.operators.Dedup
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((1L, "a"), (2L, "b2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldS, newS, "doc_id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("exactK: k smallest md5 keys, partition-independent membership") {
     import graft.operators.Sampling
     def md5hex(s: String): String = java.security.MessageDigest
