@@ -1131,6 +1131,22 @@ object SparkEntry {
       Sampling.exactK(t(s, dir, "documents"), "doc_id", 100)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
+    // corpus band hashes live in a pb-partitioned warehouse table;
+    // arrivals (planted near-dup edits of every 10th doc) probe only the
+    // partitions their own band hashes name, then exact-verify.
+    "q66_minhash_at_rest" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q66_scratch/mh_idx"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+      TextDedup.minhashIndexAtRest(docs, "doc_id", "text", table)
+      val arrivals = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("edited "), col("text")).as("text"))
+      TextDedup.minhashLookupAtRest(s, arrivals, docs, "doc_id", "text", table)
+    }),
+
     // Corpus snapshot diff (re-crawl version management): the new
     // snapshot is derived in-query — docs % 11 dropped, % 13 edited,
     // % 17 re-added under new ids — so every status class is planted
@@ -2231,6 +2247,45 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"""
         .stripMargin,
+
+    // exact cross-set jaccard (the q11 construction, arrivals × corpus):
+    // the 32×4 banding has deterministic full recall on this corpus's
+    // pair jaccards (>= 0.77), and the lookup's exact verify makes the
+    // LSH output equal the exact pair set — same argument as q12/q13
+    "q66_minhash_at_rest" ->
+      """WITH arr AS (
+        |  SELECT doc_id + 500000 AS doc_id, 'edited ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), ta AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          for i in range(1, len(w) - 1)] END) AS t
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM arr)
+        |), tc AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          for i in range(1, len(w) - 1)] END) AS t
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)
+        |), ea AS (
+        |  SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM ta
+        |), ec AS (
+        |  SELECT doc_id, unnest(t) AS tri, len(t) AS n_sh FROM tc
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, c.doc_id AS d2, count(*) AS inter,
+        |    any_value(a.n_sh) AS n1, any_value(c.n_sh) AS n2
+        |  FROM ea a JOIN ec c ON a.tri = c.tri
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2,
+        |  floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 10000.0 + 0.5)
+        |    / 10000.0 AS jaccard
+        |FROM pairs
+        |WHERE floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 10000.0 + 0.5)
+        |    / 10000.0 >= 0.5""".stripMargin,
 
     "q65_corpus_diff" ->
       """WITH old AS (

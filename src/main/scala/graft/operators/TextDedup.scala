@@ -649,6 +649,85 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("jaccard"), col("lev"), col("edit_sim"))
   }
 
+  /** Per-document banded signature hashes `(doc_id, band, bh)` — the
+    * shared kernel of the in-memory candidate join
+    * ([[minHashCandidates]]) and the at-rest index below. The repartition
+    * is the q12 CollapseProject barrier: without it every band expression
+    * re-computes the full signature.
+    */
+  private def bandHashes(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val np = sh.sparkSession.sparkContext.defaultParallelism
+    val withSig = sh
+      .select(col("doc_id"), minHashSignature(col("sh"), bands * rows).as("sig"))
+      .repartition(np, col("doc_id"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*).as("bh"))
+    }
+    withSig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Banded-MinHash near-dup index AT REST — the text-dedup analogue of
+    * the IVF-at-rest embedding index (q34): the corpus's band hashes are
+    * materialized ONCE into a warehouse table partitioned by
+    * `pb = band · partBuckets + (bh mod partBuckets)` (≤ bands·partBuckets
+    * partition values — bounded by construction), so later arrival batches
+    * probe the index instead of re-shingling and re-hashing the corpus.
+    * 32×4 banding: P(miss) at jaccard 0.77 ≈ 1e-6, vs ~1e-3 for q12's
+    * 16×4 — an INDEX is built once and must not bake in a recall cliff.
+    */
+  def minhashIndexAtRest(
+      docs: DataFrame, idCol: String, textCol: String,
+      table: graft.table.WarehouseTable,
+      bands: Int = 32, rows: Int = 4, shingleN: Int = 3,
+      partBuckets: Int = 8,
+      compression: String = "snappy"): Unit = {
+    val idx = bandHashes(shingled(docs, idCol, textCol, shingleN), bands, rows)
+      .withColumn("pb",
+        (col("band") * partBuckets + pmod(col("bh"), lit(partBuckets))).cast("int"))
+    table.create(idx.schema, partition = Some("pb"),
+      properties = graft.table.WarehouseTable.tableProperties("COW", compression))
+    table.append(idx)
+  }
+
+  /** Near-dup lookup of an arrival batch against the at-rest index: the
+    * arrivals' band hashes decide which `pb` partitions to READ
+    * (manifest-level pruning; the driver sees only the bounded distinct
+    * partition-value set — the same Iceberg-style planning step as q34),
+    * candidates come from the `(band, bh)` equi-join inside them, and
+    * exact shingle-Jaccard verification makes the output exact. The
+    * arrival frame is localCheckpoint'd so planning and probing cannot
+    * diverge on a nondeterministic source.
+    */
+  def minhashLookupAtRest(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      table: graft.table.WarehouseTable,
+      bands: Int = 32, rows: Int = 4, shingleN: Int = 3,
+      partBuckets: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val qsh = shingled(arrivals, idCol, textCol, shingleN)
+    val qidx = bandHashes(qsh, bands, rows)
+      .withColumn("pb",
+        (col("band") * partBuckets + pmod(col("bh"), lit(partBuckets))).cast("int"))
+      .localCheckpoint()
+    // bounded: at most bands·partBuckets distinct values reach the driver
+    val pbVals = qidx.select(col("pb")).distinct().collect().map(_.get(0)).toSeq
+    val idx = table.read(spark, partitions = Some(pbVals))
+    val cands = idx
+      .join(qidx.select(col("doc_id").as("qid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("qid") =!= col("doc_id"))
+      .select(col("qid").as("d1"), col("doc_id").as("d2"))
+      .distinct()
+    // candidates are FEW (LSH output) — the array_intersect verify is the
+    // right tool here, unlike the recall-1.0 inverted index (q57 lesson)
+    val allSh = qsh.unionByName(shingled(corpus, idCol, textCol, shingleN))
+    verifyPairs(cands, allSh, threshold)
+  }
+
   /** Corpus-level duplicated-n-gram report — the diagnostic that decides
     * whether substring dedup (q52) is worth running and what its gram
     * length should be: the `topK` n-grams appearing in ≥2 documents,

@@ -266,6 +266,42 @@ class DedupSimilaritySpec extends SparkSpec {
       s"unprobed partition leaked into scan: ${files.filterNot(f => probed.exists(b => f.contains(s"bucket=$b"))).take(3).mkString(",")}")
   }
 
+  test("minhash at rest: lookup == exact cross-set jaccard, probe prunes partitions") {
+    val table = graft.table.WarehouseTable(tmpDir("mhrest") + "/idx")
+    TextDedup.minhashIndexAtRest(docs, "doc_id", "text", table)
+    // one near-dup arrival (an edit of doc 0) + one unrelated arrival
+    val arrivals = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("edited "), col("text")).as("text"))
+      .unionByName(Seq((600000L, "zz1 zz2 zz3 zz4 zz5 zz6"))
+        .toDF("doc_id", "text"))
+    val got = TextDedup.minhashLookupAtRest(
+      spark, arrivals, docs, "doc_id", "text", table)
+    val rows = got.select("d1", "d2", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // exact twin: brute-force jaccard between arrivals and the corpus
+    val ash = TextDedup.shingled(arrivals, "doc_id", "text")
+    val cross = ash.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n_sh").as("n1"))
+      .crossJoin(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n_sh").as("n2")))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        floor(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")) * 10000.0 + 0.5) / 10000.0)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(cross.nonEmpty && rows == cross)
+    assert(rows.exists(r => r._1 == 500000L && r._2 == 0L && r._3 >= 0.9))
+    // pruned read: the scan touches only the pb partitions the arrivals'
+    // own band hashes name — a strict subset of the index's partitions
+    val files = got.inputFiles.filter(_.contains("pb="))
+    val allParts = spark.read.parquet(table.root + "/data")
+      .select("pb").distinct().count()
+    val touched = files.flatMap(f =>
+      "pb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(files.nonEmpty && touched.size < allParts,
+      s"no pruning: touched ${touched.size} of $allParts partitions")
+  }
+
   test("q24 LSH path ≡ exact broadcast twin on the augmented corpus") {
     // the gated q24 runs RP-LSH over the corpus augmented with ×2-scaled
     // copies; the exact all-pairs broadcast form is its verification twin —
