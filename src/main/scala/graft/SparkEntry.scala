@@ -1131,6 +1131,12 @@ object SparkEntry {
       Sampling.exactK(t(s, dir, "documents"), "doc_id", 100)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // Vocabulary build (tokenizer-training prep): every word with corpus
+    // count, frequency rank and cumulative token coverage — the curve
+    // that sizes a BPE vocabulary. Two-level rank, no global sort.
+    "q67_vocabulary" -> ((s, dir) =>
+      graft.operators.Vocabulary.frequencyRank(t(s, dir, "documents"), "text")),
+
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
     // arrivals (planted near-dup edits of every 10th doc) probe only the
@@ -2247,6 +2253,27 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"""
         .stripMargin,
+
+    "q67_vocabulary" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM words GROUP BY word
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM wc
+        |), r AS (
+        |  SELECT word, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+        |      AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM wc
+        |)
+        |SELECT word, cnt, rank,
+        |  floor(CAST(cum AS DOUBLE) / n * 10000 + 0.5) / 10000 AS coverage
+        |FROM r, tot""".stripMargin,
 
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frequency-ranked vocabulary build — the tokenizer-training prep stage
+  * (BPE/WordPiece corpora start from exactly this table): every distinct
+  * word with its corpus count, frequency rank, and cumulative token
+  * coverage (`coverage(rank) = fraction of all tokens covered by the top
+  * `rank` words` — the curve that decides vocabulary size).
+  *
+  * The global rank (count desc, word asc) is built WITHOUT a global sort,
+  * and — unlike a per-value window alone — without a skew cliff on the
+  * long tail: real corpora put billions of words in the `cnt = 1` class,
+  * so partitioning by count alone would sort the whole tail in one task.
+  * Two-level construction:
+  *
+  *  1. micro-bucket = (cnt, first char of word): the coordination table of
+  *     distinct (cnt, bucket) pairs is bounded by |distinct counts| ×
+  *     alphabet; prefix sums over it (ordered cnt desc, bucket asc) give
+  *     each micro-bucket's starting rank and starting token-coverage;
+  *  2. `row_number` within one micro-bucket (ordered word asc) finishes
+  *     the rank. First-char bucketing preserves lexicographic order
+  *     across buckets, so the composite order equals the flat
+  *     `ORDER BY cnt DESC, word ASC`.
+  *
+  * Within a micro-bucket every word has the SAME count, so the running
+  * token sum needs no second window: `cum = tok_offset + rn · cnt`.
+  * Coverage divides by an exact integer total (1-row broadcast).
+  */
+object Vocabulary {
+
+  def frequencyRank(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", substring(col("word"), 1, 1))
+    // bounded coordination table: distinct (cnt, bucket) pairs
+    val w = Window.orderBy(col("cnt").desc, col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coord = wc.groupBy(col("cnt"), col("bucket"))
+      .agg(count(lit(1)).as("nw"))
+      .withColumn("row_off", coalesce(sum(col("nw")).over(w), lit(0L)))
+      .withColumn("tok_off",
+        coalesce(sum(col("nw") * col("cnt")).over(w), lit(0L)))
+      .select(col("cnt"), col("bucket"), col("row_off"), col("tok_off"))
+    val tot = wc.agg(sum(col("cnt")).as("n_total"))
+    val inBucket = Window.partitionBy(col("cnt"), col("bucket"))
+      .orderBy(col("word").asc)
+    wc.join(coord, Seq("cnt", "bucket"))
+      .crossJoin(broadcast(tot)) // 1-row total — provably bounded
+      .withColumn("rn", row_number().over(inBucket).cast("long"))
+      .withColumn("rank", col("row_off") + col("rn"))
+      .withColumn("coverage",
+        floor((col("tok_off") + col("rn") * col("cnt")).cast("double")
+          / col("n_total") * 10000.0 + 0.5) / 10000.0)
+      .select(col("word"), col("cnt"), col("rank"), col("coverage"))
+  }
+}

@@ -375,6 +375,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._4) == (1L to out.size))
   }
 
+  test("frequencyRank: two-level rank equals flat order, coverage exact") {
+    import graft.operators.Vocabulary
+    import org.apache.spark.sql.functions.col
+    // counts: b:3, a:2, ab:2, c:1  (same-count ties ordered by word;
+    // 'a' and 'ab' share a first-char bucket, 'b'/'c' are singletons)
+    val docs = Seq((1L, "b a ab c"), (2L, "b a ab"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val out = Vocabulary.frequencyRank(docs, "text")
+      .orderBy("rank").select("word", "cnt", "rank", "coverage")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // total tokens = 8; flat order: b(3), a(2), ab(2), c(1)
+    assert(out == Seq(
+      ("b", 3L, 1L, 0.375),   // 3/8
+      ("a", 2L, 2L, 0.625),   // 5/8
+      ("ab", 2L, 3L, 0.875),  // 7/8
+      ("c", 1L, 4L, 1.0)))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged classification") {
     import graft.operators.Dedup
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
