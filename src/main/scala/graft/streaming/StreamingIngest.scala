@@ -364,6 +364,103 @@ object StreamingIngest {
       .start()
   }
 
+  /** Snapshot-diff classification as a STREAMING stage — the incremental
+    * face of batch q65: every arriving document is classified `added` /
+    * `changed` / `unchanged` against a STATIC baseline snapshot's
+    * fingerprints. `removed` is deliberately absent: absence is a
+    * whole-snapshot property, undecidable from any single micro-batch —
+    * the batch q65 run over the full new snapshot owns it. The baseline
+    * is fixed for the stream's life (the frozen-model rule the TF-IDF and
+    * LM scorers follow), so the stage is stateless; batch-id-keyed
+    * overwrite output keeps replays idempotent.
+    */
+  def startDiffClassifier(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      baseline: DataFrame, // the old snapshot (idCol, textCol)
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val base = baseline.select(
+      col(idCol).as("__id"), md5(col(textCol)).as("fp_old"))
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("fp_new", md5(col(textCol)))
+          .join(base, col(idCol) === col("__id"), "left")
+          .withColumn("status",
+            when(col("fp_old").isNull, lit("added"))
+              .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+              .otherwise(lit("changed")))
+          .drop("__id")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Temperature-mixture sampling as a STREAMING stage — batch q60 under
+    * FROZEN per-stratum cuts: the 256-bucket rates are computed ONCE from
+    * a reference corpus ([[graft.operators.Sampling.temperatureSample]]'s
+    * rate derivation) and applied per arriving row. Freezing is the
+    * statistically honest form (recomputing rates per micro-batch would
+    * resample earlier strata retroactively) AND the scalable one — the
+    * stage becomes a stateless per-row filter, deterministic across
+    * batch/stream and checkpoint replays.
+    */
+  def startMixtureSampler(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      stratumCol: String,
+      keyCol: String,
+      cuts: Map[String, Int], // stratum -> 256-bucket cut (frozen)
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    require(cuts.nonEmpty && cuts.values.forall(c => c >= 0 && c <= 256),
+      "cuts must be 256-bucket values")
+    val hexDigits = "0123456789abcdef"
+    def cutHex(c: Int): String =
+      if (c >= 256) "zz" // above any 2-hex-char hash: keep all
+      else s"${hexDigits(c / 16)}${hexDigits(c % 16)}"
+    val keep = cuts.map { case (s, c) =>
+      col(stratumCol) === s &&
+        graft.operators.Sampling.keyHash(col(keyCol)) < lit(cutHex(c))
+    }.reduce(_ || _)
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream
+      .filter(keep)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** PII scrubbing as a STREAMING stage — the streaming twin of batch q43:
     * every arriving document is redacted ([[graft.operators.PiiRedaction]]
     * regexp_replace chain) and lands with its per-class audit counts.

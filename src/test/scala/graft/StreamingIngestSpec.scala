@@ -674,6 +674,77 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming diff classifier equals batch corpusDiff on arrival statuses") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val baseline = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // arrivals: unchanged copies, edits, and brand-new ids
+    val arrivals = baseline.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(baseline.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    val landing = tmpDir("diff_land")
+    val staging = tmpDir("diff_stage") + "/files"
+    arrivals.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet")) }
+    val outDir = tmpDir("diff_out") + "/classified"
+    val q = StreamingIngest.startDiffClassifier(
+      spark, landing, arrivals.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", baseline = baseline,
+      outDir = outDir, checkpointDir = tmpDir("diff_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "status").as[(Long, String)].collect().toSet
+    val batch = Dedup.corpusDiff(baseline, arrivals, "doc_id", "text")
+      .filter(col("status") =!= "removed") // absence is a snapshot property
+      .select("id", "status").as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(Set("added", "changed", "unchanged")
+      .subsetOf(streamed.map(_._2))) // every class exercised
+  }
+
+  test("streaming mixture sampler under frozen cuts equals batch temperature sample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source"))
+          .as("source"))
+    val batchKept = Sampling.temperatureSample(docs, "source", "doc_id",
+      temperature = 0.5, targetFrac = 0.3)
+    val cuts = batchKept.select("source", "cut").distinct()
+      .as[(String, Int)].collect().toMap
+    // strata absent from the kept set still need their cut for the stream:
+    // recompute the full rate table via a 0-row-loss run is overkill for a
+    // fixture this small — any stratum missing from cuts simply has no
+    // kept rows, so its absence from the stream output matches batch.
+    val landing = tmpDir("mix_land")
+    val staging = tmpDir("mix_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet")) }
+    val outDir = tmpDir("mix_out") + "/kept"
+    val q = StreamingIngest.startMixtureSampler(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      stratumCol = "source", keyCol = "doc_id", cuts = cuts,
+      outDir = outDir, checkpointDir = tmpDir("mix_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    val batch = batchKept.select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("watermarked windowed rollup produces bounded-state aggregates") {
     import spark.implicits._
     val events = Seq(
