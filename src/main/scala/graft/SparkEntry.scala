@@ -33,6 +33,24 @@ object SparkEntry {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted-id offset for in-query re-crawls/arrivals: far beyond any
+    * realistic corpus id (10^12 docs) so a planted id can NEVER collide
+    * with a real one at any SF — a 10^5-scale offset silently corrupted
+    * the planted-duplicate semantics once the corpus outgrew it.
+    * The DuckDB oracles spell the same literal.
+    */
+  private val PlantOffset = 1000000000000L
+
+  /** The q44/q59/q61 planted re-crawl: every doc_id % 7 == 0 document
+    * reappears under `doc_id + PlantOffset` — deterministic duplicate
+    * mass at every SF, shared by every query that needs a re-crawl.
+    */
+  private def plantedRecrawl(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+  }
+
   /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects ([PARQUET_TYPE_ILLEGAL]); we read `ts` as raw epoch-nanos
     * LongType via an explicit schema (lossless — DuckDB's TIMESTAMP_NS
@@ -902,16 +920,12 @@ object SparkEntry {
     }),
 
     // Segment-level exact dedup (the C4/RefinedWeb line-dedup stage): the
-    // corpus is re-crawled inside the query (every doc_id % 7 == 0 doc
-    // reappears under doc_id + 100000 — the planted-duplicate trick, so
-    // the dup counts are deterministic at every SF) and each 16-word
-    // segment keeps only its global first occurrence.
-    "q44_segment_dedup" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val recrawl = base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-      TextDedup.segmentDedup(base.unionAll(recrawl), "doc_id", "text", segWords = 16)
-    }),
+    // corpus is re-crawled inside the query (plantedRecrawl — deterministic
+    // dup mass at every SF) and each 16-word segment keeps only its global
+    // first occurrence.
+    "q44_segment_dedup" -> ((s, dir) =>
+      TextDedup.segmentDedup(plantedRecrawl(s, dir), "doc_id", "text",
+        segWords = 16)),
 
     // Gopher-style repetition quality signals: duplicate-word fraction,
     // top-word share, top-bigram coverage, and a threshold flag computed
@@ -1095,13 +1109,8 @@ object SparkEntry {
     // the corpus is re-crawled inside the query (q44's planted-duplicate
     // trick) and every repeated chunk keeps only its global first
     // occurrence; per-doc kept/total audit.
-    "q59_cdc_chunk_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val planted = docs.select(col("doc_id"), col("text")).unionByName(
-        docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Chunking.cdcChunkDedup(planted, "doc_id", "text")
-    }),
+    "q59_cdc_chunk_dedup" -> ((s, dir) =>
+      Chunking.cdcChunkDedup(plantedRecrawl(s, dir), "doc_id", "text")),
 
     // Temperature-rebalanced mixture sampling (n_i^T stratum weights,
     // T=0.5, 30% target). Source skew is planted inside the query (half
@@ -1148,7 +1157,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       TextDedup.minhashIndexAtRest(docs, "doc_id", "text", table)
       val arrivals = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
+        .select((col("doc_id") + PlantOffset).as("doc_id"),
           concat(lit("edited "), col("text")).as("text"))
       TextDedup.minhashLookupAtRest(s, arrivals, docs, "doc_id", "text", table)
     }),
@@ -1165,7 +1174,7 @@ object SparkEntry {
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
       Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
     }),
 
@@ -1194,13 +1203,9 @@ object SparkEntry {
     // Corpus duplicated-8-gram report (the substring-dedup diagnostic):
     // top 20 grams in >=2 docs after an in-query re-crawl plants real
     // cross-document duplication.
-    "q61_top_dup_grams" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val planted = docs.select(col("doc_id"), col("text")).unionByName(
-        docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      TextDedup.topDuplicatedGrams(planted, "doc_id", "text", n = 8, topK = 20)
-    }),
+    "q61_top_dup_grams" -> ((s, dir) =>
+      TextDedup.topDuplicatedGrams(plantedRecrawl(s, dir), "doc_id", "text",
+        n = 8, topK = 20)),
 
     // Multimodal binary-column plumbing through codegen'd functions:
     // blob length + magic prefix of an opaque binary payload.
@@ -1727,7 +1732,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 7 = 0
         |), words AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
@@ -2125,7 +2130,7 @@ object SparkEntry {
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
         |  WHERE doc_id % 7 = 0
         |), toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -2206,7 +2211,7 @@ object SparkEntry {
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
         |  WHERE doc_id % 7 = 0
         |), toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -2281,7 +2286,7 @@ object SparkEntry {
     // LSH output equal the exact pair set — same argument as q12/q13
     "q66_minhash_at_rest" ->
       """WITH arr AS (
-        |  SELECT doc_id + 500000 AS doc_id, 'edited ' || text AS text
+        |  SELECT doc_id + 1000000000000 AS doc_id, 'edited ' || text AS text
         |  FROM documents WHERE doc_id % 10 = 0
         |), ta AS (
         |  SELECT doc_id, list_distinct(
@@ -2322,7 +2327,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
         |  WHERE doc_id % 17 = 0
         |), new_fp AS (
         |  SELECT doc_id AS id, md5(text) AS fp_new FROM new_snap

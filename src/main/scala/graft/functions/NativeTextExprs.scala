@@ -132,9 +132,76 @@ object NativeTextExprs {
     }
     new GenericArrayData(mins) // primitive long[] constructor
   }
+
+  /** One-pass UTF-16 char histogram, ascending char order. */
+  def evalCharHist(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val counts = new java.util.TreeMap[Character, java.lang.Long]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val prev = counts.get(c)
+      counts.put(c,
+        java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(String.valueOf(e.getKey)),
+        e.getValue.longValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles of a text column, natively. */
+/** Per-character histogram of a text column, natively: one pass over the
+  * string's UTF-16 chars into a hash map, emitted as `(ch, cnt)` structs —
+  * the per-character explode it replaces materialized one ROW per
+  * character of corpus text before the first aggregate; this bounds the
+  * fanout at the per-document alphabet (≤ ~100 for real text). Entries
+  * are emitted in ascending char order (deterministic, though the
+  * downstream aggregate is order-insensitive anyway). Character identity
+  * matches the oracle's per-character `substring` enumeration for all BMP
+  * text (the corpus is ASCII).
+  */
+case class CharHist(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ch", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_hist needs string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeTextExprs.evalCharHist(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextExprs.evalCharHist($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharHist =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_hist"
+}
+
+object CharHist {
+  def apply(c: Column): Column =
+    GraftBridge.column(CharHist(GraftBridge.expression(c)))
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
 

@@ -91,12 +91,13 @@ object Repetition {
     val log2e = 1.4426950408889634 // 1/ln(2): log2(x) = ln(x) * log2e
     def log2(c: org.apache.spark.sql.Column) = log(c) * log2e
     docs
-      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
-      // Java's zero-width split emits empty edge elements ('' at the ends,
-      // version-dependent) the oracle's character enumeration never sees
-      .filter(length(col("ch")) === 1)
-      .groupBy(col(idCol), col("ch"))
-      .agg(count(lit(1)).as("cnt"))
+      // native one-pass histogram: fanout = per-doc alphabet, not text
+      // length (the per-character explode materialized one row per BYTE
+      // of corpus text before the first aggregate), and the per-doc
+      // (id, ch) pre-aggregation disappears entirely
+      .select(col(idCol),
+        explode(graft.functions.CharHist(col(textCol))).as("e"))
+      .select(col(idCol), col("e.cnt").as("cnt"))
       .groupBy(col(idCol))
       .agg(
         sum(col("cnt")).as("n_chars"),

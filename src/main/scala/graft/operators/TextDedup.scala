@@ -70,18 +70,25 @@ object TextDedup {
     * frequency — fine when shingles are rare, the baseline for comparing
     * the LSH generators.
     */
-  def allPairsByShingle(sh: DataFrame): DataFrame = {
+  /** The inverted-index pair-enumeration kernel: explode shingles, one
+    * shared AQE-exempt exchange on the token key (explicit numPartitions —
+    * the exploded frame is byte-small but per-token pair enumeration is
+    * CPU-quadratic in doc frequency), triangular self-join. Callers choose
+    * the terminal op: `distinct` for a candidate set, `groupBy.count` for
+    * intersection sizes — the choice that decides scale behavior (q57
+    * lesson).
+    */
+  private def shinglePairJoin(sh: DataFrame): DataFrame = {
     val np = sh.sparkSession.sparkContext.defaultParallelism
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      // shared exchange for both self-join sides; explicit numPartitions so
-      // AQE's byte-based coalescing cannot serialize the per-token pair
-      // enumeration (quadratic in doc frequency — CPU the byte stats miss)
       .repartition(np, col("tok"))
     val exB = ex.select(col("doc_id").as("doc_id_b"), col("tok").as("tok_b"))
     ex.join(exB, col("tok") === col("tok_b") && col("doc_id") < col("doc_id_b"))
       .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
-      .distinct()
   }
+
+  def allPairsByShingle(sh: DataFrame): DataFrame =
+    shinglePairJoin(sh).distinct()
 
   /** MinHash signature via the native [[graft.functions.MinHashSig]]
     * expression: one XXH64 per shingle, k affine permutations folded in a
@@ -612,15 +619,8 @@ object TextDedup {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val sh = shingled(docs, idCol, textCol, shingleN)
     val counts = sh.select(col("doc_id"), col("n_sh"))
-    // explicit-numPartitions barrier on the join key (AQE-exempt): the
-    // exploded frame is byte-small but the per-shingle pair enumeration
-    // is CPU-quadratic in doc frequency — q11's rule
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .repartition(np, col("tok"))
-    val exB = ex.select(col("doc_id").as("doc_id_b"), col("tok").as("tok_b"))
-    val inter = ex.join(exB,
-        col("tok") === col("tok_b") && col("doc_id") < col("doc_id_b"))
-      .groupBy(col("doc_id").as("d1"), col("doc_id_b").as("d2"))
+    val inter = shinglePairJoin(sh)
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     // totals joins unhinted (one row per doc — data-scaled; AQE dispatches)
     val pairs = inter
@@ -686,8 +686,16 @@ object TextDedup {
     val idx = bandHashes(shingled(docs, idCol, textCol, shingleN), bands, rows)
       .withColumn("pb",
         (col("band") * partBuckets + pmod(col("bh"), lit(partBuckets))).cast("int"))
+    // the banding parameters ARE the index format: persist them in the
+    // table so a lookup under different parameters fails loudly instead
+    // of silently joining hashes computed under a different banding
     table.create(idx.schema, partition = Some("pb"),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression))
+      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+        Map(
+          "minhash.bands" -> bands.toString,
+          "minhash.rows" -> rows.toString,
+          "minhash.shingleN" -> shingleN.toString,
+          "minhash.partBuckets" -> partBuckets.toString))
     table.append(idx)
   }
 
@@ -696,9 +704,19 @@ object TextDedup {
     * (manifest-level pruning; the driver sees only the bounded distinct
     * partition-value set — the same Iceberg-style planning step as q34),
     * candidates come from the `(band, bh)` equi-join inside them, and
-    * exact shingle-Jaccard verification makes the output exact. The
-    * arrival frame is localCheckpoint'd so planning and probing cannot
-    * diverge on a nondeterministic source.
+    * exact shingle-Jaccard verification of the candidates makes
+    * PRECISION exact. RECALL is the banding's: a pair at jaccard j is a
+    * candidate with probability `1 − (1 − j^rows)^bands`, so the
+    * `minRecallJaccard` contract is enforced up front — the configured
+    * banding must give ≥ 99.9 % recall at that jaccard (32×4 qualifies
+    * down to j ≈ 0.75; a caller needing recall at lower j must raise
+    * `bands`, not lower `threshold`). Banding parameters are validated
+    * against the ones PERSISTED in the index — a mismatched lookup would
+    * otherwise silently join hashes from a different banding and return
+    * garbage or nothing.
+    *
+    * The arrival frame is localCheckpoint'd so planning and probing
+    * cannot diverge on a nondeterministic source.
     */
   def minhashLookupAtRest(
       spark: org.apache.spark.sql.SparkSession,
@@ -707,7 +725,21 @@ object TextDedup {
       table: graft.table.WarehouseTable,
       bands: Int = 32, rows: Int = 4, shingleN: Int = 3,
       partBuckets: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      minRecallJaccard: Double = 0.75): DataFrame = {
+    val stored = table.properties
+    Seq("minhash.bands" -> bands, "minhash.rows" -> rows,
+      "minhash.shingleN" -> shingleN, "minhash.partBuckets" -> partBuckets)
+      .foreach { case (k, v) =>
+        stored.get(k).foreach(sv => require(sv == v.toString,
+          s"index was built with $k=$sv but the lookup passed $v — " +
+            "band hashes from different bandings never match"))
+      }
+    val missProb =
+      math.pow(1.0 - math.pow(minRecallJaccard, rows.toDouble), bands.toDouble)
+    require(missProb <= 0.001,
+      f"banding ${bands}x$rows gives only ${(1 - missProb) * 100}%.2f%% recall " +
+        f"at jaccard $minRecallJaccard — raise bands (or minRecallJaccard)")
     val qsh = shingled(arrivals, idCol, textCol, shingleN)
     val qidx = bandHashes(qsh, bands, rows)
       .withColumn("pb",

@@ -433,17 +433,29 @@ object StreamingIngest {
       cuts: Map[String, Int], // stratum -> 256-bucket cut (frozen)
       outDir: String,
       checkpointDir: String,
+      defaultCut: Int = 0, // strata ABSENT from cuts: 0 = drop, 256 = keep all
       maxFilesPerTrigger: Int = 10): StreamingQuery = {
     require(cuts.nonEmpty && cuts.values.forall(c => c >= 0 && c <= 256),
       "cuts must be 256-bucket values")
+    require(defaultCut >= 0 && defaultCut <= 256,
+      "defaultCut must be a 256-bucket value")
     val hexDigits = "0123456789abcdef"
     def cutHex(c: Int): String =
       if (c >= 256) "zz" // above any 2-hex-char hash: keep all
       else s"${hexDigits(c / 16)}${hexDigits(c % 16)}"
-    val keep = cuts.map { case (s, c) =>
-      col(stratumCol) === s &&
-        graft.operators.Sampling.keyHash(col(keyCol)) < lit(cutHex(c))
+    // a stratum that appears AFTER the cuts were frozen (a new source
+    // label) is governed by defaultCut — an EXPLICIT policy, because the
+    // original fold silently discarded such rows with no way to notice;
+    // defaultCut = 256 quarantines nothing (keep all for later re-rating),
+    // 0 keeps the frozen mixture pure
+    val hash = graft.operators.Sampling.keyHash(col(keyCol))
+    val listed = cuts.map { case (s, c) =>
+      col(stratumCol) === s && hash < lit(cutHex(c))
     }.reduce(_ || _)
+    val unlisted = !cuts.keys
+      .map(s => col(stratumCol) === s).reduce(_ || _) &&
+      hash < lit(cutHex(defaultCut))
+    val keep = listed || unlisted
     val stream = spark.readStream
       .options(options)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
