@@ -236,6 +236,20 @@ class OperatorsSpec extends SparkSpec {
     assert(m == ref)
   }
 
+  test("CharHist native expression: exact counts, empty text, unicode chars") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val df = Seq("aabac", "", "ééz").toDF("t")
+      .select(col("t"), explode(graft.functions.CharHist(col("t"))).as("e"))
+      .select(col("t"), col("e.ch"), col("e.cnt"))
+      .as[(String, String, Long)].collect().toSeq
+    // empty text emits no rows (matches the oracle's char enumeration)
+    assert(!df.exists(_._1 == ""))
+    assert(df.filter(_._1 == "aabac").toSet ==
+      Set(("aabac", "a", 3L), ("aabac", "b", 1L), ("aabac", "c", 1L)))
+    assert(df.filter(_._1 == "ééz").toSet ==
+      Set(("ééz", "é", 2L), ("ééz", "z", 1L)))
+  }
+
   test("charEntropy: exact bits/char on uniform and degenerate alphabets") {
     import graft.operators.Repetition
     val docs = Seq(
