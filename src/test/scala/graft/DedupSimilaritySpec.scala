@@ -302,6 +302,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"no pruning: touched ${touched.size} of $allParts partitions")
   }
 
+  test("minhash at rest: mismatched banding params and weak banding fail loudly") {
+    val table = graft.table.WarehouseTable(tmpDir("mhguard") + "/idx")
+    TextDedup.minhashIndexAtRest(docs, "doc_id", "text", table)
+    val arrivals = docs.limit(1)
+    // lookup under a different banding than the index persisted
+    val e1 = intercept[IllegalArgumentException] {
+      TextDedup.minhashLookupAtRest(
+        spark, arrivals, docs, "doc_id", "text", table, bands = 16)
+    }
+    assert(e1.getMessage.contains("minhash.bands"))
+    // banding that cannot honor the recall contract at the requested jaccard
+    val e2 = intercept[IllegalArgumentException] {
+      TextDedup.minhashLookupAtRest(
+        spark, arrivals, docs, "doc_id", "text", table,
+        minRecallJaccard = 0.5)
+    }
+    assert(e2.getMessage.contains("recall"))
+  }
+
   test("q24 LSH path ≡ exact broadcast twin on the augmented corpus") {
     // the gated q24 runs RP-LSH over the corpus augmented with ×2-scaled
     // copies; the exact all-pairs broadcast form is its verification twin —
