@@ -953,9 +953,9 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val incoming = docs.filter(col("doc_id") % 2 === 1)
         .unionAll(corpus.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 200001L).as("doc_id"), col("text")))
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
         .unionAll(corpus.filter(col("doc_id") % 10 === 4)
-          .select((col("doc_id") + 400001L).as("doc_id"),
+          .select((col("doc_id") + PlantOffset * 2).as("doc_id"),
             concat(col("text"), lit(" zz yy xx")).as("text")))
       TextDedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text",
         shingleN = 3, threshold = 0.5)
@@ -965,7 +965,7 @@ object SparkEntry {
     // gates → deterministic sample) as ONE tagged-decision program: PII is
     // planted per-doc (q43's trick) BEFORE the re-crawl union (so copies
     // carry identical planted text and stay exact dups after scrubbing),
-    // every doc_id % 9 == 1 doc re-arrives under doc_id + 300001, and the
+    // every doc_id % 9 == 1 doc re-arrives under doc_id + PlantOffset, and the
     // output carries each stage's INT decision plus the conjunction.
     "q48_curation_pipeline" -> ((s, dir) => {
       import graft.pipeline.CurationPipeline
@@ -983,7 +983,7 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       val docs = planted.unionAll(
         planted.filter(col("doc_id") % 9 === 1)
-          .select((col("doc_id") + 300001L).as("doc_id"), col("text")))
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
       CurationPipeline.curate(docs, "doc_id", "text",
         CurationPipeline.Config(minWords = 10, sampleHex = "d0"))
         .select(col("doc_id"), md5(col("text")).as("red_md5"),
@@ -1810,10 +1810,10 @@ object SparkEntry {
         |), incoming AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
         |  UNION ALL
-        |  SELECT doc_id + 200001, text FROM documents
+        |  SELECT doc_id + 1000000000000, text FROM documents
         |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 400001, text || ' zz yy xx' FROM documents
+        |  SELECT doc_id + 2000000000000, text || ' zz yy xx' FROM documents
         |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 4
         |), cfp AS (
         |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -1871,7 +1871,7 @@ object SparkEntry {
         |), all_docs AS (
         |  SELECT doc_id, text FROM planted
         |  UNION ALL
-        |  SELECT doc_id + 300001, text FROM planted WHERE doc_id % 9 = 1
+        |  SELECT doc_id + 1000000000000, text FROM planted WHERE doc_id % 9 = 1
         |), scrubbed AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,

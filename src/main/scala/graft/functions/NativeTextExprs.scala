@@ -133,17 +133,20 @@ object NativeTextExprs {
     new GenericArrayData(mins) // primitive long[] constructor
   }
 
-  /** One-pass UTF-16 char histogram, ascending char order. */
+  /** One-pass code-point histogram, ascending code-point order. Iterating
+    * by code point (not UTF-16 unit) keeps non-BMP characters as ONE
+    * entry, matching a per-codepoint substring enumeration exactly.
+    */
   def evalCharHist(text: UTF8String): ArrayData = {
     val s = text.toString
-    val counts = new java.util.TreeMap[Character, java.lang.Long]()
+    val counts = new java.util.TreeMap[Integer, java.lang.Long]()
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      val prev = counts.get(c)
-      counts.put(c,
+      val cp = s.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp,
         java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
-      i += 1
+      i += Character.charCount(cp)
     }
     val out = new Array[Any](counts.size)
     var j = 0
@@ -151,7 +154,7 @@ object NativeTextExprs {
     while (it.hasNext) {
       val e = it.next()
       out(j) = org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(String.valueOf(e.getKey)),
+        UTF8String.fromString(new String(Character.toChars(e.getKey.intValue))),
         e.getValue.longValue)
       j += 1
     }
@@ -159,16 +162,16 @@ object NativeTextExprs {
   }
 }
 
-/** Distinct word n-gram shingles of a text column, natively. */
 /** Per-character histogram of a text column, natively: one pass over the
-  * string's UTF-16 chars into a hash map, emitted as `(ch, cnt)` structs —
-  * the per-character explode it replaces materialized one ROW per
-  * character of corpus text before the first aggregate; this bounds the
-  * fanout at the per-document alphabet (≤ ~100 for real text). Entries
-  * are emitted in ascending char order (deterministic, though the
-  * downstream aggregate is order-insensitive anyway). Character identity
-  * matches the oracle's per-character `substring` enumeration for all BMP
-  * text (the corpus is ASCII).
+  * string's Unicode CODE POINTS into a tree map, emitted as `(ch, cnt)`
+  * structs — the per-character explode it replaces materialized one ROW
+  * per character of corpus text before the first aggregate; this bounds
+  * the fanout at the per-document alphabet (≤ ~100 for real text).
+  * Entries are emitted in ascending code-point order (deterministic,
+  * though the downstream aggregate is order-insensitive anyway).
+  * Code-point iteration means non-BMP characters (emoji, rare CJK) count
+  * as ONE entry each, matching a per-codepoint `substring` enumeration
+  * on any engine — no surrogate-half divergence on non-ASCII corpora.
   */
 case class CharHist(child: Expression) extends UnaryExpression {
 

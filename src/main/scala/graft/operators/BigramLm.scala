@@ -14,9 +14,11 @@ import graft.functions.WordShinglesAll
   * extends the same train/apply shape as [[TfIdf]].
   *
   * Model: add-one-smoothed bigram conditionals over the corpus vocabulary,
-  * `P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`. A transition unseen at fit
-  * time falls back to `1 / V` (both counts zero) — the uniform floor, the
-  * standard apply-time rule for a frozen model.
+  * `P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`. At apply time the two
+  * counts resolve independently: an unseen bigram whose w1 WAS in the fit
+  * vocabulary scores `1 / (c(w1) + V)` (the add-one conditional out of a
+  * seen context), and only a transition whose w1 is itself unseen falls
+  * to the uniform floor `1 / V` (both counts zero).
   *
   * Cross-engine determinism: each transition's `ln P` is quantized to
   * 1e-4 fixed-point (`floor(x·10⁴ + 0.5)` — ln() may differ in the last
@@ -26,22 +28,24 @@ import graft.functions.WordShinglesAll
   * divides two exact integers (one correctly-rounded IEEE op) and rounds
   * once more.
   *
-  * Scale shape: fit = two explode → hash-agg passes plus a
-  * vocabulary-keyed equi-join (vocabulary-sized tables, never
-  * broadcast-hinted — AQE size-dispatches); score = one content-keyed
-  * equi-join of the document transitions against the gram table plus the
-  * per-doc aggregation. The only broadcast is the 1-row vocabulary count.
+  * Scale shape: fit = two explode → hash-agg passes (vocabulary-sized
+  * tables, never broadcast-hinted — AQE size-dispatches); score = two
+  * content-keyed equi-joins of the document transitions (bigram table for
+  * c2, unigram table for c1) plus the per-doc aggregation. The only
+  * broadcast is the 1-row vocabulary count.
   */
 object BigramLm {
 
-  /** Frozen model: `grams` = (gram, c1, c2) — vocabulary-sized, never
-    * broadcast — and the 1-row vocabulary count `vocab` (v).
+  /** Frozen model: `grams` = (gram, c2) and `unigrams` = (w1, c1) — both
+    * vocabulary-sized, never broadcast — and the 1-row vocabulary count
+    * `vocab` (v). Carrying the unigram table separately is what lets a
+    * SEEN-w1 / unseen-bigram transition resolve `c(w1)` at apply time.
     */
-  final case class Model(grams: DataFrame, vocab: DataFrame)
+  final case class Model(grams: DataFrame, unigrams: DataFrame, vocab: DataFrame)
 
   /** Fit the smoothed bigram table over a corpus: unigram counts, bigram
     * counts (via the native positional-shingle pass), and the vocabulary
-    * size, joined so apply needs ONE lookup per transition.
+    * size.
     */
   def fit(docs: DataFrame, textCol: String): Model = {
     val uni = docs
@@ -50,10 +54,7 @@ object BigramLm {
     val grams = docs
       .select(explode(WordShinglesAll(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .join(uni, "w1") // both vocabulary-sized: unhinted
-      .select(col("gram"), col("c1"), col("c2"))
-    Model(grams, uni.agg(count(lit(1)).as("v")))
+    Model(grams, uni, uni.agg(count(lit(1)).as("v")))
   }
 
   /** Score documents under a frozen model:
@@ -68,8 +69,10 @@ object BigramLm {
       model: Model): DataFrame = {
     val occ = docs.select(col(idCol),
       explode(WordShinglesAll(col(textCol), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
     val scored = occ
-      .join(model.grams, Seq("gram"), "left") // vocabulary-sized: unhinted
+      .join(model.grams, Seq("gram"), "left")    // vocabulary-sized: unhinted
+      .join(model.unigrams, Seq("w1"), "left")   // c1 resolves for any SEEN w1
       .crossJoin(broadcast(model.vocab))
       .withColumn("llq",
         floor(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")

@@ -228,9 +228,16 @@ object StreamingIngest {
         // classify one row per id: a micro-batch can span several landing
         // files carrying the same id, and dedupAgainstCorpus emits one
         // decision per input ROW — joining row-level decisions back would
-        // fan out n×n for an id duplicated n times. First-arrival wins
-        // (min orderDesc-free rule keeps it deterministic per batch).
-        val uniq = batch.dropDuplicates(idCol)
+        // fan out n×n for an id duplicated n times. The survivor is the
+        // MIN of the remaining columns as a struct (not dropDuplicates,
+        // which keeps an ARBITRARY row): same-id rows with different text
+        // land identically on a run and on a checkpoint replay of the
+        // same batch, whatever the partition order.
+        val others = batch.columns.filter(_ != idCol)
+        val uniq = batch
+          .groupBy(col(idCol))
+          .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
+          .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
         val decided = graft.operators.TextDedup.dedupAgainstCorpus(
           uniq, corpus, idCol, textCol, shingleN, threshold)
         uniq.join(decided, Seq(idCol))

@@ -212,6 +212,12 @@ class OperatorsSpec extends SparkSpec {
       Seq((9L, "z z")).toDF("doc_id", "text"), "doc_id", "text", model)
       .as[(Long, Long, Double)].collect()
     assert(unseen.head == ((9L, 1L, -1.0986)))
+    // seen w1, unseen bigram: "a c" -> c2=0 but c1=c(a)=3 resolves,
+    // P = 1/(3+3) = 1/6, llq = floor(ln(1/6)*1e4+0.5) = -17918
+    val halfSeen = BigramLm.scoreDocs(
+      Seq((10L, "a c")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect()
+    assert(halfSeen.head == ((10L, 1L, -1.7918)))
   }
 
   test("chunking: overlap, full coverage, short docs are one chunk") {
@@ -238,7 +244,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("CharHist native expression: exact counts, empty text, unicode chars") {
     import org.apache.spark.sql.functions.{col, explode}
-    val df = Seq("aabac", "", "ééz").toDF("t")
+    val df = Seq("aabac", "", "ééz", "😀a😀").toDF("t")
       .select(col("t"), explode(graft.functions.CharHist(col("t"))).as("e"))
       .select(col("t"), col("e.ch"), col("e.cnt"))
       .as[(String, String, Long)].collect().toSeq
@@ -248,6 +254,9 @@ class OperatorsSpec extends SparkSpec {
       Set(("aabac", "a", 3L), ("aabac", "b", 1L), ("aabac", "c", 1L)))
     assert(df.filter(_._1 == "ééz").toSet ==
       Set(("ééz", "é", 2L), ("ééz", "z", 1L)))
+    // non-BMP: one entry per CODE POINT, never two surrogate halves
+    assert(df.filter(_._1 == "😀a😀").toSet ==
+      Set(("😀a😀", "😀", 2L), ("😀a😀", "a", 1L)))
   }
 
   test("charEntropy: exact bits/char on uniform and degenerate alphabets") {

@@ -235,7 +235,8 @@ class StreamingIngestSpec extends SparkSpec {
     // freeze the LM over the full corpus, stream the same docs: micro-batch
     // scores under the frozen model must reproduce the batch fit+apply (q53)
     val model0 = BigramLm.fit(docs, "text")
-    val model = BigramLm.Model(model0.grams.cache(), model0.vocab.cache())
+    val model = BigramLm.Model(
+      model0.grams.cache(), model0.unigrams.cache(), model0.vocab.cache())
     val landing = tmpDir("lm_land")
     val staging = tmpDir("lm_stage") + "/files"
     docs.repartition(2).write.parquet(staging)
@@ -256,7 +257,7 @@ class StreamingIngestSpec extends SparkSpec {
     val batch = SparkEntry.queries("q53_bigram_loglik")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Double)].collect().toSet
     assert(streamed == batch)
-    model.grams.unpersist(); model.vocab.unpersist()
+    model.grams.unpersist(); model.unigrams.unpersist(); model.vocab.unpersist()
     ()
   }
 
