@@ -1146,6 +1146,16 @@ object SparkEntry {
     "q67_vocabulary" -> ((s, dir) =>
       graft.operators.Vocabulary.frequencyRank(t(s, dir, "documents"), "text")),
 
+    // Duplicated-span REMOVAL (the rewrite stage of Lee et al. 2021
+    // substring dedup — q52 measures, this cuts): over the re-crawled
+    // corpus, every duplicated 8-gram span keeps its global first
+    // occurrence only; re-crawl copies collapse to empty text. clean_md5
+    // hashes the rewritten text so the gate compares a bounded cell.
+    "q68_dup_span_removal" -> ((s, dir) =>
+      TextDedup.removeDupSpans(plantedRecrawl(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("removed_tokens"), md5(col("clean_text")).as("clean_md5"))),
+
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
     // arrivals (planted near-dup edits of every 10th doc) probe only the
@@ -2279,6 +2289,51 @@ object SparkEntry {
         |SELECT word, cnt, rank,
         |  floor(CAST(cum AS DOUBLE) / n * 10000 + 0.5) / 10000 AS coverage
         |FROM r, tot""".stripMargin,
+
+    // keep-one span removal: rn>1 occurrences of a positional 8-gram are
+    // cut spans; interval-union then list-comprehension reassembly.
+    // array_to_string([]) is NULL in DuckDB (not '') — coalesce before
+    // md5 or every fully-removed doc hash-mismatches Spark's md5('')
+    "q68_dup_span_removal" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), sized AS (
+        |  SELECT doc_id AS id, CAST(len(w) AS BIGINT) AS n_tokens, w
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM planted)
+        |), occ AS (
+        |  SELECT id, CAST(i AS BIGINT) AS s, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM sized, unnest(range(1, len(w) - 6)) AS t(i)
+        |  WHERE n_tokens >= 8
+        |), ranked AS (
+        |  SELECT id, s, row_number() OVER (PARTITION BY gram ORDER BY id, s) AS rn
+        |  FROM occ
+        |), ival AS (
+        |  SELECT id, s, s + 7 AS e FROM ranked WHERE rn > 1
+        |), u AS (
+        |  SELECT id, s, e,
+        |    coalesce(max(e) OVER (PARTITION BY id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+        |  FROM ival
+        |), seg AS (
+        |  SELECT id, greatest(s, prev_e + 1) AS f, e
+        |  FROM u WHERE e >= greatest(s, prev_e + 1)
+        |), pos AS (
+        |  SELECT id, unnest(range(f, e + 1)) AS p FROM seg
+        |), cov AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS removed_tokens, list(p) AS ps
+        |  FROM pos GROUP BY id
+        |)
+        |SELECT b.id AS doc_id, b.n_tokens,
+        |  CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  md5(coalesce(array_to_string(
+        |    [b.w[i] for i in range(1, len(b.w) + 1)
+        |      if NOT coalesce(list_contains(c.ps, i), false)], ' '), ''))
+        |    AS clean_md5
+        |FROM sized b LEFT JOIN cov c ON b.id = c.id""".stripMargin,
 
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's

@@ -588,6 +588,78 @@ object TextDedup {
           * 10000.0 + 0.5) / 10000.0)
   }
 
+  /** Duplicated-span REMOVAL — the rewrite stage of substring-level
+    * corpus dedup (Lee et al. 2021, arXiv:2107.06499): where
+    * [[dupSpanCoverage]] only measures how much of a document is
+    * duplicated text, this excises it. Every positional `n`-gram
+    * occurrence that is NOT the global first occurrence of its gram
+    * (first = minimum `(id, start)` — the total, engine-reproducible
+    * q44/q59 rule; within-document repeats count) marks its `n`-token
+    * span; the UNION of a document's marked spans is cut and the
+    * surviving tokens are reassembled in order, single-space separated.
+    * Exactly one copy of every duplicated span survives corpus-wide.
+    * Returns one row per document:
+    * `(id, n_tokens, removed_tokens, clean_text)` — a full re-crawl copy
+    * comes back with `clean_text = ""` and `removed_tokens = n_tokens`.
+    * Documents shorter than `n` tokens carry no gram and are never cut
+    * (whole-document dedup of short docs is q07's exact-fingerprint job).
+    *
+    * Scale shape: positional grams are map-side; the keep/cut decision is
+    * ONE shuffle keyed by gram content (identical grams co-locate, the
+    * `row_number` partition never exceeds a gram's duplicate count); the
+    * interval union is the per-document prefix-max window of
+    * [[dupSpanCoverage]], and the cut-position explode emits exactly
+    * `removed_tokens` rows per doc (disjoint sub-intervals — never the
+    * raw occurrence fanout). Reassembly is an array `filter` against the
+    * doc's own sorted cut-set: per-doc local, no token-level shuffle.
+    * Nothing is quadratic in corpus size.
+    */
+  def removeDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "span n-gram size must be >= 2")
+    val base = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val occ = base
+      .select(col("id"),
+        posexplode(graft.functions.WordShinglesAll(col("text"), n))
+          .as(Seq("p", "gram")))
+      .select(col("id"), (col("p") + 1).cast("long").as("start"), col("gram"))
+    // keep-one rule: global first occurrence (min (id, start)) survives;
+    // every later occurrence of the same gram is a cut span
+    val wg = Window.partitionBy(col("gram")).orderBy(col("id"), col("start"))
+    val cut = occ
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") > 1)
+      .select(col("id"), col("start"), (col("start") + (n - 1)).as("end"))
+    // union overlapping spans into disjoint sub-intervals (prefix-max),
+    // then explode ONLY the disjoint positions — fanout = removed tokens
+    val wi = Window.partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = cut
+      .withColumn("prev_end", coalesce(max(col("end")).over(wi), lit(0L)))
+      .withColumn("from", greatest(col("start"), col("prev_end") + 1))
+      .filter(col("end") >= col("from"))
+      .select(col("id"), explode(sequence(col("from"), col("end"))).as("pos"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cutset"),
+        count(lit(1)).as("removed_tokens"))
+    base
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("cutset").isNull, array_join(col("ws"), " "))
+          .otherwise(array_join(
+            filter(col("ws"),
+              (_, i) => !array_contains(col("cutset"), (i + 1).cast("long"))),
+            " "))
+          .as("clean_text"))
+  }
+
   /** Edit-distance verification of near-dup pairs — the EXPENSIVE exact
     * stage, run only on pairs that already survived the cheap shingle
     * filter. `levenshtein` is O(|a|·|b|) per pair; unguarded it is the

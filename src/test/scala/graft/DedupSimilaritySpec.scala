@@ -508,4 +508,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2) == ((3L, 3L, 0L, 0.0)))
     assert(out(3) == ((4L, 8L, 0L, 0.0)))
   }
+
+  test("removeDupSpans: keep-one rewrite, interval union, full-copy collapse") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // all grams globally first: untouched
+      (2L, "x y a b c d z"),   // "a b c"@3, "b c d"@4 repeat doc 1 -> cut [3,6]
+      (3L, "a b c d e"),       // exact re-crawl of doc 1: fully removed
+      (4L, "short one"),       // < n tokens: no gram, never cut
+      (5L, "p q r s p q r t")  // WITHIN-doc repeat "p q r"@5 -> cut [5,7]
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 7L, 4L, "x y z"),
+      (3L, 5L, 5L, ""),
+      (4L, 2L, 0L, "short one"),
+      (5L, 8L, 3L, "p q r s t")))
+  }
 }
