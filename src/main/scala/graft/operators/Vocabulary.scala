@@ -16,14 +16,23 @@ import org.apache.spark.sql.functions._
   * so partitioning by count alone would sort the whole tail in one task.
   * Two-level construction:
   *
-  *  1. micro-bucket = (cnt, first char of word): the coordination table of
-  *     distinct (cnt, bucket) pairs is bounded by |distinct counts| ×
-  *     alphabet; prefix sums over it (ordered cnt desc, bucket asc) give
-  *     each micro-bucket's starting rank and starting token-coverage;
+  *  1. micro-bucket = (cnt, first `bucketChars` chars of word): the
+  *     coordination table of distinct (cnt, bucket) pairs is bounded by
+  *     |distinct counts| × alphabet^bucketChars; prefix sums over it
+  *     (ordered cnt desc, bucket asc) give each micro-bucket's starting
+  *     rank and starting token-coverage;
   *  2. `row_number` within one micro-bucket (ordered word asc) finishes
-  *     the rank. First-char bucketing preserves lexicographic order
-  *     across buckets, so the composite order equals the flat
-  *     `ORDER BY cnt DESC, word ASC`.
+  *     the rank. Prefix bucketing preserves lexicographic order across
+  *     buckets (if `prefix(a) < prefix(b)` then `a < b`), so the
+  *     composite order equals the flat `ORDER BY cnt DESC, word ASC`
+  *     for ANY bucketChars — the parameter trades coordination-table
+  *     size against tail parallelism without changing the output.
+  *
+  * `bucketChars` defaults to 2 (the [[Sampling.stableRank]] rule): at
+  * corpus scale the `cnt = 1` tail is billions of unique words over only
+  * ~dozens of active leading characters, so a 1-char bucket sorts
+  * hundreds of millions of rows in ONE task; each extra prefix char
+  * multiplies tail parallelism by the active alphabet (~30-50×).
   *
   * Within a micro-bucket every word has the SAME count, so the running
   * token sum needs no second window: `cum = tok_offset + rn · cnt`.
@@ -31,11 +40,15 @@ import org.apache.spark.sql.functions._
   */
 object Vocabulary {
 
-  def frequencyRank(docs: DataFrame, textCol: String): DataFrame = {
+  def frequencyRank(
+      docs: DataFrame,
+      textCol: String,
+      bucketChars: Int = 2): DataFrame = {
+    require(bucketChars >= 1, "bucketChars must be positive")
     val wc = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("bucket", substring(col("word"), 1, 1))
+      .withColumn("bucket", substring(col("word"), 1, bucketChars))
     // bounded coordination table: distinct (cnt, bucket) pairs
     val w = Window.orderBy(col("cnt").desc, col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -414,6 +414,15 @@ class OperatorsSpec extends SparkSpec {
       ("a", 2L, 2L, 0.625),   // 5/8
       ("ab", 2L, 3L, 0.875),  // 7/8
       ("c", 1L, 4L, 1.0)))
+    // bucket width is a parallelism knob, NOT a semantics knob: prefix
+    // bucketing preserves lexicographic order at any width, so 1-char
+    // and 3-char bucketing emit identical tables on a real corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w1 = Vocabulary.frequencyRank(corpus, "text", bucketChars = 1)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val w3 = Vocabulary.frequencyRank(corpus, "text", bucketChars = 3)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(w1 == w3 && w1.nonEmpty)
   }
 
   test("corpusDiff: added/removed/changed/unchanged classification") {
