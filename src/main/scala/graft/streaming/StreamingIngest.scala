@@ -332,6 +332,45 @@ object StreamingIngest {
       .start()
   }
 
+  /** Naive-Bayes classification as a STREAMING stage — the frozen-model
+    * apply of [[graft.operators.NbClassifier]] per micro-batch, under the
+    * same rule as the TF-IDF and LM scorers: the per-class bigram model
+    * is fit offline on a labeled reference corpus and every arriving
+    * document lands with its argmax class (the language/domain routing
+    * decision made at ingest). Stateless per batch ⇒ replay idempotency
+    * via batch-id-keyed overwrite.
+    */
+  def startNbClassifier(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      model: graft.operators.NbClassifier.Model, // frozen
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.NbClassifier
+          .predict(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Character-entropy quality scoring as a STREAMING stage — batch q55
     * per micro-batch: each arriving document lands with its bits/char
     * score (the gibberish/binary-junk gate run at ingest, before junk

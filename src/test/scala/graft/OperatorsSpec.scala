@@ -220,6 +220,23 @@ class OperatorsSpec extends SparkSpec {
     assert(halfSeen.head == ((10L, 1L, -1.7918)))
   }
 
+  test("NB classifier: hand-computed per-class scores, prior-only short doc") {
+    import graft.operators.NbClassifier
+    // V=4 global; priors: good ln(1/3)->-10986, bad ln(2/3)->-4055
+    val train = Seq((1L, "good", "a b"), (2L, "bad", "c d"), (3L, "bad", "c d"))
+      .toDF("doc_id", "label", "text")
+    val model = NbClassifier.fit(train, "label", "text")
+    // "a b a b a b": good = 3*ln(2/5)+2*ln(1/5) quantized = -59677-10986;
+    // bad = 5*ln(1/4) quantized = -69315-4055 -> good wins on evidence
+    // despite the weaker prior. "solo": no transition -> prior argmax.
+    val out = NbClassifier.predict(
+      Seq((9L, "a b a b a b"), (10L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((9L, "good", 5L, -70663L)))
+    assert(out(1) == ((10L, "bad", 0L, -4055L)))
+  }
+
   test("chunking: overlap, full coverage, short docs are one chunk") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Chunking

@@ -261,6 +261,40 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming NB classifier under a frozen model matches batch q70") {
+    import spark.implicits._
+    import graft.operators.NbClassifier
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // freeze the per-lang model over the full corpus, stream the same
+    // docs: micro-batch argmax under the frozen model must reproduce the
+    // batch fit+predict (q70)
+    val m0 = NbClassifier.fit(docs, "lang", "text")
+    val model = NbClassifier.Model(m0.grams.cache(), m0.unigrams.cache(),
+      m0.priors.cache(), m0.labels.cache(), m0.vocab.cache())
+    val landing = tmpDir("nb_land")
+    val staging = tmpDir("nb_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("nb_out")
+    val q = StreamingIngest.startNbClassifier(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", model = model,
+      outDir = outDir, checkpointDir = tmpDir("nb_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "pred_label", "n_transitions", "score_q")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q70_nb_classifier")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    Seq(model.grams, model.unigrams, model.priors, model.labels, model.vocab)
+      .foreach(_.unpersist())
+    ()
+  }
+
   test("streaming decontaminator flags exactly the batch q42 set") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
