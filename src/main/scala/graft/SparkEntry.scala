@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{BigramLm, Chunking, Dedup, MergeInto, Normalize, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
+import graft.operators.{BigramLm, Chunking, Dedup, MergeInto, Multimodal, Normalize, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -1207,6 +1207,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("removed_tokens"), md5(col("clean_text")).as("clean_md5"))),
 
+    // Perceptual-hash image dedup: DCT pHash over synthesized PNGs (real
+    // javax.imageio decode), planted copies = 2×-downscaled re-encoded
+    // versions of every 10th image. pHash is resize-invariant (planted
+    // pairs measure hamming 0) while distinct images separate (closest
+    // organic pair = 4 at sf0.1, measured), so the hamming<=2 pair set
+    // IS the planted pair set — the q12 exact-pair-set gate argument.
+    "q69_phash_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val originals = Multimodal.synthesizeImages(s, docs, "doc_id")
+      val copies = originals.filter(_.id % 10 == 0).map(r =>
+        Multimodal.MediaRow(r.id + PlantOffset,
+          Multimodal.ImageCodec.resize(r.content, 2)))
+      val hashes = Multimodal.imagePHashes(originals.union(copies))
+      Multimodal.phashNearDupPairs(hashes, maxHamming = 2)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // Naive-Bayes bigram classifier (the CCNet/fastText-style gate):
     // per-lang bigram models fit on the labeled corpus, every doc scored
     // under every class, argmax kept. Self-classification recovers the
@@ -2394,6 +2412,16 @@ object SparkEntry {
         |      if NOT coalesce(list_contains(c.ps, i), false)], ' '), ''))
         |    AS clean_md5
         |FROM sized b LEFT JOIN cov c ON b.id = c.id""".stripMargin,
+
+    // the pHash pipeline runs a real image codec DuckDB cannot replicate,
+    // so the oracle pins the RESULT: measured separation (planted pairs
+    // hamming 0, closest organic pair 4) makes the hamming<=2 pair set
+    // exactly the planted copy list — same argument as q12's LSH == exact
+    // pair set. A pHash or blocking regression surfaces as missing /
+    // spurious pairs against this list.
+    "q69_phash_image_dedup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     // per-class add-one bigram NB: every ln quantized to 1e-4 BIGINT
     // before the (exact) sum — the q53 rule — so the argmax compares

@@ -33,6 +33,12 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta
     def resize(bytes: Array[Byte], stride: Int): Array[Byte]
+
+    /** 32×32 luminance grid (row-major doubles) for perceptual hashing;
+      * None for undecodable payloads (degrade, never fail — the
+      * decodeMeta contract).
+      */
+    def luma32(bytes: Array[Byte]): Option[Array[Double]]
   }
 
   /** Real image codec on `javax.imageio` (ships with the JDK): decodes
@@ -77,6 +83,45 @@ object Multimodal {
           bos.toByteArray
         }
       } catch { case _: Exception => bytes }
+
+    /** Decode + bilinear-rescale to 32×32 + BT.601 luminance. */
+    override def luma32(bytes: Array[Byte]): Option[Array[Double]] =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 32, 32, null)
+          } finally g.dispose()
+          val luma = new Array[Double](32 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val rgb = out.getRGB(x, y)
+              luma(y * 32 + x) =
+                0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some(luma)
+        }
+      } catch { case _: Exception => None }
+
+    /** PNG-encode a BufferedImage (the synthesis/test helper). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Deterministic fake container (tests/bench): `GFT1` magic + u16
@@ -129,6 +174,172 @@ object Multimodal {
       }
       out.array()
     }
+
+    /** Exact block-average pooling of the payload grid into 32×32. */
+    override def luma32(bytes: Array[Byte]): Option[Array[Double]] = {
+      val m = decodeMeta(0, bytes)
+      if (!m.valid || m.width == 0 || m.height == 0) None
+      else {
+        val luma = new Array[Double](32 * 32)
+        var cy = 0
+        while (cy < 32) {
+          var cx = 0
+          while (cx < 32) {
+            val y0 = cy * m.height / 32; val y1 = math.max(y0 + 1, (cy + 1) * m.height / 32)
+            val x0 = cx * m.width / 32; val x1 = math.max(x0 + 1, (cx + 1) * m.width / 32)
+            var s = 0.0; var n = 0
+            var y = y0
+            while (y < math.min(y1, m.height)) {
+              var x = x0
+              while (x < math.min(x1, m.width)) {
+                s += (bytes(8 + y * m.width + x) & 0xff).toDouble
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            luma(cy * 32 + cx) = if (n == 0) 0.0 else s / n
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(luma)
+      }
+    }
+  }
+
+  /** 64-bit perceptual hash (pHash): 8×8 low-frequency block of the 2D
+    * DCT-II over a 32×32 luminance grid, each bit = coefficient > median
+    * of the 63 AC coefficients (DC's bit is always 0 — its magnitude is
+    * just overall brightness). Two renderings of the same content —
+    * resized, re-encoded, lightly filtered — keep nearly identical
+    * low-frequency structure, so their hashes sit within a few bits;
+    * unrelated images differ in ~half. Pure JVM double math, no external
+    * libs; deterministic for a given luminance grid.
+    */
+  object PHash {
+    private val N = 32
+    // Cos(u)(x) = cos((2x+1)·u·π / 64) — the DCT-II basis, u < 8 only
+    // (higher frequencies never contribute to the hash)
+    private val Cos: Array[Array[Double]] = Array.tabulate(8, N)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+
+    def fromLuma32(luma: Array[Double]): Long = {
+      require(luma.length == N * N, s"luma grid must be $N×$N")
+      // separable partial DCT: first each row → 8 freqs, then columns
+      val rowF = Array.ofDim[Double](N, 8)
+      var y = 0
+      while (y < N) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var x = 0
+          while (x < N) { s += luma(y * N + x) * Cos(v)(x); x += 1 }
+          rowF(y)(v) = s; v += 1
+        }
+        y += 1
+      }
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var yy = 0
+          while (yy < N) { s += Cos(u)(yy) * rowF(yy)(v); yy += 1 }
+          coef(u * 8 + v) = s; v += 1
+        }
+        u += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+      java.util.Arrays.sort(ac)
+      val median = ac(31) // middle of the 63 AC coefficients
+      var bits = 0L; var k = 1
+      while (k < 64) { if (coef(k) > median) bits |= (1L << k); k += 1 }
+      bits
+    }
+  }
+
+  /** Per-image 64-bit perceptual hashes — partition-parallel decode +
+    * hash, the [[decodeMeta]] shape (each task touches only its split's
+    * blobs). Undecodable payloads are dropped (they have no visual
+    * content to deduplicate; route them via `decodeMeta().valid` checks).
+    */
+  def imagePHashes(
+      media: Dataset[MediaRow],
+      codec: MediaCodec = ImageCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      codec.luma32(r.content).map(l => (r.id, PHash.fromLuma32(l)))))
+      .toDF("id", "phash")
+  }
+
+  /** Perceptual-hash near-duplicate image pairs: pHash per image, then
+    * the shared 64-bit hamming kernel ([[TextDedup.fp64Pairs]] —
+    * pigeonhole-blocked banded equi-join with guaranteed recall at the
+    * radius, exact `bit_count` verify). `(id_a, id_b, hamming)`,
+    * `id_a < id_b`. The image analog of SimHash near-dup text pairs:
+    * same blocking machinery, different fingerprint.
+    */
+  def phashNearDupPairs(
+      hashes: DataFrame, // id, phash
+      maxHamming: Int = 6): DataFrame =
+    TextDedup.fp64Pairs(
+      hashes.select(col("id").as("doc_id"), col("phash").as("fp")),
+      maxHamming)
+      .select(col("d1").as("id_a"), col("d2").as("id_b"), col("hamming"))
+
+  /** Deterministic smooth test images (seeded sinusoid fields, PNG): the
+    * low-frequency content survives resize/re-encode — what pHash is FOR
+    * — while distinct seeds give uncorrelated hashes. Frequencies stay
+    * ≤ 6 cycles/image so nothing aliases under the 32×32 hash pooling.
+    */
+  def synthesizeImages(
+      spark: SparkSession, ids: DataFrame, idCol: String,
+      width: Int = 64, height: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      MediaRow(id, ImageCodec.encodePng(sinusoidImage(width, height, id)))
+    }
+  }
+
+  private[graft] def sinusoidImage(
+      w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33).toDouble) / (1L << 31).toDouble // [0, 1)
+    }
+    // Eight plane waves with CONTINUOUS frequencies spanning the whole
+    // low band (0.6..7 cycles/image): every 8×8 DCT cell can carry
+    // energy, so all 63 hash bits are informative and organic collisions
+    // are vanishingly rare — a sparser family (few waves, or integer
+    // frequencies) concentrates energy in a handful of cells and two
+    // seeds collide to hamming ≤ 2 at corpus scale (measured). All
+    // frequencies stay below the 32×32 pooling Nyquist limit, so the
+    // content survives resize/re-encode — what pHash is FOR.
+    val nWaves = 8
+    val fx = Array.fill(nWaves)(0.6 + next() * 6.4)
+    val fy = Array.fill(nWaves)(0.6 + next() * 6.4)
+    val ph = Array.fill(nWaves)(next() * 2 * math.Pi)
+    val am = Array.fill(nWaves)(12.0 + next() * 14.0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = 128.0
+        var k = 0
+        while (k < nWaves) {
+          v += am(k) * math.sin(
+            2 * math.Pi * fx(k) * x / w + 2 * math.Pi * fy(k) * y / h + ph(k))
+          k += 1
+        }
+        val b = math.max(0, math.min(255, math.round(v).toInt))
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   /** Decode metadata for a binary media column — partition-parallel, the

@@ -383,15 +383,29 @@ object TextDedup {
   def simHashCandidates(
       docsTokens: DataFrame, // doc_id, toks (array<string>)
       maxHamming: Int = 7): DataFrame = {
-    val nBlocks = math.min(32, maxHamming + 1)
-    // block i covers bits [i*64/n, (i+1)*64/n)
-    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
     // exchange barrier: materialize fp once instead of once per block
     // (see minHashCandidates for the CollapseProject rationale)
     val np = docsTokens.sparkSession.sparkContext.defaultParallelism
     val fp = docsTokens.select(
       col("doc_id"), SimHash64(col("toks")).as("fp"))
       .repartition(np, col("doc_id"))
+    fp64Pairs(fp, maxHamming).select(col("d1"), col("d2"))
+  }
+
+  /** Shared kernel: every pair of 64-bit fingerprints within `maxHamming`
+    * bits — `(d1, d2, hamming)`, `d1 < d2`. Pigeonhole blocking over
+    * `maxHamming + 1` bit blocks (a pair within the radius cannot differ
+    * in every block, so recall is guaranteed, not hoped for), banded
+    * equi-join, exact `bit_count` verify. Input: `(doc_id, fp)`.
+    * Used by [[simHashCandidates]] (text) and
+    * [[Multimodal.phashNearDupPairs]] (image perceptual hashes) — any
+    * 64-bit locality-sensitive fingerprint gets the same scale shape.
+    */
+  def fp64Pairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val nBlocks = math.min(32, maxHamming + 1)
+    // block i covers bits [i*64/n, (i+1)*64/n)
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val np = fp.sparkSession.sparkContext.defaultParallelism
     val blocks = fp.select(
       col("doc_id"), col("fp"),
       explode(array((0 until nBlocks).map { b =>
@@ -413,7 +427,6 @@ object TextDedup {
       .select(col("doc_id").as("d1"), col("doc_id_b").as("d2"),
         bit_count(col("fp").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"))
       .distinct()
   }
 

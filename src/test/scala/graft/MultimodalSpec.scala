@@ -81,4 +81,32 @@ class MultimodalSpec extends SparkSpec {
       .select(col("frame_idx")).as[Int].collect().sorted
     assert(frames.toSeq == Seq(0, 2))
   }
+
+  test("pHash: resize/re-encode invariant, distinct images far apart") {
+    import graft.operators.Multimodal.ImageCodec
+    val a = ImageCodec.encodePng(Multimodal.sinusoidImage(64, 64, 7L))
+    val b = ImageCodec.encodePng(Multimodal.sinusoidImage(64, 64, 8L))
+    def ph(bytes: Array[Byte]): Long =
+      Multimodal.PHash.fromLuma32(ImageCodec.luma32(bytes).get)
+    val ha = ph(a)
+    // 2× bilinear downscale + PNG re-encode: same perceptual content
+    assert(java.lang.Long.bitCount(ha ^ ph(ImageCodec.resize(a, 2))) <= 2)
+    // a DIFFERENT image is many bits away
+    assert(java.lang.Long.bitCount(ha ^ ph(b)) > 10)
+    // undecodable payloads yield no luma (degrade, never throw)
+    assert(ImageCodec.luma32("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("pHash near-dup pairs: planted copies found partition-parallel, nothing else") {
+    val ids = spark.range(0, 60).toDF("id")
+    val originals = Multimodal.synthesizeImages(spark, ids, "id")
+      .repartition(8) // decode+hash runs per-partition, not on the driver
+    val copies = originals.filter(_.id % 10 == 0).map(r =>
+      MediaRow(r.id + 1000L, Multimodal.ImageCodec.resize(r.content, 2)))
+    val hashes = Multimodal.imagePHashes(originals.union(copies))
+    assert(hashes.rdd.getNumPartitions > 1) // distributed, no collect
+    val pairs = Multimodal.phashNearDupPairs(hashes, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 60L by 10).map(i => (i, i + 1000L)).toSet)
+  }
 }
