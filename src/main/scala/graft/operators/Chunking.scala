@@ -124,16 +124,40 @@ object Chunking {
       k: Int = 3,
       boundaryHexPrefix: String = "0"): DataFrame = {
     val chunks = cdcChunks(docs, idCol, textCol, k, boundaryHexPrefix)
-    // global first occurrence per chunk content: lexicographic min of
-    // (doc_id, seg_id) — struct min gives exactly that ordering
-    val first = chunks
+    chunkDedupAudit(chunks, idCol,
+      chunkFirstOccurrence(chunks, idCol))
+  }
+
+  /** Distinct chunk contents with their global first occurrence — the
+    * chunk-content INDEX the incremental (streaming) deduper classifies
+    * arriving chunks against. Lexicographic min of (doc_id, seg_id) per
+    * content — struct min gives exactly that ordering, deterministic
+    * under any partitioning. One content-keyed shuffle.
+    */
+  def chunkFirstOccurrence(chunks: DataFrame, idCol: String): DataFrame =
+    chunks
       .groupBy(col("seg_md5"))
       .agg(min(struct(col(idCol).as("d"), col("seg_id").as("s"))).as("f"))
       .select(col("seg_md5"),
         col("f.d").as("first_doc"), col("f.s").as("first_seg"))
-    chunks.join(first, "seg_md5")
+
+  /** Per-document dedup audit of `chunks` against a chunk-content index
+    * ([[chunkFirstOccurrence]] — in-batch, or FROZEN from the at-rest
+    * corpus for incremental classification): a chunk is kept iff its
+    * content is absent from the index (genuinely new) or this (doc, seg)
+    * IS the recorded first occurrence (so replaying the corpus through a
+    * frozen self-index reproduces the batch decisions exactly). The index
+    * join is content-keyed — co-partitioned with the index's own
+    * aggregation, never broadcast (the index is corpus-sized).
+    */
+  def chunkDedupAudit(
+      chunks: DataFrame,
+      idCol: String,
+      index: DataFrame): DataFrame =
+    chunks.join(index, Seq("seg_md5"), "left")
       .withColumn("kept",
-        col(idCol) === col("first_doc") && col("seg_id") === col("first_seg"))
+        col("first_doc").isNull ||
+          (col(idCol) === col("first_doc") && col("seg_id") === col("first_seg")))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -144,5 +168,4 @@ object Chunking {
       .withColumn("kept_frac",
         floor(col("n_kept_tokens").cast("double") / col("n_tokens")
           * 10000.0 + 0.5) / 10000.0)
-  }
 }

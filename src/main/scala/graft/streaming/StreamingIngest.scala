@@ -332,6 +332,53 @@ object StreamingIngest {
       .start()
   }
 
+  /** Incremental chunk-level dedup as a STREAMING stage — what
+    * [[startChunker]] (which only LANDS chunks) was missing: every
+    * arriving document is CDC-chunked and each chunk classified against a
+    * FROZEN chunk-content index ([[graft.operators.Chunking
+    * .chunkFirstOccurrence]] over the at-rest corpus — the q47 pattern at
+    * chunk granularity). A chunk is kept iff its content is new to the
+    * corpus or this (doc, seg) is the index's recorded first occurrence,
+    * so replaying the corpus through its own frozen index reproduces the
+    * batch q59 decisions exactly. Stateless per batch (the index is
+    * frozen; refresh = stream restart, like the incremental doc deduper)
+    * ⇒ replay idempotency via batch-id-keyed overwrite.
+    */
+  def startChunkDeduper(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      chunkIndex: DataFrame, // seg_md5, first_doc, first_seg — frozen
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 3,
+      boundaryHexPrefix: String = "0",
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val chunks = graft.operators.Chunking
+          .cdcChunks(batch, idCol, textCol, k, boundaryHexPrefix)
+        graft.operators.Chunking
+          .chunkDedupAudit(chunks, idCol, chunkIndex)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Naive-Bayes classification as a STREAMING stage — the frozen-model
     * apply of [[graft.operators.NbClassifier]] per micro-batch, under the
     * same rule as the TF-IDF and LM scorers: the per-class bigram model

@@ -261,6 +261,53 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming chunk deduper under a frozen index matches batch q59, replay no-op") {
+    import spark.implicits._
+    import graft.operators.Chunking
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the q59 corpus: planted re-crawl (every doc_id % 7 == 0 reappears)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+    val index = Chunking.chunkFirstOccurrence(
+      Chunking.cdcChunks(corpus, "doc_id", "text"), "doc_id").cache()
+    val landing = tmpDir("cd_land")
+    val staging = tmpDir("cd_stage") + "/files"
+    corpus.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("cd_out")
+    val ckpt = tmpDir("cd_ckpt")
+    def run(): Unit = {
+      val q = StreamingIngest.startChunkDeduper(
+        spark, landing, corpus.schema, "parquet", Map.empty,
+        idCol = "doc_id", textCol = "text", chunkIndex = index,
+        outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination(180000)
+      ()
+    }
+    run()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("doc_id"), col("n_chunks"),
+        col("n_kept_chunks"), col("n_tokens"), col("n_kept_tokens"),
+        col("kept_frac"))).as[String].collect().toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val batch = rows(SparkEntry.queries("q59_cdc_chunk_dedup")(
+      spark, "/root/testdata/sf0.001"))
+    assert(streamed == batch)
+    // re-crawl copies keep nothing (their chunks' first occurrences are
+    // the originals'), and replay is a no-op
+    assert(streamed.exists(s => s.startsWith("10000000") && s.endsWith("0.0")))
+    val before = spark.read.parquet(s"$outDir/batch=*").count()
+    run()
+    assert(spark.read.parquet(s"$outDir/batch=*").count() == before)
+    index.unpersist()
+    ()
+  }
+
   test("streaming NB classifier under a frozen model matches batch q70") {
     import spark.implicits._
     import graft.operators.NbClassifier
