@@ -845,6 +845,53 @@ object TextDedup {
     verifyPairs(cands, allSh, threshold)
   }
 
+  /** Incremental maintenance of the at-rest dedup infrastructure — the
+    * step that closes the loop [[minhashLookupAtRest]] opens: after a
+    * lookup classifies an arrival batch, commit the ACCEPTED documents'
+    * band hashes into the index table and their `(doc_id, fp, text)` rows
+    * into the at-rest corpus table, one snapshot commit each — so the
+    * NEXT batch's lookup catches near-dups of everything accepted so far,
+    * not just the original corpus.
+    *
+    * Banding parameters are read from the index table itself (they ARE
+    * the persisted index format — a caller cannot append hashes computed
+    * under a different banding). Commits are keyed MERGEs, not blind
+    * appends: a checkpoint replay of the same batch upserts byte-identical
+    * rows, so re-commits are idempotent (the q33/streaming replay rule).
+    * The corpus table is created on first commit (fp = the q07 normalized
+    * fingerprint, so exact-dup checks read it directly).
+    *
+    * Scale shape: band-hash computation is the index build's own map-side
+    * pass over just the batch; the index MERGE rewrites only the `pb`
+    * partitions the batch's hashes land in (COW partition granularity);
+    * the corpus MERGE is one content-keyed upsert. Nothing rescans the
+    * existing corpus.
+    */
+  def minhashIndexCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      accepted: DataFrame, idCol: String, textCol: String,
+      indexTable: graft.table.WarehouseTable,
+      corpusTable: graft.table.WarehouseTable): Unit = {
+    val stored = indexTable.properties
+    def param(k: String): Int = stored.getOrElse(s"minhash.$k",
+      throw new IllegalArgumentException(
+        s"index table has no minhash.$k property — not a minhash index")).toInt
+    val bands = param("bands"); val rows = param("rows")
+    val shingleN = param("shingleN"); val partBuckets = param("partBuckets")
+    val idx = bandHashes(shingled(accepted, idCol, textCol, shingleN), bands, rows)
+      .withColumn("pb",
+        (col("band") * partBuckets + pmod(col("bh"), lit(partBuckets))).cast("int"))
+    indexTable.merge(spark, idx, Seq("doc_id", "band"))
+    val corp = accepted.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+      col(textCol).as("text"))
+    if (!corpusTable.exists)
+      corpusTable.create(corp.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+    corpusTable.merge(spark, corp, Seq("doc_id"))
+  }
+
   /** Corpus-level duplicated-n-gram report — the diagnostic that decides
     * whether substring dedup (q52) is worth running and what its gram
     * length should be: the `topK` n-grams appearing in ≥2 documents,

@@ -302,6 +302,59 @@ class DedupSimilaritySpec extends SparkSpec {
       s"no pruning: touched ${touched.size} of $allParts partitions")
   }
 
+  test("minhash at rest: incremental commits index accepted arrivals; batch 2 catches batch 1's docs") {
+    val base = tmpDir("mhinc")
+    val idxTable = graft.table.WarehouseTable(base + "/idx")
+    val corpTable = graft.table.WarehouseTable(base + "/corpus")
+    // seed corpus: 30 docs with disjoint vocabularies
+    val corpus0 = (0L until 30L).map(i =>
+      (i, (1 to 20).map(j => s"c${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    // partBuckets=1 → 32 pb partitions: each COW merge rewrites only the
+    // partitions it touches, and 256 near-empty dirs × 3 commits is all
+    // file-system overhead at this fixture size
+    TextDedup.minhashIndexAtRest(corpus0, "doc_id", "text", idxTable,
+      partBuckets = 1)
+    TextDedup.minhashIndexCommit(spark, corpus0, "doc_id", "text", idxTable, corpTable)
+    val snapAfterSeed = idxTable.currentSnapshotId
+    def corpusDf = corpTable.read(spark).select(col("doc_id"), col("text"))
+    // batch 1: one fresh doc (100), one edit of corpus doc 0 (101 — rejected)
+    val fresh100 = (1 to 20).map(j => s"a$j").mkString(" ")
+    val b1 = Seq(
+      (100L, fresh100),
+      (101L, "edited " + (1 to 20).map(j => s"c0w$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs1 = TextDedup.minhashLookupAtRest(
+      spark, b1, corpusDf, "doc_id", "text", idxTable, partBuckets = 1)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs1.map(_._1) == Set(101L)) // only the edit matches; 100 is new
+    val accepted1 = b1.filter(col("doc_id") === 100L)
+    TextDedup.minhashIndexCommit(spark, accepted1, "doc_id", "text", idxTable, corpTable)
+    assert(idxTable.currentSnapshotId > snapAfterSeed) // snapshot advanced
+    // batch 2: an edit of the batch-1-ACCEPTED doc must now be caught
+    val b2 = Seq(
+      (200L, "edited " + fresh100),
+      (201L, (1 to 20).map(j => s"b$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs2 = TextDedup.minhashLookupAtRest(
+      spark, b2, corpusDf, "doc_id", "text", idxTable, partBuckets = 1)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((200L, 100L))) // near-dup OF AN ACCEPTED ARRIVAL
+    // replay: re-committing the same batch upserts identical rows — the
+    // index gains a snapshot but no extra rows, corpus likewise
+    val idxRows = idxTable.read(spark).count()
+    val corpRows = corpTable.read(spark).count()
+    TextDedup.minhashIndexCommit(spark, accepted1, "doc_id", "text", idxTable, corpTable)
+    assert(idxTable.read(spark).count() == idxRows)
+    assert(corpTable.read(spark).count() == corpRows)
+    // a non-index table refuses commits
+    val bare = graft.table.WarehouseTable(base + "/bare")
+    bare.create(corpus0.schema)
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.minhashIndexCommit(spark, b1, "doc_id", "text", bare, corpTable)
+    }
+    assert(e.getMessage.contains("minhash"))
+  }
+
   test("minhash at rest: mismatched banding params and weak banding fail loudly") {
     val table = graft.table.WarehouseTable(tmpDir("mhguard") + "/idx")
     TextDedup.minhashIndexAtRest(docs, "doc_id", "text", table)
