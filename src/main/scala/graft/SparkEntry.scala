@@ -1258,6 +1258,20 @@ object SparkEntry {
         graft.operators.NbClassifier.fit(docs, "lang", "text"))
     }),
 
+    // Bloom-prefiltered exact dedup (q47's exact arm at the 100 TB shape):
+    // arrivals probe a corpus-fingerprint Bloom filter map-side, only the
+    // dup_rate+fpp candidate sliver reaches the verify join, and the
+    // verify makes the decision EXACT — the oracle is the plain SQL
+    // fingerprint join, nothing probabilistic leaks into the output.
+    "q71_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+      TextDedup.bloomDedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+    }),
+
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
     // arrivals (planted near-dup edits of every 10th doc) probe only the
@@ -2503,6 +2517,29 @@ object SparkEntry {
         |SELECT doc_id, label AS pred_label, n_transitions,
         |  CAST(score_q AS BIGINT) AS score_q
         |FROM rk WHERE r = 1""".stripMargin,
+
+    // the Bloom prefilter is exact-by-construction (no false negatives;
+    // false positives die in the verify join), so the oracle is the plain
+    // fingerprint anti-join decision — q47's exact arm
+    "q71_bloom_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        |), cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus
+        |), ifp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM incoming
+        |)
+        |SELECT i.doc_id,
+        |  CAST(CASE WHEN cfp.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+        |  CAST(CASE WHEN cfp.fp IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM ifp i LEFT JOIN cfp ON i.fp = cfp.fp""".stripMargin,
 
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's

@@ -498,6 +498,65 @@ object TextDedup {
         when(col("exact_dup") === 0 && col("n_near_dups") === 0L, 1).otherwise(0))
   }
 
+  /** Bloom filter over the corpus fingerprint set — the build-once half of
+    * [[bloomDedupAgainstCorpus]]. One pass over `corpusFps` (treeAggregate
+    * of fixed-size partial filters — no shuffle of data rows); the returned
+    * filter is `-n·ln(fpp)/ln²2` bits (~1.2 MB per million fingerprints at
+    * 1 %), driver-held and broadcast once per arrival batch. At corpora
+    * where that exceeds broadcast comfort (~10¹⁰ docs), raise `fpp` — the
+    * verify join keeps the DECISION exact at any false-positive rate; fpp
+    * only trades prefilter selectivity against filter size.
+    */
+  def corpusFingerprintBloom(
+      corpusFps: DataFrame, // fp: string
+      expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpusFps.stat.bloomFilter("fp", expectedItems, fpp)
+
+  /** Exact arrival-vs-corpus dedup with a Bloom PREFILTER — the 100 TB
+    * shape of [[dedupAgainstCorpus]]'s exact arm. The fingerprint equi-join
+    * there shuffles the ENTIRE arrival batch against the corpus fingerprint
+    * set every batch; at a typical single-digit duplicate rate that shuffle
+    * is ~99 % non-matches. Probing a corpus Bloom filter map-side first
+    * drops definite non-members (Bloom has no false negatives) so only
+    * `dup_rate + fpp` of arrivals reach the join; false positives are
+    * eliminated there, making the output EXACTLY the plain exact-arm
+    * decision — the oracle is ordinary SQL, nothing probabilistic leaks.
+    *
+    * The probe is a Scala UDF (`mightContainString`) by necessity — Spark
+    * exposes no public Bloom expression — but it is map-side, branch-only
+    * work on rows the shuffle never sees; the codegen'd fingerprint feeds
+    * it directly.
+    *
+    * Output: (idCol, exact_dup INT, keep INT), one row per arrival.
+    */
+  def bloomDedupAgainstCorpus(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01,
+      prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint _
+    val corpusFp = corpus.select(fp(col(textCol)).as("fp")).distinct()
+    val bloom = prebuilt.getOrElse(
+      corpusFingerprintBloom(corpusFp, expectedCorpusDocs, fpp))
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
+    val inFp = incoming.select(col(idCol), fp(col(textCol)).as("fp"))
+    // definite non-members: decided map-side, never shuffled
+    val misses = inFp.filter(!mightContain(col("fp")))
+      .select(col(idCol), lit(0).as("exact_dup"))
+    // candidates (true dups + fpp of the rest): exact verify join
+    val hits = inFp.filter(mightContain(col("fp")))
+      .join(corpusFp.withColumn("fp_hit", lit(1)), Seq("fp"), "left")
+      .select(col(idCol), coalesce(col("fp_hit"), lit(0)).as("exact_dup"))
+    misses.unionByName(hits)
+      .withColumn("keep", when(col("exact_dup") === 0, 1).otherwise(0))
+  }
+
   /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" stage,
     * applied WITHIN documents: text is chunked into fixed `segWords`-word
     * segments (this corpus has no newlines; a newline-split is the same

@@ -435,6 +435,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2) == ((105L, 0, 0L, 1)))
   }
 
+  test("bloom-prefiltered dedup ≡ plain exact arm; bloom admits every true dup (q71)") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+      .unionAll(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val bloomed = TextDedup.bloomDedupAgainstCorpus(
+      incoming, corpus, "doc_id", "text")
+      .select("doc_id", "exact_dup").as[(Long, Int)].collect().toMap
+    // the decision must be EXACTLY the plain fingerprint-join decision —
+    // the bloom is a prefilter, never an approximation of the output
+    val plain = TextDedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .select("doc_id", "exact_dup").as[(Long, Int)].collect().toMap
+    assert(bloomed == plain)
+    // every planted verbatim re-arrival is flagged (no false negatives)
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long].collect()
+    assert(planted.nonEmpty && planted.forall(id => bloomed(id + 1000000L) == 1))
+  }
+
+  test("bloom prefilter: filter rejects non-member fingerprints at ~fpp") {
+    val corpus = (1 to 2000).map(i => s"fp_$i").toDF("fp")
+    val bloom = TextDedup.corpusFingerprintBloom(corpus, 2000, 0.01)
+    assert((1 to 2000).forall(i => bloom.mightContainString(s"fp_$i")))
+    val fpHits = (1 to 10000).count(i => bloom.mightContainString(s"other_$i"))
+    // 1% nominal fpp; generous bound so the test never flakes
+    assert(fpHits < 500, s"false-positive rate too high: $fpHits / 10000")
+  }
+
   test("segment dedup: first occurrence survives, later copies drop (q44)") {
     // 4-word segments; doc 2 repeats doc 1's first segment, doc 3 is a
     // full copy of doc 1, doc 4 repeats its own first segment in-doc
