@@ -247,6 +247,60 @@ object StreamingIngest {
       .start()
   }
 
+  /** Bloom-prefiltered exact dedup as a STREAMING stage — q71's shape at
+    * the arrival path: the corpus-fingerprint Bloom filter is built ONCE
+    * (frozen, like every at-rest model here) and broadcast into each
+    * micro-batch, where definite non-members are decided map-side and only
+    * the candidate sliver pays the verify join against the corpus
+    * fingerprints. Decisions are identical to
+    * [[graft.operators.TextDedup.bloomDedupAgainstCorpus]] on the same
+    * batch (asserted in the suite); the same min-struct survivor rule as
+    * [[startIncrementalDeduper]] keeps checkpoint replays deterministic.
+    */
+  def startBloomDeduper(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val corpusFp = corpus.select(graft.functions.TextFunctions
+      .fingerprint(col(textCol)).as("fp")).distinct()
+    val bloom = graft.operators.TextDedup.corpusFingerprintBloom(
+      corpusFp, expectedCorpusDocs, fpp)
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val others = batch.columns.filter(_ != idCol)
+        val uniq = batch
+          .groupBy(col(idCol))
+          .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
+          .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
+        val decided = graft.operators.TextDedup.bloomDedupAgainstCorpus(
+          uniq, corpus, idCol, textCol, expectedCorpusDocs, fpp,
+          prebuilt = Some(bloom))
+        uniq.join(decided, Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** TF-IDF scoring as a STREAMING stage — the train-offline /
     * score-online shape: a FROZEN IDF model (fit with
     * [[graft.operators.TfIdf.idfModel]] over the reference corpus) scores

@@ -192,6 +192,51 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/batch=*").count() == before)
   }
 
+  test("streaming bloom deduper under a frozen filter matches batch q71") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val incoming = all.filter(col("doc_id") % 2 === 1)
+      .unionAll(corpus.orderBy(col("doc_id").asc).limit(1)
+        .select((col("doc_id") + 9001L).as("doc_id"), col("text")))
+    val landing = tmpDir("bloomdedup_land")
+    val staging = tmpDir("bloomdedup_stage") + "/files"
+    incoming.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    val outDir = tmpDir("bloomdedup_out")
+    val ckpt = tmpDir("bloomdedup_ckpt")
+    def run() = {
+      val q = StreamingIngest.startBloomDeduper(
+        spark, landing, incoming.schema, "parquet", Map.empty,
+        idCol = "doc_id", textCol = "text", corpus = corpus,
+        outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination(180000)
+    }
+    run()
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "exact_dup", "keep")
+      .as[(Long, Int, Int)].collect().toSet
+    val batch = TextDedup.bloomDedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .select("doc_id", "exact_dup", "keep")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(streamed == batch)
+    // the planted verbatim re-arrival was caught, fresh docs kept
+    assert(streamed.contains((corpus.orderBy(col("doc_id").asc).limit(1)
+      .select(col("doc_id")).as[Long].head() + 9001L, 1, 0)))
+    assert(streamed.exists(_._3 == 1))
+    // replay: a second AvailableNow pass rewrites nothing new
+    val before = spark.read.parquet(s"$outDir/batch=*").count()
+    run()
+    assert(spark.read.parquet(s"$outDir/batch=*").count() == before)
+  }
+
   test("streaming tf-idf scorer under a frozen model matches batch q38") {
     import spark.implicits._
     import graft.operators.TfIdf
