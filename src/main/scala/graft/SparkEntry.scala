@@ -1272,6 +1272,18 @@ object SparkEntry {
       TextDedup.bloomDedupAgainstCorpus(incoming, corpus, "doc_id", "text")
     }),
 
+    // Learned k-means codebook (Lloyd, 3 iterations, fixed-point exact):
+    // the TRAIN side of the IVF/SemDeDup quantizers — the fit here is the
+    // measured work (training IS the operator, unlike the q34/q66 builds
+    // which amortize across lookups). Assignment is map-side only; each
+    // iteration shuffles ≤ k·dim aggregated cells.
+    "q72_kmeans_codebook" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.KMeans.fitAssign(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+    }),
+
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
     // arrivals (planted near-dup edits of every 10th doc) probe only the
@@ -2541,6 +2553,8 @@ object SparkEntry {
         |  CAST(CASE WHEN cfp.fp IS NULL THEN 1 ELSE 0 END AS INT) AS keep
         |FROM ifp i LEFT JOIN cfp ON i.fp = cfp.fp""".stripMargin,
 
+    "q72_kmeans_codebook" -> kmeansOracle,
+
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's
     // pair jaccards (>= 0.77), and the lookup's exact verify makes the
@@ -2739,6 +2753,64 @@ object SparkEntry {
        |FROM assigned a
        |JOIN (SELECT id, min(lab) AS rep FROM reach GROUP BY id) r USING (id)"""
       .stripMargin
+  }
+
+  /** DuckDB twin of q72 — Lloyd's k-means unrolled iteration by iteration.
+    * Every step is exact integer arithmetic on the same floor(x·10⁴)
+    * quantization the Spark side uses, so the replay is bit-exact: same
+    * init (k smallest vec_ids, cid = id-order rank), same argmin tiebreak
+    * (dist ASC, cid ASC), same floor(sum/count) centroid update, same
+    * emptied-cluster carry-forward (LEFT JOIN + coalesce).
+    */
+  private lazy val kmeansOracle: String = {
+    val k = 8
+    val iters = 3
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, qv, cid FROM (
+         |    SELECT q.id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY ${sqd("q.qv", "c.cvec")} ASC, c.cid ASC) AS r
+         |    FROM qv q CROSS JOIN $cents c
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    def updateCte(assigned: String, prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT cid, list(v ORDER BY pos) AS cvec FROM (
+         |      SELECT cid, pos,
+         |        CAST(floor(CAST(CAST(sum(qv[pos]) AS BIGINT) AS DOUBLE)
+         |          / count(*)) AS BIGINT) AS v
+         |      FROM $assigned, unnest(range(1, len(qv) + 1)) AS t(pos)
+         |      GROUP BY cid, pos
+         |    ) GROUP BY cid
+         |  ) n ON c.cid = n.cid
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+       |    qv AS cvec
+       |  FROM (SELECT id, qv FROM qv ORDER BY id LIMIT $k)
+       |),
+       |$steps
+       |SELECT id AS vec_id, CAST(cid AS INT) AS cluster,
+       |  CAST(d AS BIGINT) AS dist
+       |FROM (
+       |  SELECT q.id, c.cid, ${sqd("q.qv", "c.cvec")} AS d,
+       |    row_number() OVER (PARTITION BY q.id
+       |      ORDER BY ${sqd("q.qv", "c.cvec")} ASC, c.cid ASC) AS r
+       |  FROM qv q CROSS JOIN c$iters c
+       |) WHERE r = 1""".stripMargin
   }
 
   /** In-order double dot product over two float-list columns (bit-identical

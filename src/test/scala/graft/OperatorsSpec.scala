@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{BigramLm, Dedup, MergeInto, Repetition, Sampling}
+import graft.operators.{BigramLm, Dedup, KMeans, MergeInto, Repetition, Sampling}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -525,6 +525,56 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, String, Long)].collect().toSet
       assert(got == expected)
     }
+  }
+
+  test("kmeans: Lloyd converges to the obvious 2-cluster split (q72)") {
+    // two tight groups on a line; init = vectors of ids 1,2 (both from
+    // group A) — iteration must pull centroid 1 over to group B
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.2f, 0.1f)),
+      (4L, Seq(10.0f, 10.0f)), (5L, Seq(10.1f, 10.2f)), (6L, Seq(9.9f, 10.0f))
+    ).toDF("id", "vec")
+    val cents = KMeans.fit(df, "id", "vec", k = 2, iters = 3)
+    val out = KMeans.assign(df, "id", "vec", cents)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(4L), out(5L), out(6L)).size == 1)
+    assert(out(1L) != out(4L))
+    // converged centroids are the exact quantized group means (computed
+    // here from the same float-widening + floor rule the operator uses)
+    def q(x: Float): Long = math.floor(x.toDouble * 10000).toLong
+    def m(g: Seq[Seq[Float]], d: Int): Long =
+      math.floor(g.map(v => q(v(d))).sum.toDouble / g.size).toLong
+    val ga = Seq(Seq(0.0f, 0.0f), Seq(0.1f, 0.0f), Seq(0.2f, 0.1f))
+    val gb = Seq(Seq(10.0f, 10.0f), Seq(10.1f, 10.2f), Seq(9.9f, 10.0f))
+    assert(cents(out(1L)) == IndexedSeq(m(ga, 0), m(ga, 1)))
+    assert(cents(out(4L)) == IndexedSeq(m(gb, 0), m(gb, 1)))
+  }
+
+  test("kmeans: partition layout cannot change the result (exact arithmetic)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val one = KMeans.fitAssign(emb.repartition(1), "vec_id", "embedding", 4, 2)
+      .as[(Long, Int, Long)].collect().toSet
+    val many = KMeans.fitAssign(emb.repartition(7), "vec_id", "embedding", 4, 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(one == many && one.nonEmpty)
+  }
+
+  test("kmeans: an emptied cluster keeps its previous centroid") {
+    // ids 1,2 both init near zero; every point is nearer centroid 0 after
+    // quantization, so centroid 1 empties and must carry forward
+    val df = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(0.0f)), (3L, Seq(0.5f)), (4L, Seq(1.0f))
+    ).toDF("id", "vec")
+    // iter 1: both centroids init at 0, ties go to cid 0, so cluster 1
+    // EMPTIES and must carry its init centroid forward
+    assert(KMeans.fit(df, "id", "vec", k = 2, iters = 1)
+      == IndexedSeq(IndexedSeq(3750L), IndexedSeq(0L)))
+    // iter 2: the carried-forward centroid 0 re-captures the two zero
+    // points (closer to 0 than to 3750) — an emptied cluster can revive
+    assert(KMeans.fit(df, "id", "vec", k = 2, iters = 2)
+      == IndexedSeq(IndexedSeq(7500L), IndexedSeq(0L)))
   }
 
   test("repetition signals: loops flag, diverse text does not (q45)") {
