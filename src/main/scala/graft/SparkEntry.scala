@@ -131,10 +131,17 @@ object SparkEntry {
       .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
   }
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); we read `ts` as raw epoch-nanos
-    * LongType via an explicit schema (lossless — DuckDB's TIMESTAMP_NS
-    * ordering and bucketing match integer-nanos math exactly).
+  /** The events table's `ts` is an INT64 parquet timestamp whose UNIT has
+    * differed across driver testdata generations — TIMESTAMP(NANOS) (which
+    * Spark's parquet reader rejects outright, [PARQUET_TYPE_ILLEGAL]) in
+    * earlier rounds, TIMESTAMP(MICROS) now. We read it as a raw LongType
+    * via an explicit schema (lossless either way) and NORMALIZE to
+    * epoch-nanos: any value below 4·10^16 is micros-scale (4·10^16 ns ≈
+    * mid-1971, 4·10^16 µs ≈ year 3237 — no realistic event time is
+    * ambiguous) and is scaled ×1000. All downstream integer-nanos math
+    * (`NanosPerHour` buckets, 30-min session gaps, `ts div 1000` µs
+    * tiebreaks) and every `epoch_ns(ts)`-based DuckDB oracle then agree
+    * bit-for-bit regardless of which generation wrote the file.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -146,6 +153,9 @@ object SparkEntry {
       StructField("value", DoubleType),
       StructField("props", StringType)))
     s.read.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        when(col("ts") < 40000000000000000L, col("ts") * 1000L)
+          .otherwise(col("ts")))
   }
 
   private val NanosPerHour = 3600L * 1000 * 1000 * 1000
@@ -1283,6 +1293,15 @@ object SparkEntry {
       graft.operators.KMeans.fitAssign(emb, "vec_id", "embedding",
         k = 8, iters = 3)
     }),
+
+    // Per-source distinct-document cardinality via a k-minimum-values
+    // sketch (native bounded-buffer aggregate: the shuffle moves ≤ k
+    // longs per group per partition, not the distinct key set). k=16 <
+    // the ~25 docs per source, so every group exercises the ESTIMATOR
+    // path, not the exact-small fallback.
+    "q73_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.approxDistinct(
+        t(s, dir, "documents"), Seq("source"), "doc_id", k = 16)),
 
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
@@ -2554,6 +2573,31 @@ object SparkEntry {
         |FROM ifp i LEFT JOIN cfp ON i.fp = cfp.fp""".stripMargin,
 
     "q72_kmeans_codebook" -> kmeansOracle,
+
+    // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
+    // group via a rank window, then the same IEEE estimator arithmetic
+    // ((k-1)·2^52 / kth, floored at 1e-4) — bit-identical because every
+    // input is an exactly-representable double
+    "q73_kmv_distinct" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM hashed
+        |), kmins AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS kept, max(h) AS kth
+        |  FROM ranked WHERE r <= 16 GROUP BY source
+        |)
+        |SELECT source, kept, kth,
+        |  CAST(floor(
+        |    (CASE WHEN kept < 16 THEN CAST(kept AS DOUBLE)
+        |          ELSE CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |               / CAST(kth AS DOUBLE) END)
+        |    * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_e4
+        |FROM kmins""".stripMargin,
 
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's

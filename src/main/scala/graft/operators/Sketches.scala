@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KMinValues
+
+/** Mergeable sketch statistics over a corpus — the bounded-memory
+  * aggregates a 100 TB statistics pass runs instead of exact
+  * `count(distinct)` (whose shuffle IS the distinct key set).
+  *
+  * The reference has no statistics pass at all (`read.py` writes blind);
+  * a training-data pipeline needs per-source cardinalities constantly
+  * (dedup rates, mixture audits, crawl-snapshot diffs), and at corpus
+  * scale they must come from sketches.
+  *
+  * Everything here is md5-deterministic (the q37 rule) so the DuckDB
+  * oracle replays the sketch exactly — same retained hashes, same
+  * estimate bits.
+  */
+object Sketches {
+
+  /** 2^52 — hashes live in [0, 2^52): 13 hex chars parse exactly on any
+    * engine whose only integer-capable type is a double (and a LONG sum
+    * of billions of them stays < 2^63).
+    */
+  val HashSpace: Double = 4503599627370496.0
+
+  /** Uniform-deterministic 52-bit hash of a key: the first 13 hex chars
+    * of md5, as a LONG. DuckDB twin: `('0x' || substring(md5(k),1,13))::BIGINT`.
+    */
+  def hash52(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** Per-group approximate distinct count via a k-minimum-values sketch.
+    *
+    * Output per group: `kept` (how many distinct hashes the sketch holds,
+    * = min(k, true distinct)), `kth` (the largest retained hash), and
+    * `est_e4` = floor(estimate · 10⁴):
+    *  - sketch saturated (`kept == k`): `(k-1) · 2^52 / kth` — the
+    *    classic KMV estimator (uniform order statistics);
+    *  - not saturated: the sketch IS the distinct set, so the estimate
+    *    is exact = `kept`.
+    *
+    * Scale shape: ONE aggregation whose partial state is ≤ k longs per
+    * (partition, group) — the shuffle moves sketches, not keys. Sketches
+    * for disjoint batches union-then-trim losslessly, so incremental
+    * maintenance (re-aggregate yesterday's sketch table with today's
+    * batch) never rescans the corpus.
+    *
+    * All arithmetic after the integer hashes is IEEE double ops on
+    * exactly-representable inputs (k-1 and 2^52 are exact; the product is
+    * exact for any sane k), so the floored 1e-4 quantization is
+    * engine-reproducible bit-for-bit.
+    */
+  def approxDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      k: Int): DataFrame = {
+    val kmins = df
+      .select(groupCols.map(col) :+ hash52(col(keyCol)).as("h52"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(KMinValues(col("h52"), k).as("kmins"))
+    kmins
+      .withColumn("kept", size(col("kmins")).cast("long"))
+      .withColumn("kth", element_at(col("kmins"), size(col("kmins"))))
+      .withColumn("est_e4",
+        floor(
+          when(col("kept") < k, col("kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth").cast("double"))
+          * 10000.0).cast("long"))
+      .drop("kmins")
+  }
+}

@@ -605,4 +605,29 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect()
     assert(out.head == ((1L, 0.0, 0)))
   }
+
+  test("kmv sketch: exact below k, duplicate-collapsing, partition-invariant") {
+    import graft.operators.Sketches
+    // 3 groups: sizes 5, 40 (with every key fed twice), 1
+    val rows = (1 to 5).map(i => ("small", i.toLong)) ++
+      (1 to 40).flatMap(i => Seq(("big", 100L + i), ("big", 100L + i))) ++
+      Seq(("one", 7L))
+    val df = rows.toDF("g", "id")
+    val out = Sketches.approxDistinct(df, Seq("g"), "id", k = 16)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // unsaturated sketches ARE the distinct set: estimate exact
+    assert(out("small")._2 == 5L && out("small")._4 == 50000L)
+    assert(out("one")._2 == 1L && out("one")._4 == 10000L)
+    // saturated: kept == k, duplicates collapsed (40 distinct, 80 rows),
+    // and the estimator lands within 2× of truth on this tiny sample
+    assert(out("big")._2 == 16L)
+    val est = out("big")._4 / 10000.0
+    assert(est > 20.0 && est < 80.0, s"estimate $est implausible for n=40")
+    // sketch state must be merge-order independent: 1 vs 13 partitions
+    val p1 = Sketches.approxDistinct(df.repartition(1), Seq("g"), "id", 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val p13 = Sketches.approxDistinct(df.repartition(13), Seq("g"), "id", 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(p1 == p13)
+  }
 }
