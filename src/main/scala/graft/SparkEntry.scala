@@ -1303,6 +1303,16 @@ object SparkEntry {
       graft.operators.Sketches.approxDistinct(
         t(s, dir, "documents"), Seq("source"), "doc_id", k = 16)),
 
+    // DSIR importance resampling (Xie et al. 2023): target = the English
+    // subset, raw = the whole corpus; every document scored by its hashed-
+    // bigram log importance weight under the frozen 256-bucket model.
+    "q74_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Dsir.fit(
+        docs.filter(col("lang") === "en"), docs, "text", numBuckets = 256)
+      graft.operators.Dsir.scoreDocs(docs, "doc_id", "text", model)
+    }),
+
     // At-rest banded-MinHash index (q34's pattern for TEXT dedup): the
     // corpus band hashes live in a pb-partitioned warehouse table;
     // arrivals (planted near-dup edits of every 10th doc) probe only the
@@ -2598,6 +2608,42 @@ object SparkEntry {
         |               / CAST(kth AS DOUBLE) END)
         |    * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_e4
         |FROM kmins""".stripMargin,
+
+    // DSIR replay: same 16-bit md5 bucket hash, each ln quantized to 1e-4
+    // fixed point INDEPENDENTLY (libm drift dies at the quantizer), per-doc
+    // weight an exact BIGINT sum of integer quanta — the q53 rules
+    "q74_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 4))::BIGINT % 256 AS b
+        |  FROM toks, unnest(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2
+        |), tb AS (
+        |  SELECT b, count(*) AS tc FROM bg WHERE lang = 'en' GROUP BY b
+        |), rb AS (
+        |  SELECT b, count(*) AS rc FROM bg GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(tc) AS BIGINT) FROM tb) AS tt,
+        |         (SELECT CAST(sum(rc) AS BIGINT) FROM rb) AS rt
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((coalesce(tc, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+        |        * 10000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((coalesce(rc, 0) + 1) / CAST(rt + 256 AS DOUBLE))
+        |        * 10000 + 0.5) AS BIGINT) AS lwq
+        |  FROM bg LEFT JOIN tb USING (b) LEFT JOIN rb USING (b) CROSS JOIN tot
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_grams, CAST(sum(lwq) AS BIGINT) AS lw
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.lw, 0) AS lw_e4,
+        |  CAST(CASE WHEN coalesce(a.lw, 0) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // exact cross-set jaccard (the q11 construction, arrivals × corpus):
     // the 32×4 banding has deterministic full recall on this corpus's

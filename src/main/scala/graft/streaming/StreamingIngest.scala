@@ -386,6 +386,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** DSIR importance scoring as a STREAMING stage — the frozen-model
+    * apply of [[graft.operators.Dsir]] per micro-batch, under the same
+    * rule as the TF-IDF/LM/NB scorers: the hashed-bigram bucket model is
+    * fit offline (target corpus vs raw corpus) and every arriving
+    * document lands with its log importance weight and keep decision —
+    * the "does this look like my curated data" gate made at ingest.
+    * The model is bounded by construction (≤ numBuckets rows), so it
+    * broadcasts to every micro-batch at no per-batch cost. Stateless per
+    * batch ⇒ replay idempotency via batch-id-keyed overwrite.
+    */
+  def startDsirScorer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      model: graft.operators.Dsir.Model, // frozen
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dsir
+          .scoreDocs(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Incremental chunk-level dedup as a STREAMING stage — what
     * [[startChunker]] (which only LANDS chunks) was missing: every
     * arriving document is CDC-chunked and each chunk classified against a

@@ -606,6 +606,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("dsir: target-like docs weigh positive, raw-only negative, short docs zero") {
+    import graft.operators.Dsir
+    // target corpus: alpha/beta bigrams; raw corpus adds gamma/delta mass.
+    // Every target-doc gram then has tc == rc with tt < rt (positive
+    // per-gram quantum); every gamma gram has tc = 0, rc > 0 (negative).
+    val target = Seq(
+      (1L, "alpha beta alpha beta alpha"),
+      (2L, "beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val rawOnly = Seq(
+      (3L, "gamma delta gamma delta gamma"),
+      (4L, "delta gamma delta gamma delta")).toDF("doc_id", "text")
+    val raw = target.unionByName(rawOnly)
+    val model = Dsir.fit(target, raw, "text", numBuckets = 64)
+    val scored = Dsir.scoreDocs(
+      raw.unionByName(Seq((5L, "single")).toDF("doc_id", "text")),
+      "doc_id", "text", model)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // 5-token docs carry 4 bigram occurrences
+    (1L to 4L).foreach(id => assert(scored(id)._2 == 4L))
+    assert(scored(1L)._3 > 0L && scored(1L)._4 == 1)
+    assert(scored(2L)._3 > 0L && scored(2L)._4 == 1)
+    assert(scored(3L)._3 < 0L && scored(3L)._4 == 0)
+    assert(scored(4L)._3 < 0L && scored(4L)._4 == 0)
+    // a one-token doc has no bigram: excluded from grams, zero weight
+    assert(scored(5L) == ((5L, 0L, 0L, 0)))
+  }
+
   test("kmv sketch: exact below k, duplicate-collapsing, partition-invariant") {
     import graft.operators.Sketches
     // 3 groups: sizes 5, 40 (with every key fed twice), 1

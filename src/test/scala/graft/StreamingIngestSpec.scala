@@ -306,6 +306,41 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming dsir scorer under a frozen model matches batch q74") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    import org.apache.spark.sql.functions.col
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(src)
+    // freeze the bucket model (target = en subset, raw = all), stream the
+    // same docs: micro-batch scores must reproduce the batch fit+apply (q74)
+    val model0 = Dsir.fit(docs.filter(col("lang") === "en"), docs, "text", 256)
+    val model = Dsir.Model(
+      model0.buckets.cache(), model0.totals.cache(), model0.numBuckets)
+    val landing = tmpDir("dsir_land")
+    val staging = tmpDir("dsir_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("dsir_out")
+    val ckpt = tmpDir("dsir_ckpt")
+    val q = StreamingIngest.startDsirScorer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", model = model,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "n_grams", "lw_e4", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val batch = SparkEntry.queries("q74_dsir_weights")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    model.buckets.unpersist(); model.totals.unpersist()
+    ()
+  }
+
   test("streaming chunk deduper under a frozen index matches batch q59, replay no-op") {
     import spark.implicits._
     import graft.operators.Chunking

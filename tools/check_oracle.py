@@ -38,12 +38,14 @@ def eq(a, b):
     return e, e
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # filtered Verify run: only these queries have outputs
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -99,4 +101,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # optional 3rd arg: comma-separated query-name filter (mirrors
+    # graft.Verify's filter arg for fast local iteration)
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
