@@ -1303,6 +1303,22 @@ object SparkEntry {
       graft.operators.Sketches.approxDistinct(
         t(s, dir, "documents"), Seq("source"), "doc_id", k = 16)),
 
+    // Product quantization ANN: 4 subspace codebooks trained on the
+    // corpus, corpus stored as 4 codes/vector (64× compression), queries
+    // answered via ADC table lookups. Exact integer geometry end-to-end
+    // (the q72 rules), so fit+encode+search all replay in the oracle.
+    "q75_pq_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cb = graft.operators.ProductQuantizer.fit(
+        corpus, "id", "vec", dim = 64, m = 4, k = 8, iters = 2)
+      val codes = graft.operators.ProductQuantizer.encode(corpus, "id", "vec", cb)
+      graft.operators.ProductQuantizer.adcTopK(qs, codes, cb, k = 5)
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // subset, raw = the whole corpus; every document scored by its hashed-
     // bigram log importance weight under the frozen 256-bucket model.
@@ -2584,6 +2600,8 @@ object SparkEntry {
 
     "q72_kmeans_codebook" -> kmeansOracle,
 
+    "q75_pq_adc_topk" -> pqOracle,
+
     // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
     // group via a rank window, then the same IEEE estimator arithmetic
     // ((k-1)·2^52 / kth, floored at 1e-4) — bit-identical because every
@@ -2901,6 +2919,81 @@ object SparkEntry {
        |      ORDER BY ${sqd("q.qv", "c.cvec")} ASC, c.cid ASC) AS r
        |  FROM qv q CROSS JOIN c$iters c
        |) WHERE r = 1""".stripMargin
+  }
+
+  /** DuckDB twin of q75 — per-subspace Lloyd (the kmeansOracle chain with
+    * subspace `s` as an extra key throughout), then encode + ADC replayed
+    * exactly: same init (k smallest corpus ids' subvectors), same argmin
+    * tiebreaks, same floor(sum/count) updates, ADC distance = the exact
+    * BIGINT sum of per-subspace squared L2 to the coded centroids.
+    */
+  private lazy val pqOracle: String = {
+    val m = 4; val dsub = 16; val k = 8; val iters = 2; val topk = 5
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, s, sv, cid FROM (
+         |    SELECT q.id, q.s, q.sv, c.cid,
+         |      row_number() OVER (PARTITION BY q.id, q.s
+         |        ORDER BY ${sqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
+         |    FROM sub q JOIN $cents c ON c.s = q.s
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    def updateCte(assigned: String, prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT c.s, c.cid, coalesce(n.cvec, c.cvec) AS cvec
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT s, cid, list(v ORDER BY pos) AS cvec FROM (
+         |      SELECT s, cid, pos,
+         |        CAST(floor(CAST(CAST(sum(sv[pos]) AS BIGINT) AS DOUBLE)
+         |          / count(*)) AS BIGINT) AS v
+         |      FROM $assigned, unnest(range(1, len(sv) + 1)) AS t(pos)
+         |      GROUP BY s, cid, pos
+         |    ) GROUP BY s, cid
+         |  ) n ON c.s = n.s AND c.cid = n.cid
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT id, s, qv[s*$dsub+1 : s*$dsub+$dsub] AS sv
+       |  FROM qv, unnest(range(0, $m)) AS t(s) WHERE id >= 10
+       |), qsub AS (
+       |  SELECT id, s, qv[s*$dsub+1 : s*$dsub+$dsub] AS sv
+       |  FROM qv, unnest(range(0, $m)) AS t(s) WHERE id < 10
+       |), c0 AS (
+       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS INT) AS cid,
+       |    sv AS cvec
+       |  FROM sub
+       |  WHERE id IN (SELECT id FROM qv WHERE id >= 10 ORDER BY id LIMIT $k)
+       |),
+       |$steps,
+       |enc AS (
+       |  SELECT id, s, cid FROM (
+       |    SELECT q.id, q.s, c.cid,
+       |      row_number() OVER (PARTITION BY q.id, q.s
+       |        ORDER BY ${sqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
+       |    FROM sub q JOIN c$iters c ON c.s = q.s
+       |  ) WHERE r = 1
+       |), ad AS (
+       |  SELECT q.id AS qid, e.id AS id,
+       |    CAST(sum(${sqd("q.sv", "c.cvec")}) AS BIGINT) AS adist
+       |  FROM qsub q
+       |  JOIN enc e ON e.s = q.s
+       |  JOIN c$iters c ON c.s = e.s AND c.cid = e.cid
+       |  GROUP BY q.id, e.id
+       |)
+       |SELECT qid, id, adist, CAST(r AS INT) AS rank FROM (
+       |  SELECT qid, id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, id ASC) AS r
+       |  FROM ad
+       |) WHERE r <= $topk""".stripMargin
   }
 
   /** In-order double dot product over two float-list columns (bit-identical

@@ -38,14 +38,14 @@ object KMeans {
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Exact squared L2 between two quantized (LONG) vectors. */
-  private def sqDist(a: Column, b: Column): Column =
+  private[operators] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
   /** The codebook as a literal array<struct<cvec, cid>> — centroids ride
     * inside the expression tree, so assignment needs no join at all.
     */
-  private def centsLit(cents: Seq[Seq[Long]]): Column =
+  private[operators] def centsLit(cents: Seq[Seq[Long]]): Column =
     array(cents.zipWithIndex.map { case (cv, i) =>
       struct(typedLit(cv).as("cvec"), lit(i).as("cid"))
     }: _*)
@@ -53,7 +53,7 @@ object KMeans {
   /** (dist, cid) of the nearest centroid — array_min over struct ordering
     * is exactly (dist ASC, cid ASC), the documented tiebreak.
     */
-  private def nearest(qv: Column, cents: Seq[Seq[Long]]): Column =
+  private[operators] def nearest(qv: Column, cents: Seq[Seq[Long]]): Column =
     array_min(transform(centsLit(cents), c =>
       struct(sqDist(qv, c.getField("cvec")).as("d"), c.getField("cid").as("cid"))))
 

@@ -606,6 +606,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("pq: codes index subspace centroids, adc finds exact matches at distance 0") {
+    import graft.operators.ProductQuantizer
+    // two clean clusters per 2-dim subspace: {0,0} and {10,10}. Init (two
+    // smallest ids) already spans both, so Lloyd converges immediately and
+    // every corpus vector IS a centroid concatenation -> adist 0 to itself.
+    val corpus = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(10f, 10f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(10f, 10f, 10f, 10f))).toDF("id", "vec")
+    val cb = ProductQuantizer.fit(corpus, "id", "vec",
+      dim = 4, m = 2, k = 2, iters = 2)
+    val codes = ProductQuantizer.encode(corpus, "id", "vec", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.size == 2 && c.forall(x => x >= 0 && x < 2)))
+    // ids sharing a subvector share that subspace's code
+    assert(codes(0L)(0) == codes(2L)(0) && codes(1L)(0) == codes(3L)(0))
+    assert(codes(0L)(1) == codes(3L)(1) && codes(1L)(1) == codes(2L)(1))
+    val qs = corpus.toDF("qid", "qvec")
+    val top1 = ProductQuantizer.adcTopK(qs,
+        ProductQuantizer.encode(corpus, "id", "vec", cb), cb, k = 1)
+      .as[(Long, Long, Long, Int)].collect()
+    // every self-query resolves to itself at distance 0 (ties to smaller id
+    // cannot preempt: all four vectors are distinct code pairs)
+    assert(top1.toSet == Set((0L, 0L, 0L, 1), (1L, 1L, 0L, 1),
+      (2L, 2L, 0L, 1), (3L, 3L, 0L, 1)))
+  }
+
   test("dsir: target-like docs weigh positive, raw-only negative, short docs zero") {
     import graft.operators.Dsir
     // target corpus: alpha/beta bigrams; raw corpus adds gamma/delta mass.
