@@ -1319,6 +1319,14 @@ object SparkEntry {
       graft.operators.ProductQuantizer.adcTopK(qs, codes, cb, k = 5)
     }),
 
+    // Count-min heavy hitters: top-20 words by sketch estimate from a
+    // bounded 4×1024 counter table — the corpus frequency report without
+    // shuffling the vocabulary (q67's cost). Width 1024 < vocab would
+    // collide at corpus scale by design; estimates only ever overcount.
+    "q76_cms_top_words" -> ((s, dir) =>
+      graft.operators.Sketches.countMinTopWords(
+        t(s, dir, "documents"), "text", depth = 4, width = 1024, topK = 20)),
+
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // subset, raw = the whole corpus; every document scored by its hashed-
     // bigram log importance weight under the frozen 256-bucket model.
@@ -2601,6 +2609,27 @@ object SparkEntry {
     "q72_kmeans_codebook" -> kmeansOracle,
 
     "q75_pq_adc_topk" -> pqOracle,
+
+    // count-min replay: same md5 row hashes, counters as plain GROUP BYs,
+    // estimate = min over rows, same (est DESC, word ASC) top-20 cut
+    "q76_cms_top_words" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT w, r,
+        |    ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))::BIGINT
+        |      % 1024 AS b
+        |  FROM toks, unnest(range(0, 4)) AS t(r)
+        |), counters AS (
+        |  SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b
+        |), est AS (
+        |  SELECT w, min(c) AS est
+        |  FROM (SELECT DISTINCT w, r, b FROM hashed) h
+        |  JOIN counters USING (r, b)
+        |  GROUP BY w
+        |)
+        |SELECT w, est FROM est ORDER BY est DESC, w ASC LIMIT 20""".stripMargin,
 
     // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
     // group via a rank window, then the same IEEE estimator arithmetic

@@ -53,6 +53,52 @@ object Sketches {
     * exact for any sane k), so the floored 1e-4 quantization is
     * engine-reproducible bit-for-bit.
     */
+  /** Heavy-hitter word frequencies via a count-min sketch (Cormode &
+    * Muthukrishnan 2005): `depth` hash rows × `width` counters, estimate =
+    * min over rows of the hashed counter. One-sided error (estimates never
+    * undercount; overcount ≤ εN w.h.p. with ε = e/width), so a "top tokens"
+    * report built from it never misses a true heavy hitter.
+    *
+    * Scale shape: the counter table is bounded at `depth·width` rows no
+    * matter the corpus (map-side partial aggregation reduces every
+    * partition to that before the shuffle — exact per-word counts shuffle
+    * the vocabulary itself, q67's cost); counters are MERGEABLE by
+    * elementwise addition, so per-batch sketches compose incrementally.
+    * The estimate join is keyed by the queried words only.
+    *
+    * Determinism: the row hashes are md5-derived (`h_r(w) = md5("r:w")`
+    * mod width) — no seeds, no processing-order dependence (unlike
+    * Misra-Gries-style summaries, whose content depends on arrival
+    * order), so the DuckDB oracle replays counters and estimates exactly.
+    *
+    * Output: the `topK` words by (estimate DESC, word ASC) with their
+    * estimated counts — the q61-style corpus report, from bounded state.
+    */
+  def countMinTopWords(
+      docs: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 hash rows, width >= 2")
+    val toks = docs.select(
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+    val hashed = toks
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b",
+        conv(substring(
+          md5(concat(col("r").cast("string"), lit(":"), col("w"))), 1, 8),
+          16, 10).cast("long") % width)
+    val counters = hashed.groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("c")) // ≤ depth·width rows
+    hashed.select(col("w"), col("r"), col("b")).distinct()
+      .join(counters, Seq("r", "b"))
+      .groupBy(col("w"))
+      .agg(min(col("c")).as("est"))
+      .orderBy(col("est").desc, col("w").asc)
+      .limit(topK) // TakeOrderedAndProject: per-partition heaps, no full sort
+  }
+
   def approxDistinct(
       df: DataFrame,
       groupCols: Seq[String],

@@ -606,6 +606,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("cms: exact when collision-free, never undercounts when squeezed") {
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "aa aa aa aa bb bb bb cc cc dd"),
+      (2L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val exact = Map("aa" -> 5L, "bb" -> 4L, "cc" -> 3L, "dd" -> 2L, "ee" -> 1L)
+    // wide sketch: 5 words in 4×4096 counters — no collisions, estimates
+    // exact, top order = (count desc, word asc)
+    val wide = Sketches.countMinTopWords(docs, "text", 4, 4096, 5)
+      .as[(String, Long)].collect()
+    assert(wide.toSeq == Seq("aa" -> 5L, "bb" -> 4L, "cc" -> 3L,
+      "dd" -> 2L, "ee" -> 1L))
+    // squeezed sketch (4×4 counters): collisions guaranteed; the CMS
+    // one-sided-error contract is est >= true count for EVERY word
+    val tight = Sketches.countMinTopWords(docs, "text", 4, 4, 5)
+      .as[(String, Long)].collect()
+    tight.foreach { case (w, est) => assert(est >= exact(w), s"$w undercounted") }
+  }
+
   test("pq: codes index subspace centroids, adc finds exact matches at distance 0") {
     import graft.operators.ProductQuantizer
     // two clean clusters per 2-dim subspace: {0,0} and {10,10}. Init (two
