@@ -71,6 +71,34 @@ object SparkEntry {
     table
   }
 
+  /** q77's PQ codebooks — deterministic fit, cached per (JVM, sfDir) so
+    * the index build and every lookup share the identical model without
+    * re-running Lloyd per query invocation.
+    */
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.ProductQuantizer.Codebooks]()
+
+  private def q77Corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+
+  private def q77Cb(s: SparkSession, dir: String): graft.operators.ProductQuantizer.Codebooks =
+    pqCbCache.computeIfAbsent(dir, _ =>
+      graft.operators.ProductQuantizer.fit(
+        q77Corpus(s, dir), "id", "vec", dim = 64, m = 4, k = 8, iters = 2))
+
+  private def q77Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q77", dir)
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      graft.operators.ProductQuantizer.ivfPqIndexAtRest(
+        q77Corpus(s, dir), q77Cb(s, dir), table)
+    }
+    table
+  }
+
   private def q66Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q66", dir)
     val table = graft.table.WarehouseTable(wh)
@@ -117,6 +145,7 @@ object SparkEntry {
     Map(
       "q34_ivf_at_rest" -> timed(q34Index(s, dir)),
       "q66_minhash_at_rest" -> timed(q66Index(s, dir)),
+      "q77_ivfpq_at_rest" -> timed(q77Index(s, dir)),
       "q69_phash_image_dedup" -> timed(q69Images(s, dir).write
         .format("noop").mode("overwrite").save()))
   }
@@ -1317,6 +1346,19 @@ object SparkEntry {
         corpus, "id", "vec", dim = 64, m = 4, k = 8, iters = 2)
       val codes = graft.operators.ProductQuantizer.encode(corpus, "id", "vec", cb)
       graft.operators.ProductQuantizer.adcTopK(qs, codes, cb, k = 5)
+    }),
+
+    // IVFADC at rest: coarse buckets prune partitions (q34), PQ codes
+    // compress what's scanned inside them (q75) — the two at-rest savings
+    // composed, the classic Jégou IVFADC layout.
+    "q77_ivfpq_at_rest" -> ((s, dir) => {
+      val table = q77Index(s, dir) // build-once (memoized); timed part = lookup
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = SimilaritySearch.centroids(q77Corpus(s, dir), "bucket")
+      graft.operators.ProductQuantizer.ivfPqTopKAtRest(
+        s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
     }),
 
     // Count-min heavy hitters: top-20 words by sketch estimate from a
@@ -2610,6 +2652,8 @@ object SparkEntry {
 
     "q75_pq_adc_topk" -> pqOracle,
 
+    "q77_ivfpq_at_rest" -> ivfPqOracle,
+
     // count-min replay: same md5 row hashes, counters as plain GROUP BYs,
     // estimate = min over rows, same (est DESC, word ASC) top-20 cut
     "q76_cms_top_words" ->
@@ -2956,16 +3000,25 @@ object SparkEntry {
     * tiebreaks, same floor(sum/count) updates, ADC distance = the exact
     * BIGINT sum of per-subspace squared L2 to the coded centroids.
     */
-  private lazy val pqOracle: String = {
-    val m = 4; val dsub = 16; val k = 8; val iters = 2; val topk = 5
-    def sqd(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private val pqM = 4; private val pqDsub = 16; private val pqK = 8
+  private val pqIters = 2; private val pqTopk = 5
+
+  private def pqSqd(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The shared q75/q77 CTE chain: quantized subvectors, per-subspace
+    * Lloyd (the kmeansOracle chain with subspace `s` as an extra key
+    * throughout), and the PQ encoding — ending with `enc` (id, s, cid)
+    * and the final codebook `c<iters>`.
+    */
+  private lazy val pqChainCtes: String = {
+    val (m, dsub, k, iters) = (pqM, pqDsub, pqK, pqIters)
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT id, s, sv, cid FROM (
          |    SELECT q.id, q.s, q.sv, c.cid,
          |      row_number() OVER (PARTITION BY q.id, q.s
-         |        ORDER BY ${sqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
+         |        ORDER BY ${pqSqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
          |    FROM sub q JOIN $cents c ON c.s = q.s
          |  ) WHERE r = 1
          |)""".stripMargin
@@ -2985,7 +3038,7 @@ object SparkEntry {
     val steps = (1 to iters).map { i =>
       assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"a$i", s"c${i - 1}", s"c$i")
     }.mkString(",\n")
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id AS id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -3007,22 +3060,70 @@ object SparkEntry {
        |  SELECT id, s, cid FROM (
        |    SELECT q.id, q.s, c.cid,
        |      row_number() OVER (PARTITION BY q.id, q.s
-       |        ORDER BY ${sqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
+       |        ORDER BY ${pqSqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
        |    FROM sub q JOIN c$iters c ON c.s = q.s
        |  ) WHERE r = 1
-       |), ad AS (
+       |)""".stripMargin
+  }
+
+  private lazy val pqOracle: String =
+    s"""WITH $pqChainCtes, ad AS (
        |  SELECT q.id AS qid, e.id AS id,
-       |    CAST(sum(${sqd("q.sv", "c.cvec")}) AS BIGINT) AS adist
+       |    CAST(sum(${pqSqd("q.sv", "c.cvec")}) AS BIGINT) AS adist
        |  FROM qsub q
        |  JOIN enc e ON e.s = q.s
-       |  JOIN c$iters c ON c.s = e.s AND c.cid = e.cid
+       |  JOIN c$pqIters c ON c.s = e.s AND c.cid = e.cid
        |  GROUP BY q.id, e.id
        |)
        |SELECT qid, id, adist, CAST(r AS INT) AS rank FROM (
        |  SELECT qid, id, adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, id ASC) AS r
        |  FROM ad
-       |) WHERE r <= $topk""".stripMargin
+       |) WHERE r <= $pqTopk""".stripMargin
+
+  /** DuckDB twin of q77 — the q15/q34 coarse probe (float label-mean
+    * centroids, (cos DESC, bucket ASC) ranking, nprobe=3) restricting the
+    * q75 ADC scoring to probed buckets only.
+    */
+  private lazy val ivfPqOracle: String = {
+    val dotQQc = sqlListDot("p.qvec", "p.qvec")
+    val dotCC = sqlListDot("cent.cvec", "cent.cvec")
+    val dotQC = sqlListDot("p.qvec", "cent.cvec")
+    s"""WITH $pqChainCtes, q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS id, embedding AS vec, label AS bucket
+       |  FROM embeddings WHERE vec_id >= 10
+       |), cent AS (
+       |  SELECT bucket, list(m ORDER BY pos) AS cvec FROM (
+       |    SELECT bucket, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
+       |    FROM c, unnest(range(1, len(vec) + 1)) AS t(pos)
+       |    GROUP BY bucket, pos
+       |  ) GROUP BY bucket
+       |), probed AS (
+       |  SELECT qid, bucket FROM (
+       |    SELECT p.qid, cent.bucket,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        CASE WHEN sqrt($dotQQc) = 0 OR sqrt($dotCC) = 0 THEN 0.0
+       |             ELSE $dotQC / (sqrt($dotQQc) * sqrt($dotCC)) END DESC,
+       |        cent.bucket ASC) AS crank
+       |    FROM q p, cent
+       |  ) WHERE crank <= 3
+       |), ad AS (
+       |  SELECT p.qid, e.id,
+       |    CAST(sum(${pqSqd("qs.sv", "ct.cvec")}) AS BIGINT) AS adist
+       |  FROM probed p
+       |  JOIN c ON c.bucket = p.bucket
+       |  JOIN enc e ON e.id = c.id
+       |  JOIN qsub qs ON qs.id = p.qid AND qs.s = e.s
+       |  JOIN c$pqIters ct ON ct.s = e.s AND ct.cid = e.cid
+       |  GROUP BY p.qid, e.id
+       |)
+       |SELECT qid, id, adist, CAST(r AS INT) AS rank FROM (
+       |  SELECT qid, id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, id ASC) AS r
+       |  FROM ad
+       |) WHERE r <= $pqTopk""".stripMargin
   }
 
   /** In-order double dot product over two float-list columns (bit-identical

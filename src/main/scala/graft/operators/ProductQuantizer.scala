@@ -64,22 +64,48 @@ object ProductQuantizer {
     Codebooks(m, dsub, k, cents.toIndexedSeq, scale)
   }
 
-  /** Encode the corpus: `(idCol, code)` where `code(s)` = the id of the
-    * nearest subspace-s centroid (ties to the smaller id). Entirely
-    * map-side — the codebook rides as literal expressions.
+  /** The m-code array for a vector column — nearest subspace centroid per
+    * subspace, ties to the smaller id. A pure map-side expression (the
+    * codebook rides as literals).
     */
+  def codeExpr(vecCol: Column, cb: Codebooks): Column = {
+    val qv = KMeans.quantize(vecCol, cb.scale)
+    array((0 until cb.m).map { s =>
+      KMeans.nearest(slice(qv, s * cb.dsub + 1, cb.dsub), cb.cents(s))
+        .getField("cid")
+    }: _*)
+  }
+
+  /** Encode the corpus: `(idCol, code)`. */
   def encode(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      cb: Codebooks): DataFrame = {
-    val qv = KMeans.quantize(col(vecCol), cb.scale)
-    val codes = array((0 until cb.m).map { s =>
-      KMeans.nearest(slice(qv, s * cb.dsub + 1, cb.dsub), cb.cents(s))
-        .getField("cid")
+      cb: Codebooks): DataFrame =
+    corpus.select(col(idCol), codeExpr(col(vecCol), cb).as("code"))
+
+  /** The query-side ADC distance table — `dtab(s·k + c)` = exact squared
+    * L2 from the query's subvector `s` to centroid `c` of subspace `s`.
+    * Map-side (m·k fixed-size array per query row).
+    */
+  private def dtabExpr(qvecCol: Column, cb: Codebooks): Column = {
+    val qv = KMeans.quantize(qvecCol, cb.scale)
+    array((0 until cb.m).flatMap { s =>
+      val sub = slice(qv, s * cb.dsub + 1, cb.dsub)
+      (0 until cb.k).map { c =>
+        KMeans.sqDist(sub, typedLit(cb.cents(s)(c)))
+      }
     }: _*)
-    corpus.select(col(idCol), codes.as("code"))
   }
+
+  /** `Σ_s dtab[s·k + code_s]` — the ADC lookup sum over a `code` column. */
+  private def adistExpr(cb: Codebooks): Column =
+    (0 until cb.m)
+      .map { s =>
+        element_at(col("dtab"),
+          lit(s * cb.k + 1) + element_at(col("code"), s + 1))
+      }
+      .reduce(_ + _)
 
   /** ADC top-k: for each query, the k corpus codes with the smallest
     * approximate distance `Σ_s ‖q_s − cent(s, code_s)‖²` (exact integer
@@ -96,26 +122,66 @@ object ProductQuantizer {
       codes: DataFrame,   // id, code
       cb: Codebooks,
       k: Int): DataFrame = {
-    val qv = KMeans.quantize(col("qvec"), cb.scale)
-    // dtab(s·k + c) = exact squared L2 from the query's subvector s to
-    // centroid c of subspace s
-    val dtab = array((0 until cb.m).flatMap { s =>
-      val sub = slice(qv, s * cb.dsub + 1, cb.dsub)
-      (0 until cb.k).map { c =>
-        KMeans.sqDist(sub, typedLit(cb.cents(s)(c)))
-      }
-    }: _*)
-    val q = queries.select(col("qid"), dtab.as("dtab"))
-    val adist = (0 until cb.m)
-      .map { s =>
-        element_at(col("dtab"),
-          lit(s * cb.k + 1) + element_at(col("code"), s + 1))
-      }
-      .reduce(_ + _)
+    val q = queries.select(col("qid"), dtabExpr(col("qvec"), cb).as("dtab"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("id").asc)
     codes.crossJoin(broadcast(q))
-      .withColumn("adist", adist)
+      .withColumn("adist", adistExpr(cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("adist"), col("rank"))
+  }
+
+  /** Persist the classic IVFADC layout (Jégou et al. §V) AT REST: the
+    * corpus lands as `(id, bucket, code)` — coarse-quantizer bucket for
+    * partition pruning, PQ codes instead of vectors — in a warehouse
+    * table PARTITIONED BY bucket. A probe then reads ONLY the probed
+    * buckets' partitions (q34's pruning) AND scans m-byte codes instead
+    * of d-float vectors (q75's compression): the two at-rest savings
+    * compose multiplicatively — nprobe/nlist of the files, at 1/64th the
+    * bytes per row.
+    */
+  def ivfPqIndexAtRest(
+      corpus: DataFrame, // id, vec, bucket
+      cb: Codebooks,
+      table: graft.table.WarehouseTable,
+      compression: String = "snappy"): Unit = {
+    val encoded = corpus.select(col("id"), col("bucket"),
+      codeExpr(col("vec"), cb).as("code"))
+    table.create(encoded.schema, partition = Some("bucket"),
+      properties = graft.table.WarehouseTable.tableProperties("COW", compression))
+    table.append(encoded)
+  }
+
+  /** IVFADC top-k over the at-rest index: coarse-probe ranking exactly as
+    * [[SimilaritySearch.ivfTopKAtRest]] (centroid cosine, (cos DESC,
+    * bucket ASC) ties), then ADC-score only the probed partitions' codes.
+    * The driver collect is the probed bucket-value set (≤ nlist, the
+    * bounded planning step); the query ships its m·k distance table, not
+    * its vector, into the scoring join.
+    */
+  def ivfPqTopKAtRest(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, // qid, qvec
+      table: graft.table.WarehouseTable,
+      cents: DataFrame,   // bucket, cvec (coarse)
+      cb: Codebooks,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    // one materialization feeds both the partition decision and the join
+    // (the q34 rule: two executions of a nondeterministic frame could
+    // probe a bucket the scan never read)
+    val probe0 = SimilaritySearch.probeBuckets(queries, cents, nprobe)
+      .localCheckpoint()
+    val bucketVals = probe0.select(col("bucket")).distinct()
+      .collect().map(_.get(0)).toSeq // bounded: ≤ nlist values
+    val codes = table.read(spark, partitions = Some(bucketVals))
+    val q = probe0.select(col("qid"), col("bucket"),
+      dtabExpr(col("qvec"), cb).as("dtab"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id").asc)
+    codes.join(broadcast(q), "bucket")
+      .withColumn("adist", adistExpr(cb))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("adist"), col("rank"))

@@ -266,6 +266,47 @@ class DedupSimilaritySpec extends SparkSpec {
       s"unprobed partition leaked into scan: ${files.filterNot(f => probed.exists(b => f.contains(s"bucket=$b"))).take(3).mkString(",")}")
   }
 
+  test("IVFADC at rest: probed-partition ADC == in-memory ADC on probed buckets") {
+    import graft.operators.ProductQuantizer
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val cb = ProductQuantizer.fit(corpus, "id", "vec",
+      dim = 64, m = 4, k = 8, iters = 2)
+    val table = graft.table.WarehouseTable(tmpDir("ivfpq") + "/emb")
+    ProductQuantizer.ivfPqIndexAtRest(corpus, cb, table)
+    val atRest = ProductQuantizer.ivfPqTopKAtRest(
+      spark, qs, table, cents, cb, k = 5, nprobe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "adist", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // in-memory twin: ADC over exactly the probed buckets' codes
+    val probed = SimilaritySearch.probeBuckets(qs, cents, 3)
+    val probedPairs = probed.select(col("qid").as("pqid"), col("bucket"))
+    val codes = ProductQuantizer.encode(corpus, "id", "vec", cb)
+      .join(corpus.select(col("id"), col("bucket")), "id")
+    val inMem = ProductQuantizer.adcTopK(qs, codes.drop("bucket"), cb, k = 1000)
+      .join(probedPairs.join(codes.select("id", "bucket"), "bucket")
+          .select(col("pqid").as("qid"), col("id")).distinct(),
+        Seq("qid", "id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adist").asc, col("id").asc)))
+      .filter(col("rank") <= 5)
+    assert(rows(atRest) == rows(inMem))
+    // pruned read: only probed buckets' partition files are scanned
+    val probedVals = probed.select("bucket").distinct()
+      .collect().map(_.get(0).toString).toSet
+    assert(probedVals.size < corpus.select("bucket").distinct().count())
+    val files = atRest.inputFiles.filter(_.contains("bucket="))
+    assert(files.nonEmpty)
+    assert(files.forall(f => probedVals.exists(b => f.contains(s"bucket=$b"))),
+      "unprobed partition leaked into the IVFADC scan")
+  }
+
   test("minhash at rest: lookup == exact cross-set jaccard, probe prunes partitions") {
     val table = graft.table.WarehouseTable(tmpDir("mhrest") + "/idx")
     TextDedup.minhashIndexAtRest(docs, "doc_id", "text", table)
