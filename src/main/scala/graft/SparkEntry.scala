@@ -1361,6 +1361,14 @@ object SparkEntry {
         s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
     }),
 
+    // Weighted exactly-k sample: 50 docs drawn with probability scaling
+    // with n_chars (a long-doc-favoring eval draw). Priorities are md5-
+    // deterministic, so the k-set is a pure function of the corpus.
+    "q78_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedPriorityK(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)),
+
     // Count-min heavy hitters: top-20 words by sketch estimate from a
     // bounded 4×1024 counter table — the corpus frequency report without
     // shuffling the vocabulary (q67's cost). Width 1024 < vocab would
@@ -2653,6 +2661,24 @@ object SparkEntry {
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
+
+    // weighted-priority replay: same md5 uniform, same ln(u)/w priority
+    // floored at 1e-6, same (pri DESC, id ASC) k-cut
+    "q78_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+        |  FROM documents WHERE n_chars > 0
+        |), p AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(
+        |      ln((h52 + 1) / CAST(4503599627370496 AS DOUBLE))
+        |      / CAST(n_chars AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |      AS pri_e6
+        |  FROM h
+        |)
+        |SELECT doc_id, n_chars, pri_e6 FROM p
+        |ORDER BY pri_e6 DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     // count-min replay: same md5 row hashes, counters as plain GROUP BYs,
     // estimate = min over rows, same (est DESC, word ASC) top-20 cut

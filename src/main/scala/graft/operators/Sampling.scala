@@ -175,6 +175,35 @@ object Sampling {
     * argument as q10's language table), one join back, one scalar filter.
     * No window, no sort, no driver loop.
     */
+  /** Weighted exactly-k sample (Efraimidis & Spirakis 2006 priority
+    * sampling — [[exactK]]'s weighted complement): each row draws a
+    * deterministic uniform `u = (h52+1)/2^52` from the md5 of its id (the
+    * q37 rule) and is ranked by the priority `ln(u)/w` — selecting the k
+    * LARGEST priorities is the A-Res weighted reservoir rule, so a row's
+    * selection probability scales with its weight (an importance- or
+    * length-weighted eval draw a fixed-rate sampler can't express).
+    *
+    * The priority is quantized to 1e-6 fixed point (`floor` — the
+    * q53/q38 libm rule) with id-ASC ties, so membership is a pure
+    * function of the (id, weight) set: partition-independent,
+    * replay-stable, engine-reproducible. Plans as `TakeOrderedAndProject`
+    * (per-partition k-heaps + a k-row driver merge — never a global
+    * sort, the q63 argument).
+    */
+  def weightedPriorityK(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val u = (Sketches.hash52(col(idCol)) + 1).cast("double") / Sketches.HashSpace
+    df
+      .where(col(weightCol) > 0)
+      .withColumn("pri_e6",
+        floor(log(u) / col(weightCol).cast("double") * 1000000.0).cast("long"))
+      .orderBy(col("pri_e6").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def temperatureSample(
       df: DataFrame,
       stratumCol: String,

@@ -606,6 +606,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("weighted priority sample: weight-biased, partition-invariant, ref-exact") {
+    import graft.operators.Sampling
+    // 100 light rows (w=1) + 10 heavy rows (w=1e6): a 10-draw selects
+    // (with overwhelming priority margin) only heavy rows
+    val rows = (1L to 100L).map(i => (i, 1L)) ++
+      (1001L to 1010L).map(i => (i, 1000000L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedPriorityK(df, "id", "w", 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 10 && got.forall(_._2 == 1000000L))
+    // membership is a pure function of the (id, w) set
+    val p7 = Sampling.weightedPriorityK(df.repartition(7), "id", "w", 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p7 == got.toSet)
+    // bit-exact vs an independent JVM reference of the same formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val h52 = java.lang.Long.parseLong(hex, 16)
+      math.floor(math.log((h52 + 1).toDouble / 4503599627370496.0)
+        / w.toDouble * 1000000.0).toLong
+    }
+    got.foreach { case (id, w, pri) => assert(pri == ref(id, w), s"id=$id") }
+  }
+
   test("cms: exact when collision-free, never undercounts when squeezed") {
     import graft.operators.Sketches
     val docs = Seq(
