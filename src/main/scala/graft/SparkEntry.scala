@@ -1361,6 +1361,17 @@ object SparkEntry {
         s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
     }),
 
+    // Tokenizer apply under a frozen 16-word vocabulary: ids in frequency
+    // order, UNK = 16, per-doc OOV audit + id-sequence fingerprint. The
+    // tight cut makes OOV mass real at every SF.
+    "q79_vocab_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Vocabulary.frequencyRank(docs, "text")
+        .filter(col("rank") <= 16).select(col("word"), col("rank"))
+      graft.operators.Vocabulary.encodeWithVocab(
+        docs, "doc_id", "text", vocab, vocabSize = 16)
+    }),
+
     // Weighted exactly-k sample: 50 docs drawn with probability scaling
     // with n_chars (a long-doc-favoring eval draw). Priorities are md5-
     // deterministic, so the k-set is a pure function of the corpus.
@@ -2661,6 +2672,36 @@ object SparkEntry {
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
+
+    // vocab-encode replay: q67's rank construction cut at 16, same
+    // UNK mapping, same in-order id join fingerprint
+    "q79_vocab_encode" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word
+        |), vocab AS (
+        |  SELECT word,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) - 1
+        |      AS tok_id
+        |  FROM wc ORDER BY cnt DESC, word ASC LIMIT 16
+        |), toks AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents), unnest(range(1, len(w) + 1)) AS t(i)
+        |), mapped AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 16) AS tok_id
+        |  FROM toks t LEFT JOIN vocab v USING (word)
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok_id = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  floor(CAST(sum(CASE WHEN tok_id = 16 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000 AS oov_rate,
+        |  md5(array_to_string(list(CAST(tok_id AS VARCHAR) ORDER BY pos), ' '))
+        |    AS ids_md5
+        |FROM mapped GROUP BY doc_id""".stripMargin,
 
     // weighted-priority replay: same md5 uniform, same ln(u)/w priority
     // floored at 1e-6, same (pri DESC, id ASC) k-cut

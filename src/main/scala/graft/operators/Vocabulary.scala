@@ -70,4 +70,53 @@ object Vocabulary {
           / col("n_total") * 10000.0 + 0.5) / 10000.0)
       .select(col("word"), col("cnt"), col("rank"), col("coverage"))
   }
+
+  /** Encode documents under a FROZEN vocabulary — the apply half of the
+    * tokenizer-prep pair (what a training job actually does with the
+    * [[frequencyRank]] table after cutting it at V): each token maps to
+    * `rank − 1` (ids 0..V−1 in frequency order) or to the UNK id `V`,
+    * and each document lands with its id-sequence fingerprint and OOV
+    * audit — the signal that tells you the vocabulary cut is too tight
+    * BEFORE a training run tokenizes 100 TB.
+    *
+    * Output per document: `(id, n_tokens, n_oov, oov_rate, ids_md5)` —
+    * `oov_rate` stable-rounded at 1e-4, `ids_md5` = md5 of the
+    * space-joined id sequence in token order (the bounded proxy for the
+    * encoded sequence, the q56 rule).
+    *
+    * Scale shape: one posexplode (map-side), ONE vocabulary-keyed
+    * left join (the vocab table is user-cut to V rows but deliberately
+    * unhinted — V is a user knob, not a bound we own; AQE dispatches),
+    * one per-doc aggregation. The in-order reassembly is
+    * `array_sort(collect_list(struct(pos, id)))` — per-doc local.
+    */
+  def encodeWithVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame, // word, rank (1-based, dense, ≤ V rows)
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "word")))
+    toks
+      .join(vocab.select(col("word"), (col("rank") - 1).as("tok_id")),
+        Seq("word"), "left")
+      .withColumn("tok_id",
+        coalesce(col("tok_id"), lit(vocabSize.toLong))) // UNK = V
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id") === vocabSize.toLong, 1L).otherwise(0L))
+          .as("n_oov"),
+        array_sort(collect_list(struct(col("pos"), col("tok_id")))).as("seq"))
+      .withColumn("oov_rate",
+        floor(col("n_oov").cast("double") / col("n_tokens") * 10000.0 + 0.5)
+          / 10000.0)
+      .withColumn("ids_md5",
+        md5(array_join(
+          transform(col("seq"), e => e.getField("tok_id").cast("string")),
+          " ")))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        col("oov_rate"), col("ids_md5"))
+  }
 }

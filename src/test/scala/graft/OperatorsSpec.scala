@@ -606,6 +606,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("vocab encode: frequency-order ids, UNK mapping, in-order fingerprint") {
+    import graft.operators.Vocabulary
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aa bb cc aa"),
+      (2L, "bb aa"),
+      (3L, "zz zz zz")).toDF("doc_id", "text")
+    // counts: aa=3, bb=2, zz=3, cc=1 → rank order (cnt desc, word asc):
+    // aa(1), zz(2), bb(3), cc(4); cut at V=2 → ids aa=0, zz=1, UNK=2
+    val vocab = Vocabulary.frequencyRank(docs, "text")
+      .filter(col("rank") <= 2).select(col("word"), col("rank"))
+    val out = Vocabulary.encodeWithVocab(docs, "doc_id", "text", vocab, 2)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((1L, 4L, 2L, 0.5, m("0 2 2 0"))))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5, m("2 0"))))
+    assert(out(3L) == ((3L, 3L, 0L, 0.0, m("1 1 1"))))
+  }
+
   test("weighted priority sample: weight-biased, partition-invariant, ref-exact") {
     import graft.operators.Sampling
     // 100 light rows (w=1) + 10 heavy rows (w=1e6): a 10-draw selects
