@@ -37,25 +37,22 @@ object KMeans {
   def quantize(vec: Column, scale: Long = 10000L): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact squared L2 between two quantized (LONG) vectors. */
-  private[operators] def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-
-  /** The codebook as a literal array<struct<cvec, cid>> — centroids ride
-    * inside the expression tree, so assignment needs no join at all.
+  /** Exact squared L2 between two quantized (LONG) vectors — the native
+    * fused-loop expression (the HOF `aggregate(zip_with(...))` chain it
+    * replaced evaluated interpreted: k·dim lambda-tree walks per row made
+    * assignment the q72 trainer's dominant cost — 22 s at sf0.1 in
+    * BENCH_r7's mid-round run, the suite's slowest query by 3×).
     */
-  private[operators] def centsLit(cents: Seq[Seq[Long]]): Column =
-    array(cents.zipWithIndex.map { case (cv, i) =>
-      struct(typedLit(cv).as("cvec"), lit(i).as("cid"))
-    }: _*)
+  private[operators] def sqDist(a: Column, b: Column): Column =
+    graft.functions.LongSqDist(a, b)
 
-  /** (dist, cid) of the nearest centroid — array_min over struct ordering
-    * is exactly (dist ASC, cid ASC), the documented tiebreak.
+  /** (d, cid) of the nearest centroid — one fused k·dim loop per row via
+    * the native [[graft.functions.NearestCentroid]]; ties to the smaller
+    * cid (identical total order to the (dist ASC, cid ASC) array_min
+    * formulation it replaced).
     */
   private[operators] def nearest(qv: Column, cents: Seq[Seq[Long]]): Column =
-    array_min(transform(centsLit(cents), c =>
-      struct(sqDist(qv, c.getField("cvec")).as("d"), c.getField("cid").as("cid"))))
+    graft.functions.NearestCentroid(qv, cents)
 
   /** Fixed-iteration Lloyd fit. Returns the final quantized codebook
     * (k vectors, cid = index). Each iteration: map-side assignment, one
