@@ -1361,6 +1361,17 @@ object SparkEntry {
         s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
     }),
 
+    // Cross-source overlap matrix: every 5th doc re-landed under a
+    // 'mirror' source (the planted-dup trick), so each real source shares
+    // deterministic mass with 'mirror' and none with its peers.
+    "q80_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select(col("text"), lit("mirror").as("source")))
+      graft.operators.Dedup.crossSourceOverlap(planted, "text", "source")
+    }),
+
     // Tokenizer apply under a frozen 16-word vocabulary: ids in frequency
     // order, UNK = 16, per-doc OOV audit + id-sequence fingerprint. The
     // tight cut makes OOV mass real at every SF.
@@ -2672,6 +2683,22 @@ object SparkEntry {
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
+
+    // overlap-matrix replay: same normalized fingerprint, same per-source
+    // distinct collapse, same triangular pair join
+    "q80_source_overlap" ->
+      """WITH planted AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 5 = 0
+        |), fps AS (
+        |  SELECT DISTINCT source AS src,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM planted
+        |)
+        |SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+        |GROUP BY 1, 2""".stripMargin,
 
     // vocab-encode replay: q67's rank construction cut at 16, same
     // UNK mapping, same in-order id join fingerprint

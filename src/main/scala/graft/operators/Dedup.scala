@@ -209,4 +209,35 @@ object Dedup {
           .when(col("fp_old") === col("fp_new"), lit("unchanged"))
           .otherwise(lit("changed")))
   }
+
+  /** Cross-source exact-overlap matrix — "how much of source A is also in
+    * source B": for every unordered source pair, the number of distinct
+    * normalized-content fingerprints present in BOTH. The planning report
+    * in front of mixture construction (double-counted mass inflates a
+    * source's effective weight) and of dataset licensing/contamination
+    * review — the reference has nothing like it; real corpus curation
+    * runs it constantly.
+    *
+    * Scale shape: one map-side fingerprint pass, one DISTINCT per
+    * (source, fp) — collapsing within-source duplicates so the pair count
+    * is about cross-source mass only — then ONE fp-keyed self equi-join
+    * (columns renamed apart: same-lineage equi-keys can collapse to a
+    * nested-loop join, the q47 rule) with `src_a < src_b` keeping the
+    * pair space triangular. Fanout per fp is (#sources carrying it)² —
+    * bounded by the source count, not the corpus.
+    */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    val fps = docs
+      .select(col(srcCol).as("src"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val a = fps.select(col("src").as("src_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("src").as("src_b"), col("fp").as("fp_b"))
+    a.join(b, col("fp_a") === col("fp_b") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

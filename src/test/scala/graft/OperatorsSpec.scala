@@ -606,6 +606,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("cross-source overlap: triangular pairs, within-source dups collapsed") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      ("s1", "shared one"), ("s1", "shared one"), // within-source dup: counts once
+      ("s1", "only s1"),
+      ("s2", "shared one"), ("s2", "shared two"),
+      ("s3", "shared two"), ("s3", "SHARED   ONE") // normalization folds case/ws
+    ).toDF("source", "text")
+    val out = Dedup.crossSourceOverlap(docs, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("s1", "s2", 1L), ("s1", "s3", 1L),
+      ("s2", "s3", 2L)))
+  }
+
+  test("kmv sketches compose incrementally: stored sketch + new batch = whole") {
+    import graft.functions.KMinValues
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.{col, explode}
+    val b1 = (1L to 30L).map(i => ("g", i)).toDF("g", "id")
+    val b2 = (20L to 60L).map(i => ("g", i)).toDF("g", "id") // overlaps b1
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(Sketches.hash52(col("id")).as("h"))
+      .agg(KMinValues(col("h"), 16).as("kmins"))
+    // incremental maintenance: yesterday's STORED k-mins re-fed through
+    // the aggregate alongside today's batch hashes — the lossless
+    // union-then-trim a sketch table update performs
+    val merged = sketch(b1).select(explode(col("kmins")).as("h"))
+      .unionByName(b2.select(Sketches.hash52(col("id")).as("h")))
+      .agg(KMinValues(col("h"), 16).as("kmins"))
+      .as[Seq[Long]].collect().head
+    val whole = sketch(b1.unionByName(b2)).as[Seq[Long]].collect().head
+    assert(merged == whole)
+  }
+
   test("vocab encode: frequency-order ids, UNK mapping, in-order fingerprint") {
     import graft.operators.Vocabulary
     import org.apache.spark.sql.functions.col
