@@ -386,6 +386,45 @@ object StreamingIngest {
       .start()
   }
 
+  /** Frozen-vocabulary document encoding as a STREAMING stage — the
+    * tokenizer apply (q79) per micro-batch: arriving documents land with
+    * their id-sequence fingerprint and OOV audit under a vocabulary cut
+    * offline (recutting per batch would re-map ids retroactively — the
+    * frozen-cuts rule of the mixture sampler). Stateless per batch ⇒
+    * replay idempotency via batch-id-keyed overwrite.
+    */
+  def startVocabEncoder(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame, // word, rank — frozen
+      vocabSize: Int,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Vocabulary
+          .encodeWithVocab(batch, idCol, textCol, vocab, vocabSize)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** DSIR importance scoring as a STREAMING stage — the frozen-model
     * apply of [[graft.operators.Dsir]] per micro-batch, under the same
     * rule as the TF-IDF/LM/NB scorers: the hashed-bigram bucket model is

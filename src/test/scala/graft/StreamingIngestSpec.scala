@@ -306,6 +306,38 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming vocab encoder under a frozen vocabulary matches batch q79") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    import org.apache.spark.sql.functions.col
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(src)
+    val vocab = Vocabulary.frequencyRank(docs, "text")
+      .filter(col("rank") <= 16).select(col("word"), col("rank")).cache()
+    val landing = tmpDir("ve_land")
+    val staging = tmpDir("ve_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("ve_out")
+    val ckpt = tmpDir("ve_ckpt")
+    val q = StreamingIngest.startVocabEncoder(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", vocab = vocab, vocabSize = 16,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate", "ids_md5")
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    val batch = SparkEntry.queries("q79_vocab_encode")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    assert(streamed == batch)
+    vocab.unpersist()
+    ()
+  }
+
   test("streaming dsir scorer under a frozen model matches batch q74") {
     import spark.implicits._
     import graft.operators.Dsir
