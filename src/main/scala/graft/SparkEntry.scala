@@ -1361,6 +1361,13 @@ object SparkEntry {
         s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
     }),
 
+    // Per-source percentile normalization of document length: where each
+    // doc sits WITHIN its source — the per-shard rank normalization run
+    // before any cross-source quality cut.
+    "q81_source_percentile" -> ((s, dir) =>
+      graft.operators.Percentiles.perKeyPercentile(
+        t(s, dir, "documents"), "source", "n_chars", "doc_id")),
+
     // Cross-source overlap matrix: every 5th doc re-landed under a
     // 'mirror' source (the planted-dup trick), so each real source shares
     // deterministic mass with 'mirror' and none with its peers.
@@ -2683,6 +2690,22 @@ object SparkEntry {
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
+
+    // percentile replay: the sortless two-level Spark build must equal the
+    // flat percent_rank (rank() ties share; n=1 groups pin to 0)
+    "q81_source_percentile" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(CASE WHEN n = 1 THEN 0
+        |       ELSE floor((rk - 1) / CAST(n - 1 AS DOUBLE)
+        |                  * CAST(10000 AS DOUBLE) + 0.5)
+        |       END AS BIGINT) AS pct_e4
+        |FROM r""".stripMargin,
 
     // overlap-matrix replay: same normalized fingerprint, same per-source
     // distinct collapse, same triangular pair join

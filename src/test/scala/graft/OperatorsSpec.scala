@@ -606,6 +606,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head == ((1L, 0.0, 0)))
   }
 
+  test("per-key percentile: two-level build equals flat window, edges pinned") {
+    import graft.operators.Percentiles
+    val df = Seq(
+      // group a: 5 rows with a tie on value 20 (ids 3,4 break by id)
+      (1L, "a", 10L), (2L, "a", 15L), (3L, "a", 20L), (4L, "a", 20L),
+      (5L, "a", 30L),
+      // group b: single row pins to 0
+      (9L, "b", 7L)).toDF("id", "g", "v")
+    val out = Percentiles.perKeyPercentile(df, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // percent_rank semantics: strictly-smaller counts over n-1 = 4, and
+    // the two tied rows (ids 3, 4) SHARE their percentile
+    assert(out(1L) == 0L && out(2L) == 2500L && out(3L) == 5000L
+      && out(4L) == 5000L && out(5L) == 10000L)
+    assert(out(9L) == 0L)
+    // partition-layout invariance
+    val p9 = Percentiles.perKeyPercentile(df.repartition(9), "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(p9 == out)
+  }
+
   test("cross-source overlap: triangular pairs, within-source dups collapsed") {
     import graft.operators.Dedup
     val docs = Seq(
