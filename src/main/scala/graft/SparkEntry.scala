@@ -99,6 +99,22 @@ object SparkEntry {
     table
   }
 
+  /** q82's at-rest image-hash index: pHashes of the ORIGINAL images
+    * (everything below [[PlantOffset]] in the q69 fixture corpus),
+    * pigeonhole-block-partitioned. Build-once per (JVM, sfDir).
+    */
+  private def q82Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q82", dir)
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      val corpus = q69Images(s, dir).filter(_.id < PlantOffset)
+      graft.operators.Multimodal.phashIndexAtRest(
+        graft.operators.Multimodal.imagePHashes(corpus), table)
+    }
+    table
+  }
+
   private def q66Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q66", dir)
     val table = graft.table.WarehouseTable(wh)
@@ -146,6 +162,7 @@ object SparkEntry {
       "q34_ivf_at_rest" -> timed(q34Index(s, dir)),
       "q66_minhash_at_rest" -> timed(q66Index(s, dir)),
       "q77_ivfpq_at_rest" -> timed(q77Index(s, dir)),
+      "q82_phash_at_rest" -> timed(q82Index(s, dir)),
       "q69_phash_image_dedup" -> timed(q69Images(s, dir).write
         .format("noop").mode("overwrite").save()))
   }
@@ -1359,6 +1376,17 @@ object SparkEntry {
       val cents = SimilaritySearch.centroids(q77Corpus(s, dir), "bucket")
       graft.operators.ProductQuantizer.ivfPqTopKAtRest(
         s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
+    }),
+
+    // Incremental IMAGE dedup: arriving (resized/re-encoded) images probe
+    // the at-rest pHash index — only the partitions their own hash blocks
+    // name are read; pigeonhole recall is exact, so the result is the
+    // planted pair set (the q69 argument, per-arrival-batch).
+    "q82_phash_at_rest" -> ((s, dir) => {
+      val table = q82Index(s, dir) // build-once (memoized); timed = lookup
+      val arrivals = q69Images(s, dir).filter(_.id >= PlantOffset)
+      graft.operators.Multimodal.phashLookupAtRest(
+        s, graft.operators.Multimodal.imagePHashes(arrivals), table)
     }),
 
     // Per-source percentile normalization of document length: where each
@@ -2600,6 +2628,14 @@ object SparkEntry {
     // spurious pairs against this list.
     "q69_phash_image_dedup" ->
       """SELECT doc_id AS id_a, doc_id + 1000000000000 AS id_b
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // at-rest image lookup: same planted-pair-set argument as q69 —
+    // resize-invariant hashes (hamming 0 to the original), closest
+    // organic pair beyond the radius, exact verify
+    "q82_phash_at_rest" ->
+      """SELECT doc_id + 1000000000000 AS arrival_id, doc_id AS corpus_id,
+        |  CAST(0 AS INT) AS hamming
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     // per-class add-one bigram NB: every ln quantized to 1e-4 BIGINT

@@ -381,6 +381,75 @@ object Multimodal {
     }.toDF("id", "frame_idx", "frame")
   }
 
+  /** Persist the image-hash dedup index AT REST (q66's pattern for
+    * IMAGES): the corpus pHashes land pigeonhole-blocked
+    * ([[TextDedup.fp64Blocks]]) in a `pb = blk·partBuckets + (bv mod
+    * partBuckets)`-partitioned warehouse table, so an arrival batch
+    * probes only the partitions its own block values name. Unlike the
+    * MinHash banding, RECALL HERE IS A THEOREM: a pair within the hamming
+    * radius must agree on ≥1 whole block (pigeonhole), so the blocked
+    * probe + exact `bit_count` verify equals the brute-force pair scan
+    * bit-for-bit. The blocking radius is part of the index format —
+    * persisted and validated at lookup (a probe blocked for a different
+    * radius would silently miss).
+    */
+  def phashIndexAtRest(
+      hashes: DataFrame, // id, phash
+      table: graft.table.WarehouseTable,
+      maxHamming: Int = 2,
+      partBuckets: Int = 8,
+      compression: String = "snappy"): Unit = {
+    val idx = TextDedup.fp64Blocks(
+      hashes.select(col("id").as("doc_id"), col("phash").as("fp")), maxHamming)
+      .withColumn("pb",
+        (col("blk") * partBuckets + pmod(col("bv"), lit(partBuckets))).cast("int"))
+    table.create(idx.schema, partition = Some("pb"),
+      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+        Map(
+          "phash.maxHamming" -> maxHamming.toString,
+          "phash.partBuckets" -> partBuckets.toString))
+    table.append(idx)
+  }
+
+  /** Near-dup image lookup of an arrival batch against the at-rest index:
+    * arrival hashes are blocked map-side, the bounded distinct `pb` set
+    * decides which partitions to READ (manifest pruning — ≤ nBlocks ×
+    * partBuckets values), candidates come from the `(blk, bv)` equi-join
+    * inside them, and the exact hamming verify makes the output exactly
+    * the cross pair set within the radius. `(arrival_id, corpus_id,
+    * hamming)`.
+    */
+  def phashLookupAtRest(
+      spark: SparkSession,
+      arrivals: DataFrame, // id, phash
+      table: graft.table.WarehouseTable,
+      maxHamming: Int = 2,
+      partBuckets: Int = 8): DataFrame = {
+    val stored = table.properties
+    Seq("phash.maxHamming" -> maxHamming, "phash.partBuckets" -> partBuckets)
+      .foreach { case (k, v) =>
+        stored.get(k).foreach(sv => require(sv == v.toString,
+          s"index was built with $k=$sv but the lookup passed $v — " +
+            "blocks from different radii never match"))
+      }
+    val probe = TextDedup.fp64Blocks(
+      arrivals.select(col("id").as("doc_id"), col("phash").as("fp")), maxHamming)
+      .withColumn("pb",
+        (col("blk") * partBuckets + pmod(col("bv"), lit(partBuckets))).cast("int"))
+      .localCheckpoint() // one materialization: partition decision + join
+    val pbVals = probe.select(col("pb")).distinct()
+      .collect().map(_.get(0)).toSeq // bounded: ≤ nBlocks·partBuckets
+    val idx = table.read(spark, partitions = Some(pbVals))
+    probe.join(idx
+        .select(col("doc_id").as("cid"), col("fp").as("cfp"),
+          col("blk").as("cblk"), col("bv").as("cbv")),
+        col("blk") === col("cblk") && col("bv") === col("cbv"))
+      .select(col("doc_id").as("arrival_id"), col("cid").as("corpus_id"),
+        bit_count(col("fp").bitwiseXOR(col("cfp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Build a synthetic media table from any keyed DataFrame (used by tests
     * and the bench: deterministic blobs, no external fixtures).
     */

@@ -401,12 +401,17 @@ object TextDedup {
     * [[Multimodal.phashNearDupPairs]] (image perceptual hashes) — any
     * 64-bit locality-sensitive fingerprint gets the same scale shape.
     */
-  def fp64Pairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+  /** Pigeonhole blocks of a 64-bit fingerprint: `maxHamming + 1` disjoint
+    * bit ranges (a pair within the radius must agree on ≥1 whole block —
+    * recall is a theorem). `(doc_id, fp, blk, bv)` — shared by the
+    * in-memory pair join and the at-rest image index so index and probe
+    * can never disagree on the blocking.
+    */
+  private[operators] def fp64Blocks(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = math.min(32, maxHamming + 1)
     // block i covers bits [i*64/n, (i+1)*64/n)
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
-    val np = fp.sparkSession.sparkContext.defaultParallelism
-    val blocks = fp.select(
+    fp.select(
       col("doc_id"), col("fp"),
       explode(array((0 until nBlocks).map { b =>
         val lo = bounds(b)
@@ -416,6 +421,11 @@ object TextDedup {
           shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+  }
+
+  def fp64Pairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val np = fp.sparkSession.sparkContext.defaultParallelism
+    val blocks = fp64Blocks(fp, maxHamming)
       // AQE-exempt partitioning on the join key (see simHash128Candidates)
       .repartition(np, col("blk"), col("bv"))
     val right = blocks.select(

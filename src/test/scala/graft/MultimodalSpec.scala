@@ -109,4 +109,32 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == (0L until 60L by 10).map(i => (i, i + 1000L)).toSet)
   }
+
+  test("pHash at rest: arrival probe == cross pair set, reads pruned partitions") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 60).toDF("id")
+    val originals = Multimodal.synthesizeImages(spark, ids, "id")
+    val corpusHashes = Multimodal.imagePHashes(originals)
+    val table = graft.table.WarehouseTable(tmpDir("phrest") + "/idx")
+    Multimodal.phashIndexAtRest(corpusHashes, table, maxHamming = 2)
+    val arrivals = originals.filter(_.id % 10 == 0).map(r =>
+      MediaRow(r.id + 1000L, Multimodal.ImageCodec.resize(r.content, 2)))
+    val arrivalHashes = Multimodal.imagePHashes(arrivals)
+    val got = Multimodal.phashLookupAtRest(spark, arrivalHashes, table, 2)
+    val rows = got.select("arrival_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == (0L until 60L by 10).map(i => (i + 1000L, i)).toSet)
+    // pruning: the scan touches a strict subset of the index partitions
+    val touched = got.inputFiles.filter(_.contains("pb="))
+      .flatMap(f => "pb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    val all = spark.read.parquet(table.root + "/data")
+      .select("pb").distinct().count()
+    assert(touched.nonEmpty && touched.size < all,
+      s"probe read ${touched.size} of $all partitions - expected a strict subset")
+    // a mismatched radius must fail loudly, not silently miss
+    intercept[IllegalArgumentException] {
+      Multimodal.phashLookupAtRest(spark, arrivalHashes, table, maxHamming = 6)
+    }
+    ()
+  }
 }
