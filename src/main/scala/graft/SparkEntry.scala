@@ -1378,6 +1378,19 @@ object SparkEntry {
         s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
     }),
 
+    // SemDeDup, fully unsupervised (the paper's own pipeline): codebook
+    // LEARNED by the q72 trainer on the unplanted base, map-side
+    // quantized assignment, same per-cell pairs + components as q51.
+    "q83_semantic_dedup_kmeans" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = base.filter(col("id") < 25)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("vec"), x => x * lit(2.0f)).as("vec"))
+      SimilaritySearch.semanticDedupKMeans(
+        base.unionByName(planted), base, k = 8, iters = 2, threshold = 0.95)
+    }),
+
     // Incremental IMAGE dedup: arriving (resized/re-encoded) images probe
     // the at-rest pHash index — only the partitions their own hash blocks
     // name are read; pigeonhole recall is exact, so the result is the
@@ -2723,6 +2736,8 @@ object SparkEntry {
 
     "q72_kmeans_codebook" -> kmeansOracle,
 
+    "q83_semantic_dedup_kmeans" -> kmeansSemanticOracle,
+
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
@@ -3084,6 +3099,93 @@ object SparkEntry {
        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
        |)
        |SELECT a.id, a.cluster, r.rep, (a.id <> r.rep) AS is_dup
+       |FROM assigned a
+       |JOIN (SELECT id, min(lab) AS rep FROM reach GROUP BY id) r USING (id)"""
+      .stripMargin
+  }
+
+  /** DuckDB twin of q83 — the kmeansOracle Lloyd chain fit on the
+    * UNplanted base, quantized-L2 assignment of the planted corpus to the
+    * final codebook, then semanticDedupOracle's per-cell cosine pairs +
+    * recursive components verbatim.
+    */
+  private lazy val kmeansSemanticOracle: String = {
+    val k = 8
+    val iters = 2
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, qv, cid FROM (
+         |    SELECT q.id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY ${sqd("q.qv", "c.cvec")} ASC, c.cid ASC) AS r
+         |    FROM bqv q CROSS JOIN $cents c
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    def updateCte(assigned: String, prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT cid, list(v ORDER BY pos) AS cvec FROM (
+         |      SELECT cid, pos,
+         |        CAST(floor(CAST(CAST(sum(qv[pos]) AS BIGINT) AS DOUBLE)
+         |          / count(*)) AS BIGINT) AS v
+         |      FROM $assigned, unnest(range(1, len(qv) + 1)) AS t(pos)
+         |      GROUP BY cid, pos
+         |    ) GROUP BY cid
+         |  ) n ON c.cid = n.cid
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    val dotAA = sqlListDot("a.vec", "a.vec")
+    val dotBB = sqlListDot("b.vec", "b.vec")
+    val dotAB = sqlListDot("a.vec", "b.vec")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |), planted AS (
+       |  SELECT id + 1000000 AS id,
+       |    list_transform(vec, x -> CAST(x * 2 AS FLOAT)) AS vec
+       |  FROM base WHERE id < 25
+       |), corpus AS (
+       |  SELECT id, vec FROM base UNION ALL SELECT id, vec FROM planted
+       |), bqv AS (
+       |  SELECT id, list_transform(vec,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM base
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+       |    qv AS cvec
+       |  FROM (SELECT id, qv FROM bqv ORDER BY id LIMIT $k)
+       |),
+       |$steps,
+       |assigned AS (
+       |  SELECT id, vec, cluster FROM (
+       |    SELECT c.id, c.vec, ct.cid AS cluster,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        ${sqd("cqv.qv", "ct.cvec")} ASC, ct.cid ASC) AS r
+       |    FROM corpus c
+       |    JOIN (SELECT id, list_transform(vec,
+       |            x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |          FROM corpus) cqv ON cqv.id = c.id
+       |    CROSS JOIN c$iters ct
+       |  ) WHERE r = 1
+       |), pairs AS (
+       |  SELECT a.id AS d1, b.id AS d2
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE CASE WHEN sqrt($dotAA) = 0 OR sqrt($dotBB) = 0 THEN 0.0
+       |             ELSE $dotAB / (sqrt($dotAA) * sqrt($dotBB)) END >= 0.95
+       |), edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |             UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT a.id, CAST(a.cluster AS INT) AS cluster, r.rep,
+       |  (a.id <> r.rep) AS is_dup
        |FROM assigned a
        |JOIN (SELECT id, min(lab) AS rep FROM reach GROUP BY id) r USING (id)"""
       .stripMargin

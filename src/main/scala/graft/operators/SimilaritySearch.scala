@@ -297,6 +297,16 @@ object SimilaritySearch {
       cents, nprobe = 1)
       .select(col("qid").as("id"), col("qvec").as("vec"),
         col("bucket").as("cluster"))
+    dedupCells(assigned, threshold)
+  }
+
+  /** The within-cell half of SemDeDup, shared by the label-means and the
+    * learned-codebook variants: per-cell exact-cosine pairs (Σ|cell|² —
+    * the paper's design point) → O(log n) components → keep-one reps.
+    */
+  private def dedupCells(
+      assigned: DataFrame, // id, vec, cluster
+      threshold: Double): DataFrame = {
     val right = assigned.select(
       col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = assigned.join(right, Seq("cluster"))
@@ -310,5 +320,26 @@ object SimilaritySearch {
       .join(reps, "id")
       .select(col("id"), col("cluster"), col("rep"),
         (col("id") =!= col("rep")).as("is_dup"))
+  }
+
+  /** SemDeDup with a LEARNED coarse quantizer — the full unsupervised
+    * pipeline of the paper (Abbas et al. 2023 run k-means first; q51's
+    * label-means variant leans on pre-existing labels): [[KMeans.fit]] on
+    * the reference corpus, map-side quantized-L2 assignment (exact
+    * integer argmin, no join), then the same per-cell exact-cosine pairs
+    * and O(log n) components. End-to-end deterministic — trainer,
+    * assignment, and verification all replay in the oracle.
+    */
+  def semanticDedupKMeans(
+      corpus: DataFrame,  // id, vec — what gets deduped
+      trainOn: DataFrame, // id, vec — what the codebook is fit on
+      k: Int,
+      iters: Int,
+      threshold: Double): DataFrame = {
+    val cb = KMeans.fit(trainOn, "id", "vec", k, iters)
+    val assigned = corpus.select(col("id"), col("vec"),
+      KMeans.nearest(KMeans.quantize(col("vec")), cb)
+        .getField("cid").as("cluster"))
+    dedupCells(assigned, threshold)
   }
 }

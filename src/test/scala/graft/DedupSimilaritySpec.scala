@@ -266,6 +266,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"unprobed partition leaked into scan: ${files.filterNot(f => probed.exists(b => f.contains(s"bucket=$b"))).take(3).mkString(",")}")
   }
 
+  test("semanticDedupKMeans: planted copies dedup to their source, learned cells") {
+    import graft.operators.SimilaritySearch
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = base.filter(col("id") < 10)
+      .select((col("id") + 1000000L).as("id"),
+        org.apache.spark.sql.functions.transform(col("vec"),
+          x => x * org.apache.spark.sql.functions.lit(2.0f)).as("vec"))
+    val out = SimilaritySearch.semanticDedupKMeans(
+      base.unionByName(planted), base, k = 4, iters = 2, threshold = 0.95)
+      .select("id", "rep", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // every planted 2x copy (cosine 1 with its source) is a dup whose
+    // component rep is (at most) its source's id
+    (0L until 10L).foreach { i =>
+      val copy = out(i + 1000000L)
+      assert(copy._3, s"planted $i not flagged as dup")
+      assert(copy._2 <= i, s"planted $i rep ${copy._2} above its source")
+      assert(out(i)._2 == copy._2, s"source $i in a different component")
+    }
+  }
+
   test("IVFADC at rest: probed-partition ADC == in-memory ADC on probed buckets") {
     import graft.operators.ProductQuantizer
     val qs = emb.filter(col("vec_id") < 2)
