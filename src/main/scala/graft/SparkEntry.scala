@@ -1402,6 +1402,22 @@ object SparkEntry {
         s, graft.operators.Multimodal.imagePHashes(arrivals), table)
     }),
 
+    // Arrival scoring against a FROZEN per-source length distribution:
+    // the first half (by id — parity would split the sources disjointly,
+    // since source is a function of id modulo the source count) forms the
+    // reference corpus, the second half arrives and lands with its
+    // corpus-relative percentile (values between corpus values resolve
+    // via the backward carry — the asof construction).
+    "q84_percentile_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+      val model = graft.operators.Percentiles.fit(
+        docs.filter(col("doc_id") <= cut), "source", "n_chars")
+      graft.operators.Percentiles.scoreAgainst(
+        docs.filter(col("doc_id") > cut), "doc_id", "source", "n_chars",
+        model)
+    }),
+
     // Per-source percentile normalization of document length: where each
     // doc sits WITHIN its source — the per-shard rank normalization run
     // before any cross-source quality cut.
@@ -2741,6 +2757,25 @@ object SparkEntry {
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
+
+    // arrival-percentile replay: strictly-smaller counts via a correlated
+    // count against the frozen reference half, over the reference size
+    "q84_percentile_score" ->
+      """WITH cut AS (
+        |  SELECT CAST(max(doc_id) // 2 AS BIGINT) AS c FROM documents
+        |), ref AS (
+        |  SELECT source, n_chars FROM documents, cut WHERE doc_id <= c
+        |), arr AS (
+        |  SELECT doc_id, source, n_chars FROM documents, cut WHERE doc_id > c
+        |), n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY source
+        |)
+        |SELECT a.doc_id, a.source, a.n_chars,
+        |  CAST(floor(
+        |    CAST((SELECT count(*) FROM ref r
+        |          WHERE r.source = a.source AND r.n_chars < a.n_chars) AS DOUBLE)
+        |    / n.n * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT) AS pct_e4
+        |FROM arr a JOIN n USING (source)""".stripMargin,
 
     // percentile replay: the sortless two-level Spark build must equal the
     // flat percent_rank (rank() ties share; n=1 groups pin to 0)

@@ -29,12 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
-  def perKeyPercentile(
-      df: DataFrame,
-      keyCol: String,
-      valueCol: String,
-      idCol: String): DataFrame = {
-    val base = df.select(col(idCol), col(keyCol).as("pk_key"),
+  /** Frozen per-key distribution summary: `coord` = one row per distinct
+    * (key, value) with the exclusive prefix count `pk_off` (rows strictly
+    * below) and the tie count `pk_nv`; `sizes` = per-key row counts. Both
+    * bounded by DISTINCT VALUES per key, not rows — the compressed form
+    * of the whole per-key CDF, and the model a streaming scorer freezes.
+    */
+  final case class Model(coord: DataFrame, sizes: DataFrame)
+
+  def fit(df: DataFrame, keyCol: String, valueCol: String): Model = {
+    val base = df.select(col(keyCol).as("pk_key"),
       col(valueCol).cast("long").as("pk_v"))
     val ties = base.groupBy(col("pk_key"), col("pk_v"))
       .agg(count(lit(1)).as("pk_nv"))
@@ -44,15 +48,77 @@ object Percentiles {
       .rowsBetween(Window.unboundedPreceding, -1)
     val coord = ties
       .withColumn("pk_off", coalesce(sum(col("pk_nv")).over(wKey), lit(0L)))
-      .select(col("pk_key"), col("pk_v"), col("pk_off"))
+      .select(col("pk_key"), col("pk_v"), col("pk_off"), col("pk_nv"))
     val sizes = base.groupBy(col("pk_key")).agg(count(lit(1)).as("pk_n"))
-    base
-      .join(coord, Seq("pk_key", "pk_v"))
-      .join(sizes, Seq("pk_key"))
+    Model(coord, sizes)
+  }
+
+  def perKeyPercentile(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val model = fit(df, keyCol, valueCol)
+    df.select(col(idCol), col(keyCol).as("pk_key"),
+        col(valueCol).cast("long").as("pk_v"))
+      .join(model.coord, Seq("pk_key", "pk_v"))
+      .join(model.sizes, Seq("pk_key"))
       .withColumn("pct_e4",
         when(col("pk_n") === 1L, 0L).otherwise(
           floor(col("pk_off").cast("double")
             / (col("pk_n") - 1L).cast("double") * 10000.0 + 0.5).cast("long")))
+      .select(col(idCol), col("pk_key").as(keyCol),
+        col("pk_v").as(valueCol), col("pct_e4"))
+  }
+
+  /** Score ARRIVALS against a frozen corpus distribution: each arrival's
+    * `pct_e4 = floor(smaller/n·10⁴ + 0.5)` where `smaller` = corpus rows
+    * in its key strictly below its value and n = corpus key size (the
+    * arrival is not a member, so the divisor is n, not n−1). Arrivals
+    * whose value falls BETWEEN corpus values resolve via a backward as-of
+    * walk over the distinct-value table (the [[TemporalJoins]] union +
+    * carry-forward construction on the value axis): coord rows sort
+    * before arrivals at equal value, so an exact hit reads its own
+    * exclusive prefix and a between-values hit reads prefix + tie count
+    * of the largest smaller value. Keys absent from the corpus are
+    * dropped (no distribution to score against).
+    *
+    * The per-key window sorts (distinct corpus values + arrival batch) —
+    * batch-bounded on the arrival side and distinct-value-bounded on the
+    * model side, never corpus rows.
+    */
+  def scoreAgainst(
+      arrivals: DataFrame,
+      idCol: String,
+      keyCol: String,
+      valueCol: String,
+      model: Model): DataFrame = {
+    val arr = arrivals.select(col(idCol), col(keyCol).as("pk_key"),
+      col(valueCol).cast("long").as("pk_v"), lit(1).as("pk_tag"))
+    val coordTagged = model.coord.select(col("pk_key"), col("pk_v"),
+      col("pk_off"), col("pk_nv"), lit(0).as("pk_tag"))
+    val unioned = coordTagged.unionByName(
+      arr.select(col("pk_key"), col("pk_v"), lit(null).cast("long").as("pk_off"),
+        lit(null).cast("long").as("pk_nv"), col("pk_tag")))
+    val w = Window.partitionBy(col("pk_key"))
+      .orderBy(col("pk_v").asc, col("pk_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned
+      .withColumn("cv", last(when(col("pk_tag") === 0, col("pk_v")), ignoreNulls = true).over(w))
+      .withColumn("coff", last(col("pk_off"), ignoreNulls = true).over(w))
+      .withColumn("cnv", last(col("pk_nv"), ignoreNulls = true).over(w))
+      .filter(col("pk_tag") === 1)
+      .withColumn("smaller",
+        when(col("cv").isNull, 0L)
+          .when(col("cv") === col("pk_v"), col("coff"))
+          .otherwise(col("coff") + col("cnv")))
+    arr.select(col(idCol), col("pk_key"), col("pk_v"))
+      .join(carried.select(col("pk_key"), col("pk_v"), col("smaller")).distinct(),
+        Seq("pk_key", "pk_v"))
+      .join(model.sizes, Seq("pk_key"))
+      .withColumn("pct_e4",
+        floor(col("smaller").cast("double") / col("pk_n").cast("double")
+          * 10000.0 + 0.5).cast("long"))
       .select(col(idCol), col("pk_key").as(keyCol),
         col("pk_v").as(valueCol), col("pct_e4"))
   }

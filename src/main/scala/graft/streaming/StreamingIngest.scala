@@ -386,6 +386,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** Corpus-relative percentile scoring as a STREAMING stage — each
+    * arriving document lands with its position in the FROZEN per-key
+    * corpus distribution ([[graft.operators.Percentiles.scoreAgainst]]):
+    * the "is this doc unusually long/low-quality FOR ITS SOURCE" signal
+    * at ingest. The model is the compressed per-key CDF (distinct-value
+    * table + sizes) — recomputing it per batch would shift every earlier
+    * decision, the frozen-cuts rule. Stateless per batch ⇒ replay
+    * idempotency via batch-id-keyed overwrite.
+    */
+  def startPercentileScorer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      keyCol: String,
+      valueCol: String,
+      model: graft.operators.Percentiles.Model, // frozen
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Percentiles
+          .scoreAgainst(batch, idCol, keyCol, valueCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Frozen-vocabulary document encoding as a STREAMING stage — the
     * tokenizer apply (q79) per micro-batch: arriving documents land with
     * their id-sequence fingerprint and OOV audit under a vocabulary cut

@@ -627,6 +627,26 @@ class OperatorsSpec extends SparkSpec {
     assert(p9 == out)
   }
 
+  test("percentile scoreAgainst: between-values carry, exact hits, unseen keys drop") {
+    import graft.operators.Percentiles
+    val corpus = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
+      .toDF("g", "v")
+    val model = Percentiles.fit(corpus, "g", "v")
+    val arrivals = Seq(
+      (1L, "a", 5L),   // below all -> 0/3
+      (2L, "a", 10L),  // exact hit on the smallest -> 0/3
+      (3L, "a", 15L),  // between 10 and 20 -> 1/3
+      (4L, "a", 20L),  // exact hit -> 1/3
+      (5L, "a", 25L),  // between -> 2/3
+      (6L, "a", 35L),  // above all -> 3/3
+      (7L, "zz", 1L)   // unseen key: dropped
+    ).toDF("id", "g", "v")
+    val out = Percentiles.scoreAgainst(arrivals, "id", "g", "v", model)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 3333L, 4L -> 3333L,
+      5L -> 6667L, 6L -> 10000L))
+  }
+
   test("cross-source overlap: triangular pairs, within-source dups collapsed") {
     import graft.operators.Dedup
     val docs = Seq(

@@ -306,6 +306,41 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming percentile scorer under a frozen distribution matches batch q84") {
+    import spark.implicits._
+    import graft.operators.Percentiles
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+    val model0 = Percentiles.fit(
+      docs.filter(col("doc_id") <= cut), "source", "n_chars")
+    val model = Percentiles.Model(model0.coord.cache(), model0.sizes.cache())
+    val arrivals = docs.filter(col("doc_id") > cut)
+    val landing = tmpDir("pct_land")
+    val staging = tmpDir("pct_stage") + "/files"
+    arrivals.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("pct_out")
+    val ckpt = tmpDir("pct_ckpt")
+    val q = StreamingIngest.startPercentileScorer(
+      spark, landing, arrivals.schema, "parquet", Map.empty,
+      idCol = "doc_id", keyCol = "source", valueCol = "n_chars",
+      model = model, outDir = outDir, checkpointDir = ckpt,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "source", "n_chars", "pct_e4")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q84_percentile_score")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    model.coord.unpersist(); model.sizes.unpersist()
+    ()
+  }
+
   test("streaming vocab encoder under a frozen vocabulary matches batch q79") {
     import spark.implicits._
     import graft.operators.Vocabulary
