@@ -1402,6 +1402,13 @@ object SparkEntry {
         s, graft.operators.Multimodal.imagePHashes(arrivals), table)
     }),
 
+    // BPE merge learning (tokenizer training): 12 greedy merges over the
+    // word-frequency table — one corpus scan, then vocabulary-sized
+    // iterations, the industrial-trainer shape.
+    "q85_bpe_merges" -> ((s, dir) =>
+      graft.operators.Vocabulary.bpeMerges(
+        t(s, dir, "documents"), "text", nMerges = 12)),
+
     // Arrival scoring against a FROZEN per-source length distribution:
     // the first half (by id — parity would split the sources disjointly,
     // since source is a function of id modulo the source count) forms the
@@ -2754,6 +2761,8 @@ object SparkEntry {
 
     "q83_semantic_dedup_kmeans" -> kmeansSemanticOracle,
 
+    "q85_bpe_merges" -> bpeOracle,
+
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
@@ -3137,6 +3146,49 @@ object SparkEntry {
        |FROM assigned a
        |JOIN (SELECT id, min(lab) AS rep FROM reach GROUP BY id) r USING (id)"""
       .stripMargin
+  }
+
+  /** DuckDB twin of q85 — the BPE merge loop unrolled step by step: same
+    * word-frequency base, same adjacent-pair counts, same (cnt DESC,
+    * l ASC, r ASC) greedy pick, and the same sentinel-space string
+    * `replace` as the re-merge (ANSI non-overlapping left-to-right
+    * replace IS greedy BPE application — on both engines).
+    */
+  private lazy val bpeOracle: String = {
+    val n = 12
+    def stepCtes(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, a[j] AS l, a[j + 1] AS r
+         |    FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM s${i - 1}),
+         |      unnest(range(1, len(a))) AS t(j)
+         |  ) GROUP BY l, r
+         |), b$i AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+         |), s$i AS MATERIALIZED (
+         |  SELECT freq,
+         |    replace(s,
+         |      ' ' || (SELECT l FROM b$i) || ' ' || (SELECT r FROM b$i) || ' ',
+         |      ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s
+         |  FROM s${i - 1}
+         |)""".stripMargin
+    val steps = (1 to n).map(stepCtes).mkString(",\n")
+    val unions = (1 to n).map(i =>
+      s"SELECT $i AS step, l, r, l || r AS merged, cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents
+       |  ) GROUP BY w
+       |), s0 AS MATERIALIZED (
+       |  SELECT freq,
+       |    ' ' || array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
+       |      || ' ' AS s
+       |  FROM wc
+       |),
+       |$steps
+       |$unions""".stripMargin
   }
 
   /** DuckDB twin of q83 — the kmeansOracle Lloyd chain fit on the

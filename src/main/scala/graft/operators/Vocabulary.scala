@@ -71,6 +71,75 @@ object Vocabulary {
       .select(col("word"), col("cnt"), col("rank"), col("coverage"))
   }
 
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    * tokenizer TRAINING step between [[frequencyRank]] (vocab sizing) and
+    * [[encodeWithVocab]] (apply): learn `nMerges` greedy merges over the
+    * word-frequency table. Each step merges the most frequent adjacent
+    * symbol pair (ties: left ASC, right ASC — a total order, so the merge
+    * sequence is engine-reproducible).
+    *
+    * The industrial-trainer scale shape: ONE corpus scan builds the
+    * (word, freq) table, and every iteration runs on THAT — vocabulary-
+    * sized, not corpus-sized (HF/SentencePiece trainers work the same
+    * way). Symbol sequences ride as SPACE-DELIMITED strings with sentinel
+    * spaces, so applying a merge is a single non-overlapping left-to-
+    * right `replace(' a b ', ' ab ')` — exactly greedy BPE application,
+    * and exactly reproducible in any engine with ANSI replace semantics
+    * (shared-space adjacent occurrences chain correctly because the
+    * replacement re-supplies the trailing sentinel). The driver holds one
+    * (pair, count) row per step.
+    *
+    * Returns `(step, l, r, merged, cnt)` — the learned merge table, in
+    * order. Stops early if no pair remains (every word fully merged).
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "need at least one merge step")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one corpus scan; the result is vocabulary-sized and pinned
+    var cur = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("s",
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")))
+      .select(col("freq"), col("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = cur
+        .withColumn("a", split(trim(col("s")), " "))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(
+          expr("transform(sequence(0, size(a) - 2), " +
+            "j -> struct(a[j] as l, a[j + 1] as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, l, r, l + r, cnt))
+        cur = cur.withColumn("s",
+          expr(s"replace(s, ${sqlStr(s" $l $r ")}, ${sqlStr(s" $l$r ")})"))
+          // pin each step: the table is tiny and the replace chain would
+          // otherwise re-evaluate all previous steps per iteration
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "l", "r", "merged", "cnt")
+  }
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Encode documents under a FROZEN vocabulary — the apply half of the
     * tokenizer-prep pair (what a training job actually does with the
     * [[frequencyRank]] table after cutting it at V): each token maps to

@@ -627,6 +627,26 @@ class OperatorsSpec extends SparkSpec {
     assert(p9 == out)
   }
 
+  test("bpe merges: greedy pair order, chained merges, early stop when exhausted") {
+    import graft.operators.Vocabulary
+    // words: ab x3, abc x2 -> pair (a,b)=5 wins; then (ab,c)=2; then done
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
+    val out = Vocabulary.bpeMerges(docs, "text", nMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "c", "abc", 2L)))
+    // greedy chaining on repeated symbols: "aaa" merges left-to-right
+    val rep = Vocabulary.bpeMerges(
+      Seq((1L, "aaa aaa")).toDF("doc_id", "text"), "text", 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    // step 1: (a,a) count 4 (two per word, non-overlapping counting is
+    // per adjacent POSITION: positions (1,2),(2,3) -> 2 per word = 4)
+    assert(rep(0) == ((1, "a", "a", "aa", 4L)))
+    // after greedy replace "aaa" -> "aa a": next best pair is (aa, a)
+    assert(rep(1) == ((2, "aa", "a", "aaa", 2L)))
+  }
+
   test("percentile scoreAgainst: between-values carry, exact hits, unseen keys drop") {
     import graft.operators.Percentiles
     val corpus = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
