@@ -1409,6 +1409,15 @@ object SparkEntry {
       graft.operators.Vocabulary.bpeMerges(
         t(s, dir, "documents"), "text", nMerges = 12)),
 
+    // BPE encode under the trained model: each word resolves through the
+    // final word→symbols table (the fast-tokenizer trick — no per-token
+    // merge replay), OOV words fall back to characters (no UNK).
+    "q86_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Vocabulary.bpeTrain(docs, "text", nMerges = 12)
+      graft.operators.Vocabulary.bpeEncode(docs, "doc_id", "text", model)
+    }),
+
     // Arrival scoring against a FROZEN per-source length distribution:
     // the first half (by id — parity would split the sources disjointly,
     // since source is a function of id modulo the source count) forms the
@@ -2763,6 +2772,8 @@ object SparkEntry {
 
     "q85_bpe_merges" -> bpeOracle,
 
+    "q86_bpe_encode" -> bpeEncodeOracle,
+
     "q75_pq_adc_topk" -> pqOracle,
 
     "q77_ivfpq_at_rest" -> ivfPqOracle,
@@ -3154,9 +3165,9 @@ object SparkEntry {
     * `replace` as the re-merge (ANSI non-overlapping left-to-right
     * replace IS greedy BPE application — on both engines).
     */
-  private lazy val bpeOracle: String = {
-    val n = 12
-    def stepCtes(i: Int): String =
+  private val bpeN = 12
+
+  private def bpeStepCtes(i: Int): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, a[j] AS l, a[j + 1] AS r
@@ -3166,30 +3177,62 @@ object SparkEntry {
          |), b$i AS MATERIALIZED (
          |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
          |), s$i AS MATERIALIZED (
-         |  SELECT freq,
+         |  SELECT w, freq,
          |    replace(s,
          |      ' ' || (SELECT l FROM b$i) || ' ' || (SELECT r FROM b$i) || ' ',
          |      ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s
          |  FROM s${i - 1}
          |)""".stripMargin
-    val steps = (1 to n).map(stepCtes).mkString(",\n")
-    val unions = (1 to n).map(i =>
+
+  // NOTE: bpeChainSql is already margin-stripped — the outer oracles are
+  // assembled by plain concatenation (a second stripMargin would eat the
+  // leading pipe of chain lines that start with the || operator)
+  private lazy val bpeOracle: String = {
+    val unions = (1 to bpeN).map(i =>
       s"SELECT $i AS step, l, r, l || r AS merged, cnt FROM b$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH wc AS MATERIALIZED (
+    "WITH " + bpeChainSql + "\n" + unions
+  }
+
+  /** The shared q85/q86 CTE chain text: wc, s0..s12, p/b steps. */
+  private lazy val bpeChainSql: String = {
+    val steps = (1 to bpeN).map(bpeStepCtes).mkString(",\n")
+    s"""wc AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents
        |  ) GROUP BY w
        |), s0 AS MATERIALIZED (
-       |  SELECT freq,
+       |  SELECT w, freq,
        |    ' ' || array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
        |      || ' ' AS s
        |  FROM wc
        |),
-       |$steps
-       |$unions""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** DuckDB twin of q86 — the q85 chain's FINAL word table applied to
+    * documents by join, OOV words falling back to character sequences,
+    * per-doc in-order reassembly.
+    */
+  private lazy val bpeEncodeOracle: String =
+    "WITH " + bpeChainSql + ",\n" +
+    s"""toks AS (
+       |  SELECT doc_id, i - 1 AS pos, wa[i] AS word
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wa
+       |        FROM documents), unnest(range(1, len(wa) + 1)) AS t(i)
+       |), enc AS (
+       |  SELECT t.doc_id, t.pos,
+       |    coalesce(trim(sf.s),
+       |      array_to_string([t.word[i] for i in range(1, len(t.word) + 1)], ' '))
+       |      AS syms
+       |  FROM toks t LEFT JOIN s$bpeN sf ON sf.w = t.word
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(list(syms ORDER BY pos), ' ')) AS toks_md5
+       |FROM enc GROUP BY doc_id""".stripMargin
 
   /** DuckDB twin of q83 — the kmeansOracle Lloyd chain fit on the
     * UNplanted base, quantized-L2 assignment of the planted corpus to the

@@ -92,10 +92,17 @@ object Vocabulary {
     * Returns `(step, l, r, merged, cnt)` — the learned merge table, in
     * order. Stops early if no pair remains (every word fully merged).
     */
-  def bpeMerges(
+  /** The trainer's full result: the merge table AND the final
+    * word → symbol-sequence table (`w, freq, s` — `s` sentinel-spaced),
+    * which IS the tokenizer: encoding a document is a vocabulary join,
+    * not a per-token merge replay.
+    */
+  final case class BpeModel(merges: DataFrame, words: DataFrame)
+
+  def bpeTrain(
       docs: DataFrame,
       textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): BpeModel = {
     require(nMerges >= 1, "need at least one merge step")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -105,7 +112,7 @@ object Vocabulary {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("s",
         concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")))
-      .select(col("freq"), col("s"))
+      .select(col("w"), col("freq"), col("s"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var step = 1
@@ -134,7 +141,54 @@ object Vocabulary {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "l", "r", "merged", "cnt")
+    BpeModel(
+      merges.toSeq.toDF("step", "l", "r", "merged", "cnt"),
+      cur)
+  }
+
+  def bpeMerges(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): DataFrame =
+    bpeTrain(docs, textCol, nMerges).merges
+
+  /** Encode documents under a FROZEN BPE model — the apply half of
+    * [[bpeTrain]]: each word resolves its final symbol sequence through
+    * the word table (the tokenizer IS that table — no per-token merge
+    * replay at encode time, the trick subword tokenizers deploy as a
+    * "fast" path), and the document's subword stream is reassembled in
+    * token order. Out-of-vocabulary words (never seen at train time)
+    * fall back to their raw character sequence — BPE's defining no-UNK
+    * property, since every character is a base symbol.
+    *
+    * Output: `(id, n_words, n_bpe_tokens, toks_md5)` — `toks_md5` hashes
+    * the space-joined subword stream (the q56 bounded-cell rule).
+    *
+    * Scale shape: one map-side posexplode, ONE vocabulary-keyed left
+    * join (unhinted — vocabulary size is a user outcome), per-doc-local
+    * in-order reassembly (the q79 machinery).
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BpeModel): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    toks
+      .join(model.words.select(col("w"), col("s")), Seq("w"), "left")
+      .withColumn("syms",
+        when(col("s").isNotNull, trim(col("s")))
+          .otherwise(array_join(split(col("w"), ""), " "))) // OOV: chars
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("syms"), " "))).as("n_bpe_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("syms")))).as("seq"))
+      .withColumn("toks_md5",
+        md5(array_join(
+          transform(col("seq"), e => e.getField("syms")), " ")))
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"), col("toks_md5"))
   }
 
   private def sqlStr(s: String): String =

@@ -647,6 +647,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rep(1) == ((2, "aa", "a", "aaa", 2L)))
   }
 
+  test("bpe encode: trained words collapse, OOV words fall back to characters") {
+    import graft.operators.Vocabulary
+    val train = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
+    val model = Vocabulary.bpeTrain(train, "text", nMerges = 5)
+    // merges learned: (a,b)->ab, (ab,c)->abc; encode a doc with an OOV word
+    val out = Vocabulary.bpeEncode(
+      Seq((9L, "ab abc zq")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Long, Long, String)].collect().head
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // ab -> [ab], abc -> [abc], zq (OOV) -> [z, q]: 3 words, 4 subwords
+    assert(out == ((9L, 3L, 4L, m("ab abc z q"))))
+  }
+
   test("percentile scoreAgainst: between-values carry, exact hits, unseen keys drop") {
     import graft.operators.Percentiles
     val corpus = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
