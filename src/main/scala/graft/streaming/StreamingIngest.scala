@@ -386,6 +386,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** BPE encoding as a STREAMING stage — the frozen-model apply of
+    * [[graft.operators.Vocabulary.bpeEncode]] per micro-batch: arriving
+    * documents land with their subword stream fingerprint and counts
+    * under merges trained offline (retraining per batch would re-segment
+    * earlier documents — the frozen-cuts rule). OOV words fall back to
+    * characters map-side, so novel stream content never blocks on the
+    * model. Stateless per batch ⇒ replay idempotency via batch-id-keyed
+    * overwrite.
+    */
+  def startBpeEncoder(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      model: graft.operators.Vocabulary.BpeModel, // frozen
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Vocabulary
+          .bpeEncode(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Corpus-relative percentile scoring as a STREAMING stage — each
     * arriving document lands with its position in the FROZEN per-key
     * corpus distribution ([[graft.operators.Percentiles.scoreAgainst]]):

@@ -306,6 +306,37 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming bpe encoder under frozen merges matches batch q86") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model0 = Vocabulary.bpeTrain(docs, "text", nMerges = 12)
+    val model = Vocabulary.BpeModel(
+      model0.merges.cache(), model0.words.cache())
+    val landing = tmpDir("bpe_land")
+    val staging = tmpDir("bpe_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("bpe_out")
+    val ckpt = tmpDir("bpe_ckpt")
+    val q = StreamingIngest.startBpeEncoder(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", model = model,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "n_words", "n_bpe_tokens", "toks_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = SparkEntry.queries("q86_bpe_encode")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    model.merges.unpersist(); model.words.unpersist()
+    ()
+  }
+
   test("streaming percentile scorer under a frozen distribution matches batch q84") {
     import spark.implicits._
     import graft.operators.Percentiles
