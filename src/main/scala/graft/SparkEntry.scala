@@ -1402,6 +1402,24 @@ object SparkEntry {
         s, graft.operators.Multimodal.imagePHashes(arrivals), table)
     }),
 
+    // At-rest KMV sketch table maintained INCREMENTALLY: two arrival
+    // batches fold into stored sketches (touched groups only), batch 2
+    // replays once (keyed-merge idempotence exercised inside the gate),
+    // and the table must equal the whole-corpus sketch (q73's oracle).
+    "q87_kmv_at_rest" -> ((s, dir) => {
+      val wh = scratchPath("q87", dir) + "/sketches"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop() // side-effecting query: rebuild per invocation (q17 rule)
+      val docs = t(s, dir, "documents")
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      graft.operators.Sketches.sketchTableCommit(s, b1, "source", "doc_id", 16, table)
+      graft.operators.Sketches.sketchTableCommit(s, b2, "source", "doc_id", 16, table)
+      graft.operators.Sketches.sketchTableCommit(s, b2, "source", "doc_id", 16, table)
+      graft.operators.Sketches.estimate(
+        table.read(s).select(col("g").as("source"), col("kmins")), 16)
+    }),
+
     // BPE merge learning (tokenizer training): 12 greedy merges over the
     // word-frequency table — one corpus scan, then vocabulary-sized
     // iterations, the industrial-trainer shape.
@@ -2902,26 +2920,11 @@ object SparkEntry {
     // group via a rank window, then the same IEEE estimator arithmetic
     // ((k-1)·2^52 / kth, floored at 1e-4) — bit-identical because every
     // input is an exactly-representable double
-    "q73_kmv_distinct" ->
-      """WITH hashed AS (
-        |  SELECT DISTINCT source,
-        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
-        |  FROM documents
-        |), ranked AS (
-        |  SELECT source, h,
-        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
-        |  FROM hashed
-        |), kmins AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS kept, max(h) AS kth
-        |  FROM ranked WHERE r <= 16 GROUP BY source
-        |)
-        |SELECT source, kept, kth,
-        |  CAST(floor(
-        |    (CASE WHEN kept < 16 THEN CAST(kept AS DOUBLE)
-        |          ELSE CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
-        |               / CAST(kth AS DOUBLE) END)
-        |    * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_e4
-        |FROM kmins""".stripMargin,
+    "q73_kmv_distinct" -> kmvOracle,
+
+    // incremental maintenance must converge to the whole-corpus sketch —
+    // same oracle as the one-shot aggregate
+    "q87_kmv_at_rest" -> kmvOracle,
 
     // DSIR replay: same 16-bit md5 bucket hash, each ln quantized to 1e-4
     // fixed point INDEPENDENTLY (libm drift dies at the quantizer), per-doc
@@ -3165,6 +3168,34 @@ object SparkEntry {
     * `replace` as the re-merge (ANSI non-overlapping left-to-right
     * replace IS greedy BPE application — on both engines).
     */
+  /** KMV sketch replay (q73 one-shot aggregate AND q87 at-rest table —
+    * incremental maintenance must converge to the whole-corpus sketch):
+    * the k smallest distinct 52-bit md5 hashes per group via a rank
+    * window, then the same IEEE estimator arithmetic ((k-1)·2^52 / kth,
+    * floored at 1e-4) — bit-identical because every input is an
+    * exactly-representable double.
+    */
+  private lazy val kmvOracle: String =
+    """WITH hashed AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |  FROM hashed
+      |), kmins AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS kept, max(h) AS kth
+      |  FROM ranked WHERE r <= 16 GROUP BY source
+      |)
+      |SELECT source, kept, kth,
+      |  CAST(floor(
+      |    (CASE WHEN kept < 16 THEN CAST(kept AS DOUBLE)
+      |          ELSE CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+      |               / CAST(kth AS DOUBLE) END)
+      |    * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_e4
+      |FROM kmins""".stripMargin
+
   private val bpeN = 12
 
   private def bpeStepCtes(i: Int): String =

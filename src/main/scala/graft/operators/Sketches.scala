@@ -99,6 +99,45 @@ object Sketches {
       .limit(topK) // TakeOrderedAndProject: per-partition heaps, no full sort
   }
 
+  /** Incrementally maintain a per-group KMV sketch table AT REST — the
+    * statistics analog of the minhash-index commit: each arrival batch
+    * folds its key hashes into the stored sketches WITHOUT rescanning
+    * anything older. The stored row per group is the ascending k-mins
+    * array; the update explodes only the TOUCHED groups' stored arrays
+    * (≤ k values each), re-aggregates them with the batch hashes (the
+    * lossless union-then-trim the merge spec proves), and MERGEs the new
+    * rows back — a keyed upsert, so replaying the same batch is
+    * idempotent. After any number of batches the table equals the
+    * whole-corpus sketch.
+    */
+  def sketchTableCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      table: graft.table.WarehouseTable): Unit = {
+    val batchHashes = batch.select(col(groupCol).as("g"),
+      hash52(col(keyCol)).as("h52"))
+    val withStored =
+      if (table.exists) {
+        val stored = table.read(spark)
+          .join(batchHashes.select(col("g")).distinct(), Seq("g"), "left_semi")
+          .select(col("g"), explode(col("kmins")).as("h52"))
+        batchHashes.unionByName(stored)
+      } else batchHashes
+    val updated = withStored.groupBy(col("g"))
+      .agg(KMinValues(col("h52"), k).as("kmins"))
+    if (!table.exists)
+      table.create(updated.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy")
+          ++ Map("kmv.k" -> k.toString))
+    else require(table.properties.get("kmv.k").forall(_ == k.toString),
+      s"sketch table was built with kmv.k=${table.properties("kmv.k")} but " +
+        s"the commit passed k=$k — sketches of different k never merge")
+    table.merge(spark, updated, Seq("g"))
+  }
+
   def approxDistinct(
       df: DataFrame,
       groupCols: Seq[String],
@@ -108,6 +147,13 @@ object Sketches {
       .select(groupCols.map(col) :+ hash52(col(keyCol)).as("h52"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(KMinValues(col("h52"), k).as("kmins"))
+    estimate(kmins, k)
+  }
+
+  /** The KMV estimator columns over a frame carrying a `kmins` array —
+    * shared by the one-shot aggregate and the at-rest sketch table read.
+    */
+  def estimate(kmins: DataFrame, k: Int): DataFrame =
     kmins
       .withColumn("kept", size(col("kmins")).cast("long"))
       .withColumn("kth", element_at(col("kmins"), size(col("kmins"))))
@@ -117,5 +163,4 @@ object Sketches {
             .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth").cast("double"))
           * 10000.0).cast("long"))
       .drop("kmins")
-  }
 }

@@ -695,6 +695,32 @@ class OperatorsSpec extends SparkSpec {
       ("s2", "s3", 2L)))
   }
 
+  test("kmv sketch table at rest: commits converge, replay no-op, k guarded") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("kmvrest").toString + "/t"
+    val table = graft.table.WarehouseTable(wh)
+    val b1 = (1L to 30L).map(i => ("g", i)).toDF("src", "id")
+    val b2 = (20L to 60L).map(i => ("g", i)).toDF("src", "id")
+    Sketches.sketchTableCommit(spark, b1, "src", "id", 16, table)
+    Sketches.sketchTableCommit(spark, b2, "src", "id", 16, table)
+    def rows() = Sketches.estimate(
+        table.read(spark).select(col("g").as("src"), col("kmins")), 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val whole = Sketches.approxDistinct(
+        b1.unionByName(b2), Seq("src"), "id", 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(rows() == whole)
+    // keyed merge: replaying a batch is byte-idempotent
+    Sketches.sketchTableCommit(spark, b2, "src", "id", 16, table)
+    assert(rows() == whole)
+    // sketches of different k never merge: loud rejection
+    intercept[IllegalArgumentException] {
+      Sketches.sketchTableCommit(spark, b2, "src", "id", 8, table)
+    }
+    ()
+  }
+
   test("kmv sketches compose incrementally: stored sketch + new batch = whole") {
     import graft.functions.KMinValues
     import graft.operators.Sketches
