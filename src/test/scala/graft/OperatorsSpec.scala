@@ -695,6 +695,67 @@ class OperatorsSpec extends SparkSpec {
       ("s2", "s3", 2L)))
   }
 
+  test("property: kmv estimates are exact below k and ref-equal above") {
+    import graft.operators.Sketches
+    val gen = Gen.listOfN(80, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(1L, 200L)))
+    forAllSeeded(gen, trials = 4) { rows =>
+      val df = rows.toDF("g", "id")
+      val got = Sketches.approxDistinct(df, Seq("g"), "id", 16)
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val distinct = rs.map(_._2).distinct
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h(id: Long): Long = java.lang.Long.parseLong(
+          md.digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 13), 16)
+        val mins = distinct.map(h).sorted.take(16)
+        // kept/kth come straight from the JVM reference hash order
+        assert(got(g)._2 == mins.size && got(g)._3 == mins.last)
+        if (distinct.size < 16) assert(got(g)._4 == distinct.size * 10000L)
+        else assert(got(g)._4 ==
+          math.floor(15.0 * 4503599627370496.0 / mins.last * 10000.0).toLong)
+      }
+    }
+  }
+
+  test("property: cms never undercounts any word at any width") {
+    import graft.operators.Sketches
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    val gen = Gen.zip(Gen.listOfN(60, word), Gen.chooseNum(2, 64))
+    forAllSeeded(gen, trials = 4) { case (words, width) =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = Sketches.countMinTopWords(docs, "text", 4, width, 100)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (w, c) =>
+        assert(est(w) >= c, s"$w undercounted at width $width")
+      }
+    }
+  }
+
+  test("property: per-key percentile equals the flat percent_rank window") {
+    import graft.operators.Percentiles
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, floor, rank, when, lit}
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 12L)))
+    forAllSeeded(gen, trials = 4) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+      val got = Percentiles.perKeyPercentile(df, "g", "v", "id")
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      val flat = df
+        .withColumn("rk", rank().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .withColumn("p", when(col("n") === 1, 0L).otherwise(
+          floor((col("rk") - 1).cast("double") / (col("n") - 1).cast("double")
+            * 10000.0 + 0.5).cast("long")))
+        .select("id", "p").as[(Long, Long)].collect().toMap
+      assert(got == flat)
+    }
+  }
+
   test("kmv sketch table at rest: commits converge, replay no-op, k guarded") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
