@@ -1402,6 +1402,44 @@ object SparkEntry {
         s, graft.operators.Multimodal.imagePHashes(arrivals), table)
     }),
 
+    // ANN index quality evaluation: recall@5 of the IVFADC at-rest index
+    // (q77's compressed, pruned path) against exact L2 top-5 — the metric
+    // PQ approximates, so the number isolates quantization+pruning loss.
+    // The harness that MEASURES the recall/speed trade instead of
+    // assuming it.
+    "q88_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = SimilaritySearch.bruteForceTopKL2(qs, corpus, k = 5)
+      val table = q77Index(s, dir)
+      val cents = SimilaritySearch.centroids(q77Corpus(s, dir), "bucket")
+      val approx = graft.operators.ProductQuantizer.ivfPqTopKAtRest(
+        s, qs, table, cents, q77Cb(s, dir), k = 5, nprobe = 3)
+      // decomposition: exact L2 RESTRICTED to the probed cells isolates
+      // quantization loss from coarse-pruning loss — with near-orthogonal
+      // synthetic vectors the pruning term dominates by construction (no
+      // cluster structure to exploit), and the harness shows exactly that
+      val qk = graft.operators.KMeans.quantize(col("qvec"))
+      val ck = graft.operators.KMeans.quantize(col("vec"))
+      val exactProbed = SimilaritySearch.probeBuckets(qs, cents, 3)
+        .join(q77Corpus(s, dir).select(col("id"), col("vec"), col("bucket")),
+          Seq("bucket"))
+        .withColumn("d", graft.functions.LongSqDist(qk, ck))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("d").asc, col("id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("id"))
+      val global = SimilaritySearch.recallAtK(exact, approx)
+      val quant = SimilaritySearch.recallAtK(exactProbed, approx)
+        .select(col("qid"), col("n_hits").as("n_hits_probed"),
+          col("recall_e4").as("recall_probed_e4"))
+      global.join(quant, Seq("qid"))
+    }),
+
     // At-rest KMV sketch table maintained INCREMENTALLY: two arrival
     // batches fold into stored sketches (touched groups only), batch 2
     // replays once (keyed-merge idempotence exercised inside the gate),
@@ -2926,6 +2964,8 @@ object SparkEntry {
     // same oracle as the one-shot aggregate
     "q87_kmv_at_rest" -> kmvOracle,
 
+    "q88_ann_recall" -> annRecallOracle,
+
     // DSIR replay: same 16-bit md5 bucket hash, each ln quantized to 1e-4
     // fixed point INDEPENDENTLY (libm drift dies at the quantizer), per-doc
     // weight an exact BIGINT sum of integer quanta — the q53 rules
@@ -3264,6 +3304,90 @@ object SparkEntry {
        |  CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list(syms ORDER BY pos), ' ')) AS toks_md5
        |FROM enc GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of q88 — the q14 exact-cosine top-5 joined against the
+    * full q77 IVFADC replay (nested WITH subquery), per-query hit counts
+    * stable-rounded. Assembled by concatenation: both parts are already
+    * final SQL text.
+    */
+  private lazy val annRecallOracle: String = {
+    val exactSql =
+      s"""  SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d ASC, id ASC) AS rank
+         |    FROM (
+         |      SELECT q.qid, c.id, ${pqSqd("q.qqv", "c.cqv")} AS d
+         |      FROM (SELECT vec_id AS id, list_transform(embedding,
+         |              x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cqv
+         |            FROM embeddings WHERE vec_id >= 10) c,
+         |           (SELECT vec_id AS qid, list_transform(embedding,
+         |              x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qqv
+         |            FROM embeddings WHERE vec_id < 10) q
+         |    )
+         |  ) WHERE rank <= 5""".stripMargin
+    val dotQQc = sqlListDot("p.qvec", "p.qvec")
+    val dotCC = sqlListDot("cent.cvec", "cent.cvec")
+    val dotQC = sqlListDot("p.qvec", "cent.cvec")
+    val probedSql =
+      s""", cq AS (
+         |  SELECT vec_id AS qid, embedding AS qvec,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qqv
+         |  FROM embeddings WHERE vec_id < 10
+         |), cc AS (
+         |  SELECT vec_id AS id, embedding AS vec, label AS bucket,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS cqv
+         |  FROM embeddings WHERE vec_id >= 10
+         |), cent AS (
+         |  SELECT bucket, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT bucket, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
+         |    FROM cc, unnest(range(1, len(vec) + 1)) AS t(pos)
+         |    GROUP BY bucket, pos
+         |  ) GROUP BY bucket
+         |), probed AS (
+         |  SELECT qid, qqv, bucket FROM (
+         |    SELECT p.qid, p.qqv, cent.bucket,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY
+         |        CASE WHEN sqrt($dotQQc) = 0 OR sqrt($dotCC) = 0 THEN 0.0
+         |             ELSE $dotQC / (sqrt($dotQQc) * sqrt($dotCC)) END DESC,
+         |        cent.bucket ASC) AS crank
+         |    FROM cq p, cent
+         |  ) WHERE crank <= 3
+         |), exactp AS (
+         |  SELECT qid, id FROM (
+         |    SELECT p.qid, c.id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${pqSqd("p.qqv", "c.cqv")} ASC, c.id ASC) AS rank
+         |    FROM probed p JOIN cc c ON c.bucket = p.bucket
+         |  ) WHERE rank <= 5
+         |)""".stripMargin
+    "WITH exact AS (\n" + exactSql + "\n), approx AS (\n  FROM (\n" +
+      ivfPqOracle + "\n  )\n)" + probedSql + "\n" +
+      """, g AS (
+        |  SELECT e.qid,
+        |    CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits,
+        |    CAST(floor(
+        |      CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT) AS recall_e4
+        |  FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+        |  GROUP BY e.qid
+        |), pr AS (
+        |  SELECT e.qid,
+        |    CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits_probed,
+        |    CAST(floor(
+        |      CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)
+        |      AS recall_probed_e4
+        |  FROM exactp e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+        |  GROUP BY e.qid
+        |)
+        |SELECT g.qid, g.n_hits, g.recall_e4, pr.n_hits_probed,
+        |  pr.recall_probed_e4
+        |FROM g JOIN pr USING (qid)""".stripMargin
+  }
 
   /** DuckDB twin of q83 — the kmeansOracle Lloyd chain fit on the
     * UNplanted base, quantized-L2 assignment of the planted corpus to the

@@ -330,6 +330,49 @@ object SimilaritySearch {
     * and O(log n) components. End-to-end deterministic — trainer,
     * assignment, and verification all replay in the oracle.
     */
+  /** Exact top-k under QUANTIZED L2 — the ground truth an ADC/PQ index
+    * must be evaluated against (PQ approximates L2 distances; judging it
+    * against a cosine ranking conflates quantization loss with plain
+    * metric mismatch). Same plan as [[bruteForceTopK]], integer distance.
+    */
+  def bruteForceTopKL2(
+      queries: DataFrame, // qid, qvec
+      corpus: DataFrame,  // id, vec
+      k: Int,
+      scale: Long = 10000L): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("d", graft.functions.LongSqDist(
+        KMeans.quantize(col("qvec"), scale), KMeans.quantize(col("vec"), scale)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("d"), col("rank"))
+  }
+
+  /** Recall@k of an approximate top-k against the exact one — the eval
+    * harness every deployed ANN index needs (PQ/IVF trade recall for
+    * speed; this MEASURES the trade on live data instead of assuming
+    * it): per query, the fraction of the exact top-k the approximate
+    * result recovered, 1e-4 fixed point. One (qid, id)-keyed join of two
+    * k-row-per-query frames — bounded by |Q|·k, never corpus-sized.
+    */
+  def recallAtK(
+      exact: DataFrame, // qid, id, ...
+      approx: DataFrame // qid, id, ...
+  ): DataFrame = {
+    val hits = exact.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id"), lit(1).as("hit")),
+        Seq("qid", "id"), "left")
+    hits.groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("qid"), col("n_hits").cast("long").as("n_hits"),
+        floor(col("n_hits").cast("double") / col("k").cast("double")
+          * 10000.0 + 0.5).cast("long").as("recall_e4"))
+  }
+
   def semanticDedupKMeans(
       corpus: DataFrame,  // id, vec — what gets deduped
       trainOn: DataFrame, // id, vec — what the codebook is fit on

@@ -896,6 +896,35 @@ class OperatorsSpec extends SparkSpec {
       (2L, 2L, 0L, 1), (3L, 3L, 0L, 1)))
   }
 
+  test("ann recall harness: exact hit math, and perfect recall on separable data") {
+    import graft.operators.{ProductQuantizer, SimilaritySearch}
+    import org.apache.spark.sql.functions.col
+    // pure hit arithmetic on crafted frames
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L), (2L, 78L))
+      .toDF("qid", "id")
+    val r = SimilaritySearch.recallAtK(exact, approx)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 2L, 6667L)) && r(2L) == ((2L, 0L, 0L)))
+    // a PQ index over cluster-structured vectors recovers the exact L2
+    // top-1 perfectly: the q75 fixture where every vector IS a centroid
+    // concatenation (quantization loss zero by construction)
+    val corpus = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(10f, 10f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(10f, 10f, 10f, 10f))).toDF("id", "vec")
+    val cb = ProductQuantizer.fit(corpus, "id", "vec", 4, 2, 2, 2)
+    val qs = corpus.toDF("qid", "qvec")
+    val ex = SimilaritySearch.bruteForceTopKL2(qs, corpus, k = 1)
+    val ap = ProductQuantizer.adcTopK(qs,
+      ProductQuantizer.encode(corpus, "id", "vec", cb), cb, k = 1)
+    val rr = SimilaritySearch.recallAtK(ex, ap)
+      .select(col("recall_e4")).as[Long].collect()
+    assert(rr.length == 4 && rr.forall(_ == 10000L))
+  }
+
   test("dsir: target-like docs weigh positive, raw-only negative, short docs zero") {
     import graft.operators.Dsir
     // target corpus: alpha/beta bigrams; raw corpus adds gamma/delta mass.
