@@ -50,17 +50,13 @@ object Dsir {
   def bucketOf(gram: Column, b: Int): Column =
     conv(substring(md5(gram), 1, 4), 16, 10).cast("long") % b
 
-  /** Documents shorter than two tokens carry no bigram and are excluded
-    * up front (WordShinglesAll's `<n tokens → one joined shingle` edge
-    * would otherwise count the whole text as a pseudo-bigram) — so the
-    * operator is well-defined on ANY corpus, not just one with no
-    * one-token docs.
-    */
-  private def withBigrams(docs: DataFrame, textCol: String): DataFrame =
-    docs.where(size(graft.functions.TextFunctions.tokens(col(textCol))) >= 2)
-
+  // Documents shorter than two tokens carry no positional bigram —
+  // WordShinglesAll(_, 2) returns an EMPTY array for them (unlike the
+  // dedup-oriented WordShingles, whose <n edge joins the whole text),
+  // so the explode drops them naturally and the operator is well-defined
+  // on any corpus.
   private def bucketCounts(docs: DataFrame, textCol: String, b: Int): DataFrame =
-    withBigrams(docs, textCol)
+    docs
       .select(explode(WordShinglesAll(col(textCol), 2)).as("gram"))
       .select(bucketOf(col("gram"), b).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
@@ -75,14 +71,24 @@ object Dsir {
       textCol: String,
       numBuckets: Int = 256): Model = {
     require(numBuckets >= 2, "need at least 2 hash buckets")
+    // the bucket hash has 16 bits: more buckets than 2^16 would be
+    // permanently unreachable while still claiming smoothing mass
+    require(numBuckets <= 65536,
+      s"numBuckets=$numBuckets exceeds the 16-bit hash range (65536)")
     val tb = bucketCounts(target, textCol, numBuckets).withColumnRenamed("c", "tc")
     val rb = bucketCounts(raw, textCol, numBuckets).withColumnRenamed("c", "rc")
     val buckets = tb.join(rb, Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
+      // the model must be FROZEN: without pinning, every scoring action
+      // would re-run both corpus-scan fits (totals' plan nests buckets',
+      // so twice each) and a mutated source frame could silently change
+      // the model between uses
+      .localCheckpoint()
     val totals = buckets.agg(
       sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+      .localCheckpoint()
     Model(buckets, totals, numBuckets)
   }
 
@@ -99,7 +105,7 @@ object Dsir {
       textCol: String,
       model: Model): DataFrame = {
     val b = model.numBuckets
-    val occ = withBigrams(docs, textCol).select(col(idCol),
+    val occ = docs.select(col(idCol),
       explode(WordShinglesAll(col(textCol), 2)).as("gram"))
       .select(col(idCol), bucketOf(col("gram"), b).as("b"))
     val scored = occ

@@ -37,9 +37,29 @@ object Percentiles {
     */
   final case class Model(coord: DataFrame, sizes: DataFrame)
 
+  /** Guard: the signal column must already be integral — a silent
+    * `cast("long")` of a double score in [0, 1) would truncate every
+    * value to 0 and collapse the whole ranking into one tie class.
+    * Fractional signals must be explicitly pre-quantized by the caller
+    * (e.g. `floor(score · 10⁴)`), which also fixes their tie semantics.
+    */
+  private def integralValue(df: DataFrame, valueCol: String): Unit = {
+    val dt = df.schema(valueCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(dt.typeName),
+      s"percentile value column '$valueCol' is ${dt.typeName}; pre-quantize " +
+        "fractional signals explicitly (floor(x*10^k)) instead of relying " +
+        "on a silent truncating cast")
+  }
+
   def fit(df: DataFrame, keyCol: String, valueCol: String): Model = {
-    val base = df.select(col(keyCol).as("pk_key"),
-      col(valueCol).cast("long").as("pk_v"))
+    integralValue(df, valueCol)
+    // null keys/values carry no rank information and would otherwise sit
+    // at the head of the prefix window, shifting every real value's
+    // offset while never matching the equi-join back
+    val base = df
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("pk_key"),
+        col(valueCol).cast("long").as("pk_v"))
     val ties = base.groupBy(col("pk_key"), col("pk_v"))
       .agg(count(lit(1)).as("pk_nv"))
     // exclusive prefix over the per-key distinct-value table: rows with a
@@ -59,7 +79,8 @@ object Percentiles {
       valueCol: String,
       idCol: String): DataFrame = {
     val model = fit(df, keyCol, valueCol)
-    df.select(col(idCol), col(keyCol).as("pk_key"),
+    df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(keyCol).as("pk_key"),
         col(valueCol).cast("long").as("pk_v"))
       .join(model.coord, Seq("pk_key", "pk_v"))
       .join(model.sizes, Seq("pk_key"))
@@ -93,8 +114,11 @@ object Percentiles {
       keyCol: String,
       valueCol: String,
       model: Model): DataFrame = {
-    val arr = arrivals.select(col(idCol), col(keyCol).as("pk_key"),
-      col(valueCol).cast("long").as("pk_v"), lit(1).as("pk_tag"))
+    integralValue(arrivals, valueCol)
+    val arr = arrivals
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(keyCol).as("pk_key"),
+        col(valueCol).cast("long").as("pk_v"), lit(1).as("pk_tag"))
     val coordTagged = model.coord.select(col("pk_key"), col("pk_v"),
       col("pk_off"), col("pk_nv"), lit(0).as("pk_tag"))
     val unioned = coordTagged.unionByName(

@@ -54,6 +54,13 @@ object ProductQuantizer {
       iters: Int,
       scale: Long = 10000L): Codebooks = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    // fail loudly on a dim/data mismatch: slices past the true length
+    // would silently compare empty prefixes (distance 0 to everything)
+    // and every vector would encode to code 0 in the short subspaces.
+    // One-row probe — a bounded planning step.
+    corpus.select(size(col(vecCol)).as("n")).head(1).foreach(r =>
+      require(r.getInt(0) == dim,
+        s"corpus vectors have ${r.getInt(0)} elements but dim=$dim was passed"))
     val dsub = dim / m
     val cents = (0 until m).map { s =>
       KMeans.fit(
@@ -176,8 +183,12 @@ object ProductQuantizer {
     val bucketVals = probe0.select(col("bucket")).distinct()
       .collect().map(_.get(0)).toSeq // bounded: ≤ nlist values
     val codes = table.read(spark, partitions = Some(bucketVals))
-    val q = probe0.select(col("qid"), col("bucket"),
-      dtabExpr(col("qvec"), cb).as("dtab"))
+    // the m·k distance table is computed ONCE PER QUERY and joined to the
+    // probe pairs — building it on probe0 directly would evaluate (and
+    // broadcast) it nprobe times per query
+    val dtabs = queries.select(col("qid"), dtabExpr(col("qvec"), cb).as("dtab"))
+    val q = probe0.select(col("qid"), col("bucket"))
+      .join(dtabs, Seq("qid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("id").asc)
     codes.join(broadcast(q), "bucket")

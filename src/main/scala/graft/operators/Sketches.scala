@@ -28,51 +28,63 @@ object Sketches {
 
   /** Uniform-deterministic 52-bit hash of a key: the first 13 hex chars
     * of md5, as a LONG. DuckDB twin: `('0x' || substring(md5(k),1,13))::BIGINT`.
+    * Null keys hash to null (dropped by the sketch aggregates — a null
+    * key is not a distinct value).
     */
   def hash52(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("long")
 
-  /** Per-group approximate distinct count via a k-minimum-values sketch.
-    *
-    * Output per group: `kept` (how many distinct hashes the sketch holds,
-    * = min(k, true distinct)), `kth` (the largest retained hash), and
-    * `est_e4` = floor(estimate · 10⁴):
-    *  - sketch saturated (`kept == k`): `(k-1) · 2^52 / kth` — the
-    *    classic KMV estimator (uniform order statistics);
-    *  - not saturated: the sketch IS the distinct set, so the estimate
-    *    is exact = `kept`.
-    *
-    * Scale shape: ONE aggregation whose partial state is ≤ k longs per
-    * (partition, group) — the shuffle moves sketches, not keys. Sketches
-    * for disjoint batches union-then-trim losslessly, so incremental
-    * maintenance (re-aggregate yesterday's sketch table with today's
-    * batch) never rescans the corpus.
-    *
-    * All arithmetic after the integer hashes is IEEE double ops on
-    * exactly-representable inputs (k-1 and 2^52 are exact; the product is
-    * exact for any sane k), so the floored 1e-4 quantization is
-    * engine-reproducible bit-for-bit.
+  /** Count-min counters over the corpus token stream (Cormode &
+    * Muthukrishnan 2005): `depth` md5-hash rows × `width` counters. THIS
+    * is the bounded, mergeable artifact — ≤ depth·width rows at any
+    * corpus size (map-side partials get it there before the exchange),
+    * counters add elementwise across batches. Seedless md5 row hashes ⇒
+    * no processing-order dependence (why Misra-Gries-style summaries,
+    * whose content is arrival-order-dependent, were NOT chosen).
     */
-  /** Heavy-hitter word frequencies via a count-min sketch (Cormode &
-    * Muthukrishnan 2005): `depth` hash rows × `width` counters, estimate =
-    * min over rows of the hashed counter. One-sided error (estimates never
-    * undercount; overcount ≤ εN w.h.p. with ε = e/width), so a "top tokens"
-    * report built from it never misses a true heavy hitter.
-    *
-    * Scale shape: the counter table is bounded at `depth·width` rows no
-    * matter the corpus (map-side partial aggregation reduces every
-    * partition to that before the shuffle — exact per-word counts shuffle
-    * the vocabulary itself, q67's cost); counters are MERGEABLE by
-    * elementwise addition, so per-batch sketches compose incrementally.
-    * The estimate join is keyed by the queried words only.
-    *
-    * Determinism: the row hashes are md5-derived (`h_r(w) = md5("r:w")`
-    * mod width) — no seeds, no processing-order dependence (unlike
-    * Misra-Gries-style summaries, whose content depends on arrival
-    * order), so the DuckDB oracle replays counters and estimates exactly.
-    *
-    * Output: the `topK` words by (estimate DESC, word ASC) with their
-    * estimated counts — the q61-style corpus report, from bounded state.
+  def countMinCounters(
+      docs: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 hash rows, width >= 2")
+    docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), cmBucket(col("w"), col("r"), width).as("b"))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("c")) // ≤ depth·width rows
+  }
+
+  private def cmBucket(w: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), w)), 1, 8),
+      16, 10).cast("long") % width
+
+  /** Estimated counts for a BOUNDED queried-word set — the access
+    * pattern CMS exists for: `words × depth` probe rows join the
+    * depth·width counter table; nothing vocabulary-sized is touched.
+    * Estimate = min over rows; one-sided error (never undercounts,
+    * overcount ≤ εN w.h.p., ε = e/width).
+    */
+  def cmsEstimateFor(
+      counters: DataFrame, // r, b, c
+      words: DataFrame,    // w
+      depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    words.select(col("w")).where(col("w").isNotNull).distinct()
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("w"), col("r"), cmBucket(col("w"), col("r"), width).as("b"))
+      .join(counters, Seq("r", "b"), "left")
+      .groupBy(col("w"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** Top-`topK` words by CMS estimate — a q61-style corpus REPORT. Be
+    * honest about its cost: enumerating every word's estimate is a
+    * vocabulary-keyed pass (the same cost class as q67's exact ranking);
+    * what the sketch buys here is not this report but the MERGEABLE
+    * counter table behind it (per-batch counters roll up by addition,
+    * and [[cmsEstimateFor]] answers bounded watchlist queries from it
+    * without touching the corpus or the vocabulary again).
     */
   def countMinTopWords(
       docs: DataFrame,
@@ -80,21 +92,11 @@ object Sketches {
       depth: Int = 4,
       width: Int = 1024,
       topK: Int = 20): DataFrame = {
-    require(depth >= 1 && width >= 2, "need depth >= 1 hash rows, width >= 2")
-    val toks = docs.select(
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
-    val hashed = toks
-      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("b",
-        conv(substring(
-          md5(concat(col("r").cast("string"), lit(":"), col("w"))), 1, 8),
-          16, 10).cast("long") % width)
-    val counters = hashed.groupBy(col("r"), col("b"))
-      .agg(count(lit(1)).as("c")) // ≤ depth·width rows
-    hashed.select(col("w"), col("r"), col("b")).distinct()
-      .join(counters, Seq("r", "b"))
-      .groupBy(col("w"))
-      .agg(min(col("c")).as("est"))
+    val counters = countMinCounters(docs, textCol, depth, width)
+    val vocab = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .distinct()
+    cmsEstimateFor(counters, vocab, depth, width)
       .orderBy(col("est").desc, col("w").asc)
       .limit(topK) // TakeOrderedAndProject: per-partition heaps, no full sort
   }
@@ -119,6 +121,7 @@ object Sketches {
       table: graft.table.WarehouseTable): Unit = {
     val batchHashes = batch.select(col(groupCol).as("g"),
       hash52(col(keyCol)).as("h52"))
+      .where(col("h52").isNotNull) // null keys are not distinct values
     val withStored =
       if (table.exists) {
         val stored = table.read(spark)
@@ -138,6 +141,27 @@ object Sketches {
     table.merge(spark, updated, Seq("g"))
   }
 
+  /** Per-group approximate distinct count via a k-minimum-values sketch.
+    *
+    * Output per group: `kept` (how many distinct hashes the sketch holds,
+    * = min(k, true distinct)), `kth` (the largest retained hash), and
+    * `est_e4` = floor(estimate · 10⁴):
+    *  - sketch saturated (`kept == k`): `(k-1) · 2^52 / kth` — the
+    *    classic KMV estimator (uniform order statistics);
+    *  - not saturated: the sketch IS the distinct set, so the estimate
+    *    is exact = `kept`.
+    *
+    * Scale shape: ONE aggregation whose partial state is ≤ k longs per
+    * (partition, group) — the shuffle moves sketches, not keys. Sketches
+    * for disjoint batches union-then-trim losslessly, so incremental
+    * maintenance (re-aggregate yesterday's sketch table with today's
+    * batch) never rescans the corpus.
+    *
+    * All arithmetic after the integer hashes is IEEE double ops on
+    * exactly-representable inputs (k-1 and 2^52 are exact; the product is
+    * exact for any sane k), so the floored 1e-4 quantization is
+    * engine-reproducible bit-for-bit.
+    */
   def approxDistinct(
       df: DataFrame,
       groupCols: Seq[String],
@@ -145,6 +169,7 @@ object Sketches {
       k: Int): DataFrame = {
     val kmins = df
       .select(groupCols.map(col) :+ hash52(col(keyCol)).as("h52"): _*)
+      .where(col("h52").isNotNull) // null keys are not distinct values
       .groupBy(groupCols.map(col): _*)
       .agg(KMinValues(col("h52"), k).as("kmins"))
     estimate(kmins, k)
@@ -152,11 +177,15 @@ object Sketches {
 
   /** The KMV estimator columns over a frame carrying a `kmins` array —
     * shared by the one-shot aggregate and the at-rest sketch table read.
+    * A group whose keys were ALL null carries an empty sketch: kept 0,
+    * null kth, estimate 0 (guarded — `element_at(arr, 0)` would throw).
     */
   def estimate(kmins: DataFrame, k: Int): DataFrame =
     kmins
       .withColumn("kept", size(col("kmins")).cast("long"))
-      .withColumn("kth", element_at(col("kmins"), size(col("kmins"))))
+      .withColumn("kth",
+        when(col("kept") > 0L, element_at(col("kmins"), size(col("kmins"))))
+          .otherwise(lit(null).cast("long")))
       .withColumn("est_e4",
         floor(
           when(col("kept") < k, col("kept").cast("double"))

@@ -756,6 +756,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("review hardening: null keys, empty sketches, fractional-signal guard") {
+    import graft.operators.{Percentiles, Sketches}
+    import org.apache.spark.sql.functions.col
+    // a group whose keys are ALL null has no distinct values: it drops
+    // from the output entirely (and no element_at(arr, 0) crash)
+    val mixed = Seq(("a", Some(1L)), ("a", Some(2L)), ("b", None), ("b", None))
+      .toDF("g", "id")
+    val out = Sketches.approxDistinct(mixed, Seq("g"), "id", 16)
+      .as[(String, Long, Option[Long], Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("a"))
+    assert(out("a")._2 == 2L && out("a")._4 == 20000L)
+    // null values drop from percentiles instead of shifting real ranks
+    val withNulls = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", None))
+      .toDF("id", "g", "v")
+    val pct = Percentiles.perKeyPercentile(withNulls, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(pct == Map(1L -> 0L, 2L -> 10000L)) // null row gone, ranks intact
+    // a fractional signal must be pre-quantized explicitly, not truncated
+    intercept[IllegalArgumentException] {
+      Percentiles.perKeyPercentile(
+        Seq((1L, "a", 0.5)).toDF("id", "g", "v"), "g", "v", "id")
+    }
+    // the bounded CMS query path: watchlist estimates without touching
+    // the vocabulary; unseen words estimate 0
+    val docs = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val counters = Sketches.countMinCounters(docs, "text", 4, 64)
+    val est = Sketches.cmsEstimateFor(
+        counters, Seq("x", "zz").toDF("w"), 4, 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 2L && est("zz") >= 0L)
+    ()
+  }
+
   test("kmv sketch table at rest: commits converge, replay no-op, k guarded") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
