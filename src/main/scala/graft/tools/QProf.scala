@@ -33,6 +33,11 @@ object QProf {
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     val evdf = s.read.schema(schema).parquet(s"$dir/events.parquet")
+      // normalize to epoch-nanos whichever unit the testdata generation
+      // used (micros since round 7 — the SparkEntry.events rule)
+      .withColumn("ts",
+        when(col("ts") < 40000000000000000L, col("ts") * 1000L)
+          .otherwise(col("ts")))
       .withColumn("ts_us", expr("ts div 1000"))
     val keys = Seq("user_id", "event_type")
     val cut = lit(1705363200000000000L)
