@@ -3242,7 +3242,7 @@ object SparkEntry {
       s"""p$i AS MATERIALIZED (
          |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, a[j] AS l, a[j + 1] AS r
-         |    FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM s${i - 1}),
+         |    FROM (SELECT freq, string_split(trim(s), '  ') AS a FROM s${i - 1}),
          |      unnest(range(1, len(a))) AS t(j)
          |  ) GROUP BY l, r
          |), b$i AS MATERIALIZED (
@@ -3250,7 +3250,7 @@ object SparkEntry {
          |), s$i AS MATERIALIZED (
          |  SELECT w, freq,
          |    replace(s,
-         |      ' ' || (SELECT l FROM b$i) || ' ' || (SELECT r FROM b$i) || ' ',
+         |      ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
          |      ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s
          |  FROM s${i - 1}
          |)""".stripMargin
@@ -3275,7 +3275,7 @@ object SparkEntry {
        |  ) GROUP BY w
        |), s0 AS MATERIALIZED (
        |  SELECT w, freq,
-       |    ' ' || array_to_string([w[i] for i in range(1, len(w) + 1)], ' ')
+       |    ' ' || array_to_string([w[i] for i in range(1, len(w) + 1)], '  ')
        |      || ' ' AS s
        |  FROM wc
        |),
@@ -3294,7 +3294,7 @@ object SparkEntry {
        |        FROM documents), unnest(range(1, len(wa) + 1)) AS t(i)
        |), enc AS (
        |  SELECT t.doc_id, t.pos,
-       |    coalesce(trim(sf.s),
+       |    coalesce(array_to_string(string_split(trim(sf.s), '  '), ' '),
        |      array_to_string([t.word[i] for i in range(1, len(t.word) + 1)], ' '))
        |      AS syms
        |  FROM toks t LEFT JOIN s$bpeN sf ON sf.w = t.word

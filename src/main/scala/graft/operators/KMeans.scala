@@ -65,7 +65,7 @@ object KMeans {
       k: Int,
       iters: Int,
       scale: Long = 10000L): IndexedSeq[IndexedSeq[Long]] = {
-    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0 (iters = 0 returns the smallest-id init codebook unchanged)")
     val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
     var cents: IndexedSeq[IndexedSeq[Long]] = q.orderBy(col("id").asc).limit(k)
       .select(col("qv")).collect()

@@ -175,10 +175,16 @@ object Multimodal {
       out.array()
     }
 
-    /** Exact block-average pooling of the payload grid into 32×32. */
+    /** Exact block-average pooling of the payload grid into 32×32.
+      * A TRUNCATED payload (header claims more pixels than the blob
+      * carries) degrades to None like every other invalid input — the
+      * trait's contract is degrade-never-fail, and one corrupt blob must
+      * not kill a whole decode task.
+      */
     override def luma32(bytes: Array[Byte]): Option[Array[Double]] = {
       val m = decodeMeta(0, bytes)
-      if (!m.valid || m.width == 0 || m.height == 0) None
+      if (!m.valid || m.width == 0 || m.height == 0
+        || bytes.length < 8 + m.width * m.height) None
       else {
         val luma = new Array[Double](32 * 32)
         var cy = 0
@@ -367,6 +373,9 @@ object Multimodal {
     */
   def sampleFrames(
       media: Dataset[MediaRow], every: Int): DataFrame = {
+    // fail fast on the driver: a zero/negative stride would otherwise
+    // throw 'step cannot be 0' inside an executor task
+    require(every >= 1, s"every=$every must be >= 1")
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val m = FakeCodec.decodeMeta(r.id, r.content)

@@ -45,10 +45,13 @@ object Vocabulary {
       textCol: String,
       bucketChars: Int = 2): DataFrame = {
     require(bucketChars >= 1, "bucketChars must be positive")
+    // pinned: coord, tot, and the final join all consume wc — unpinned,
+    // each would re-run the corpus tokenize+count (3 scans instead of 1)
     val wc = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", substring(col("word"), 1, bucketChars))
+      .localCheckpoint()
     // bounded coordination table: distinct (cnt, bucket) pairs
     val w = Window.orderBy(col("cnt").desc, col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -81,12 +84,17 @@ object Vocabulary {
     * The industrial-trainer scale shape: ONE corpus scan builds the
     * (word, freq) table, and every iteration runs on THAT — vocabulary-
     * sized, not corpus-sized (HF/SentencePiece trainers work the same
-    * way). Symbol sequences ride as SPACE-DELIMITED strings with sentinel
-    * spaces, so applying a merge is a single non-overlapping left-to-
-    * right `replace(' a b ', ' ab ')` — exactly greedy BPE application,
-    * and exactly reproducible in any engine with ANSI replace semantics
-    * (shared-space adjacent occurrences chain correctly because the
-    * replacement re-supplies the trailing sentinel). The driver holds one
+    * way). Symbol sequences ride as DOUBLE-SPACE-delimited strings with
+    * single sentinel spaces at the ends, so applying a merge is a single
+    * non-overlapping left-to-right `replace(' a  b ', ' ab ')` — exactly
+    * greedy BPE application, reproducible in any engine with ANSI
+    * replace semantics. The double delimiter is load-bearing: with
+    * single spaces, adjacent pair occurrences SHARE a delimiter char, so
+    * `replace` (which resumes scanning after the consumed match) skips
+    * every other occurrence of an even run — 'abab' would merge only its
+    * first (a,b). With doubled delimiters, non-overlapping SYMBOL pairs
+    * are non-overlapping STRING matches, and overlapping ones ('aaa')
+    * still resolve greedily left-to-right. The driver holds one
     * (pair, count) row per step.
     *
     * Returns `(step, l, r, merged, cnt)` — the learned merge table, in
@@ -111,7 +119,7 @@ object Vocabulary {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("s",
-        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")))
+        concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")))
       .select(col("w"), col("freq"), col("s"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
@@ -119,7 +127,7 @@ object Vocabulary {
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       val best = cur
-        .withColumn("a", split(trim(col("s")), " "))
+        .withColumn("a", split(trim(col("s")), "  "))
         .filter(size(col("a")) >= 2)
         .select(col("freq"), explode(
           expr("transform(sequence(0, size(a) - 2), " +
@@ -134,7 +142,7 @@ object Vocabulary {
           best(0).getLong(2))
         merges += ((step, l, r, l + r, cnt))
         cur = cur.withColumn("s",
-          expr(s"replace(s, ${sqlStr(s" $l $r ")}, ${sqlStr(s" $l$r ")})"))
+          expr(s"replace(s, ${sqlStr(s" $l  $r ")}, ${sqlStr(s" $l$r ")})"))
           // pin each step: the table is tiny and the replace chain would
           // otherwise re-evaluate all previous steps per iteration
           .localCheckpoint()
@@ -178,8 +186,11 @@ object Vocabulary {
     toks
       .join(model.words.select(col("w"), col("s")), Seq("w"), "left")
       .withColumn("syms",
-        when(col("s").isNotNull, trim(col("s")))
-          .otherwise(array_join(split(col("w"), ""), " "))) // OOV: chars
+        // normalize the double-space storage form to a single-space
+        // subword stream; OOV words fall back to their char sequence
+        when(col("s").isNotNull,
+          array_join(split(trim(col("s")), "  "), " "))
+          .otherwise(array_join(split(col("w"), ""), " ")))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),

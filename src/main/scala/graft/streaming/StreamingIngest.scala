@@ -67,12 +67,22 @@ object StreamingIngest {
           // In op-aware mode the op column is always part of the tiebreak —
           // otherwise a same-order D/U tie for one key would be resolved by
           // partition-order luck and replays could nondeterministically
-          // delete vs upsert (mirrors IngestRunner.writeCdc).
-          val tiebreak =
+          // delete vs upsert (mirrors IngestRunner.writeCdc). With NO
+          // caller-supplied tiebreak, a residual same-order tie would
+          // still fall to partition order — a replay after a crash could
+          // then merge a DIFFERENT row than the first attempt wrote, so a
+          // content hash over the full row closes the order totally (a
+          // pure function of the data: any replay picks the same winner).
+          val contentTiebreak = "graft_row_md5"
+          val withHash = batch.withColumn(contentTiebreak,
+            md5(to_json(struct(batch.columns.map(col): _*))))
+          val tiebreak0 =
             if (cdcOpColumn.nonEmpty && !tiebreakDesc.contains(cdcOpColumn))
               tiebreakDesc :+ cdcOpColumn
             else tiebreakDesc
-          val deduped = Dedup.latestByKey(batch, keys, orderDesc, tiebreak)
+          val deduped = Dedup
+            .latestByKey(withHash, keys, orderDesc, tiebreak0 :+ contentTiebreak)
+            .drop(contentTiebreak)
           val deleteWhere =
             if (cdcOpColumn.isEmpty) None
             else Some(col(cdcOpColumn).isin(cdcDeleteValues: _*))
@@ -760,10 +770,14 @@ object StreamingIngest {
     val listed = cuts.map { case (s, c) =>
       col(stratumCol) === s && hash < lit(cutHex(c))
     }.reduce(_ || _)
-    val unlisted = !cuts.keys
-      .map(s => col(stratumCol) === s).reduce(_ || _) &&
-      hash < lit(cutHex(defaultCut))
-    val keep = listed || unlisted
+    // NULL-stratum rows must fall under the defaultCut policy too: a bare
+    // `=!=` chain evaluates to NULL for them, and filter(NULL) silently
+    // discards — exactly the silent-loss mode defaultCut exists to
+    // prevent. coalesce pins the three-valued logic down to booleans.
+    val inCuts = coalesce(
+      cuts.keys.map(s => col(stratumCol) === s).reduce(_ || _), lit(false))
+    val unlisted = !inCuts && hash < lit(cutHex(defaultCut))
+    val keep = coalesce(listed, lit(false)) || unlisted
     val stream = spark.readStream
       .options(options)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -950,8 +964,19 @@ object StreamingIngest {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
+                // within a batch `sorted` guarantees t >= s.end; ACROSS
+                // batches a late event (inside the watermark) can precede
+                // the open session's start — fold it in with start =
+                // min(start, t) so session_start can never postdate its
+                // earliest member. Known divergence from the batch twin:
+                // batch sessionize (which sees all events sorted) may
+                // split what the stream merged when such a late event is
+                // further than gap from the session start; exact
+                // out-of-order equivalence would need buffering every
+                // event until the watermark passes.
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                  open = Some(OpenSession(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += close(uid, s)
                   open = Some(OpenSession(t, t, 1, e.value))

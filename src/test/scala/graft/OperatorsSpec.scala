@@ -645,6 +645,14 @@ class OperatorsSpec extends SparkSpec {
     assert(rep(0) == ((1, "a", "a", "aa", 4L)))
     // after greedy replace "aaa" -> "aa a": next best pair is (aa, a)
     assert(rep(1) == ((2, "aa", "a", "aaa", 2L)))
+    // regression (the double-delimiter fix): an EVEN run's non-overlapping
+    // pairs all merge in one step — under single-space delimiters the
+    // string matches shared a space and 'abab' merged only its first pair
+    val even = Vocabulary.bpeMerges(
+      Seq((1L, "abab abab")).toDF("doc_id", "text"), "text", 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(even(0) == ((1, "a", "b", "ab", 4L)))
+    assert(even(1) == ((2, "ab", "ab", "abab", 2L)))
   }
 
   test("bpe encode: trained words collapse, OOV words fall back to characters") {
