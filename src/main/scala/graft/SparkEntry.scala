@@ -1440,6 +1440,31 @@ object SparkEntry {
       global.join(quant, Seq("qid"))
     }),
 
+    // The IVF tuning curve: mean recall@5 vs exact cosine as nprobe
+    // rises 1→4 — the number that decides an index's probe budget. Same
+    // quantizer/tiebreaks as q15, recall via the q88 harness.
+    "q89_ivf_nprobe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").as("bucket"))
+      val cents = SimilaritySearch.centroids(corpus, "bucket")
+      val exact = SimilaritySearch.bruteForceTopK(
+        qs, corpus.drop("bucket"), k = 5)
+      (1 to 4).map { n =>
+        SimilaritySearch.recallAtK(exact,
+            SimilaritySearch.ivfTopK(qs, corpus, cents, k = 5, nprobe = n))
+          .agg(sum(col("n_hits")).as("hits"),
+            (count(lit(1)) * 5).as("total"))
+          .select(lit(n).as("nprobe"),
+            col("hits").cast("long").as("hits"),
+            floor(col("hits").cast("double") / col("total").cast("double")
+              * 10000.0 + 0.5).cast("long").as("mean_recall_e4"))
+      }.reduce(_ unionByName _)
+    }),
+
     // At-rest KMV sketch table maintained INCREMENTALLY: two arrival
     // batches fold into stored sketches (touched groups only), batch 2
     // replays once (keyed-merge idempotence exercised inside the gate),
@@ -2966,6 +2991,8 @@ object SparkEntry {
 
     "q88_ann_recall" -> annRecallOracle,
 
+    "q89_ivf_nprobe_sweep" -> ivfSweepOracle,
+
     // DSIR replay: same 16-bit md5 bucket hash, each ln quantized to 1e-4
     // fixed point INDEPENDENTLY (libm drift dies at the quantizer), per-doc
     // weight an exact BIGINT sum of integer quanta — the q53 rules
@@ -3304,6 +3331,76 @@ object SparkEntry {
        |  CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list(syms ORDER BY pos), ' ')) AS toks_md5
        |FROM enc GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of q89 — the q15 probe/scan replay at each nprobe in
+    * 1..4, per-nprobe hit counts against exact cosine top-5, means
+    * stable-rounded over exact integers.
+    */
+  private lazy val ivfSweepOracle: String = {
+    val dotQQc = sqlListDot("p.qvec", "p.qvec")
+    val dotCC = sqlListDot("cent.cvec", "cent.cvec")
+    val dotQC = sqlListDot("p.qvec", "cent.cvec")
+    val dotQQ = sqlListDot("q.qvec", "q.qvec")
+    val dotVV = sqlListDot("c.vec", "c.vec")
+    val dotQV = sqlListDot("q.qvec", "c.vec")
+    def perN(n: Int): String =
+      s"""probed$n AS (
+         |  SELECT qid, qvec, bucket FROM ranked WHERE crank <= $n
+         |), top$n AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, c.id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+         |             ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END DESC,
+         |        c.id ASC) AS rank
+         |    FROM c JOIN probed$n q ON c.bucket = q.bucket
+         |  ) WHERE rank <= 5
+         |), agg$n AS (
+         |  SELECT $n AS nprobe,
+         |    CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits,
+         |    CAST(count(*) AS BIGINT) AS total
+         |  FROM exact e
+         |  LEFT JOIN top$n a ON a.qid = e.qid AND a.id = e.id
+         |)""".stripMargin
+    val ns = (1 to 4).map(perN).mkString(",\n")
+    val unions = (1 to 4).map(n =>
+      s"""SELECT nprobe, hits,
+         |  CAST(floor(CAST(hits AS DOUBLE) / total * CAST(10000 AS DOUBLE)
+         |    + 0.5) AS BIGINT) AS mean_recall_e4 FROM agg$n""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |  WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS id, embedding AS vec, label AS bucket
+       |  FROM embeddings WHERE vec_id >= 10
+       |), cent AS (
+       |  SELECT bucket, list(m ORDER BY pos) AS cvec FROM (
+       |    SELECT bucket, pos, avg(CAST(vec[pos] AS DOUBLE)) AS m
+       |    FROM c, unnest(range(1, len(vec) + 1)) AS t(pos)
+       |    GROUP BY bucket, pos
+       |  ) GROUP BY bucket
+       |), ranked AS (
+       |  SELECT p.qid, p.qvec, cent.bucket,
+       |    row_number() OVER (PARTITION BY p.qid ORDER BY
+       |      CASE WHEN sqrt($dotQQc) = 0 OR sqrt($dotCC) = 0 THEN 0.0
+       |           ELSE $dotQC / (sqrt($dotQQc) * sqrt($dotCC)) END DESC,
+       |      cent.bucket ASC) AS crank
+       |  FROM q p, cent
+       |), exact AS (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, c.id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+       |             ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END DESC,
+       |        c.id ASC) AS rank
+       |    FROM c, q
+       |  ) WHERE rank <= 5
+       |),
+       |$ns
+       |$unions""".stripMargin
+  }
 
   /** DuckDB twin of q88 — the q14 exact-cosine top-5 joined against the
     * full q77 IVFADC replay (nested WITH subquery), per-query hit counts

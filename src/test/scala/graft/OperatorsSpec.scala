@@ -967,6 +967,27 @@ class OperatorsSpec extends SparkSpec {
     assert(rr.length == 4 && rr.forall(_ == 10000L))
   }
 
+  test("ivf nprobe sweep: recall is monotone and reaches 1.0 at full probe") {
+    import graft.operators.SimilaritySearch
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val nlist = cents.count().toInt
+    val exact = SimilaritySearch.bruteForceTopK(qs, corpus.drop("bucket"), 5)
+    def meanRecall(n: Int): Long = SimilaritySearch.recallAtK(exact,
+        SimilaritySearch.ivfTopK(qs, corpus, cents, 5, n))
+      .agg(org.apache.spark.sql.functions.sum(col("n_hits"))).as[Long].head()
+    val curve = Seq(1, nlist / 2, nlist).map(n => meanRecall(math.max(1, n)))
+    // more probes never lose hits, and probing EVERY cell is brute force
+    assert(curve == curve.sorted, s"recall not monotone: $curve")
+    assert(curve.last == exact.count(), "full probe must equal exact search")
+  }
+
   test("dsir: target-like docs weigh positive, raw-only negative, short docs zero") {
     import graft.operators.Dsir
     // target corpus: alpha/beta bigrams; raw corpus adds gamma/delta mass.
