@@ -3265,6 +3265,11 @@ object SparkEntry {
 
   private val bpeN = 12
 
+  // If the corpus exhausts mergeable pairs before step i, b_i is empty
+  // and its scalar subqueries are NULL — the coalesce pair turns the
+  // replace into a no-op (chr(1) never occurs in whitespace-split
+  // symbols) instead of NULLing every s_i row, matching Spark's
+  // early-stopping bpeTrain.
   private def bpeStepCtes(i: Int): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -3277,8 +3282,8 @@ object SparkEntry {
          |), s$i AS MATERIALIZED (
          |  SELECT w, freq,
          |    replace(s,
-         |      ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
-         |      ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s
+         |      coalesce(' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', chr(1)),
+         |      coalesce(' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ', '')) AS s
          |  FROM s${i - 1}
          |)""".stripMargin
 

@@ -183,8 +183,10 @@ object Multimodal {
       */
     override def luma32(bytes: Array[Byte]): Option[Array[Double]] = {
       val m = decodeMeta(0, bytes)
+      // Long math: width/height are 16-bit fields, so their Int product
+      // can overflow negative (65535×65535) and bypass the guard.
       if (!m.valid || m.width == 0 || m.height == 0
-        || bytes.length < 8 + m.width * m.height) None
+        || (bytes.length - 8).toLong < m.width.toLong * m.height) None
       else {
         val luma = new Array[Double](32 * 32)
         var cy = 0

@@ -57,10 +57,15 @@ object ProductQuantizer {
     // fail loudly on a dim/data mismatch: slices past the true length
     // would silently compare empty prefixes (distance 0 to everything)
     // and every vector would encode to code 0 in the short subspaces.
-    // One-row probe — a bounded planning step.
-    corpus.select(size(col(vecCol)).as("n")).head(1).foreach(r =>
-      require(r.getInt(0) == dim,
-        s"corpus vectors have ${r.getInt(0)} elements but dim=$dim was passed"))
+    // Aggregate min/max over the whole corpus — a ragged row anywhere
+    // (not just row 1) trips it; one extra scan is noise next to the
+    // `iters` training scans that follow, and the result is 2 ints.
+    corpus.agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"))
+      .head(1).foreach { r =>
+        require(!r.isNullAt(0) && r.getInt(0) == dim && r.getInt(1) == dim,
+          s"corpus vector lengths span [${r.get(0)}, ${r.get(1)}] " +
+            s"but dim=$dim was passed — ragged or mis-sized vectors")
+      }
     val dsub = dim / m
     val cents = (0 until m).map { s =>
       KMeans.fit(

@@ -408,6 +408,12 @@ object TextDedup {
     * can never disagree on the blocking.
     */
   private[operators] def fp64Blocks(fp: DataFrame, maxHamming: Int): DataFrame = {
+    // Beyond 31 the 32-block cap would break the pigeonhole guarantee
+    // (a pair within the radius could differ in every 2-bit block) —
+    // refuse loudly rather than silently losing recall, on both the
+    // build and probe side of the persisted index format.
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"fp64 pigeonhole blocking supports maxHamming in [0, 31], got $maxHamming")
     val nBlocks = math.min(32, maxHamming + 1)
     // block i covers bits [i*64/n, (i+1)*64/n)
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)

@@ -78,24 +78,20 @@ object Vocabulary {
     * tokenizer TRAINING step between [[frequencyRank]] (vocab sizing) and
     * [[encodeWithVocab]] (apply): learn `nMerges` greedy merges over the
     * word-frequency table. Each step merges the most frequent adjacent
-    * symbol pair (ties: left ASC, right ASC — a total order, so the merge
-    * sequence is engine-reproducible).
+    * symbol pair (ties: left ASC, right ASC by code point — a total
+    * order, so the merge sequence is engine-reproducible).
     *
-    * The industrial-trainer scale shape: ONE corpus scan builds the
-    * (word, freq) table, and every iteration runs on THAT — vocabulary-
-    * sized, not corpus-sized (HF/SentencePiece trainers work the same
-    * way). Symbol sequences ride as DOUBLE-SPACE-delimited strings with
-    * single sentinel spaces at the ends, so applying a merge is a single
-    * non-overlapping left-to-right `replace(' a  b ', ' ab ')` — exactly
-    * greedy BPE application, reproducible in any engine with ANSI
-    * replace semantics. The double delimiter is load-bearing: with
-    * single spaces, adjacent pair occurrences SHARE a delimiter char, so
-    * `replace` (which resumes scanning after the consumed match) skips
-    * every other occurrence of an even run — 'abab' would merge only its
-    * first (a,b). With doubled delimiters, non-overlapping SYMBOL pairs
-    * are non-overlapping STRING matches, and overlapping ones ('aaa')
-    * still resolve greedily left-to-right. The driver holds one
-    * (pair, count) row per step.
+    * The industrial-trainer scale shape (HF/SentencePiece trainers work
+    * the same way): ONE corpus scan reduces 100 TB to the (word, freq)
+    * table — vocabulary-sized, not corpus-sized — and merge learning is
+    * an inherently SEQUENTIAL greedy loop over that bounded table, so it
+    * runs driver-side in memory. The collect is bounded by word types —
+    * the very same bound [[bpeEncode]]'s model join already assumes; a
+    * 32k–50k-merge schedule is a tight in-memory loop (lazy-invalidation
+    * priority queue + inverted pair→word index, Sennrich's own
+    * `learn_bpe` structure), not 32k sequential Spark jobs of pure
+    * scheduler overhead. [[bpeTrainDistributed]] keeps the all-engine
+    * twin as the oracle the spec certifies this trainer against.
     *
     * Returns `(step, l, r, merged, cnt)` — the learned merge table, in
     * order. Stops early if no pair remains (every word fully merged).
@@ -108,6 +104,46 @@ object Vocabulary {
   final case class BpeModel(merges: DataFrame, words: DataFrame)
 
   def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): BpeModel = {
+    require(nMerges >= 1, "need at least one merge step")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus scan → (word, freq); the collect is vocabulary-bounded
+    // (word types, the bpeEncode model-join bound), not corpus-bounded.
+    val wf: Array[(String, Long)] = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    val learned = BpeDriver.learn(wf, nMerges)
+    BpeModel(
+      learned.merges.toDF("step", "l", "r", "merged", "cnt")
+        .orderBy(col("step")),
+      learned.words.toDF("w", "freq", "s"))
+  }
+
+  /** All-engine BPE trainer — one distributed pair-count + top-1 per
+    * merge step over the vocabulary table. Semantically identical to
+    * [[bpeTrain]] (the spec certifies merge-for-merge equality); kept as
+    * the ORACLE TWIN, not the production path: at a real 32k–50k merge
+    * schedule this shape is 32k+ sequential Spark jobs over a
+    * vocabulary-bounded table — pure scheduler overhead that the
+    * driver-side loop avoids.
+    *
+    * Symbol sequences ride as DOUBLE-SPACE-delimited strings with
+    * single sentinel spaces at the ends, so applying a merge is a single
+    * non-overlapping left-to-right `replace(' a  b ', ' ab ')` — exactly
+    * greedy BPE application, reproducible in any engine with ANSI
+    * replace semantics. The double delimiter is load-bearing: with
+    * single spaces, adjacent pair occurrences SHARE a delimiter char, so
+    * `replace` (which resumes scanning after the consumed match) skips
+    * every other occurrence of an even run — 'abab' would merge only its
+    * first (a,b). With doubled delimiters, non-overlapping SYMBOL pairs
+    * are non-overlapping STRING matches, and overlapping ones ('aaa')
+    * still resolve greedily left-to-right.
+    */
+  def bpeTrainDistributed(
       docs: DataFrame,
       textCol: String,
       nMerges: Int): BpeModel = {
@@ -204,6 +240,131 @@ object Vocabulary {
 
   private def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** In-memory greedy BPE learner over the collected (word, freq) table —
+    * Sennrich's `learn_bpe` structure: a pair→count map, a pair→words
+    * inverted index (only affected words are re-counted per merge), and
+    * a lazy-invalidation priority queue (every count change pushes a new
+    * entry; pops are discarded until the entry matches the live count).
+    * Per merge the work is proportional to the words CONTAINING the
+    * merged pair, not the vocabulary — the property that makes a
+    * 32k-merge schedule tractable.
+    *
+    * Semantics mirror [[bpeTrainDistributed]] and the DuckDB oracle
+    * exactly: pair counts weight every adjacent occurrence (overlapping
+    * included — 'aaa' contributes (a,a) twice), merges apply greedy
+    * left-to-right non-overlapping, ties break (cnt DESC, l ASC, r ASC)
+    * by CODE POINT (= UTF-8 binary order, what Spark and DuckDB sort;
+    * Java's UTF-16 compareTo would disagree above the BMP).
+    */
+  private[graft] object BpeDriver {
+    import scala.collection.mutable
+
+    final case class Learned(
+        merges: Seq[(Int, String, String, String, Long)],
+        words: Seq[(String, Long, String)])
+
+    /** Code-point lexicographic compare — equals UTF-8 binary order. */
+    private def cpCompare(x: String, y: String): Int = {
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
+
+    def learn(wf: Array[(String, Long)], nMerges: Int): Learned = {
+      // split matches the engine twin's split(w, '') — per UTF-16 unit;
+      // fixtures are BMP text, and the spec gates twin equality
+      val words: Array[Array[String]] =
+        wf.map(_._1.split("").filter(_.nonEmpty))
+      val freqs: Array[Long] = wf.map(_._2)
+
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
+      // max-heap: cnt DESC, then l ASC, r ASC (smaller string = higher)
+      val ord = new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val cl = cpCompare(b._2, a._2)
+            if (cl != 0) cl else cpCompare(b._3, a._3)
+          }
+        }
+      }
+      val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+      // add (sign=+1) or retract (sign=-1) one word's pair statistics
+      def apply(wi: Int, sign: Long): Unit = {
+        val syms = words(wi); val f = freqs(wi) * sign
+        if (syms.length < 2) return
+        val distinct = mutable.HashSet.empty[(String, String)]
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          distinct += p
+          j += 1
+        }
+        distinct.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c <= 0L) { counts.remove(p); index.remove(p) }
+          else {
+            pq.enqueue((c, p._1, p._2))
+            if (sign > 0) index.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+            else index.get(p).foreach(_ -= wi)
+          }
+        }
+      }
+
+      def mergeInWord(syms: Array[String], l: String, r: String): Array[String] = {
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2 // greedy left-to-right, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        out.toArray
+      }
+
+      var wi = 0
+      while (wi < words.length) { apply(wi, 1L); wi += 1 }
+
+      val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var step = 1
+      var done = false
+      while (step <= nMerges && !done) {
+        // pop stale entries until one matches its live count
+        var best: (String, String) = null; var bc = 0L
+        while (best == null && pq.nonEmpty) {
+          val (c, l, r) = pq.dequeue()
+          if (counts.getOrElse((l, r), 0L) == c) { best = (l, r); bc = c }
+        }
+        if (best == null) done = true
+        else {
+          merges += ((step, best._1, best._2, best._1 + best._2, bc))
+          // only words containing the pair are touched (snapshot: apply mutates the index)
+          val affected = index.getOrElse(best, mutable.BitSet.empty).toArray
+          affected.foreach { w =>
+            apply(w, -1L)
+            words(w) = mergeInWord(words(w), best._1, best._2)
+            apply(w, 1L)
+          }
+          counts.remove(best); index.remove(best)
+          step += 1
+        }
+      }
+
+      val finalWords = wf.indices.map { i =>
+        (wf(i)._1, freqs(i), " " + words(i).mkString("  ") + " ")
+      }
+      Learned(merges.toSeq, finalWords)
+    }
+  }
 
   /** Encode documents under a FROZEN vocabulary — the apply half of the
     * tokenizer-prep pair (what a training job actually does with the

@@ -655,6 +655,29 @@ class OperatorsSpec extends SparkSpec {
     assert(even(1) == ((2, "ab", "ab", "abab", 2L)))
   }
 
+  test("bpe driver-side trainer ≡ distributed oracle twin on fixture corpus") {
+    import graft.operators.Vocabulary
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Vocabulary.bpeTrain(docs, "text", nMerges = 12)
+    val twin = Vocabulary.bpeTrainDistributed(docs, "text", nMerges = 12)
+    // merge-for-merge: same pair, same count, same order
+    val fm = fast.merges.as[(Int, String, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val tm = twin.merges.as[(Int, String, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(fm == tm)
+    // final word→symbol tables identical (the tokenizer itself)
+    assert(fast.words.except(twin.words).count() == 0
+      && twin.words.except(fast.words).count() == 0)
+    // and early-stop parity on a corpus that exhausts before nMerges
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val fTiny = Vocabulary.bpeTrain(tiny, "text", nMerges = 5)
+      .merges.as[(Int, String, String, String, Long)].collect().toSeq
+    val tTiny = Vocabulary.bpeTrainDistributed(tiny, "text", nMerges = 5)
+      .merges.as[(Int, String, String, String, Long)].collect().toSeq
+    assert(fTiny == tTiny && fTiny.size == 1) // (a,b) then exhausted
+  }
+
   test("bpe encode: trained words collapse, OOV words fall back to characters") {
     import graft.operators.Vocabulary
     val train = Seq((1L, "ab ab abc"), (2L, "ab abc")).toDF("doc_id", "text")
