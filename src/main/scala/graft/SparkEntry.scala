@@ -1522,6 +1522,26 @@ object SparkEntry {
       graft.operators.Percentiles.perKeyPercentile(
         t(s, dir, "documents"), "source", "n_chars", "doc_id")),
 
+    // q84's bounded twin for CONTINUOUS signals: token-density (tokens
+    // per char, e6 fixed-point — high-cardinality, range-unbounded in
+    // general) sketch-fitted per source via significant-bits geometric
+    // buckets, arrivals scored against the FROZEN bucketed CDF. The
+    // model is bucket-bounded by construction (~29k rows/key max at
+    // bits=8) where q84's exact CDF would be corpus-sized on a signal
+    // like this — the 100 TB shape for continuous-score normalization.
+    "q90_sketch_percentile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars") > 0)
+        .withColumn("density_e6",
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) " +
+            "* 1000000 div n_chars"))
+      val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+      val model = graft.operators.Percentiles.fitSketch(
+        docs.filter(col("doc_id") <= cut), "source", "density_e6", bits = 8)
+      graft.operators.Percentiles.scoreAgainstSketch(
+        docs.filter(col("doc_id") > cut), "doc_id", "source", "density_e6",
+        model, bits = 8)
+    }),
+
     // Cross-source overlap matrix: every 5th doc re-landed under a
     // 'mirror' source (the planted-dup trick), so each real source shares
     // deterministic mass with 'mirror' and none with its peers.
@@ -2893,6 +2913,39 @@ object SparkEntry {
         |                  * CAST(10000 AS DOUBLE) + 0.5)
         |       END AS BIGINT) AS pct_e4
         |FROM r""".stripMargin,
+
+    // sketch-percentile replay: identical integer bucketing (binary-
+    // string length, never floating log — bucket boundaries can't drift
+    // an ulp between engines), strictly-smaller-BUCKET count over the
+    // frozen reference half
+    "q90_sketch_percentile" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      * 1000000 // n_chars AS density_e6
+        |  FROM documents WHERE n_chars > 0
+        |), cut AS (
+        |  SELECT CAST(max(doc_id) // 2 AS BIGINT) AS c FROM base
+        |), bkt AS (
+        |  SELECT doc_id, source, density_e6,
+        |    CAST(sign(density_e6) AS BIGINT)
+        |      * ((abs(density_e6) >> sh) << sh) AS b
+        |  FROM (SELECT *,
+        |          greatest(0, length(bin(abs(density_e6))) - 8) AS sh
+        |        FROM base)
+        |), ref AS (
+        |  SELECT source, b FROM bkt, cut WHERE doc_id <= c
+        |), arr AS (
+        |  SELECT doc_id, source, density_e6, b FROM bkt, cut WHERE doc_id > c
+        |), n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY source
+        |)
+        |SELECT a.doc_id, a.source, a.density_e6,
+        |  CAST(floor(
+        |    CAST((SELECT count(*) FROM ref r
+        |          WHERE r.source = a.source AND r.b < a.b) AS DOUBLE)
+        |    / n.n * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT) AS pct_e4
+        |FROM arr a JOIN n USING (source)""".stripMargin,
 
     // overlap-matrix replay: same normalized fingerprint, same per-source
     // distinct collapse, same triangular pair join

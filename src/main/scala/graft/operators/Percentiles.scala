@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,83 @@ object Percentiles {
       .select(col("pk_key"), col("pk_v"), col("pk_off"), col("pk_nv"))
     val sizes = base.groupBy(col("pk_key")).agg(count(lit(1)).as("pk_n"))
     Model(coord, sizes)
+  }
+
+  /** Geometric (significant-bits) bucket of a long value — the sketch
+    * quantizer behind [[fitSketch]]: keep the top `bits` significant bits
+    * of |v| (sign-mirrored, zero maps to zero). A pure-integer DDSketch-
+    * style mapping: bucket width is relative to magnitude, so the bucket
+    * VALUE under-states v by a relative error < 2^(1−bits), and the
+    * number of distinct buckets is bounded by construction —
+    * ≤ 2·(65−bits)·2^(bits−1)+1 over the WHOLE long range (~29k for
+    * bits = 8), regardless of how many distinct values the signal takes.
+    *
+    * Exactness is load-bearing: floor-log2 comes from the binary-string
+    * length (`length(bin(|v|)) − 1`), never a floating `log` — both
+    * Spark and DuckDB compute the identical integer, so bucket
+    * boundaries can't drift by an ulp between engines. Long.MinValue
+    * (whose |v| overflows) stays its own bucket via an explicit case.
+    */
+  def logBucket(v: Column, bits: Int): Column = {
+    require(bits >= 2 && bits <= 62, s"bits must be in [2, 62], got $bits")
+    val au = abs(v)
+    // shift = max(0, floor(log2(|v|)) − bits + 1); length(bin(au)) = e+1
+    val shift = greatest(lit(0), length(bin(au)) - lit(bits))
+    val mag = call_function("shiftleft",
+      call_function("shiftrightunsigned", au, shift), shift)
+    when(v === Long.MinValue, lit(Long.MinValue))
+      .otherwise(signum(v).cast("long") * mag)
+  }
+
+  /** [[fit]]'s bounded twin for CONTINUOUS signals: the frozen model of
+    * the exact path is a per-key distinct-VALUE CDF — a real bound only
+    * for quantized signals (token counts); for a continuous score
+    * (doubles quantized at e6, say) distinct values ≈ rows and the model
+    * is corpus-sized. Here every value first collapses to its
+    * [[logBucket]], so the coord table is bounded by the bucket count
+    * (≤ ~29k rows per key at bits = 8) NO MATTER the signal's
+    * cardinality or range, and stays exactly mergeable — bucket tie
+    * counts add across batches/shards, which is what the incremental
+    * and streaming paths need.
+    *
+    * Error contract (the DDSketch guarantee, restated for ranks): the
+    * bucketing is monotone, so bucket-boundary ranks are EXACT; a query
+    * value inside a bucket reads the rank of its bucket's lower
+    * boundary — the estimate's value-error is < 2^(1−bits) relative
+    * (< 0.8% at bits = 8), and its rank-error is at most the corpus mass
+    * of that one bucket. Score arrivals with [[scoreAgainstSketch]]
+    * (same `bits` — the model does not carry it).
+    */
+  def fitSketch(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      bits: Int = 8): Model = {
+    integralValue(df, valueCol)
+    fit(
+      df.withColumn(valueCol, logBucket(col(valueCol).cast("long"), bits)),
+      keyCol, valueCol)
+  }
+
+  /** [[scoreAgainst]] under a [[fitSketch]] model: arrivals bucket with
+    * the SAME `bits`, score against the bucketed corpus CDF, and land
+    * with their ORIGINAL value restored (the bucket is a model detail,
+    * not an output). The restore join is arrival-batch-sized.
+    */
+  def scoreAgainstSketch(
+      arrivals: DataFrame,
+      idCol: String,
+      keyCol: String,
+      valueCol: String,
+      model: Model,
+      bits: Int = 8): DataFrame = {
+    integralValue(arrivals, valueCol)
+    val bucketed = arrivals
+      .withColumn(valueCol, logBucket(col(valueCol).cast("long"), bits))
+    scoreAgainst(bucketed, idCol, keyCol, valueCol, model)
+      .select(col(idCol), col("pct_e4"))
+      .join(arrivals.select(col(idCol), col(keyCol), col(valueCol)), Seq(idCol))
+      .select(col(idCol), col(keyCol), col(valueCol), col("pct_e4"))
   }
 
   def perKeyPercentile(

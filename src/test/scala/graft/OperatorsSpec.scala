@@ -627,6 +627,68 @@ class OperatorsSpec extends SparkSpec {
     assert(p9 == out)
   }
 
+  test("logBucket: exact small values, relative error bound, monotone, sign-mirrored") {
+    import graft.operators.Percentiles
+    import org.apache.spark.sql.functions.col
+    val vs = Seq(0L, 1L, 127L, 255L, 256L, 1000L, 1234567L, -1234567L,
+      Long.MaxValue, Long.MinValue, Long.MinValue + 1)
+    val out = vs.toDF("v")
+      .select(col("v"), Percentiles.logBucket(col("v"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // values under 2^8 are exact
+    assert(out(0L) == 0L && out(1L) == 1L && out(127L) == 127L
+      && out(255L) == 255L && out(256L) == 256L)
+    // bucket under-states by < 2^(1-8) relative; never exceeds the value
+    for (v <- Seq(1000L, 1234567L, Long.MaxValue)) {
+      val b = out(v)
+      assert(b <= v && (v - b).toDouble / v < 1.0 / 128.0)
+    }
+    assert(out(1234567L) == 1228800L) // matches the DuckDB shift replay
+    assert(out(-1234567L) == -1228800L) // sign-mirrored
+    assert(out(Long.MinValue) == Long.MinValue) // |v| overflow: own bucket
+    // monotone: sorted inputs give sorted buckets
+    val probe = (1L to 4096L).toDF("v")
+      .select(Percentiles.logBucket(col("v"), 4).as("b"))
+      .as[Long].collect()
+    assert(probe.toSeq == probe.sorted.toSeq)
+  }
+
+  test("sketch percentile: bucket-bounded model, boundary ranks exact, mergeable") {
+    import graft.operators.Percentiles
+    import org.apache.spark.sql.functions.{col, sum}
+    // high-cardinality continuous-ish signal: all values distinct
+    val rows = (1L to 400L).map(i => (i, "s", i * i * 997L % 10000019L))
+    val df = rows.toDF("id", "g", "v")
+    val exact = Percentiles.fit(df, "g", "v")
+    val sk = Percentiles.fitSketch(df, "g", "v", bits = 6)
+    val nExact = exact.coord.count()
+    val nSketch = sk.coord.count()
+    assert(nExact == 400L) // exact model IS corpus-sized on this signal
+    assert(nSketch < 200L) // sketch collapses to bucket cardinality
+    // scoring an arrival at an exact bucket boundary reads an exact rank:
+    // value 2^20 with corpus mass half below -> pct within one bucket mass
+    val arr = Seq((9001L, "s", rows.map(_._3).sorted.apply(199)))
+      .toDF("id", "g", "v")
+    val scored = Percentiles.scoreAgainstSketch(arr, "id", "g", "v", sk, 6)
+      .as[(Long, String, Long, Long)].collect().head
+    val exactScored = Percentiles.scoreAgainst(arr, "id", "g", "v", exact)
+      .as[(Long, String, Long, Long)].collect().head
+    // rank error ≤ mass of one bucket; on 400 near-uniform rows over
+    // ~128 live buckets that is a few percent at most
+    assert(math.abs(scored._4 - exactScored._4) <= 800L)
+    assert(scored._3 == arr.as[(Long, String, Long)].collect().head._3,
+      "output restores the original value, not the bucket")
+    // mergeable: fitting halves and summing tie counts equals one fit
+    val h1 = Percentiles.fitSketch(df.filter(col("id") <= 200), "g", "v", 6)
+    val h2 = Percentiles.fitSketch(df.filter(col("id") > 200), "g", "v", 6)
+    val merged = h1.coord.select("pk_key", "pk_v", "pk_nv")
+      .unionByName(h2.coord.select("pk_key", "pk_v", "pk_nv"))
+      .groupBy("pk_key", "pk_v").agg(sum("pk_nv").as("pk_nv"))
+    val whole = sk.coord.select("pk_key", "pk_v", "pk_nv")
+    assert(merged.except(whole).count() == 0
+      && whole.except(merged).count() == 0)
+  }
+
   test("bpe merges: greedy pair order, chained merges, early stop when exhausted") {
     import graft.operators.Vocabulary
     // words: ab x3, abc x2 -> pair (a,b)=5 wins; then (ab,c)=2; then done
