@@ -41,6 +41,12 @@ object SparkEntry {
     */
   private val PlantOffset = 1000000000000L
 
+  /** q91/q92's fixed retrieval query: three common terms plus the rare
+    * fixture term 'dup' (present in ~6% of docs), so the ranking
+    * exercises both high- and low-df idf mass at every SF.
+    */
+  private val Bm25QueryTerms = Seq("spark", "merge", "vector", "dup")
+
   /** At-rest index builds (q34's IVF buckets, q66's MinHash bands) are a
     * ONE-TIME ingest cost a deployment pays when the corpus lands — not a
     * per-query cost. Memoizing the build per (JVM, sfDir) makes repeated
@@ -115,6 +121,20 @@ object SparkEntry {
     table
   }
 
+  /** q92's at-rest BM25 inverted index over `documents` — term-hash
+    * partitioned postings with inlined norms. Build-once per (JVM, sfDir).
+    */
+  private def q92Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q92", dir)
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      graft.operators.Bm25.indexAtRest(
+        t(s, dir, "documents"), "doc_id", "text", table)
+    }
+    table
+  }
+
   private def q66Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q66", dir)
     val table = graft.table.WarehouseTable(wh)
@@ -163,6 +183,7 @@ object SparkEntry {
       "q66_minhash_at_rest" -> timed(q66Index(s, dir)),
       "q77_ivfpq_at_rest" -> timed(q77Index(s, dir)),
       "q82_phash_at_rest" -> timed(q82Index(s, dir)),
+      "q92_bm25_at_rest" -> timed(q92Index(s, dir)),
       "q69_phash_image_dedup" -> timed(q69Images(s, dir).write
         .format("noop").mode("overwrite").save()))
   }
@@ -1521,6 +1542,28 @@ object SparkEntry {
     "q81_source_percentile" -> ((s, dir) =>
       graft.operators.Percentiles.perKeyPercentile(
         t(s, dir, "documents"), "source", "n_chars", "doc_id")),
+
+    // BM25 keyword retrieval (the sparse half of the search stack — the
+    // dense half is q14/q15/q34): top-20 docs for a 4-term query under
+    // Lucene-smoothed idf, per-(doc,term) contributions e6-quantized and
+    // BIGINT-summed (the q53 ln-parity rule), score-desc/doc-asc total
+    // order. The term filter is the scale story in-memory: only the query
+    // terms' postings ever leave the scan.
+    "q91_bm25_topk" -> ((s, dir) => {
+      val model = graft.operators.Bm25.fit(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Bm25.topK(model, Bm25QueryTerms, k = 20)
+    }),
+
+    // The same query against the AT-REST inverted index (q34/q66 pattern
+    // for keyword retrieval): postings partitioned by term hash, the
+    // query reads only its own terms' partitions, globals ride as table
+    // properties. Result must equal q91 row-for-row — pruning is lossless
+    // by construction, and the shared oracle proves it.
+    "q92_bm25_at_rest" -> ((s, dir) => {
+      val table = q92Index(s, dir) // build-once (memoized); timed part = lookup
+      graft.operators.Bm25.lookupAtRest(s, table, Bm25QueryTerms, k = 20)
+    }),
 
     // q84's bounded twin for CONTINUOUS signals: token-density (tokens
     // per char, e6 fixed-point — high-cardinality, range-unbounded in
@@ -2914,6 +2957,16 @@ object SparkEntry {
         |       END AS BIGINT) AS pct_e4
         |FROM r""".stripMargin,
 
+    // BM25 replay: identical idf smoothing, identical cast/association
+    // order in the double math (the constants are spelled as the SAME
+    // IEEE ops Spark executes — (1.2 + 1.0), not 2.2), e6 per-row
+    // quantization, BIGINT sum, total order
+    "q91_bm25_topk" -> bm25Oracle,
+
+    // the at-rest lookup must reproduce the in-memory ranking exactly —
+    // same oracle; any pruning loss would surface as a row mismatch
+    "q92_bm25_at_rest" -> bm25Oracle,
+
     // sketch-percentile replay: identical integer bucketing (binary-
     // string length, never floating log — bucket boundaries can't drift
     // an ulp between engines), strictly-smaller-BUCKET count over the
@@ -3315,6 +3368,44 @@ object SparkEntry {
       |               / CAST(kth AS DOUBLE) END)
       |    * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_e4
       |FROM kmins""".stripMargin
+
+  /** Shared q91/q92 replay — one text, two engines-side paths (in-memory
+    * fit and at-rest pruned lookup) must both hash-match it.
+    */
+  private lazy val bm25Oracle: String = {
+    val inList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), postings AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY 1
+       |), norms AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_tokens
+       |  FROM norms
+       |), hits AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |          * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |             / CAST(total_tokens AS DOUBLE))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_e6
+       |  FROM postings p JOIN stats USING (term) JOIN norms USING (doc_id), g
+       |  WHERE term IN ($inList)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+       |FROM hits GROUP BY doc_id
+       |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 
   private val bpeN = 12
 

@@ -653,6 +653,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3) == ((4L, 8L, 0L, 0.0)))
   }
 
+  test("bm25: at-rest lookup == in-memory topK, reads only query-term partitions") {
+    import graft.operators.Bm25
+    val q = Seq("spark", "dup")
+    val model = Bm25.fit(docs, "doc_id", "text")
+    val inMem = Bm25.topK(model, q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(inMem.nonEmpty)
+    // ranking sanity: scores are non-increasing, ties broken by doc_id asc
+    assert(inMem.sliding(2).forall {
+      case Seq((d1, _, s1), (d2, _, s2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+    // the rare term 'dup' dominates idf: every doc containing it outranks
+    // any doc hit only by the ubiquitous 'spark'
+    val dupDocs = docs.filter(col("text").contains("dup"))
+      .select("doc_id").as[Long].collect().toSet
+    val (withDup, without) = inMem.partition(r => dupDocs.contains(r._1))
+    assert(withDup.nonEmpty)
+    if (without.nonEmpty)
+      assert(withDup.map(_._3).min > without.map(_._3).max)
+
+    val table = graft.table.WarehouseTable(tmpDir("bm25rest") + "/idx")
+    Bm25.indexAtRest(docs, "doc_id", "text", table)
+    val atRest = Bm25.lookupAtRest(spark, table, q, k = 15)
+    assert(atRest.as[(Long, Long, Long)].collect().toSeq == inMem)
+    // pruned read: only the tb partitions the two terms hash to
+    val files = atRest.inputFiles.filter(_.contains("tb="))
+    val allParts = spark.read.parquet(table.root + "/data")
+      .select("tb").distinct().count()
+    val touched = files.flatMap(f =>
+      "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(files.nonEmpty && touched.size <= 2 && touched.size < allParts,
+      s"no pruning: touched ${touched.size} of $allParts partitions")
+    // format validation: a mismatched partBuckets lookup fails loudly
+    intercept[IllegalArgumentException] {
+      Bm25.lookupAtRest(spark, table, q, k = 15, partBuckets = 8)
+    }
+  }
+
   test("removeDupSpans: keep-one rewrite, interval union, full-copy collapse") {
     val docs = Seq(
       (1L, "a b c d e"),       // all grams globally first: untouched
