@@ -1543,6 +1543,15 @@ object SparkEntry {
       graft.operators.Percentiles.perKeyPercentile(
         t(s, dir, "documents"), "source", "n_chars", "doc_id")),
 
+    // Blocklist (badwords) filter, C4-style: word-boundary phrase match
+    // against a broadcast list (one rare word + one bigram phrase so both
+    // gram lengths carry mass at every SF), tag-don't-drop with per-doc
+    // occurrence counts and the sorted hit set.
+    "q93_blocklist" -> ((s, dir) =>
+      graft.operators.Blocklist.flag(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "batch batch"))),
+
     // BM25 keyword retrieval (the sparse half of the search stack — the
     // dense half is q14/q15/q34): top-20 docs for a 4-term query under
     // Lucene-smoothed idf, per-(doc,term) contributions e6-quantized and
@@ -2956,6 +2965,42 @@ object SparkEntry {
         |                  * CAST(10000 AS DOUBLE) + 0.5)
         |       END AS BIGINT) AS pct_e4
         |FROM r""".stripMargin,
+
+    // blocklist replay: same tokenization, same positional uni/bi-grams,
+    // same distinct-sorted hit set (DISTINCT in a subquery — list(DISTINCT
+    // ... ORDER BY) support varies), left join preserves clean docs
+    "q93_blocklist" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT doc_id, w[i] AS phrase
+        |  FROM base, unnest(range(1, len(w) + 1)) AS t(i)
+        |), bi AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS phrase
+        |  FROM base, unnest(range(1, len(w))) AS t(i)
+        |), grams AS (
+        |  SELECT doc_id, phrase FROM uni
+        |  UNION ALL
+        |  SELECT doc_id, phrase FROM bi
+        |), matched AS (
+        |  SELECT doc_id, phrase FROM grams
+        |  WHERE phrase IN ('dup', 'batch batch')
+        |), counts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM matched
+        |  GROUP BY doc_id
+        |), terms AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(phrase ORDER BY phrase), ',') AS hits
+        |  FROM (SELECT DISTINCT doc_id, phrase FROM matched) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(c.n_hits, 0) AS n_hits,
+        |  coalesce(tm.hits, '') AS hits,
+        |  CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_blocked
+        |FROM documents d
+        |LEFT JOIN counts c USING (doc_id)
+        |LEFT JOIN terms tm USING (doc_id)""".stripMargin,
 
     // BM25 replay: identical idf smoothing, identical cast/association
     // order in the double math (the constants are spelled as the SAME

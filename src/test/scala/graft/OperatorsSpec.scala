@@ -627,6 +627,22 @@ class OperatorsSpec extends SparkSpec {
     assert(p9 == out)
   }
 
+  test("blocklist: word-boundary match, occurrence counts, sorted hit set") {
+    import graft.operators.Blocklist
+    val df = Seq(
+      (1L, "bad word here bad"),     // 'bad' at two positions
+      (2L, "badge words"),           // substring must NOT match
+      (3L, "very bad words indeed"), // unigram AND bigram phrase hit
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = Blocklist.flag(df, "doc_id", "text", Seq("bad", "bad  words"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, "bad", 1L)))
+    assert(out(1) == ((2L, 0L, "", 0L))) // 'badge' stays clean
+    assert(out(2) == ((3L, 2L, "bad,bad words", 1L)))
+    assert(out(3) == ((4L, 0L, "", 0L)))
+  }
+
   test("logBucket: exact small values, relative error bound, monotone, sign-mirrored") {
     import graft.operators.Percentiles
     import org.apache.spark.sql.functions.col
