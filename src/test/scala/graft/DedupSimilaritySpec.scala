@@ -692,6 +692,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bm25 incremental commit: index half + commit half == full in-memory, replay idempotent") {
+    import graft.operators.Bm25
+    val q = Seq("spark", "dup")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val table = graft.table.WarehouseTable(tmpDir("bm25inc") + "/idx")
+    Bm25.indexAtRest(half1, "doc_id", "text", table)
+    Bm25.indexCommit(spark, half2, "doc_id", "text", table)
+    val expect = Bm25.topK(Bm25.fit(docs, "doc_id", "text"), q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = Bm25.lookupAtRest(spark, table, q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // checkpoint replay of the same batch changes nothing (keyed merge +
+    // recompute-from-state subtotals)
+    Bm25.indexCommit(spark, half2, "doc_id", "text", table)
+    val replay = Bm25.lookupAtRest(spark, table, q, k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(replay == expect)
+  }
+
   test("removeDupSpans: keep-one rewrite, interval union, full-copy collapse") {
     val docs = Seq(
       (1L, "a b c d e"),       // all grams globally first: untouched
