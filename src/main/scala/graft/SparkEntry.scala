@@ -1543,6 +1543,36 @@ object SparkEntry {
       graft.operators.Percentiles.perKeyPercentile(
         t(s, dir, "documents"), "source", "n_chars", "doc_id")),
 
+    // CCNet-style head/middle/tail stratification: LM-score every doc
+    // (q53's bigram model, self-scored), then place each score in its
+    // SOURCE's distribution via the q90 sketch (ll is continuous — the
+    // exact CDF would be corpus-sized) and cut thirds. The composition
+    // IS the point: score → sketch-percentile → bucket is the actual
+    // CCNet pipeline shape, each stage already scale-certified.
+    "q95_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.BigramLm.fit(docs, "text")
+      val scored = graft.operators.BigramLm
+        .scoreDocs(docs, "doc_id", "text", lm)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("ll_e4",
+          floor(col("avg_ll") * 10000.0 + 0.5).cast("long"))
+      val model = graft.operators.Percentiles.fitSketch(
+        scored, "source", "ll_e4", bits = 8)
+      graft.operators.Percentiles.scoreAgainstSketch(
+        scored, "doc_id", "source", "ll_e4", model, bits = 8)
+        .withColumn("bucket",
+          when(col("pct_e4") >= 6667L, lit("head"))
+            .when(col("pct_e4") >= 3333L, lit("middle"))
+            .otherwise(lit("tail")))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 App. A1.1): the published
+    // rule set as one tag-don't-drop map-side pass — raw signals,
+    // per-rule bits, failure count, combined gate. No shuffle at all.
+    "q94_gopher_rules" -> ((s, dir) =>
+      graft.operators.Gopher.rules(t(s, dir, "documents"), "doc_id", "text")),
+
     // Blocklist (badwords) filter, C4-style: word-boundary phrase match
     // against a broadcast list (one rare word + one bigram phrase so both
     // gram lengths carry mass at every SF), tag-don't-drop with per-doc
@@ -2965,6 +2995,127 @@ object SparkEntry {
         |                  * CAST(10000 AS DOUBLE) + 0.5)
         |       END AS BIGINT) AS pct_e4
         |FROM r""".stripMargin,
+
+    // ccnet-buckets replay: the q53 LM chain, the q90 integer bucketing,
+    // strictly-smaller-bucket rank per source (rank() - 1: ties share),
+    // thirds cut on the same e4 percentile
+    "q95_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+        |), vs AS (SELECT count(*) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2
+        |), bgc AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY gram),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE))
+        |      * 10000 + 0.5) AS BIGINT) AS llq
+        |  FROM bg JOIN bgc USING (gram) JOIN uni USING (w1) CROSS JOIN vs
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_transitions,
+        |    CAST(sum(llq) AS BIGINT) AS s
+        |  FROM scored GROUP BY doc_id
+        |), ll AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN a.s IS NULL THEN 0
+        |         ELSE CAST(floor(CAST(a.s AS DOUBLE) / a.n_transitions + 0.5)
+        |              AS BIGINT)
+        |    END AS ll_e4
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |), bkt AS (
+        |  SELECT doc_id, source, ll_e4,
+        |    CAST(sign(ll_e4) AS BIGINT) * ((abs(ll_e4) >> sh) << sh) AS b
+        |  FROM (SELECT *, greatest(0, length(bin(abs(ll_e4))) - 8) AS sh
+        |        FROM ll)
+        |), pct AS (
+        |  SELECT doc_id, source, ll_e4,
+        |    CAST(floor(
+        |      CAST(rank() OVER (PARTITION BY source ORDER BY b ASC) - 1
+        |           AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE)
+        |      * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT) AS pct_e4
+        |  FROM bkt
+        |)
+        |SELECT doc_id, source, ll_e4, pct_e4,
+        |  CASE WHEN pct_e4 >= 6667 THEN 'head'
+        |       WHEN pct_e4 >= 3333 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM pct""".stripMargin,
+
+    // gopher-rules replay: same tokenization, same e4 stable rounding,
+    // same literal-count-by-replace construction, same rule thresholds
+    "q94_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+        |      AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '•')
+        |      OR starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '…')
+        |      OR ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+        |    CAST((len(text) - len(replace(text, '#', ''))) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |        AS BIGINT) AS n_symbols,
+        |    CAST(len(list_intersect(w,
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM base
+        |), e4 AS (
+        |  SELECT doc_id, n_words, stop_hits,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE CAST(floor(
+        |      CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      * 10000.0 + 0.5) AS BIGINT) END AS mean_wlen_e4,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE CAST(floor(
+        |      CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      * 10000.0 + 0.5) AS BIGINT) END AS sym_ratio_e4,
+        |    CASE WHEN n_words = 0 THEN 0 ELSE CAST(floor(
+        |      CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      * 10000.0 + 0.5) AS BIGINT) END AS alpha_frac_e4,
+        |    CASE WHEN n_lines = 0 THEN 0 ELSE CAST(floor(
+        |      CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |      * 10000.0 + 0.5) AS BIGINT) END AS bullet_frac_e4,
+        |    CASE WHEN n_lines = 0 THEN 0 ELSE CAST(floor(
+        |      CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |      * 10000.0 + 0.5) AS BIGINT) END AS ellipsis_frac_e4
+        |  FROM sig
+        |), bits AS (
+        |  SELECT *,
+        |    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+        |    CAST(mean_wlen_e4 >= 30000 AND mean_wlen_e4 <= 100000 AS BIGINT)
+        |      AS r_mean_word_len,
+        |    CAST(sym_ratio_e4 <= 1000 AS BIGINT) AS r_symbol_ratio,
+        |    CAST(bullet_frac_e4 <= 9000 AS BIGINT) AS r_bullet_lines,
+        |    CAST(ellipsis_frac_e4 <= 3000 AS BIGINT) AS r_ellipsis_lines,
+        |    CAST(alpha_frac_e4 >= 8000 AS BIGINT) AS r_alpha_words,
+        |    CAST(stop_hits >= 2 AS BIGINT) AS r_stop_words
+        |  FROM e4
+        |)
+        |SELECT doc_id, n_words, mean_wlen_e4, sym_ratio_e4, alpha_frac_e4,
+        |  bullet_frac_e4, ellipsis_frac_e4, stop_hits,
+        |  r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+        |  r_ellipsis_lines, r_alpha_words, r_stop_words,
+        |  (7 - r_word_count - r_mean_word_len - r_symbol_ratio
+        |     - r_bullet_lines - r_ellipsis_lines - r_alpha_words
+        |     - r_stop_words) AS n_rules_failed,
+        |  CAST((r_word_count + r_mean_word_len + r_symbol_ratio
+        |     + r_bullet_lines + r_ellipsis_lines + r_alpha_words
+        |     + r_stop_words) = 7 AS BIGINT) AS pass
+        |FROM bits""".stripMargin,
 
     // blocklist replay: same tokenization, same positional uni/bi-grams,
     // same distinct-sorted hit set (DISTINCT in a subquery — list(DISTINCT

@@ -604,6 +604,52 @@ object StreamingIngest {
       .start()
   }
 
+  /** At-rest BM25 index maintenance as a STREAMING stage — the arrival
+    * path of [[graft.operators.Bm25.indexAtRest]]: every micro-batch of
+    * NEW documents is committed into the term-partitioned inverted index
+    * via [[graft.operators.Bm25.indexCommit]], so a retrieval query
+    * issued after any batch sees everything ingested so far. Unlike the
+    * scorer stages this one's idempotency does NOT need the batch-id-
+    * keyed output convention: the commit itself is replay-idempotent
+    * (keyed MERGE on (term, doc_id) + recompute-from-state subtotals), so
+    * a checkpoint replay of a batch is a byte-identical no-op. Same-id
+    * rows within one batch collapse by the min-struct survivor rule
+    * ([[startIncrementalDeduper]]) before fitting, so token counts can't
+    * double under landing-file duplication.
+    */
+  def startBm25Indexer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      table: graft.table.WarehouseTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val others = batch.columns.filter(_ != idCol)
+        val uniq = batch
+          .groupBy(col(idCol))
+          .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
+          .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
+        graft.operators.Bm25.indexCommit(spark, uniq, idCol, textCol, table)
+        ()
+      }
+      .start()
+  }
+
   /** Naive-Bayes classification as a STREAMING stage — the frozen-model
     * apply of [[graft.operators.NbClassifier]] per micro-batch, under the
     * same rule as the TF-IDF and LM scorers: the per-class bigram model

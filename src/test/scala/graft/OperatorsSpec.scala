@@ -627,6 +627,39 @@ class OperatorsSpec extends SparkSpec {
     assert(p9 == out)
   }
 
+  test("gopher rules: thresholds, signals, rule bits") {
+    import graft.operators.Gopher
+    import org.apache.spark.sql.functions.col
+    val good = (1 to 6).map(_ =>
+      "the quick brown fox jumps over lazy dogs near that oak").mkString(" ")
+    val df = Seq(
+      (1L, good),                                   // 66 words, clean
+      (2L, "tiny doc of the and"),                  // 5 words: too short
+      (3L, (1 to 30).map(_ => "# data").mkString(" ")), // symbol-heavy, short words
+      (4L, "• one thing\n• two thing\n• three thing") // all-bullet
+    ).toDF("doc_id", "text")
+    val out = Gopher.rules(df, "doc_id", "text")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    def bit(id: Long, name: String): Long =
+      byId(id).getLong(out.columns.indexOf(name))
+    // doc 1 passes everything
+    assert(byId(1L).getLong(out.columns.indexOf("n_words")) == 66L)
+    assert(bit(1L, "r_stop_words") == 1L && bit(1L, "pass") == 1L
+      && bit(1L, "n_rules_failed") == 0L)
+    // doc 2: word count fails; stop words pass (of, the, and)
+    assert(bit(2L, "r_word_count") == 0L && bit(2L, "r_stop_words") == 1L
+      && bit(2L, "pass") == 0L)
+    // doc 3: 60 words but symbol ratio 0.5 and mean word len 2.5
+    assert(bit(3L, "r_word_count") == 1L && bit(3L, "r_symbol_ratio") == 0L
+      && bit(3L, "r_mean_word_len") == 0L && bit(3L, "pass") == 0L)
+    // doc 4: every line starts with a bullet -> frac 1.0 > 0.9
+    assert(bit(4L, "r_bullet_lines") == 0L)
+    assert(byId(4L).getLong(out.columns.indexOf("bullet_frac_e4")) == 10000L)
+    // the pass is one map-side projection: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher rules should not shuffle:\n$plan")
+  }
+
   test("blocklist: word-boundary match, occurrence counts, sorted hit set") {
     import graft.operators.Blocklist
     val df = Seq(

@@ -337,6 +337,35 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming bm25 indexer: commits per batch; final lookup matches full-corpus topK") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val table = graft.table.WarehouseTable(tmpDir("bm25stream") + "/idx")
+    Bm25.indexAtRest(half1, "doc_id", "text", table)
+    val landing = tmpDir("bm25_land")
+    val staging = tmpDir("bm25_stage") + "/files"
+    half2.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val q = StreamingIngest.startBm25Indexer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", table = table,
+      checkpointDir = tmpDir("bm25_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val expect = Bm25.topK(Bm25.fit(docs, "doc_id", "text"),
+      Seq("spark", "dup"), k = 15).as[(Long, Long, Long)].collect().toSeq
+    val got = Bm25.lookupAtRest(spark, table, Seq("spark", "dup"), k = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    ()
+  }
+
   test("streaming percentile scorer under a frozen distribution matches batch q84") {
     import spark.implicits._
     import graft.operators.Percentiles
