@@ -179,13 +179,17 @@ object SparkEntry {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     Map(
+      // q69's image FIXTURE synthesis must run (and be timed) FIRST:
+      // q82's index build reads q69Images, so timing q82 before the
+      // fixture exists would charge image synthesis — test scaffolding,
+      // not engine work — to the index-build line (round-7 audit item).
+      "q69_phash_image_dedup" -> timed(q69Images(s, dir).write
+        .format("noop").mode("overwrite").save()),
       "q34_ivf_at_rest" -> timed(q34Index(s, dir)),
       "q66_minhash_at_rest" -> timed(q66Index(s, dir)),
       "q77_ivfpq_at_rest" -> timed(q77Index(s, dir)),
       "q82_phash_at_rest" -> timed(q82Index(s, dir)),
-      "q92_bm25_at_rest" -> timed(q92Index(s, dir)),
-      "q69_phash_image_dedup" -> timed(q69Images(s, dir).write
-        .format("noop").mode("overwrite").save()))
+      "q92_bm25_at_rest" -> timed(q92Index(s, dir)))
   }
 
   /** The q44/q59/q61 planted re-crawl: every doc_id % 7 == 0 document
@@ -1565,6 +1569,29 @@ object SparkEntry {
           when(col("pct_e4") >= 6667L, lit("head"))
             .when(col("pct_e4") >= 3333L, lit("middle"))
             .otherwise(lit("tail")))
+    }),
+
+    // At-rest CMS counter maintenance (q87's gate shape for FREQUENCY):
+    // two parity batches commit per-batch keyed partials, batch 2 replays
+    // once (byte-idempotent keyed merge), the fold collapses history to
+    // ≤ depth·width rows, then batch 2 replays AGAIN post-fold (only the
+    // cms.maxBid high-water guard saves it now — CMS adds are not
+    // idempotent). The read-back must equal the whole-corpus counters.
+    "q96_cms_at_rest" -> ((s, dir) => {
+      val wh = scratchPath("q96", dir) + "/counters"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop() // side-effecting query: rebuild per invocation (q17 rule)
+      val docs = t(s, dir, "documents")
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      val S = graft.operators.Sketches
+      S.countersTableCommit(s, b1, "text", batchId = 1L, table)
+      S.countersTableCommit(s, b2, "text", batchId = 2L, table)
+      S.countersTableCommit(s, b2, "text", batchId = 2L, table) // pre-fold replay
+      S.countersTableFold(s, table)
+      S.countersTableCommit(s, b2, "text", batchId = 2L, table) // post-fold replay
+      S.countersTableRead(s, table)
+        .select(col("r").cast("long").as("r"), col("b"), col("c"))
     }),
 
     // Gopher quality rules (Rae et al. 2021 App. A1.1): the published
@@ -3280,6 +3307,21 @@ object SparkEntry {
         |  GROUP BY w
         |)
         |SELECT w, est FROM est ORDER BY est DESC, w ASC LIMIT 20""".stripMargin,
+
+    // incremental counter maintenance must converge to the whole-corpus
+    // CMS counters — commit/replay/fold/replay on the Spark side, one
+    // plain grouped count here (depth=4, width=1024, the q76 geometry)
+    "q96_cms_at_rest" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT w, r,
+        |    ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))::BIGINT
+        |      % 1024 AS b
+        |  FROM toks, unnest(range(0, 4)) AS t(r)
+        |)
+        |SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b""".stripMargin,
 
     // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
     // group via a rank window, then the same IEEE estimator arithmetic

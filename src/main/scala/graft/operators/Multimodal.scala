@@ -422,6 +422,33 @@ object Multimodal {
     table.append(idx)
   }
 
+  /** Incremental maintenance of the at-rest image-hash index — the
+    * minhash-commit pattern for IMAGES: after [[phashLookupAtRest]]
+    * classifies an arrival batch, MERGE the ACCEPTED images' blocked
+    * hash rows into the index so the next batch's probes catch near-dups
+    * of everything accepted so far. Blocking parameters are read from
+    * the table itself (they ARE the persisted index format — hashes
+    * blocked under a different radius never merge). Rows are keyed
+    * `(doc_id, blk)` — a pure function of the image hash — so replaying
+    * a batch upserts byte-identical rows: idempotent. The COW merge
+    * rewrites only the `pb` partitions the batch's blocks land in.
+    */
+  def phashIndexCommit(
+      spark: SparkSession,
+      accepted: DataFrame, // id, phash
+      table: graft.table.WarehouseTable): Unit = {
+    val stored = table.properties
+    def param(k: String): Int = stored.getOrElse(s"phash.$k",
+      throw new IllegalArgumentException(
+        s"index table has no phash.$k property — not a pHash index")).toInt
+    val maxHamming = param("maxHamming"); val partBuckets = param("partBuckets")
+    val idx = TextDedup.fp64Blocks(
+      accepted.select(col("id").as("doc_id"), col("phash").as("fp")), maxHamming)
+      .withColumn("pb",
+        (col("blk") * partBuckets + pmod(col("bv"), lit(partBuckets))).cast("int"))
+    table.merge(spark, idx, Seq("doc_id", "blk"))
+  }
+
   /** Near-dup image lookup of an arrival batch against the at-rest index:
     * arrival hashes are blocked map-side, the bounded distinct `pb` set
     * decides which partitions to READ (manifest pruning — ≤ nBlocks ×

@@ -165,6 +165,26 @@ object ProductQuantizer {
     table.append(encoded)
   }
 
+  /** Incremental maintenance of the at-rest IVFADC index: PQ-encode the
+    * accepted arrivals under the SAME frozen codebooks the index was
+    * built with (the caller holds them — they are the model, exactly as
+    * [[ivfPqIndexAtRest]] received them) and MERGE the `(id, bucket,
+    * code)` rows keyed by `id`. Replay-idempotent (deterministic encode ⇒
+    * byte-identical rows); the COW merge rewrites only the touched bucket
+    * partitions. Nothing re-encodes or rescans the existing corpus.
+    */
+  def ivfPqIndexCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      accepted: DataFrame, // id, vec, bucket (same coarse quantizer)
+      cb: Codebooks,
+      table: graft.table.WarehouseTable): Unit = {
+    require(table.exists, "ivfPqIndexCommit needs an existing index table — " +
+      "build one with ivfPqIndexAtRest first")
+    table.merge(spark,
+      accepted.select(col("id"), col("bucket"), codeExpr(col("vec"), cb).as("code")),
+      Seq("id"))
+  }
+
   /** IVFADC top-k over the at-rest index: coarse-probe ranking exactly as
     * [[SimilaritySearch.ivfTopKAtRest]] (centroid cosine, (cos DESC,
     * bucket ASC) ties), then ADC-score only the probed partitions' codes.

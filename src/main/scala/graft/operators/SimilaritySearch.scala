@@ -232,6 +232,31 @@ object SimilaritySearch {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** Incremental maintenance of the at-rest IVF index — the q66-commit
+    * pattern for VECTORS: after a lookup/dedup pass classifies an arrival
+    * batch, MERGE the accepted `(id, vec, bucket)` rows into the index so
+    * the NEXT batch's probes see everything accepted so far. The bucket
+    * must come from the SAME coarse quantizer the index was built under
+    * (the caller's contract, identical to [[ivfIndexAtRest]]'s input
+    * contract — [[probeBuckets]] with nprobe = 1 is the standard
+    * assignment); rows are keyed by `id`, so a checkpoint replay upserts
+    * byte-identical rows — idempotent (the q33/streaming replay rule).
+    *
+    * Scale shape: the COW merge rewrites ONLY the bucket partitions the
+    * batch's rows land in (plus the bounded matched-key discovery pass);
+    * nothing rescans the existing corpus, and probes stay partition-
+    * pruned over the union of corpus + all accepted arrivals.
+    */
+  def ivfIndexCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      accepted: DataFrame, // id, vec, bucket (same quantizer as the build)
+      table: graft.table.WarehouseTable): Unit = {
+    require(table.exists, "ivfIndexCommit needs an existing index table — " +
+      "build one with ivfIndexAtRest first")
+    table.merge(spark, accepted.select(col("id"), col("vec"), col("bucket")),
+      Seq("id"))
+  }
+
   /** Random-projection LSH bucketing for cosine ANN: 2^nPlanes buckets,
     * no training step. Near-dup mining = join within buckets.
     */

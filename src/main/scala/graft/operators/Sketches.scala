@@ -141,6 +141,80 @@ object Sketches {
     table.merge(spark, updated, Seq("g"))
   }
 
+  /** Incrementally maintain count-min counters AT REST — the frequency
+    * analog of [[sketchTableCommit]]. Rows are keyed `(bid, r, b)`: each
+    * arrival batch MERGEs its own ≤ depth·width counter partials under
+    * its batch id, WITHOUT reading anything stored. Because the partials
+    * are a pure function of the batch content, a checkpoint replay
+    * upserts byte-identical rows — idempotent with no read-modify-write
+    * (CMS adds are NOT idempotent, so folding into a single running
+    * total at commit time would double-count on replay; per-batch keying
+    * sidesteps that entirely). The `cms.maxBid` high-water property
+    * additionally no-ops any batch id at or below the last committed one,
+    * which is what keeps replays safe AFTER [[countersTableFold]] has
+    * collapsed the per-batch rows away (the streaming batch-id rule).
+    *
+    * Scale shape: commit cost = one map-side scan of the BATCH plus a
+    * merge of ≤ depth·width rows; nothing corpus-sized is touched, ever.
+    */
+  def countersTableCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      batchId: Long,
+      table: graft.table.WarehouseTable,
+      depth: Int = 4,
+      width: Int = 1024): Unit = {
+    require(batchId >= 0, s"batchId=$batchId must be >= 0 (negative ids are " +
+      "reserved for fold output)")
+    if (table.exists) {
+      val p = table.properties
+      Seq("cms.depth" -> depth, "cms.width" -> width).foreach { case (k, v) =>
+        require(p.get(k).forall(_ == v.toString),
+          s"counter table was built with $k=${p(k)} but the commit passed " +
+            s"$v — counters of different geometry never add")
+      }
+      if (p.get("cms.maxBid").exists(_.toLong >= batchId)) return // replay
+    }
+    val partial = countMinCounters(batch, textCol, depth, width)
+      .select(lit(batchId).as("bid"), col("r"), col("b"), col("c"))
+    if (!table.exists)
+      table.create(partial.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy")
+          ++ Map("cms.depth" -> depth.toString, "cms.width" -> width.toString))
+    table.merge(spark, partial, Seq("bid", "r", "b"))
+    // Property write AFTER the merge: a crash between the two leaves the
+    // replay guard unset, and the replayed merge is byte-idempotent anyway.
+    table.setProperties(Map("cms.maxBid" -> batchId.toString))
+  }
+
+  /** Whole-history counters from the at-rest table: sum the per-batch
+    * partials elementwise. ≤ nBatches·depth·width stored rows in,
+    * ≤ depth·width out — feeds [[cmsEstimateFor]] directly.
+    */
+  def countersTableRead(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.table.WarehouseTable): DataFrame =
+    table.read(spark).groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+
+  /** Collapse the per-batch history into one folded row set (bid = -1) so
+    * the table stays ≤ depth·width rows no matter how many batches have
+    * committed. Crash-safe by ordering: the `cms.maxBid` replay guard was
+    * already persisted by the last commit, and the overwrite is a single
+    * snapshot commit — so at every point the table either holds the
+    * unfolded rows (read sums to the same counters) or the folded ones,
+    * and replays of pre-fold batch ids stay no-ops via the property.
+    */
+  def countersTableFold(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.table.WarehouseTable): Unit = {
+    require(table.properties.contains("cms.maxBid"),
+      "counter table has no cms.maxBid property — not a CMS counter table")
+    val folded = countersTableRead(spark, table)
+      .select(lit(-1L).as("bid"), col("r"), col("b"), col("c"))
+    table.overwrite(folded)
+  }
+
   /** Per-group approximate distinct count via a k-minimum-values sketch.
     *
     * Output per group: `kept` (how many distinct hashes the sketch holds,

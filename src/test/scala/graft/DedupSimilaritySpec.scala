@@ -266,6 +266,77 @@ class DedupSimilaritySpec extends SparkSpec {
       s"unprobed partition leaked into scan: ${files.filterNot(f => probed.exists(b => f.contains(s"bucket=$b"))).take(3).mkString(",")}")
   }
 
+  test("IVF at rest: incremental commit — probes find committed arrivals; replay no-op") {
+    val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val table = graft.table.WarehouseTable(tmpDir("ivfcommit") + "/emb")
+    SimilaritySearch.ivfIndexAtRest(corpus, table)
+    // batch 1 arrivals: held-out vectors, bucket = nearest centroid
+    // (probeBuckets nprobe=1 — the standard index-side assignment)
+    val b1 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 55)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val assigned = SimilaritySearch.probeBuckets(b1, cents, 1)
+      .select(col("qid").as("id"), col("qvec").as("vec"), col("bucket"))
+    SimilaritySearch.ivfIndexCommit(spark, assigned, table)
+    val nRows = table.read(spark).count()
+    assert(nRows == 45L)
+    // batch 2 probe: an arrival's own vector must now hit itself at rank 1
+    // (nprobe=1 suffices — the probe ranks buckets exactly as the commit's
+    // assignment did, so the top probed bucket IS the committed bucket)
+    val q = b1.filter(col("qid") === 52L)
+    val top = SimilaritySearch.ivfTopKAtRest(spark, q, table, cents,
+        k = 1, nprobe = 1)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(top == Set((52L, 52L, 1)))
+    // replay: keyed byte-identical upsert — no extra rows
+    SimilaritySearch.ivfIndexCommit(spark, assigned, table)
+    assert(table.read(spark).count() == nRows)
+    // committing into a never-built table fails loudly
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfIndexCommit(spark, assigned,
+        graft.table.WarehouseTable(tmpDir("ivfnone") + "/t"))
+    }
+    ()
+  }
+
+  test("IVFADC at rest: incremental commit encodes under the frozen codebooks; replay no-op") {
+    import graft.operators.ProductQuantizer
+    val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").as("bucket"))
+    val cents = SimilaritySearch.centroids(corpus, "bucket")
+    val cb = ProductQuantizer.fit(corpus, "id", "vec",
+      dim = 64, m = 4, k = 8, iters = 2)
+    val table = graft.table.WarehouseTable(tmpDir("ivfpqcommit") + "/emb")
+    ProductQuantizer.ivfPqIndexAtRest(corpus, cb, table)
+    val b1 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 55)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val assigned = SimilaritySearch.probeBuckets(b1, cents, 1)
+      .select(col("qid").as("id"), col("qvec").as("vec"), col("bucket"))
+    ProductQuantizer.ivfPqIndexCommit(spark, assigned, cb, table)
+    val nRows = table.read(spark).count()
+    assert(nRows == 45L)
+    // the committed rows carry PQ codes from the SAME codebooks the
+    // at-rest rows do: a probe for an arrival's own vector returns it
+    // with the identical ADC distance the in-memory encoder computes
+    val q = b1.filter(col("qid") === 52L)
+    val got = ProductQuantizer.ivfPqTopKAtRest(
+        spark, q, table, cents, cb, k = 45, nprobe = 1)
+      .filter(col("id") === 52L)
+      .select("qid", "id", "adist").as[(Long, Long, Long)].collect().toSet
+    val selfDist = ProductQuantizer.adcTopK(
+        q, ProductQuantizer.encode(
+          assigned.filter(col("id") === 52L), "id", "vec", cb), cb, k = 1)
+      .select("qid", "id", "adist").as[(Long, Long, Long)].collect().toSet
+    assert(got == selfDist && got.nonEmpty)
+    // replay: deterministic encode, keyed upsert — no extra rows
+    ProductQuantizer.ivfPqIndexCommit(spark, assigned, cb, table)
+    assert(table.read(spark).count() == nRows)
+    ()
+  }
+
   test("semanticDedupKMeans: planted copies dedup to their source, learned cells") {
     import graft.operators.SimilaritySearch
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

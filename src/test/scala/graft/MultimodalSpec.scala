@@ -137,4 +137,38 @@ class MultimodalSpec extends SparkSpec {
     }
     ()
   }
+
+  test("pHash at rest: incremental commit — batch 2 probes find batch 1's accepted images; replay no-op") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 40).toDF("id")
+    val originals = Multimodal.synthesizeImages(spark, ids, "id")
+    val table = graft.table.WarehouseTable(tmpDir("phcommit") + "/idx")
+    Multimodal.phashIndexAtRest(Multimodal.imagePHashes(originals), table,
+      maxHamming = 2)
+    // batch 1: fresh images 100..104 — no corpus match, accepted
+    val b1 = Multimodal.synthesizeImages(
+      spark, spark.range(100, 105).toDF("id"), "id")
+    val b1Hashes = Multimodal.imagePHashes(b1)
+    assert(Multimodal.phashLookupAtRest(spark, b1Hashes, table, 2).isEmpty)
+    Multimodal.phashIndexCommit(spark, b1Hashes, table)
+    val nRows = table.read(spark).count()
+    // batch 2: a resized copy of accepted image 102 must now be caught
+    val b2 = b1.filter(_.id == 102L).map(r =>
+      MediaRow(r.id + 1000L, Multimodal.ImageCodec.resize(r.content, 2)))
+    val hits = Multimodal.phashLookupAtRest(
+        spark, Multimodal.imagePHashes(b2), table, 2)
+      .select("arrival_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1102L, 102L)))
+    // replay: byte-identical keyed upsert — no extra rows
+    Multimodal.phashIndexCommit(spark, b1Hashes, table)
+    assert(table.read(spark).count() == nRows)
+    // a non-index table refuses commits
+    val bare = graft.table.WarehouseTable(tmpDir("phbare") + "/t")
+    bare.create(table.schema)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashIndexCommit(spark, b1Hashes, bare)
+    }
+    assert(e.getMessage.contains("phash"))
+    ()
+  }
 }

@@ -958,6 +958,46 @@ class OperatorsSpec extends SparkSpec {
     ()
   }
 
+  test("cms counter table at rest: commits converge, replays no-op pre+post fold") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("cmsrest").toString + "/t"
+    val table = graft.table.WarehouseTable(wh)
+    val b1 = Seq((1L, "a b c a"), (2L, "b d")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "a e"), (4L, "c c f")).toDF("doc_id", "text")
+    def counters() = Sketches.countersTableRead(spark, table)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.countMinCounters(
+        b1.unionByName(b2), "text", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    Sketches.countersTableCommit(spark, b1, "text", 1L, table, 4, 64)
+    Sketches.countersTableCommit(spark, b2, "text", 2L, table, 4, 64)
+    assert(counters() == whole)
+    // pre-fold replay: per-batch keyed rows are byte-idempotent
+    Sketches.countersTableCommit(spark, b2, "text", 2L, table, 4, 64)
+    assert(counters() == whole)
+    // fold collapses to <= depth*width rows under bid = -1
+    Sketches.countersTableFold(spark, table)
+    assert(counters() == whole)
+    assert(table.read(spark).select(col("bid")).distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    // post-fold replay: only the cms.maxBid high-water guard saves it
+    Sketches.countersTableCommit(spark, b2, "text", 2L, table, 4, 64)
+    assert(counters() == whole)
+    // a genuinely NEW batch still lands after the fold
+    val b3 = Seq((5L, "a g")).toDF("doc_id", "text")
+    Sketches.countersTableCommit(spark, b3, "text", 3L, table, 4, 64)
+    val whole3 = Sketches.countMinCounters(
+        b1.unionByName(b2).unionByName(b3), "text", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(counters() == whole3)
+    // counters of different geometry never add: loud rejection
+    intercept[IllegalArgumentException] {
+      Sketches.countersTableCommit(spark, b3, "text", 4L, table, 4, 128)
+    }
+    ()
+  }
+
   test("kmv sketches compose incrementally: stored sketch + new batch = whole") {
     import graft.functions.KMinValues
     import graft.operators.Sketches
