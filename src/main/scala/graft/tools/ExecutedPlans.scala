@@ -13,11 +13,19 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object ExecutedPlans {
   def capture(spark: SparkSession, firstWaitMs: Int = 10000)
-      (action: => Unit): List[String] = {
-    val captured = new scala.collection.mutable.ArrayBuffer[String]
+      (action: => Unit): List[String] =
+    captureQE(spark, firstWaitMs)(action).map(_.executedPlan.toString)
+
+  /** Like [[capture]] but returns the [[QueryExecution]]s themselves, for
+    * audits that need the logical side too (e.g. the plan-regression gate
+    * inspecting join HINTS, which only exist pre-physical-planning).
+    */
+  def captureQE(spark: SparkSession, firstWaitMs: Int = 10000)
+      (action: => Unit): List[QueryExecution] = {
+    val captured = new scala.collection.mutable.ArrayBuffer[QueryExecution]
     val listener = new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
-        captured.synchronized { captured += qe.executedPlan.toString }
+        captured.synchronized { captured += qe }
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
