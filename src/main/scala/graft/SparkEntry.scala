@@ -1594,6 +1594,18 @@ object SparkEntry {
         .select(col("r").cast("long").as("r"), col("b"), col("c"))
     }),
 
+    // Chunk-granularity BPE encode (q58 × q86): every content-defined
+    // chunk lands with its own subword stream — the unit q41/q49 packing
+    // actually consumes. CDC boundaries partition the token sequence
+    // exactly, so per-doc chunk sums of n_words/n_bpe_tokens equal the
+    // q86 document-level counts (conservation law; OperatorsSpec pins it,
+    // the oracle replays boundaries + the final word table independently).
+    "q97_bpe_chunk_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Vocabulary.bpeTrain(docs, "text", nMerges = 12)
+      graft.operators.Vocabulary.bpeEncodeChunks(docs, "doc_id", "text", model)
+    }),
+
     // Gopher quality rules (Rae et al. 2021 App. A1.1): the published
     // rule set as one tag-don't-drop map-side pass — raw signals,
     // per-rule bits, failure count, combined gate. No shuffle at all.
@@ -3323,6 +3335,8 @@ object SparkEntry {
         |)
         |SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b""".stripMargin,
 
+    "q97_bpe_chunk_encode" -> bpeChunkEncodeOracle,
+
     // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
     // group via a rank window, then the same IEEE estimator arithmetic
     // ((k-1)·2^52 / kth, floored at 1e-4) — bit-identical because every
@@ -3718,6 +3732,42 @@ object SparkEntry {
        |  CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list(syms ORDER BY pos), ' ')) AS toks_md5
        |FROM enc GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of q97 — the q58 boundary replay (same CDC rule: a chunk
+    * starts at 0-based position i ≥ 1 iff md5 of the 3-gram at i begins
+    * with '0') composed with the q86 encode (s12 word table, char-sequence
+    * OOV fallback), aggregated per (doc, chunk) with in-order reassembly.
+    */
+  private lazy val bpeChunkEncodeOracle: String =
+    "WITH " + bpeChainSql + ",\n" +
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, w, i FROM toks, unnest(range(0, len(w))) AS t(i)
+       |), b AS (
+       |  SELECT doc_id, i, w[i + 1] AS tok,
+       |    CASE WHEN i >= 1 AND i + 3 <= len(w)
+       |      AND substr(md5(array_to_string(w[i + 1 : i + 3], ' ')), 1, 1) = '0'
+       |      THEN 1 ELSE 0 END AS bnd
+       |  FROM pos
+       |), seg AS (
+       |  SELECT doc_id, i, tok,
+       |    CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+       |      AS seg_id
+       |  FROM b
+       |), enc AS (
+       |  SELECT g.doc_id, g.seg_id, g.i,
+       |    coalesce(array_to_string(string_split(trim(sf.s), '  '), ' '),
+       |      array_to_string([g.tok[j] for j in range(1, len(g.tok) + 1)], ' '))
+       |      AS syms
+       |  FROM seg g LEFT JOIN s$bpeN sf ON sf.w = g.tok
+       |)
+       |SELECT doc_id, seg_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(list(syms ORDER BY i), ' ')) AS toks_md5
+       |FROM enc GROUP BY doc_id, seg_id""".stripMargin
 
   /** DuckDB twin of q89 — the q15 probe/scan replay at each nprobe in
     * 1..4, per-nprobe hit counts against exact cosine top-5, means

@@ -72,7 +72,39 @@ object Chunking {
       idCol: String,
       textCol: String,
       k: Int = 3,
-      boundaryHexPrefix: String = "0"): DataFrame = {
+      boundaryHexPrefix: String = "0"): DataFrame =
+    cdcSegments(docs, idCol, textCol, k, boundaryHexPrefix)
+      .select(col(idCol),
+        col("seg").cast("long").as("seg_id"),
+        size(col("chunk")).cast("long").as("n_seg_tokens"),
+        md5(array_join(col("chunk"), " ")).as("seg_md5"))
+
+  /** [[cdcChunks]] keeping the chunk CONTENT, not just its hash —
+    * `(id, seg_id, n_seg_tokens, seg_text)` — for stages that transform
+    * the chunk text itself (chunk-level BPE encode, chunk embedding prep)
+    * rather than dedup on it. Same boundary rule, same map-side shape;
+    * `seg_text` is the single-space token join, so re-tokenizing it
+    * reproduces the chunk's token sequence exactly.
+    */
+  def cdcChunkText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      boundaryHexPrefix: String = "0"): DataFrame =
+    cdcSegments(docs, idCol, textCol, k, boundaryHexPrefix)
+      .select(col(idCol),
+        col("seg").cast("long").as("seg_id"),
+        size(col("chunk")).cast("long").as("n_seg_tokens"),
+        array_join(col("chunk"), " ").as("seg_text"))
+
+  /** Shared CDC segmentation: `(id, seg, chunk: array<string>)`. */
+  private def cdcSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      boundaryHexPrefix: String): DataFrame = {
     require(k >= 1, "k must be positive")
     require(boundaryHexPrefix.nonEmpty && boundaryHexPrefix.matches("[0-9a-f]+"),
       "boundaryHexPrefix must be lowercase hex")
@@ -95,10 +127,6 @@ object Chunking {
           |    IF(j + 2 <= size(starts), element_at(starts, j + 2), size(w))
           |      - element_at(starts, j + 1)))""".stripMargin))
         .as(Seq("seg", "chunk")))
-      .select(col(idCol),
-        col("seg").cast("long").as("seg_id"),
-        size(col("chunk")).cast("long").as("n_seg_tokens"),
-        md5(array_join(col("chunk"), " ")).as("seg_md5"))
   }
 
   /** Chunk-level exact dedup over the CDC chunks — the stage CDC chunking

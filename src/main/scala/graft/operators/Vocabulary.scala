@@ -216,9 +216,22 @@ object Vocabulary {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      model: BpeModel): DataFrame =
+    bpeEncodeKeyed(docs, Seq(idCol), textCol, model)
+
+  /** [[bpeEncode]] under a COMPOSITE key — the chunk-granularity form
+    * (`(doc_id, seg_id)`-keyed) shares this; the single-column public
+    * signature delegates here. Same plan shape, the aggregation just
+    * groups on every key column.
+    */
+  private def bpeEncodeKeyed(
+      docs: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
       model: BpeModel): DataFrame = {
-    val toks = docs.select(col(idCol),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    val keys = idCols.map(col)
+    val toks = docs.select(keys :+
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")): _*)
     toks
       .join(model.words.select(col("w"), col("s")), Seq("w"), "left")
       .withColumn("syms",
@@ -227,7 +240,7 @@ object Vocabulary {
         when(col("s").isNotNull,
           array_join(split(trim(col("s")), "  "), " "))
           .otherwise(array_join(split(col("w"), ""), " ")))
-      .groupBy(col(idCol))
+      .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n_words"),
         sum(size(split(col("syms"), " "))).as("n_bpe_tokens"),
@@ -235,8 +248,37 @@ object Vocabulary {
       .withColumn("toks_md5",
         md5(array_join(
           transform(col("seq"), e => e.getField("syms")), " ")))
-      .select(col(idCol), col("n_words"), col("n_bpe_tokens"), col("toks_md5"))
+      .select(keys ++ Seq(col("n_words"), col("n_bpe_tokens"),
+        col("toks_md5")): _*)
   }
+
+  /** Chunk-granularity BPE encode — [[graft.operators.Chunking.cdcChunkText]]
+    * composed with the frozen-model encoder, so each CONTENT-DEFINED chunk
+    * lands with its own subword stream: the unit q41/q49 packing actually
+    * consumes (packing whole documents wastes budget; packing CDC chunks
+    * is insertion-robust AND budget-tight). Because CDC boundaries
+    * partition the token sequence exactly (every token in exactly one
+    * chunk), per-doc sums of `n_words`/`n_bpe_tokens` over chunks equal
+    * the document-level [[bpeEncode]] counts — the conservation law the
+    * q97 oracle and spec both pin.
+    *
+    * Output: `(id, seg_id, n_words, n_bpe_tokens, toks_md5)`.
+    *
+    * Scale shape: chunking is map-side ([[Chunking.cdcChunkText]]); the
+    * encode is the [[bpeEncode]] plan keyed by `(id, seg_id)` — one
+    * vocabulary-keyed left join, chunk-local reassembly. No new shuffle
+    * class versus document-level encode (rows ≈ tokens either way).
+    */
+  def bpeEncodeChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BpeModel,
+      k: Int = 3,
+      boundaryHexPrefix: String = "0"): DataFrame =
+    bpeEncodeKeyed(
+      Chunking.cdcChunkText(docs, idCol, textCol, k, boundaryHexPrefix),
+      Seq(idCol, "seg_id"), "seg_text", model)
 
   private def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

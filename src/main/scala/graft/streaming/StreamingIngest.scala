@@ -436,6 +436,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[startBpeEncoder]] at CHUNK granularity — arriving documents are
+    * content-defined-chunked ([[graft.operators.Chunking.cdcChunkText]])
+    * and each chunk lands with its own frozen-model subword stream
+    * ([[graft.operators.Vocabulary.bpeEncodeChunks]]), the unit the
+    * packing stages (q41/q49) consume. CDC boundaries depend only on the
+    * document's own tokens, and the model is frozen, so chunk identity is
+    * stable across replays and across batches containing edited re-crawls
+    * of the same document (the CDC shift-invariance property). Stateless
+    * per batch ⇒ replay idempotency via batch-id-keyed overwrite.
+    */
+  def startBpeChunkEncoder(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      model: graft.operators.Vocabulary.BpeModel, // frozen
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Vocabulary
+          .bpeEncodeChunks(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Corpus-relative percentile scoring as a STREAMING stage — each
     * arriving document lands with its position in the FROZEN per-key
     * corpus distribution ([[graft.operators.Percentiles.scoreAgainst]]):

@@ -803,6 +803,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out == ((9L, 3L, 4L, m("ab abc z q"))))
   }
 
+  test("bpe chunk encode: chunk sums conserve doc-level counts, chunks align with q58") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import graft.operators.{Chunking, Vocabulary}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Vocabulary.bpeTrain(docs, "text", nMerges = 12)
+    val chunked = Vocabulary.bpeEncodeChunks(docs, "doc_id", "text", model)
+      .cache()
+    // conservation law: CDC boundaries partition the token sequence, so
+    // per-doc sums over chunks equal the document-level encode exactly
+    val sums = chunked.groupBy(col("doc_id"))
+      .agg(fsum(col("n_words")).as("nw"), fsum(col("n_bpe_tokens")).as("nt"))
+    val doc = Vocabulary.bpeEncode(docs, "doc_id", "text", model)
+    assert(doc.count() > 0)
+    assert(sums.join(doc, Seq("doc_id"), "full")
+      .filter(col("nw").isNull || col("n_words").isNull
+        || col("nw") =!= col("n_words") || col("nt") =!= col("n_bpe_tokens"))
+      .count() == 0)
+    // chunk identity: every (doc, seg) carries exactly q58's token count
+    val cdc = Chunking.cdcChunks(docs, "doc_id", "text")
+    assert(chunked.join(cdc, Seq("doc_id", "seg_id"), "full")
+      .filter(col("n_words").isNull || col("n_seg_tokens").isNull
+        || col("n_words") =!= col("n_seg_tokens"))
+      .count() == 0)
+    chunked.unpersist()
+    ()
+  }
+
   test("percentile scoreAgainst: between-values carry, exact hits, unseen keys drop") {
     import graft.operators.Percentiles
     val corpus = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))

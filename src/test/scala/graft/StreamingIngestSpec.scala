@@ -337,6 +337,37 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming chunk-level bpe encoder matches batch q97") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model0 = Vocabulary.bpeTrain(docs, "text", nMerges = 12)
+    val model = Vocabulary.BpeModel(
+      model0.merges.cache(), model0.words.cache())
+    val landing = tmpDir("bpec_land")
+    val staging = tmpDir("bpec_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("bpec_out")
+    val q = StreamingIngest.startBpeChunkEncoder(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", model = model,
+      outDir = outDir, checkpointDir = tmpDir("bpec_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "seg_id", "n_words", "n_bpe_tokens", "toks_md5")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batch = SparkEntry.queries("q97_bpe_chunk_encode")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    model.merges.unpersist(); model.words.unpersist()
+    ()
+  }
+
   test("streaming bm25 indexer: commits per batch; final lookup matches full-corpus topK") {
     import spark.implicits._
     import graft.operators.Bm25
