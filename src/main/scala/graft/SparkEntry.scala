@@ -192,6 +192,26 @@ object SparkEntry {
       "q92_bm25_at_rest" -> timed(q92Index(s, dir)))
   }
 
+  /** Real-labels seam for the q70 quality/domain classifier: the NB
+    * machinery is complete but the fixtures carry only synthetic labels,
+    * so production fitting accepts an EXTERNAL labeled parquet — path
+    * from the `SPARK_GRAFT_LABELS` env var (the `SPARK_GRAFT_SF_DIR`
+    * convention) or the `graft.labels` JVM property (the in-JVM testable
+    * override; env wins are impossible to simulate under ScalaTest) —
+    * with columns `label: string, text: string`. Unset, it falls back to
+    * the synthetic fixture (`documents`, `lang` as the label), which is
+    * exactly what the driver's oracle run sees: the q70 oracle SQL keeps
+    * certifying the fallback path byte-for-byte. Contract + a checked-in
+    * 50-row realistic sample documented in TESTDATA.md.
+    */
+  private[graft] def labeledCorpus(s: SparkSession, dir: String): DataFrame =
+    sys.props.get("graft.labels").orElse(sys.env.get("SPARK_GRAFT_LABELS")) match {
+      case Some(path) => s.read.parquet(path)
+        .select(col("label").cast("string").as("label"), col("text"))
+      case None => t(s, dir, "documents")
+        .select(col("lang").as("label"), col("text"))
+    }
+
   /** The q44/q59/q61 planted re-crawl: every doc_id % 7 == 0 document
     * reappears under `doc_id + PlantOffset` — deterministic duplicate
     * mass at every SF, shared by every query that needs a re-crawl.
@@ -1336,7 +1356,7 @@ object SparkEntry {
     "q70_nb_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.NbClassifier.predict(docs, "doc_id", "text",
-        graft.operators.NbClassifier.fit(docs, "lang", "text"))
+        graft.operators.NbClassifier.fit(labeledCorpus(s, dir), "label", "text"))
     }),
 
     // Bloom-prefiltered exact dedup (q47's exact arm at the 100 TB shape):
