@@ -1614,6 +1614,32 @@ object SparkEntry {
         .select(col("r").cast("long").as("r"), col("b"), col("c"))
     }),
 
+    // Reciprocal Rank Fusion hybrid retrieval (q91 sparse × q14 dense):
+    // the calibration-free fusion rule RAG stacks standardize on —
+    // integer contributions 10^6 div (60 + rank), exact BIGINT sums, so
+    // the hybrid ranking is a cross-engine total order. Fusion cost is
+    // bounded by the input top-k lists, never the corpus.
+    "q98_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sparse = graft.operators.Bm25.topK(
+        graft.operators.Bm25.fit(docs, "doc_id", "text"),
+        Bm25QueryTerms, k = 20)
+        // rank over the ≤20-row top-k list (bounded single-partition window)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val dense = SimilaritySearch.bruteForceTopK(
+        e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 20)
+        .select(col("id").as("doc_id"), col("rank"))
+      graft.operators.Rrf.fuse(Seq(sparse, dense), "doc_id", "rank",
+        k0 = 60, topK = 10)
+    }),
+
     // Chunk-granularity BPE encode (q58 × q86): every content-defined
     // chunk lands with its own subword stream — the unit q41/q49 packing
     // actually consumes. CDC boundaries partition the token sequence
@@ -3357,6 +3383,8 @@ object SparkEntry {
 
     "q97_bpe_chunk_encode" -> bpeChunkEncodeOracle,
 
+    "q98_rrf_fusion" -> rrfOracle,
+
     // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
     // group via a rank window, then the same IEEE estimator arithmetic
     // ((k-1)·2^52 / kth, floored at 1e-4) — bit-identical because every
@@ -3644,9 +3672,19 @@ object SparkEntry {
   /** Shared q91/q92 replay — one text, two engines-side paths (in-memory
     * fit and at-rest pruned lookup) must both hash-match it.
     */
-  private lazy val bm25Oracle: String = {
+  private lazy val bm25Oracle: String =
+    "WITH " + bm25Ctes + "\n" +
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |  CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+      |FROM hits GROUP BY doc_id
+      |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Shared q91/q92/q98 CTE chain: tokenize → postings/stats/norms/globals
+    * → per-(doc,term) e6-quantized BM25 contributions for the fixed query.
+    */
+  private lazy val bm25Ctes: String = {
     val inList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
        |  FROM documents
        |), postings AS (
@@ -3672,11 +3710,54 @@ object SparkEntry {
        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_e6
        |  FROM postings p JOIN stats USING (term) JOIN norms USING (doc_id), g
        |  WHERE term IN ($inList)
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of q98 — the q91 BM25 chain and a q14-style exact-cosine
+    * ranking for query vector 0, fused with pure-integer RRF arithmetic
+    * (`1000000 // (60 + rank)`, exact BIGINT sums — no floats anywhere in
+    * the fusion, so both engines agree bit-for-bit).
+    */
+  private lazy val rrfOracle: String = {
+    val dotQQ = sqlListDot("qvec", "qvec")
+    val dotVV = sqlListDot("vec", "vec")
+    val dotQV = sqlListDot("qvec", "vec")
+    "WITH " + bm25Ctes + ",\n" +
+    s"""sparse AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank
+       |  FROM (SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+       |        FROM hits GROUP BY doc_id
+       |        ORDER BY score_e6 DESC, doc_id ASC LIMIT 20)
+       |), q AS (
+       |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+       |), c AS (
+       |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |  WHERE vec_id >= 10
+       |), dscored AS (
+       |  SELECT id,
+       |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+       |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
+       |  FROM c, q
+       |), dense AS (
+       |  SELECT id AS doc_id, rank FROM (
+       |    SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rank
+       |    FROM dscored)
+       |  WHERE rank <= 20
+       |), contribs AS (
+       |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM sparse
+       |  UNION ALL
+       |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM dense
+       |), fused AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       |    CAST(sum(c) AS BIGINT) AS rrf_e6
+       |  FROM contribs GROUP BY doc_id
        |)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-       |  CAST(sum(contrib_e6) AS BIGINT) AS score_e6
-       |FROM hits GROUP BY doc_id
-       |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+       |SELECT doc_id, n_lists, rrf_e6, rank FROM (
+       |  SELECT doc_id, n_lists, rrf_e6,
+       |    row_number() OVER (ORDER BY rrf_e6 DESC, doc_id ASC) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10""".stripMargin
   }
 
   private val bpeN = 12

@@ -830,6 +830,19 @@ class OperatorsSpec extends SparkSpec {
     ()
   }
 
+  test("rrf fusion: exact integer contributions, multi-list boost, id tiebreak, topK cut") {
+    import graft.operators.Rrf
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Rrf.fuse(Seq(a, b), "doc_id", "rank", k0 = 60, topK = 3)
+      .as[(Long, Long, Long, Int)].collect().toList
+    // contributions: 10^6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    assert(out == List(
+      (3L, 2L, 15873L + 16393L, 1), // in both lists: fused to the top
+      (1L, 1L, 16393L, 2),
+      (2L, 1L, 16129L, 3)))         // ties 16129 with doc 4; id asc wins, topK cuts doc 4
+  }
+
   test("percentile scoreAgainst: between-values carry, exact hits, unseen keys drop") {
     import graft.operators.Percentiles
     val corpus = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
