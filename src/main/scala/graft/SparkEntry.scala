@@ -512,6 +512,22 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(qs, corpus, k = 5)
     }),
 
+    // Hard-negative mining (DPR/contrastive training prep): per query,
+    // the 5 most-similar corpus vectors with a DIFFERENT label — the
+    // near-misses an embedding model trains against. q14's exact plan
+    // with the label-mismatch predicate applied before ranking.
+    "q99_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.hardNegatives(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel")),
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label")),
+        k = 5)
+    }),
+
     // IVF (inverted-file) ANN: label-bucketed coarse quantizer, probe the
     // 3 nearest centroids only. Deterministic end-to-end (label-means
     // codebook, total-order probe ranking + top-k), so it carries a full
@@ -1922,6 +1938,30 @@ object SparkEntry {
          |)
          |SELECT qid, id, cos, rank FROM (
          |  SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5""".stripMargin
+    },
+
+    // q14's replay with the label-mismatch predicate applied before the
+    // rank window — a negative's rank counts only negatives
+    "q99_hard_negatives" -> {
+      val dotQQ = sqlListDot("qvec", "qvec")
+      val dotVV = sqlListDot("vec", "vec")
+      val dotQV = sqlListDot("qvec", "vec")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings
+         |      WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT qid, id, label,
+         |    CASE WHEN sqrt($dotQQ) = 0 OR sqrt($dotVV) = 0 THEN 0.0
+         |         ELSE $dotQV / (sqrt($dotQQ) * sqrt($dotVV)) END AS cos
+         |  FROM c, q
+         |  WHERE label <> qlabel
+         |)
+         |SELECT qid, id, label, cos, rank FROM (
+         |  SELECT qid, id, label, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
          |  FROM scored
          |) WHERE rank <= 5""".stripMargin

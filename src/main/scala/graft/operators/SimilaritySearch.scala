@@ -42,6 +42,35 @@ object SimilaritySearch {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining (the DPR/contrastive-training data stage): for
+    * each query, the k MOST similar corpus vectors whose label differs —
+    * the near-misses that make a retrieval/embedding model actually
+    * learn, where random negatives are trivially separable. Same plan as
+    * [[bruteForceTopK]] with the label-mismatch predicate applied BEFORE
+    * ranking (a negative's rank counts only negatives, the training
+    * contract), exact and deterministic (cos desc, id asc).
+    *
+    * Scale shape: identical to the exact-kNN family — broadcast probe set
+    * × corpus scan here; the same mining composes with
+    * [[bruteForceTopKShuffle]] for large query batches or the IVF probes
+    * for sublinear scan, since the label filter is a per-row predicate
+    * that pushes into any of them.
+    */
+  def hardNegatives(
+      queries: DataFrame, // qid, qvec, qlabel
+      corpus: DataFrame,  // id, vec, label
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos", CosineSim(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("label"), col("cos"), col("rank"))
+  }
+
   /** Batch-kNN for LARGE query sets. [[bruteForceTopK]]'s
     * `crossJoin(broadcast(queries))` is the right plan for a handful of
     * probe vectors but caps the query side at broadcast size — a

@@ -205,6 +205,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("hard negatives: same-label excluded, ranks count only negatives") {
+    import graft.operators.SimilaritySearch
+    // q's own label is 'a'; vec (1,0) is a PERFECT same-label match and
+    // must neither appear nor consume a rank slot
+    val qs = Seq((0L, Seq(1f, 0f), "a")).toDF("qid", "qvec", "qlabel")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f), "a"),   // cos 1.0, same label: excluded
+      (11L, Seq(1f, 1f), "b"),   // cos ~0.707: negative rank 1
+      (12L, Seq(0f, 1f), "b"),   // cos 0.0:    negative rank 2
+      (13L, Seq(-1f, 0f), "c"))  // cos -1.0:   negative rank 3, cut at k=2
+      .toDF("id", "vec", "label")
+    val out = SimilaritySearch.hardNegatives(qs, corpus, k = 2)
+      .select("id", "label", "rank").as[(Long, String, Int)].collect().toList
+      .sortBy(_._3)
+    assert(out == List((11L, "b", 1), (12L, "b", 2)))
+  }
+
   test("large-query-set shuffle paths ≡ broadcast paths (exact equivalence)") {
     // the shuffle variants exist for query sets too big to broadcast; they
     // must return EXACTLY what the broadcast plans return (same tiebreaks)

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "q89_ivf_nprobe_sweep", // probe set, swept nprobe
     "q91_bm25_topk",        // 1-row corpus-globals (N, avgdl)
     "q95_ccnet_buckets",    // 1-row LM totals (q53 inside)
-    "q98_rrf_fusion")       // broadcast query vector × corpus (q14 inside)
+    "q98_rrf_fusion",       // broadcast query vector × corpus (q14 inside)
+    "q99_hard_negatives")   // broadcast query set × corpus (q14's plan)
 
   /** Rule-3 boundedness: does this logical subtree force bounded
     * cardinality on its own? (Aggregates are bounded by their grouping
