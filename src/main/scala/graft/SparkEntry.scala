@@ -192,6 +192,28 @@ object SparkEntry {
       "q92_bm25_at_rest" -> timed(q92Index(s, dir)))
   }
 
+  /** q100's JSONL landing fixture: `documents` round-tripped to
+    * newline-delimited JSON (the corpus interchange format) plus one
+    * planted shard of 2 malformed lines (a truncated object and a
+    * non-JSON line — the broken-upload cases quarantine exists for).
+    * Memoized per (JVM, sfDir); `overwrite` first wipes the dir, so a
+    * rebuild regenerates the corrupt shard too.
+    */
+  private def q100JsonlDir(s: SparkSession, dir: String): String = {
+    val root = scratchPath("q100", dir)
+    if (atRestBuilt.add(root)) {
+      t(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("source"), col("lang"),
+          col("text"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(root)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "corrupt.txt"),
+        "{\"doc_id\": -1, \"source\": \"bad\"\nnot json at all\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    root
+  }
+
   /** Real-labels seam for the q70 quality/domain classifier: the NB
     * machinery is complete but the fixtures carry only synthetic labels,
     * so production fitting accepts an EXTERNAL labeled parquet — path
@@ -1654,6 +1676,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
       graft.operators.Rrf.fuse(Seq(sparse, dense), "doc_id", "rank",
         k0 = 60, topK = 10)
+    }),
+
+    // JSONL ingest with corrupt-line quarantine: documents round-tripped
+    // through the corpus interchange format (explicit schema — never a
+    // second inference pass — PERMISSIVE capture, tag-don't-drop). The
+    // per-source stats AND an md5-derived text signature prove the parse
+    // lossless against the parquet originals; the 2 planted malformed
+    // lines land in quarantine, not in the stats and not on the floor.
+    "q100_jsonl_ingest" -> ((s, dir) => {
+      val root = q100JsonlDir(s, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("source", "string")
+        .add("lang", "string").add("text", "string").add("n_chars", "long")
+      val (good, bad) =
+        graft.sources.JsonlReader.readWithQuarantine(s, root, schema)
+      good.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"))
+            .as("text_sig"))
+        .unionByName(bad.agg(count(lit(1)).as("n_docs"))
+          .select(lit("_quarantine").as("source"), col("n_docs"),
+            lit(0L).as("n_chars"), lit(0L).as("text_sig")))
     }),
 
     // Chunk-granularity BPE encode (q58 × q86): every content-defined
@@ -3424,6 +3469,19 @@ object SparkEntry {
     "q97_bpe_chunk_encode" -> bpeChunkEncodeOracle,
 
     "q98_rrf_fusion" -> rrfOracle,
+
+    // the JSONL round-trip must be lossless vs the parquet originals —
+    // the oracle never sees the JSON at all, only documents + the
+    // planted quarantine constant
+    "q100_jsonl_ingest" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT)
+        |    AS text_sig
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '_quarantine' AS source, CAST(2 AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS text_sig""".stripMargin,
 
     // KMV sketch replay: the k smallest distinct 52-bit md5 hashes per
     // group via a rank window, then the same IEEE estimator arithmetic

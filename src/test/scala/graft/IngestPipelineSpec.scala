@@ -83,6 +83,31 @@ class IngestPipelineSpec extends SparkSpec {
        |        source.shippingtype, source.referral
        |    );""".stripMargin
 
+  test("jsonl reader: good rows parse under the schema, bad lines quarantine verbatim") {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.JsonlReader
+    import spark.implicits._
+    val dir = tmpDir("jsonl")
+    Files.write(Paths.get(s"$dir/a.jsonl"),
+      ("""{"id": 1, "txt": "hello world"}""" + "\n" +
+       """{"id": 2, "txt": "second"}""" + "\n" +
+       """{"id": 3, "txt": "trunca""" + "\n" + // truncated object
+       "garbage line\n").getBytes(StandardCharsets.UTF_8))
+    val schema = new StructType().add("id", "long").add("txt", "string")
+    val (good, bad) = JsonlReader.readWithQuarantine(spark, dir, schema)
+    assert(good.as[(Long, String)].collect().toSet ==
+      Set((1L, "hello world"), (2L, "second")))
+    // quarantine preserves the raw line VERBATIM for inspection/replay
+    assert(bad.as[String].collect().toSet ==
+      Set("""{"id": 3, "txt": "trunca""", "garbage line"))
+    // the corrupt column is an internal contract, not a caller schema slot
+    intercept[IllegalArgumentException] {
+      JsonlReader.readWithQuarantine(spark, dir,
+        schema.add(JsonlReader.CorruptCol, "string"))
+    }
+    ()
+  }
+
   test("MergeSqlRunner parses the reference MERGE shape") {
     val p = MergeSqlRunner.parse(mergeSql("cat.db.orders"))
     assert(p.targetTable == "cat.db.orders")
