@@ -1678,6 +1678,26 @@ object SparkEntry {
         k0 = 60, topK = 10)
     }),
 
+    // MMR diversified selection over a bounded candidate set: top-20 by
+    // relevance to query vector 0, then 5 greedy picks trading relevance
+    // against redundancy (λ = 0.5, exact integer objective). The
+    // eval-set/few-shot-pool selector — a plain top-k returns one
+    // neighborhood's near-duplicates; MMR provably does not.
+    "q101_mmr_select" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val cand = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .crossJoin(broadcast(qv)) // 1-row query — provably bounded
+        .withColumn("cos", graft.functions.CosineSim(col("qvec"), col("vec")))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cos").desc, col("id").asc)))
+        .filter(col("rnk") <= 20)
+        .select(col("id"), col("vec"),
+          floor(col("cos") * 1000000.0 + lit(0.5)).cast("long").as("rel_e6"))
+      SimilaritySearch.mmrDiversify(cand, k = 5)
+    }),
+
     // JSONL ingest with corrupt-line quarantine: documents round-tripped
     // through the corpus interchange format (explicit schema — never a
     // second inference pass — PERMISSIVE capture, tag-don't-drop). The
@@ -3470,6 +3490,8 @@ object SparkEntry {
 
     "q98_rrf_fusion" -> rrfOracle,
 
+    "q101_mmr_select" -> mmrOracle,
+
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the
     // planted quarantine constant
@@ -3967,6 +3989,69 @@ object SparkEntry {
        |  CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list(syms ORDER BY i), ' ')) AS toks_md5
        |FROM enc GROUP BY doc_id, seg_id""".stripMargin
+
+  /** One unrolled MMR greedy step: score the remaining candidates against
+    * the already-picked set `p${i-1}` with the exact integer objective
+    * (λe6 = 500000), pick the max (score desc, id asc), accumulate.
+    */
+  private def mmrStepCtes(i: Int): String =
+    s"""st$i AS (
+       |  SELECT c.id,
+       |    CAST(500000 AS BIGINT) * c.rel_q - CAST(500000 AS BIGINT) *
+       |      (SELECT max(s.sim_q) FROM simsym s
+       |       WHERE s.a = c.id AND s.b IN (SELECT id FROM p${i - 1}))
+       |      AS score_q
+       |  FROM cand c WHERE c.id NOT IN (SELECT id FROM p${i - 1})
+       |), s$i AS (
+       |  SELECT id, $i AS mmr_rank, score_q FROM st$i
+       |  ORDER BY score_q DESC, id ASC LIMIT 1
+       |), p$i AS (
+       |  SELECT * FROM p${i - 1} UNION ALL SELECT * FROM s$i
+       |)""".stripMargin
+
+  /** DuckDB twin of q101 — candidate top-20 by exact cosine to query 0,
+    * N² quantized pairwise sims, then the 5 greedy picks unrolled
+    * step-for-step (the bpe-oracle unrolling technique). Every compared
+    * quantity is an exact BIGINT, so selection order replays identically.
+    */
+  private lazy val mmrOracle: String = {
+    val dQQ = sqlListDot("qvec", "qvec")
+    val dVV = sqlListDot("vec", "vec")
+    val dQV = sqlListDot("qvec", "vec")
+    val dXX = sqlListDot("x.vec", "x.vec")
+    val dYY = sqlListDot("y.vec", "y.vec")
+    val dXY = sqlListDot("x.vec", "y.vec")
+    val steps = (2 to 5).map(mmrStepCtes).mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |       WHERE vec_id >= 10),
+       |qscored AS (
+       |  SELECT id, vec,
+       |    CASE WHEN sqrt($dQQ) = 0 OR sqrt($dVV) = 0 THEN 0.0
+       |         ELSE $dQV / (sqrt($dQQ) * sqrt($dVV)) END AS cos
+       |  FROM c0, q
+       |), cand AS MATERIALIZED (
+       |  SELECT id, vec, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+       |  FROM (SELECT id, vec, cos,
+       |          row_number() OVER (ORDER BY cos DESC, id ASC) AS rnk
+       |        FROM qscored)
+       |  WHERE rnk <= 20
+       |), sims AS MATERIALIZED (
+       |  SELECT x.id AS a, y.id AS b,
+       |    CAST(floor((CASE WHEN sqrt($dXX) = 0 OR sqrt($dYY) = 0 THEN 0.0
+       |      ELSE $dXY / (sqrt($dXX) * sqrt($dYY)) END) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS sim_q
+       |  FROM cand x, cand y WHERE x.id < y.id
+       |), simsym AS (
+       |  SELECT a, b, sim_q FROM sims
+       |  UNION ALL SELECT b AS a, a AS b, sim_q FROM sims
+       |), p1 AS (
+       |  SELECT id, 1 AS mmr_rank, CAST(500000 AS BIGINT) * rel_q AS score_q
+       |  FROM cand ORDER BY rel_q DESC, id ASC LIMIT 1
+       |),
+       |$steps
+       |SELECT id, mmr_rank, score_q FROM p5""".stripMargin
+  }
 
   /** DuckDB twin of q89 — the q15 probe/scan replay at each nprobe in
     * 1..4, per-nprobe hit counts against exact cosine top-5, means

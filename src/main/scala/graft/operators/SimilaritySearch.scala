@@ -71,6 +71,70 @@ object SimilaritySearch {
       .select(col("qid"), col("id"), col("label"), col("cos"), col("rank"))
   }
 
+  /** MMR diversified selection (Carbonell & Goldstein, SIGIR 1998) — pick
+    * k items that are RELEVANT but not redundant: greedily maximize
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`. The eval-set /
+    * few-shot-pool selector of a training-data pipeline: a plain top-k
+    * returns near-duplicates of one neighborhood; MMR trades relevance
+    * against novelty.
+    *
+    * Cross-engine determinism (the q53 rule): relevance and pairwise
+    * similarities are 1e-6-quantized BIGINTs, λ is integer millionths,
+    * and the greedy objective `λe6·rel_e6 − (1e6−λe6)·maxsim_e6` is
+    * exact integer arithmetic with the id-asc tiebreak — both engines
+    * replay the selection step-for-step.
+    *
+    * Scale shape: MMR is inherently sequential in k, so the RIGHT design
+    * is bounded-candidate greedy — candidates are a top-N retrieval
+    * result (N is a query parameter, like k), the N² pairwise sims are
+    * computed distributed with the codegen'd [[graft.functions.CosineSim]]
+    * kernel, and the ≤N + N² collect is planning-scale, not corpus-scale
+    * (the q72/q85 bounded-collect rule). Running each greedy step as a
+    * Spark job would schedule k sequential jobs over N rows — the q85
+    * anti-pattern this deliberately avoids.
+    */
+  def mmrDiversify(
+      candidates: DataFrame, // id, vec, rel_e6
+      k: Int,
+      lambdaE6: Long = 500000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lambdaE6 >= 0L && lambdaE6 <= 1000000L, "lambdaE6 in [0, 1e6]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val relMap: Map[Long, Long] = candidates
+      .select(col("id").cast("long"), col("rel_e6").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val a = candidates.select(col("id").as("ia"), col("vec").as("va"))
+    val b = candidates.select(col("id").as("ib"), col("vec").as("vb"))
+    val sim = scala.collection.mutable.HashMap[(Long, Long), Long]()
+    a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        floor(CosineSim(col("va"), col("vb")) * 1000000.0 + lit(0.5))
+          .cast("long").as("sim_e6"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (x, y, s) => sim((x, y)) = s; sim((y, x)) = s }
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ relMap.keys
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Long.MinValue
+      // SortedSet iterates id-ascending, so strict '>' = id-asc tiebreak
+      remaining.foreach { d =>
+        val maxSim =
+          if (selected.isEmpty) 0L else selected.map(s => sim((d, s))).max
+        val sc = lambdaE6 * relMap(d) - (1000000L - lambdaE6) * maxSim
+        if (sc > bestScore) { bestScore = sc; bestId = d }
+      }
+      picked += ((bestId, rank, bestScore))
+      selected += bestId
+      remaining -= bestId
+      rank += 1
+    }
+    picked.toSeq.toDF("id", "mmr_rank", "score_q")
+  }
+
   /** Batch-kNN for LARGE query sets. [[bruteForceTopK]]'s
     * `crossJoin(broadcast(queries))` is the right plan for a handful of
     * probe vectors but caps the query side at broadcast size — a

@@ -222,6 +222,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == List((11L, "b", 1), (12L, "b", 2)))
   }
 
+  test("mmr diversify: redundant near-dup demoted below the diverse pick") {
+    import graft.operators.SimilaritySearch
+    // ids 1/2 are near-parallel (sim ≈ 0.9998) with the two best
+    // relevances; id 3 is near-orthogonal with lower relevance. Top-2 by
+    // relevance = {1, 2}; MMR must pick {1, 3} and push 2 to rank 3.
+    val cand = Seq(
+      (1L, Seq(2f, 1f), 894427L),
+      (2L, Seq(1.9f, 1f), 884900L),
+      (3L, Seq(1f, -2f), 447213L))
+      .toDF("id", "vec", "rel_e6")
+    val out = SimilaritySearch.mmrDiversify(cand, k = 3)
+      .select("id", "mmr_rank").as[(Long, Int)].collect().toList.sortBy(_._2)
+    assert(out.map(_._1) == List(1L, 3L, 2L))
+    // k beyond the candidate count returns every candidate once
+    assert(SimilaritySearch.mmrDiversify(cand, k = 10).count() == 3)
+    // exact tie (identical vec + rel): id-asc wins the first pick
+    val tied = Seq(
+      (7L, Seq(1f, 0f), 1000000L),
+      (5L, Seq(1f, 0f), 1000000L))
+      .toDF("id", "vec", "rel_e6")
+    val first = SimilaritySearch.mmrDiversify(tied, k = 1)
+      .select("id").as[Long].collect().toList
+    assert(first == List(5L))
+  }
+
   test("large-query-set shuffle paths ≡ broadcast paths (exact equivalence)") {
     // the shuffle variants exist for query sets too big to broadcast; they
     // must return EXACTLY what the broadcast plans return (same tiebreaks)

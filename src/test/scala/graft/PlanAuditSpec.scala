@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "q91_bm25_topk",        // 1-row corpus-globals (N, avgdl)
     "q95_ccnet_buckets",    // 1-row LM totals (q53 inside)
     "q98_rrf_fusion",       // broadcast query vector × corpus (q14 inside)
-    "q99_hard_negatives")   // broadcast query set × corpus (q14's plan)
+    "q99_hard_negatives",   // broadcast query set × corpus (q14's plan)
+    "q101_mmr_select")      // 1-row query vector + limit-bounded N² sims
 
   /** Rule-3 boundedness: does this logical subtree force bounded
     * cardinality on its own? (Aggregates are bounded by their grouping
