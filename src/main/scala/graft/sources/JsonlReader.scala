@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, from_json, trim}
 import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Newline-delimited JSON (JSONL) ingest — the interchange format LLM
@@ -54,6 +54,35 @@ object JsonlReader {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val quarantine = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
+    (good, quarantine)
+  }
+
+  /** The same parse/quarantine contract over a frame of RAW LINES
+    * (`valueCol`) instead of a file path — the streaming-side twin: a
+    * text file stream delivers one line per row, and `from_json` applies
+    * the identical PERMISSIVE + corrupt-capture semantics per micro-batch
+    * (equivalence with [[readWithQuarantine]] on the same files is
+    * spec-asserted). Blank lines are skipped, as the JSON file source
+    * does.
+    */
+  def parseLines(
+      lines: DataFrame,
+      valueCol: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
+    val parsed = lines
+      .filter(trim(col(valueCol)) =!= "")
+      .select(
+        from_json(col(valueCol), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("r"),
+        col(valueCol).as("_raw"))
+    val good = parsed.filter(col(s"r.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(n => col(s"r.$n").as(n)).toSeq: _*)
+    val quarantine = parsed.filter(col(s"r.$CorruptCol").isNotNull)
+      .select(col("_raw").as("raw_line"))
     (good, quarantine)
   }
 }

@@ -477,6 +477,44 @@ object StreamingIngest {
       .start()
   }
 
+  /** JSONL ingest with corrupt-line quarantine as a STREAMING stage —
+    * arriving newline-delimited-JSON files parse under the explicit
+    * schema ([[graft.sources.JsonlReader.parseLines]]: same PERMISSIVE +
+    * corrupt-capture contract as the batch reader) and each micro-batch
+    * lands its good rows AND its quarantined raw lines (tag-don't-drop
+    * at ingest: a malformed line neither kills the stream nor vanishes).
+    * Stateless per batch ⇒ replay idempotency via batch-id-keyed
+    * overwrite of both outputs.
+    */
+  def startJsonlIngest(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      outDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format("text")
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist() // two actions (good + quarantine) share one scan
+        try {
+          val (good, bad) = graft.sources.JsonlReader
+            .parseLines(batch, "value", schema)
+          good.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          bad.write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch=$batchId")
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Corpus-relative percentile scoring as a STREAMING stage — each
     * arriving document lands with its position in the FROZEN per-key
     * corpus distribution ([[graft.operators.Percentiles.scoreAgainst]]):

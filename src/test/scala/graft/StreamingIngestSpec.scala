@@ -337,6 +337,37 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming jsonl ingest: good rows and quarantine match the batch reader") {
+    import spark.implicits._
+    import graft.sources.JsonlReader
+    val landing = tmpDir("jsonl_land")
+    Files.write(Paths.get(s"$landing/a.jsonl"),
+      ("""{"id": 1, "txt": "alpha"}""" + "\n" +
+       """{"id": 2, "txt": "beta"}""" + "\n" +
+       """{"id": 9, "txt": "trunc""" + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$landing/b.jsonl"),
+      ("""{"id": 3, "txt": "gamma"}""" + "\n" +
+       "\n" + // blank line: skipped, not quarantined
+       "plain garbage\n").getBytes(StandardCharsets.UTF_8))
+    val schema = new StructType().add("id", "long").add("txt", "string")
+    val outDir = tmpDir("jsonl_out")
+    val qDir = tmpDir("jsonl_quar")
+    val q = StreamingIngest.startJsonlIngest(
+      spark, landing, schema, outDir, qDir,
+      checkpointDir = tmpDir("jsonl_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamedGood = spark.read.parquet(s"$outDir/batch=*")
+      .as[(Long, String)].collect().toSet
+    val streamedBad = spark.read.parquet(s"$qDir/batch=*")
+      .as[String].collect().toSet
+    val (bGood, bBad) = JsonlReader.readWithQuarantine(spark, landing, schema)
+    assert(streamedGood == bGood.as[(Long, String)].collect().toSet)
+    assert(streamedGood == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    assert(streamedBad == bBad.as[String].collect().toSet)
+    assert(streamedBad == Set("""{"id": 9, "txt": "trunc""", "plain garbage"))
+    ()
+  }
+
   test("streaming chunk-level bpe encoder matches batch q97") {
     import spark.implicits._
     import graft.operators.Vocabulary
