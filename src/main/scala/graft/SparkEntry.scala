@@ -1678,6 +1678,20 @@ object SparkEntry {
         k0 = 60, topK = 10)
     }),
 
+    // Encoding-damage signals: the fixture text is clean, so decoder
+    // damage (U+FFFD + a BEL control) is planted on every 3rd doc and
+    // LEGIT non-ASCII (accented prose) on every 5th — damage and benign
+    // non-ASCII must separate observably (most languages are non-ASCII;
+    // only the decoder's own failure markers gate).
+    "q102_encoding_damage" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\uFFFD\u0007x")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" caf\u00E9")).otherwise(lit("")))
+          .as("text"))
+      Normalize.encodingSignals(planted, "doc_id", "text")
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -3491,6 +3505,33 @@ object SparkEntry {
     "q98_rrf_fusion" -> rrfOracle,
 
     "q101_mmr_select" -> mmrOracle,
+
+    // same planted damage; counts via length-difference regexp_replace
+    // (code-point semantics both engines), exact integer ratio
+    "q102_encoding_damage" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(65533) || chr(7) || 'x'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) ELSE '' END
+        |    AS text
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+        |      AS BIGINT) AS n_repl,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS n_non_ascii,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM planted
+        |)
+        |SELECT doc_id, n_repl, n_ctrl, n_non_ascii, n_chars,
+        |  (n_chars - n_non_ascii) * 10000 // greatest(n_chars, 1)
+        |    AS ascii_ratio_e4,
+        |  n_repl > 0 OR n_ctrl > 0 AS damaged
+        |FROM sig""".stripMargin,
 
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the

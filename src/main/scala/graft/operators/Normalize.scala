@@ -40,4 +40,39 @@ object Normalize {
       normalize(col(textCol)).as("norm"),
       length(col(textCol)).cast("long").as("n_raw"))
       .withColumn("n_norm", length(col("norm")).cast("long"))
+
+  /** Encoding-damage signals — the mojibake/transcoding-failure detector
+    * a web-scale corpus needs BEFORE any text statistic is trusted
+    * (damaged decoding corrupts every downstream signal: tokens, LM
+    * scores, dedup fingerprints):
+    *
+    *  - `n_repl`: U+FFFD replacement characters — the decoder's own
+    *    "this byte sequence was invalid" marker, the highest-precision
+    *    damage signal there is;
+    *  - `n_ctrl`: C0 control characters other than tab/newline/CR —
+    *    binary content or charset confusion, never prose;
+    *  - `n_non_ascii`: plain non-ASCII count — NOT damage by itself
+    *    (most languages are non-ASCII), kept as the normalizing context
+    *    for the two damage counts;
+    *  - `ascii_ratio_e4`: exact integer `ascii·10⁴ div chars`;
+    *  - `damaged`: `n_repl > 0 OR n_ctrl > 0` — the gate bit.
+    *
+    * Counts are length-difference after `regexp_replace` (code-point
+    * semantics in both engines — no regexp_count dialect divergence).
+    * Entirely map-side, codegen'd; tag-don't-drop.
+    */
+  def encodingSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    def cnt(pattern: String): Column =
+      (n - length(regexp_replace(col(textCol), pattern, ""))).cast("long")
+    docs.select(
+      col(idCol),
+      cnt("\\uFFFD").as("n_repl"),
+      cnt("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]").as("n_ctrl"),
+      cnt("[^\\u0000-\\u007F]").as("n_non_ascii"),
+      n.as("n_chars"))
+      .withColumn("ascii_ratio_e4",
+        expr("(n_chars - n_non_ascii) * 10000 div greatest(n_chars, 1)"))
+      .withColumn("damaged", col("n_repl") > 0 || col("n_ctrl") > 0)
+  }
 }

@@ -830,6 +830,21 @@ class OperatorsSpec extends SparkSpec {
     ()
   }
 
+  test("encoding signals: U+FFFD and C0 controls gate, tab/newline and accents do not") {
+    import graft.operators.Normalize
+    val docs = Seq(
+      (1L, "ab\uFFFDc\u0007 caf\u00E9"), // 1 repl, 1 ctrl (BEL), 2 non-ascii, 10 chars
+      (2L, "a\tb\nc\rd"),                // tab/lf/cr are prose whitespace, not damage
+      (3L, ""))                          // empty: ratio guard, not a div-by-zero
+      .toDF("doc_id", "text")
+    val out = Normalize.encodingSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 2L, 10L, 8000L, true)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, 7L, 10000L, false)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
+
   test("rrf fusion: exact integer contributions, multi-list boost, id tiebreak, topK cut") {
     import graft.operators.Rrf
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
