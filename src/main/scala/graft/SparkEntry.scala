@@ -41,6 +41,16 @@ object SparkEntry {
     */
   private val PlantOffset = 1000000000000L
 
+  /** q103's planted chrome lines: high-df banner/footer (removed) and a
+    * two-document quotation (kept — below the df >= 3 threshold). The
+    * DuckDB oracle spells the same literals.
+    */
+  private val BoilerBanner = "subscribe to our newsletter for weekly updates"
+  private val BoilerFooter =
+    "all rights reserved contact the publisher for permissions"
+  private val BoilerQuote =
+    "a rare shared quotation between exactly two documents"
+
   /** q91/q92's fixed retrieval query: three common terms plus the rare
     * fixture term 'dup' (present in ~6% of docs), so the ranking
     * exercises both high- and low-df idf mass at every SF.
@@ -1691,6 +1701,87 @@ object SparkEntry {
           .as("text"))
       Normalize.encodingSignals(planted, "doc_id", "text")
     }),
+
+    // Boilerplate line removal (RefinedWeb "most frequent lines"): the
+    // fixture corpus has no newlines, so chrome is planted the way a
+    // crawler sees it — a newsletter banner on every 3rd doc, a license
+    // footer on every 4th, and ONE organic two-document quotation
+    // (docs 1 and 2) that must SURVIVE the df >= 3 threshold: removal
+    // gates on document frequency, not mere sharing.
+    "q103_boilerplate_lines" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n" + BoilerBanner)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\n" + BoilerFooter)).otherwise(lit("")),
+          when(col("doc_id").isin(1L, 2L),
+            lit("\n" + BoilerQuote)).otherwise(lit("")))
+          .as("text"))
+      TextDedup.lineBoilerplate(planted, "doc_id", "text", maxDf = 3)
+    }),
+
+    // Split-leakage audit: deterministic md5-cut train/valid/test
+    // assignment (Sampling.shard — ~84% / ~8% / ~8%), then every
+    // LSH-verified near-dup pair labeled with both sides' splits and a
+    // cross-boundary flag. The planted near-dup pairs land in splits by
+    // hash, so some genuinely leak — the audit must find exactly those.
+    "q104_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val splits = docs.select(col("doc_id"),
+        Sampling.shard(col("doc_id"),
+          Seq("valid" -> "14", "test" -> "28"), "train").as("split"))
+      val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+      val cands = TextDedup.minHashCandidates(sh, bands = 16, rows = 4)
+      val pairs = TextDedup.verifyPairs(cands, sh, 0.5)
+      Dedup.crossSplitLeakage(pairs, splits, "doc_id", "split")
+    }),
+
+    // Embedding-space outliers: distance-to-assigned-centroid percentile
+    // WITHIN each learned cluster (global cutoffs break on unequal
+    // cluster radii), log-bucket-quantized so the per-cluster CDF is
+    // bucket-bounded, never a corpus/k-row sort. Rides the q72 exact
+    // integer k-means, so fit + assign + percentile all replay in SQL.
+    "q105_embedding_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val a = graft.operators.KMeans.fitAssign(
+        emb, "vec_id", "embedding", k = 8, iters = 3)
+      SimilaritySearch.clusterOutliers(a, "vec_id", pctCut = 9000L)
+    }),
+
+    // Incremental cluster maintenance: the corpus's near-dup clusters are
+    // built once from HISTORICAL edges; planted re-crawl arrivals
+    // (doc_id + 10^12, every 7th doc, verbatim text) then fold in via the
+    // assignment's spanning-star edges + only the arrival-touching edges
+    // — never the full pair history. Output must equal clustering the
+    // union from scratch (the oracle's recursive closure proves it).
+    "q106_incremental_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val arrivals = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(arrivals)
+      val sh = TextDedup.shingled(all, "doc_id", "text", 3)
+      val pairs = TextDedup.verifyPairs(
+        TextDedup.minHashCandidates(sh), sh, 0.5)
+      val hist = pairs
+        .filter(col("d1") < PlantOffset && col("d2") < PlantOffset)
+      val fresh = pairs
+        .filter(col("d1") >= PlantOffset || col("d2") >= PlantOffset)
+      val assignment = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        hist.select(col("d1"), col("d2")))
+      Dedup.incrementalComponents(assignment,
+        arrivals.select(col("doc_id").as("id")),
+        fresh.select(col("d1"), col("d2")))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // Per-source lexical diversity: type-token + distinct-trigram ratios
+    // per source — the corpus-marginal of the q45 per-doc repetition
+    // signals, read by mixture planners (a template-farm source shows
+    // collapsed trigram diversity long before per-doc filters fire).
+    "q107_source_diversity" -> ((s, dir) =>
+      Repetition.sourceDiversity(t(s, dir, "documents"), "source", "text")),
 
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
@@ -3533,6 +3624,136 @@ object SparkEntry {
         |  n_repl > 0 OR n_ctrl > 0 AS damaged
         |FROM sig""".stripMargin,
 
+    // same planted chrome; df counts DISTINCT docs per trimmed non-empty
+    // line, removal everywhere at df >= 3, survivors rejoined by chr(10)
+    "q103_boilerplate_lines" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$BoilerBanner'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || '$BoilerFooter'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id IN (1, 2) THEN chr(10) || '$BoilerQuote'
+        |         ELSE '' END AS text
+        |  FROM documents
+        |), lns AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> x <> '')) AS line,
+        |    generate_subscripts(list_filter(list_transform(
+        |      string_split(text, chr(10)), x -> trim(x)), x -> x <> ''), 1)
+        |      AS ord
+        |  FROM planted
+        |), linedf AS (
+        |  SELECT line, count(DISTINCT doc_id) AS line_docs
+        |  FROM lns GROUP BY line
+        |)
+        |SELECT l.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN d.line_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler_lines,
+        |  md5(coalesce(string_agg(l.line, chr(10) ORDER BY l.ord)
+        |    FILTER (WHERE d.line_docs < 3), '')) AS clean_md5
+        |FROM lns l JOIN linedf d USING (line)
+        |GROUP BY l.doc_id""".stripMargin,
+
+    // exact pair set (the q11 oracle) + the same md5-cut split rule,
+    // then the cross-boundary label join replayed verbatim
+    "q104_split_leakage" ->
+      s"""WITH p AS ($oracleSqlQ11),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+        |           THEN 'valid'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+        |           THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents
+        |)
+        |SELECT p.d1, p.d2, p.jaccard,
+        |  s1.split AS split1, s2.split AS split2,
+        |  s1.split <> s2.split AS leaks
+        |FROM p
+        |JOIN s s1 ON s1.doc_id = p.d1
+        |JOIN s s2 ON s2.doc_id = p.d2""".stripMargin,
+
+    // Lloyd chain replayed (the q72 oracle as a CTE), then the same
+    // log-bucket quantization and rank()-1 strictly-below CDF per cluster
+    "q105_embedding_outliers" ->
+      s"""WITH a AS ($kmeansOracle),
+        |b AS (
+        |  SELECT vec_id, cluster, dist,
+        |    (abs(dist) >> sh) << sh AS dist_b
+        |  FROM (SELECT *,
+        |          greatest(0, length(bin(abs(dist))) - 8) AS sh
+        |        FROM a)
+        |), n AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY cluster
+        |), r AS (
+        |  SELECT vec_id, cluster, dist,
+        |    CAST(rank() OVER (PARTITION BY cluster ORDER BY dist_b) - 1
+        |      AS BIGINT) AS below
+        |  FROM b
+        |)
+        |SELECT r.vec_id, r.cluster, r.dist,
+        |  CASE WHEN n.n = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(CAST(below AS DOUBLE) / (n.n - 1)
+        |         * 10000 + 0.5) AS BIGINT) END AS pct_e4,
+        |  CASE WHEN n.n = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(CAST(below AS DOUBLE) / (n.n - 1)
+        |         * 10000 + 0.5) AS BIGINT) END >= 9000 AS is_outlier
+        |FROM r JOIN n USING (cluster)""".stripMargin,
+
+    // full-recompute closure over corpus ∪ planted arrivals — the
+    // incremental fold must land on exactly this
+    "q106_incremental_components" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $PlantOffset, text FROM documents
+         |  WHERE doc_id % 7 = 0
+         |), p AS (${oracleSqlQ11From("base")}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+         |          UNION ALL SELECT d2, d1 FROM p),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM base
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // same tokenization, same trigram construction, same e4 fixed point
+    "q107_source_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), words AS (
+        |  SELECT source, unnest(ws) AS w FROM toks
+        |), tris AS (
+        |  SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT source, ws, unnest(range(1, len(ws) - 1)) AS i
+        |        FROM toks WHERE len(ws) >= 3)
+        |), base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source
+        |), ws AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+        |  FROM words GROUP BY source
+        |), ts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+        |  FROM tris GROUP BY source
+        |)
+        |SELECT b.source, n_docs, n_tokens, n_distinct_tokens,
+        |  CAST(floor(CAST(n_distinct_tokens AS DOUBLE) / n_tokens
+        |    * 10000.0 + 0.5) AS BIGINT) AS ttr_e4,
+        |  n_trigrams, n_distinct_trigrams,
+        |  CAST(floor(CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams
+        |    * 10000.0 + 0.5) AS BIGINT) AS tri_e4
+        |FROM base b JOIN ws USING (source) JOIN ts USING (source)""".stripMargin,
+
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the
     // planted quarantine constant
@@ -4533,10 +4754,15 @@ object SparkEntry {
 
   private def ngramJaccardOracle: String = oracleSqlQ11
 
-  private val oracleSqlQ11: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      |  FROM documents
+  private val oracleSqlQ11: String = oracleSqlQ11From("documents")
+
+  /** The exact-pair-set oracle (q11/q12/q13/q36/q104) over an arbitrary
+    * relation — q106 runs it over the corpus ∪ planted arrivals union.
+    */
+  private def oracleSqlQ11From(rel: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM $rel
       |), tris AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

@@ -240,4 +240,68 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** INCREMENTAL connected components — fold newly-mined near-dup edges
+    * (and newly-arrived ids) into an existing cluster assignment WITHOUT
+    * replaying the full edge history. The existing assignment is itself
+    * a spanning star forest of the old graph (every id points at its
+    * component minimum), so components over
+    * `assignment-edges ∪ new-edges` equal components over
+    * `all-old-edges ∪ new-edges` — the fold contracts in the same
+    * O(log n) large-star/small-star rounds, but its input is n
+    * assignment rows + the arrival batch's edges instead of every pair
+    * the corpus ever produced. That is the difference between an
+    * arrival-bound nightly job and re-clustering 100 TB of pair history.
+    * Edge mining for the arrivals composes with
+    * [[TextDedup.dedupAgainstCorpus]] (arrival-vs-corpus candidates) —
+    * this operator is the CLUSTER-maintenance half.
+    *
+    * Replay-idempotent: folding the same arrivals twice is a no-op
+    * (their edges and ids are already absorbed; min labels can't change).
+    */
+  def incrementalComponents(
+      assignment: DataFrame, // id, cluster (a prior connectedComponents)
+      newIds: DataFrame,     // id — arrivals
+      newPairs: DataFrame,   // d1, d2 — edges touching arrivals
+      maxRounds: Int = 50): DataFrame = {
+    val ids = assignment.select(col("id"))
+      .unionByName(newIds.select(col("id"))).distinct()
+    val oldEdges = assignment
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("d1"), col("cluster").as("d2"))
+    connectedComponents(
+      ids, oldEdges.unionByName(newPairs.select(col("d1"), col("d2"))),
+      maxRounds)
+  }
+
+  /** Train/valid/test LEAKAGE audit — near-duplicate pairs that CROSS a
+    * split boundary: the eval-integrity gate every corpus release runs
+    * after split assignment (a validation doc whose near-duplicate sits
+    * in train silently inflates every benchmark number). Takes the
+    * verified near-dup pair table ([[TextDedup.verifyPairs]] output —
+    * `(d1, d2, jaccard)`) and the split assignment (`(id, split)`, built
+    * with [[Sampling.shard]]'s deterministic md5 cuts) and labels every
+    * pair with both sides' splits plus a `leaks` flag. The caller fixes
+    * leaks by moving whole near-dup CLUSTERS ([[connectedComponents]])
+    * to one side — this audit is the detector in front of that repair.
+    *
+    * Scale shape: two id-keyed equi-joins of the pair table against the
+    * split table — pair-table-sized, never corpus-quadratic (the pair
+    * table is already LSH-pruned + verified). The split side is NOT
+    * broadcast: splits cover the whole corpus. No windows, no state.
+    */
+  def crossSplitLeakage(
+      pairs: DataFrame,
+      splits: DataFrame,
+      idCol: String,
+      splitCol: String): DataFrame = {
+    val s1 = splits.select(col(idCol).as("d1"), col(splitCol).as("split1"))
+    val s2 = splits.select(col(idCol).as("d2"), col(splitCol).as("split2"))
+    pairs
+      .join(s1, Seq("d1"))
+      .join(s2, Seq("d2"))
+      .withColumn("leaks", col("split1") =!= col("split2"))
+      .select(col("d1"), col("d2"), col("jaccard"),
+        col("split1"), col("split2"), col("leaks"))
+  }
 }

@@ -108,4 +108,52 @@ object Repetition {
           - col("sq").cast("double") / 10000.0 / col("n_chars"))
           .as("entropy"))
   }
+
+  /** Per-SOURCE lexical diversity — the corpus-level "distinct-n" report
+    * mixture planners read next to size stats: a source whose trigram
+    * diversity collapses (template farms, rotated spam, SEO chaff) is
+    * over-weighted by raw token count and needs down-mixing long before
+    * any per-document filter fires ([[signals]] is the per-doc form;
+    * this is its corpus marginal). Emits, per source:
+    * `(n_docs, n_tokens, n_distinct_tokens, ttr_e4, n_trigrams,
+    * n_distinct_trigrams, tri_e4)` — type-token ratio and distinct-
+    * trigram ratio in the engine-stable `floor(x·10⁴+0.5)` fixed point.
+    *
+    * Scale shape: tokens and trigrams are map-side explodes; each
+    * distinct count is a two-phase aggregate keyed by (source, gram) —
+    * identical grams co-locate, partial counts combine map-side, and no
+    * per-source window ever sorts a source's whole token stream. The
+    * three aggregates join on source (a source-count-sized table).
+    */
+  def sourceDiversity(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(srcCol).as("src"),
+      split(trim(col(textCol)), "\\s+").as("ws"))
+    val words = toks.select(col("src"), explode(col("ws")).as("w"))
+    val tris = toks
+      .filter(size(col("ws")) >= 3)
+      .select(col("src"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")).as("g"))
+    val base = docs.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wStats = words.groupBy(col("src")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("n_distinct_tokens"))
+    val tStats = tris.groupBy(col("src")).agg(
+      count(lit(1)).as("n_trigrams"),
+      countDistinct(col("g")).as("n_distinct_trigrams"))
+    base.join(wStats, Seq("src")).join(tStats, Seq("src"))
+      .withColumn("ttr_e4",
+        floor(col("n_distinct_tokens").cast("double")
+          / col("n_tokens") * 10000.0 + 0.5).cast("long"))
+      .withColumn("tri_e4",
+        floor(col("n_distinct_trigrams").cast("double")
+          / col("n_trigrams") * 10000.0 + 0.5).cast("long"))
+      .select(col("src").as(srcCol), col("n_docs"), col("n_tokens"),
+        col("n_distinct_tokens"), col("ttr_e4"), col("n_trigrams"),
+        col("n_distinct_trigrams"), col("tri_e4"))
+  }
 }

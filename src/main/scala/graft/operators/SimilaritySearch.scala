@@ -503,4 +503,37 @@ object SimilaritySearch {
         .getField("cid").as("cluster"))
     dedupCells(assigned, threshold)
   }
+
+  /** Embedding-space OUTLIER detection — the quality filter SemDeDup's
+    * companion papers run alongside near-dup pruning: a vector far from
+    * every learned mode (mis-embedded junk, off-domain content, encoder
+    * failures) is flagged by its distance rank WITHIN its own cluster,
+    * not by a global cutoff — cluster radii differ wildly, so a global
+    * distance threshold either misses tight-cluster outliers or flags an
+    * entire diffuse cluster. Input is a [[KMeans.fitAssign]] frame
+    * `(id, cluster, dist)`; output adds `pct_e4` (the distance's
+    * within-cluster percentile, log-bucket quantized) and
+    * `is_outlier = pct_e4 >= pctCut`.
+    *
+    * Scale shape: the within-cluster CDF would naively be a per-cluster
+    * sort — corpus/k rows in ONE task at k=8. Instead the distance first
+    * collapses to its [[Percentiles.logBucket]] (squared L2 distances
+    * are continuous-grade integers — distinct values ≈ rows, exactly the
+    * case the bucketed sketch exists for), so the CDF is over ≤ ~29k
+    * buckets per cluster no matter the corpus, with the documented
+    * < 2^-7 relative value-error. No global sort, no data-sized window.
+    */
+  def clusterOutliers(
+      assigned: DataFrame,
+      idCol: String,
+      pctCut: Long = 9000L,
+      bits: Int = 8): DataFrame = {
+    val b = assigned.withColumn(
+      "dist_b", Percentiles.logBucket(col("dist"), bits))
+    Percentiles.perKeyPercentile(b, "cluster", "dist_b", idCol)
+      .join(assigned.select(col(idCol), col("dist")), Seq(idCol))
+      .withColumn("is_outlier", col("pct_e4") >= pctCut)
+      .select(col(idCol), col("cluster"), col("dist"),
+        col("pct_e4"), col("is_outlier"))
+  }
 }

@@ -620,6 +620,123 @@ object TextDedup {
           " ")).as("clean_md5"))
   }
 
+  /** Boilerplate LINE removal — the RefinedWeb/CCNet "most frequent
+    * lines" filter, and the complement of [[segmentDedup]]'s keep-first
+    * rule: a line occurring in at least `maxDf` DISTINCT documents is
+    * boilerplate (cookie banners, navigation chrome, license footers)
+    * and is removed from EVERY document — no first copy survives,
+    * because the first crawl of a boilerplate footer is exactly as
+    * worthless as the millionth. Lines shared by fewer than `maxDf`
+    * documents are kept everywhere: organic quotation between a handful
+    * of documents is signal, not chrome, and the threshold is what
+    * separates the two (reference behavior `read.py:156-160`-adjacent —
+    * the reference's transform_query hook is where its users put exactly
+    * this cleanup).
+    *
+    * Text splits on newlines; lines are trimmed and empty lines are
+    * dropped before counting, so indentation and blank-line layout
+    * differences don't fragment the frequency count. Returns one row per
+    * document: `(id, n_lines, n_boiler_lines, clean_md5)` — `clean_md5`
+    * hashes the surviving lines joined by a single newline (md5 of ''
+    * when everything was boilerplate).
+    *
+    * Scale shape: line construction is map-side; the document-frequency
+    * decision is ONE shuffle keyed by line content (`countDistinct` runs
+    * as a two-phase partial aggregate — identical lines co-locate, and
+    * per-line work is bounded by that line's occurrence count); the join
+    * back is on the same key (co-partitioned, no re-shuffle under AQE);
+    * reassembly is the per-document aggregation any per-doc stat pays.
+    * Nothing is quadratic and no driver state exists. The df table is
+    * NOT broadcast — at corpus scale the distinct-line set is data-sized
+    * (the long tail of unique lines), so it must stay a shuffle join.
+    */
+  def lineBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int = 3): DataFrame = {
+    require(maxDf >= 2, "maxDf must be at least 2 (1 would drop all text)")
+    val lines = docs
+      .select(col(idCol), posexplode(filter(
+        transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")).as(Seq("pos", "line")))
+    val lineDf = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("line_docs"))
+    lines
+      .join(lineDf, Seq("line"))
+      .withColumn("boiler", col("line_docs") >= maxDf)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("pos"), col("line"))))),
+            _.getField("line")),
+          "\n")).as("clean_md5"))
+  }
+
+  /** The FROZEN-MODEL half of [[lineBoilerplate]]: the distinct line set
+    * whose corpus document frequency reached `maxDf` — what a streaming
+    * scrubber joins arriving documents against (recounting df per
+    * micro-batch would let early batches under-count and miss chrome the
+    * full corpus proves). Bounded by high-df lines, a vanishing fraction
+    * of the distinct-line space — but still data-derived, so consumers
+    * join it unhinted (never a forced broadcast).
+    */
+  def boilerplateModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int = 3): DataFrame = {
+    require(maxDf >= 2, "maxDf must be at least 2 (1 would drop all text)")
+    docs
+      .select(col(idCol), explode(filter(
+        transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")).as("line"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("line_docs"))
+      .filter(col("line_docs") >= maxDf)
+      .select(col("line"))
+  }
+
+  /** Apply a frozen [[boilerplateModel]] to ARRIVALS: any line present in
+    * the model is removed; everything else survives verbatim. Emits the
+    * reassembled clean text alongside the audit columns — applying
+    * `model = boilerplateModel(corpus)` back onto the corpus itself
+    * reproduces [[lineBoilerplate]] exactly (the stream ≡ batch gate).
+    *
+    * Scale shape: one line-keyed left join (arrival-lines × model — the
+    * model side carries only high-df lines) and the per-doc reassembly
+    * aggregation. Stateless given the model ⇒ replay-idempotent.
+    */
+  def scrubBoilerplate(
+      arrivals: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
+    val lines = arrivals
+      .select(col(idCol), posexplode(filter(
+        transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")).as(Seq("pos", "line")))
+    lines
+      .join(model.select(col("line"), lit(1).as("hit")), Seq("line"), "left")
+      .withColumn("boiler", col("hit").isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("pos"), col("line"))))),
+            _.getField("line")),
+          "\n").as("clean_text"))
+      .withColumn("clean_md5", md5(col("clean_text")))
+  }
+
   /** Duplicated-span coverage — the "how much of this document is exact
     * duplicated text" signal of substring-level corpus dedup (Lee et al.
     * 2021, "Deduplicating Training Data Makes Language Models Better"):

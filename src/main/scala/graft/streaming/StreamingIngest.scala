@@ -962,6 +962,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** Boilerplate-line scrubbing as a STREAMING stage — the q103 filter
+    * under a FROZEN line set ([[graft.operators.TextDedup.boilerplateModel]]
+    * built offline over the corpus): arriving documents shed every line
+    * the corpus proved to be chrome, and land with their clean text plus
+    * the removed-line audit count. The model is frozen for the same
+    * reason every scorer's is — per-batch df recounting would miss
+    * chrome whose frequency only the full corpus reveals, and would make
+    * replay results depend on batch arrival order. Stateless given the
+    * model ⇒ batch-id-keyed overwrite is replay-idempotent.
+    */
+  def startBoilerplateScrubber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      model: DataFrame, // frozen boilerplate line set
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextDedup
+          .scrubBoilerplate(batch, idCol, textCol, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Text canonicalization as a STREAMING stage — the q56 batch pass
     * (casefold / punctuation-strip / whitespace-collapse) applied to each
     * arriving document before it lands, so every downstream consumer (the

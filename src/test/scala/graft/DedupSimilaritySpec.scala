@@ -843,4 +843,68 @@ class DedupSimilaritySpec extends SparkSpec {
       (4L, 2L, 0L, "short one"),
       (5L, 8L, 3L, "p q r s t")))
   }
+
+  test("lineBoilerplate: df >= maxDf removed everywhere, pair-lines kept, trim/empty handling") {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "alpha body one\nshared footer line\npair quote"),
+      (2L, "beta body two\nshared footer line\npair quote"),
+      (3L, "gamma body three\nshared footer line"),
+      (4L, "  shared footer line  \n\n"), // trims + drops the empty line
+      (5L, "delta body five")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineBoilerplate(docs, "doc_id", "text", maxDf = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // footer df = 4 -> removed from ALL four docs (no survivor copy);
+    // "pair quote" df = 2 < 3 -> kept in both; unique bodies kept
+    assert(out == Seq(
+      (1L, 3L, 1L, h("alpha body one\npair quote")),
+      (2L, 3L, 1L, h("beta body two\npair quote")),
+      (3L, 2L, 1L, h("gamma body three")),
+      (4L, 1L, 1L, h("")), // all boilerplate: md5 of the empty string
+      (5L, 1L, 0L, h("delta body five"))))
+  }
+
+  test("crossSplitLeakage: pairs labeled with both splits, leaks only across") {
+    val pairs = Seq(
+      (1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7)
+    ).toDF("d1", "d2", "jaccard")
+    val splits = Seq(
+      (1L, "train"), (2L, "train"), (3L, "train"), (4L, "valid"),
+      (5L, "test"), (6L, "valid")
+    ).toDF("doc_id", "split")
+    val out = graft.operators.Dedup
+      .crossSplitLeakage(pairs, splits, "doc_id", "split")
+      .orderBy("d1")
+      .as[(Long, Long, Double, String, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 0.9, "train", "train", false),
+      (3L, 4L, 0.8, "train", "valid", true),
+      (5L, 6L, 0.7, "test", "valid", true)))
+  }
+
+  test("clusterOutliers: within-cluster percentile flags the far vector; singleton cluster never flags") {
+    // cluster 0: 20 inliers (dist 1..20, exact buckets below 2^8) + one
+    // far vector; cluster 1: a singleton (pct 0 by definition)
+    val assigned = ((1 to 20).map(i => (i.toLong, 0, i.toLong)) ++
+      Seq((99L, 0, 1000000L), (200L, 1, 42L)))
+      .toDF("vec_id", "cluster", "dist")
+    val out = SimilaritySearch
+      .clusterOutliers(assigned, "vec_id", pctCut = 9000L)
+      .orderBy("vec_id")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq
+    val far = out.find(_._1 == 99L).get
+    assert(far._4 == 10000L && far._5) // 20/20 strictly below -> p100
+    val singleton = out.find(_._1 == 200L).get
+    assert(singleton._4 == 0L && !singleton._5)
+    // pin the cut boundary: pct = below/(n-1)·10⁴ over n = 21 rows
+    val d20 = out.find(_._1 == 20L).get
+    assert(d20._4 == 9500L && d20._5) // boundary case: flagged
+    val d19 = out.find(_._1 == 19L).get
+    assert(d19._4 == 9000L && d19._5) // exactly at the cut: flagged
+    val d18 = out.find(_._1 == 18L).get
+    assert(d18._4 == 8500L && !d18._5)
+  }
 }

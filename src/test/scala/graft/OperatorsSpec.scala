@@ -1268,4 +1268,43 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(p1 == p13)
   }
+
+  test("sourceDiversity: cross-doc distinct ratios, sub-trigram docs counted for tokens only") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z x y z"), // trigrams: x y z / y z x / z x y / x y z
+      ("a", "x y"),         // 2 tokens, no trigram
+      ("b", "p q r s")
+    ).toDF("source", "text")
+    val out = Repetition.sourceDiversity(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 8L, 3L, 3750L, 4L, 3L, 7500L),
+      ("b", 1L, 4L, 4L, 10000L, 2L, 2L, 10000L)))
+  }
+
+  test("incrementalComponents: fold equals full recompute; replay is a no-op") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("id")
+    val hist = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val assignment = Dedup.connectedComponents(ids, hist)
+    // arrival 9 joins {1,2,3}; fresh edge 6-7 merges two OLD components
+    // through the assignment's star edges; arrival 10 stays a singleton
+    val newIds = Seq(9L, 10L).toDF("id")
+    val fresh = Seq((9L, 3L), (6L, 7L)).toDF("d1", "d2")
+    val inc = Dedup.incrementalComponents(assignment, newIds, fresh)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(
+      (1L to 10L).toDF("id"), hist.unionByName(fresh))
+      .as[(Long, Long)].collect().toSet
+    assert(inc == full)
+    assert(inc.contains((9L, 1L)) && inc.contains((7L, 5L))
+      && inc.contains((10L, 10L)) && inc.contains((8L, 8L)))
+    val replay = Dedup.incrementalComponents(
+      inc.toSeq.toDF("id", "cluster"), newIds, fresh)
+      .as[(Long, Long)].collect().toSet
+    assert(replay == inc)
+  }
 }

@@ -1110,4 +1110,52 @@ class StreamingIngestSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
+
+  test("streaming boilerplate scrubber under a frozen line set matches batch q103") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // plant chrome the q103 way: high-df banner + one 2-doc quotation
+    val planted = raw.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nplanted banner line")).otherwise(lit("")),
+        when(col("doc_id").isin(1L, 2L),
+          lit("\nrare pair quote")).otherwise(lit("")))
+        .as("text"))
+    val model = TextDedup
+      .boilerplateModel(planted, "doc_id", "text", maxDf = 3).cache()
+    val landing = tmpDir("bp_land")
+    val staging = tmpDir("bp_stage") + "/files"
+    planted.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("bp_out")
+    val ckpt = tmpDir("bp_ckpt")
+    val q = StreamingIngest.startBoilerplateScrubber(
+      spark, landing, planted.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", model = model,
+      outDir = outDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "n_lines", "n_boiler_lines", "clean_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = TextDedup.lineBoilerplate(planted, "doc_id", "text", maxDf = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    // the scrubbed text really dropped the banner (doc 3 carried it) and
+    // kept the two-document quotation (doc 1 — df 2 < 3)
+    val scrubbed = spark.read.parquet(s"$outDir/batch=*")
+    val d3 = scrubbed.filter(col("doc_id") === 3L)
+      .select("clean_text").as[String].head()
+    assert(!d3.contains("planted banner line"))
+    val d1 = scrubbed.filter(col("doc_id") === 1L)
+      .select("clean_text").as[String].head()
+    assert(d1.contains("rare pair quote"))
+    model.unpersist()
+    ()
+  }
 }
