@@ -274,6 +274,55 @@ object Dedup {
       maxRounds)
   }
 
+  /** Cluster assignment AT REST — the persisted twin of
+    * [[incrementalComponents]], completing the at-rest family (minhash /
+    * IVF / pHash / KMV / CMS indexes all commit incrementally; the
+    * CLUSTER table they feed should too). The warehouse table holds
+    * `(id, cluster)`; each arrival batch folds its ids + freshly-mined
+    * edges in and MERGEs only the rows that could have changed.
+    *
+    * The commit is TOUCHED-COMPONENT-BOUND, not corpus-bound: only
+    * components containing an endpoint of a new edge can change, so the
+    * fold first resolves the touched ids' clusters (one semi-join),
+    * pulls exactly those components' members, and contracts that
+    * subgraph plus the arrivals. An arrival batch touching k small
+    * clusters reads and rewrites ~their members, never the corpus — the
+    * same pruning rule every other at-rest commit here obeys. (Labels
+    * stay globally consistent: a component's label is its min member id,
+    * and merging touched components can only involve members already in
+    * the pulled subgraph.)
+    *
+    * Replay-idempotent: re-committing a batch re-derives the same
+    * labels (its ids and edges are already absorbed — the spec's no-op
+    * gate) and the keyed MERGE upserts identical rows.
+    */
+  def componentsCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      newIds: DataFrame,   // id — arrivals
+      newPairs: DataFrame, // d1, d2 — edges touching arrivals
+      table: graft.table.WarehouseTable): Unit = {
+    if (!table.exists) {
+      val assignment = connectedComponents(newIds, newPairs)
+      table.create(assignment.schema,
+        properties =
+          graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.merge(spark, assignment, Seq("id"))
+    } else {
+      val stored = table.read(spark).select(col("id"), col("cluster"))
+      val touchedIds = newPairs.select(col("d1").as("id"))
+        .unionByName(newPairs.select(col("d2").as("id")))
+        .unionByName(newIds.select(col("id")))
+        .distinct()
+      val touchedClusters = stored
+        .join(touchedIds, Seq("id"), "left_semi")
+        .select(col("cluster")).distinct()
+      val affected = stored.join(touchedClusters, Seq("cluster"), "left_semi")
+        .select(col("id"), col("cluster"))
+      val folded = incrementalComponents(affected, newIds, newPairs)
+      table.merge(spark, folded, Seq("id"))
+    }
+  }
+
   /** Train/valid/test LEAKAGE audit — near-duplicate pairs that CROSS a
     * split boundary: the eval-integrity gate every corpus release runs
     * after split assignment (a validation doc whose near-duplicate sits

@@ -885,6 +885,27 @@ class DedupSimilaritySpec extends SparkSpec {
       (5L, 6L, 0.7, "test", "valid", true)))
   }
 
+  test("components at rest: fold equals full recompute across batches; replay no-op") {
+    import graft.operators.Dedup
+    val table = graft.table.WarehouseTable(tmpDir("ccrest") + "/cc")
+    val hist = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    Dedup.componentsCommit(spark, (1L to 8L).toDF("id"), hist, table)
+    assert(table.read(spark).as[(Long, Long)].collect().toSet == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 7L), (8L, 8L)))
+    // batch 2: arrival 9 joins {1,2,3}; edge 6-7 merges two OLD
+    // components through the stored star edges; arrival 10 is a singleton
+    val fresh = Seq((9L, 3L), (6L, 7L)).toDF("d1", "d2")
+    Dedup.componentsCommit(spark, Seq(9L, 10L).toDF("id"), fresh, table)
+    val s2 = table.read(spark).as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(
+      (1L to 10L).toDF("id"), hist.unionByName(fresh))
+      .as[(Long, Long)].collect().toSet
+    assert(s2 == full)
+    Dedup.componentsCommit(spark, Seq(9L, 10L).toDF("id"), fresh, table)
+    assert(table.read(spark).as[(Long, Long)].collect().toSet == s2)
+  }
+
   test("clusterOutliers: within-cluster percentile flags the far vector; singleton cluster never flags") {
     // cluster 0: 20 inliers (dist 1..20, exact buckets below 2^8) + one
     // far vector; cluster 1: a singleton (pct 0 by definition)
