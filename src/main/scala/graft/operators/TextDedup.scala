@@ -514,6 +514,47 @@ object TextDedup {
         when(col("exact_dup") === 0 && col("n_near_dups") === 0L, 1).otherwise(0))
   }
 
+  /** Cross-set near-dup PAIR mining — [[dedupAgainstCorpus]]'s near arm
+    * with the pairs THEMSELVES as the product instead of per-arrival
+    * keep/drop counts: `(d1 = corpus id, d2 = incoming id, jaccard)` for
+    * every cross pair at or above the threshold. This is the edge-mining
+    * stage in front of [[Dedup.incrementalComponents]] /
+    * [[Dedup.componentsCommit]] — cluster maintenance consumes edges, not
+    * decisions. Same plan shape as the decision form: one shingle-keyed
+    * equi-join (both sides explicitly repartitioned — the q57 rule), one
+    * (incoming, corpus) pair aggregate, exact jaccard with the
+    * engine-stable rounding.
+    */
+  def crossPairsAgainstCorpus(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val np = incoming.sparkSession.sparkContext.defaultParallelism
+    val iCounts = incoming.select(
+      col(idCol).as("d2"), size(shingles(col(textCol), shingleN)).as("ni"))
+    val cCounts = corpus.select(
+      col(idCol).as("d1"), size(shingles(col(textCol), shingleN)).as("nc"))
+    val iEx = incoming.select(
+      col(idCol).as("d2"), explode(shingles(col(textCol), shingleN)).as("tri"))
+      .repartition(np, col("tri"))
+    val cEx = corpus.select(
+      col(idCol).as("d1"), explode(shingles(col(textCol), shingleN)).as("tri_c"))
+      .repartition(np, col("tri_c"))
+    iEx.join(cEx, col("tri") === col("tri_c"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(iCounts, "d2")
+      .join(cCounts, "d1")
+      .withColumn("jaccard",
+        floor(col("inter").cast("double")
+          / (col("ni") + col("nc") - col("inter")) * 10000.0 + 0.5) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Bloom filter over the corpus fingerprint set — the build-once half of
     * [[bloomDedupAgainstCorpus]]. One pass over `corpusFps` (treeAggregate
     * of fixed-size partial filters — no shuffle of data rows); the returned

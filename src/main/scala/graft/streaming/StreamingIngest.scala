@@ -962,6 +962,74 @@ object StreamingIngest {
       .start()
   }
 
+  /** Near-dup CLUSTER MAINTENANCE as a STREAMING stage — the full q106
+    * loop per micro-batch: mine the batch's near-dup edges (within-batch
+    * via MinHash+LSH+verify; batch-vs-corpus via the cross-set shingle
+    * join) and fold them into the AT-REST cluster table with
+    * [[graft.operators.Dedup.componentsCommit]] — touched components
+    * only, keyed MERGE, replay no-op (re-folding a replayed batch's
+    * edges re-derives identical labels). The corpus side is FROZEN, the
+    * rule every scorer here follows; edges between arrivals of
+    * DIFFERENT batches come from committing accepted arrivals into the
+    * at-rest minhash index ([[graft.operators.TextDedup.minhashIndexCommit]])
+    * and probing it — composing that lookup here is the same
+    * `minePairs`-shaped plumbing with the index table as the corpus.
+    * Each batch also lands an audit row (edge/arrival counts) so the
+    * maintenance rate is observable without reading the table.
+    */
+  def startClusterMaintainer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame, // frozen
+      table: graft.table.WarehouseTable,
+      outDir: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, TextDedup}
+        // min-struct survivor per id — the startIncrementalDeduper rule:
+        // replay-deterministic whatever the partition order
+        val others = batch.columns.filter(_ != idCol)
+        val uniq = batch
+          .groupBy(col(idCol))
+          .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
+          .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
+          .localCheckpoint() // consumed by 3 subplans below
+        val sh = TextDedup.shingled(uniq, idCol, textCol, shingleN)
+        val within = TextDedup.verifyPairs(
+          TextDedup.minHashCandidates(sh), sh, threshold)
+        val cross = TextDedup.crossPairsAgainstCorpus(
+          uniq, corpus, idCol, textCol, shingleN, threshold)
+        val edges = within.select(col("d1"), col("d2"))
+          .unionByName(cross.select(col("d1"), col("d2")))
+        Dedup.componentsCommit(
+          spark, uniq.select(col(idCol).as("id")), edges, table)
+        val audit = uniq.agg(count(lit(1)).as("n_arrivals"))
+          .crossJoin(within.agg(count(lit(1)).as("n_within_edges")))
+          .crossJoin(cross.agg(count(lit(1)).as("n_cross_edges")))
+        audit.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Boilerplate-line scrubbing as a STREAMING stage — the q103 filter
     * under a FROZEN line set ([[graft.operators.TextDedup.boilerplateModel]]
     * built offline over the corpus): arriving documents shed every line

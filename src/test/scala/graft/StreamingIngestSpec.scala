@@ -1111,6 +1111,69 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming cluster maintainer: at-rest clusters equal full recompute over all batches") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextDedup}
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val shC = TextDedup.shingled(corpus, "doc_id", "text", 3)
+    val corpusPairs = TextDedup.verifyPairs(
+      TextDedup.minHashCandidates(shC), shC, 0.5)
+    val table = graft.table.WarehouseTable(tmpDir("ccmaint") + "/cc")
+    Dedup.componentsCommit(spark,
+      corpus.select(col("doc_id").as("id")),
+      corpusPairs.select(col("d1"), col("d2")), table)
+    // arrival sources: three corpus docs with NO near-dup partner (their
+    // copies' only edges are to their own source / each other) — keeps
+    // the frozen-corpus stage equivalent to full union mining
+    val singles = table.read(spark)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), min(col("id")).as("id"))
+      .filter(col("n") === 1).orderBy(col("id")).limit(3)
+      .select(col("id")).as[Long].collect()
+    val Array(s1, s2, s3) = singles
+    def textOf(id: Long): String =
+      corpus.filter(col("doc_id") === id).select("text").as[String].head()
+    val off = 1000000000L
+    val batchA = Seq((off + 1, textOf(s1)), (off + 2, textOf(s1)),
+      (off + 3, textOf(s2))).toDF("doc_id", "text")
+    val batchB = Seq((off + 4, textOf(s3))).toDF("doc_id", "text")
+    val landing = tmpDir("ccm_land")
+    Seq(batchA -> "f0", batchB -> "f1").foreach { case (df, nm) =>
+      val stage = tmpDir(s"ccm_stage_$nm") + "/files"
+      df.coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val outDir = tmpDir("ccm_out")
+    val q = StreamingIngest.startClusterMaintainer(
+      spark, landing, batchA.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", corpus = corpus, table = table,
+      outDir = outDir, checkpointDir = tmpDir("ccm_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(300000)
+    val stored = table.read(spark).as[(Long, Long)].collect().toSet
+    // ground truth: one-shot mining + clustering over corpus ∪ arrivals
+    val union = corpus.unionByName(batchA).unionByName(batchB)
+    val shU = TextDedup.shingled(union, "doc_id", "text", 3)
+    val full = Dedup.connectedComponents(
+      union.select(col("doc_id").as("id")),
+      TextDedup.verifyPairs(TextDedup.minHashCandidates(shU), shU, 0.5)
+        .select(col("d1"), col("d2")))
+      .as[(Long, Long)].collect().toSet
+    assert(stored == full)
+    // the copies joined their sources' clusters (label = min id = source)
+    assert(stored.contains((off + 1, s1)) && stored.contains((off + 2, s1)))
+    assert(stored.contains((off + 3, s2)) && stored.contains((off + 4, s3)))
+    // audit rows landed per batch
+    val audits = spark.read.parquet(s"$outDir/batch=*")
+      .select("n_arrivals", "n_within_edges", "n_cross_edges")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(audits == Set((3L, 1L, 3L), (1L, 0L, 1L)))
+    ()
+  }
+
   test("streaming boilerplate scrubber under a frozen line set matches batch q103") {
     import spark.implicits._
     import graft.operators.TextDedup
