@@ -1783,6 +1783,28 @@ object SparkEntry {
     "q107_source_diversity" -> ((s, dir) =>
       Repetition.sourceDiversity(t(s, dir, "documents"), "source", "text")),
 
+    // Keep-one MATERIALIZATION: the q36 clustering decision applied to
+    // the at-rest corpus table — duplicates merge-DELETE out (COW rewrite
+    // of only the partitions carrying one), survivors read back clean.
+    // Decide once, materialize once; no per-read filter downstream.
+    "q108_dedup_materialize" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q108_scratch/docs_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs)
+      val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+      val pairs = TextDedup.verifyPairs(
+        TextDedup.minHashCandidates(sh), sh, 0.5)
+      val assignment = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("d1"), col("d2")))
+      Dedup.keepOneMaterialize(s, table, assignment, "doc_id")
+      table.read(s).select(col("doc_id"), md5(col("text")).as("text_md5"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -3753,6 +3775,24 @@ object SparkEntry {
         |  CAST(floor(CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams
         |    * 10000.0 + 0.5) AS BIGINT) AS tri_e4
         |FROM base b JOIN ws USING (source) JOIN ts USING (source)""".stripMargin,
+
+    // survivors = ids equal to their component minimum under the same
+    // recursive closure; the merge-delete must land on exactly this set
+    "q108_dedup_materialize" ->
+      s"""WITH RECURSIVE p AS ($oracleSqlQ11),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+         |          UNION ALL SELECT d2, d1 FROM p),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+         |), surv AS (
+         |  SELECT id FROM (
+         |    SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+         |  ) WHERE id = cluster
+         |)
+         |SELECT d.doc_id, md5(d.text) AS text_md5
+         |FROM documents d JOIN surv s ON s.id = d.doc_id""".stripMargin,
 
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the

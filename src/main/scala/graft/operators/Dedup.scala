@@ -323,6 +323,33 @@ object Dedup {
     }
   }
 
+  /** Apply a clustering's KEEP-ONE decision to the at-rest corpus —
+    * the materialization step after [[connectedComponents]] decides and
+    * before training reads: every row whose id is not its component's
+    * label (the min member) is DELETED from the warehouse table via a
+    * keyed merge-delete. Tag-then-materialize beats filter-on-read at
+    * scale: the decision is computed once and every downstream consumer
+    * (packing, mixtures, exports) reads the clean table with zero
+    * per-read filter cost.
+    *
+    * Scale shape: the duplicate id set (assignment rows with
+    * `id ≠ cluster` — duplicate-count-sized, not corpus-sized) semi-joins
+    * the table read to recover full rows, and the merge's partition
+    * discovery rewrites ONLY the partitions carrying a duplicate (COW) —
+    * an untouched partition's files survive byte-identical. Replay-safe:
+    * deleting already-deleted keys matches nothing and rewrites nothing.
+    */
+  def keepOneMaterialize(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.table.WarehouseTable,
+      assignment: DataFrame, // id, cluster
+      idCol: String): Unit = {
+    val dupIds = assignment.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val dupRows = table.read(spark).join(dupIds, Seq(idCol), "left_semi")
+    table.merge(spark, dupRows, Seq(idCol), deleteWhere = Some(lit(true)))
+  }
+
   /** Train/valid/test LEAKAGE audit — near-duplicate pairs that CROSS a
     * split boundary: the eval-integrity gate every corpus release runs
     * after split assignment (a validation doc whose near-duplicate sits

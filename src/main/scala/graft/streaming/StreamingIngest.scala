@@ -1011,7 +1011,10 @@ object StreamingIngest {
           .groupBy(col(idCol))
           .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
           .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
-          .localCheckpoint() // consumed by 3 subplans below
+        // uniq is consumed by 3 subplans; deliberately NOT checkpointed —
+        // a localCheckpoint per micro-batch pins RDD blocks the stream
+        // never frees, and re-evaluating a micro-batch-sized aggregate is
+        // cheaper than leaking storage on a long-running maintainer
         val sh = TextDedup.shingled(uniq, idCol, textCol, shingleN)
         val within = TextDedup.verifyPairs(
           TextDedup.minHashCandidates(sh), sh, threshold)

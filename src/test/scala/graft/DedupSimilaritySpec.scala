@@ -906,6 +906,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(table.read(spark).as[(Long, Long)].collect().toSet == s2)
   }
 
+  test("keepOneMaterialize: duplicates merge-delete out; survivors intact; replay no-op") {
+    import graft.operators.Dedup
+    val table = graft.table.WarehouseTable(tmpDir("keepone") + "/docs")
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c"),
+      (6L, "c")).toDF("doc_id", "text")
+    table.create(docs.schema,
+      properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+    table.append(docs)
+    val assignment = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L)).toDF("id", "cluster")
+    Dedup.keepOneMaterialize(spark, table, assignment, "doc_id")
+    val surv = table.read(spark).as[(Long, String)].collect().toSet
+    assert(surv == Set((1L, "a"), (4L, "b"), (5L, "c")))
+    Dedup.keepOneMaterialize(spark, table, assignment, "doc_id")
+    assert(table.read(spark).as[(Long, String)].collect().toSet == surv)
+  }
+
   test("clusterOutliers: within-cluster percentile flags the far vector; singleton cluster never flags") {
     // cluster 0: 20 inliers (dist 1..20, exact buckets below 2^8) + one
     // far vector; cluster 1: a singleton (pct 0 by definition)
