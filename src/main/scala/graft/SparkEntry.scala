@@ -1805,6 +1805,48 @@ object SparkEntry {
       table.read(s).select(col("doc_id"), md5(col("text")).as("text_md5"))
     }),
 
+    // Incremental change read: first half lands, snapshot taken, second
+    // half lands — addedSince(snapshot) must surface EXACTLY the second
+    // half, resolved from the manifest diff before any file opens. The
+    // consumption primitive an incremental pipeline checkpoints on.
+    "q109_incremental_read" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q109_scratch/docs_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") <= cut))
+      val snap = table.currentSnapshotId
+      table.append(docs.filter(col("doc_id") > cut))
+      table.addedSince(s, snap)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    }),
+
+    // Clustered data skipping: events land range-clustered on user_id
+    // (exact equi-depth cuts, one dynamic write), then a stats-pruned
+    // read of the top decile — the pruned scan must agree exactly with
+    // the full-scan answer while reading ~1/8 of the files.
+    "q110_clustered_skipping" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q110_scratch/events_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      table.create(ev.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(ev)
+      table.clusterBase(s, "user_id", 8)
+      val hi = ev.agg((max(col("user_id")) * 9 / 10).cast("long"))
+        .head().getLong(0)
+      table.read(s,
+          dataFilters = Seq(org.apache.spark.sql.sources.GreaterThan("user_id", hi)))
+        .filter(col("user_id") > hi)
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -3793,6 +3835,19 @@ object SparkEntry {
          |)
          |SELECT d.doc_id, md5(d.text) AS text_md5
          |FROM documents d JOIN surv s ON s.id = d.doc_id""".stripMargin,
+
+    // the change feed must be exactly the second half
+    "q109_incremental_read" ->
+      """WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents)
+        |SELECT doc_id, md5(text) AS text_md5
+        |FROM documents, cut WHERE doc_id > c""".stripMargin,
+
+    // the stats-pruned scan must agree with the full-table answer
+    "q110_clustered_skipping" ->
+      """WITH hi AS (SELECT (max(user_id) * 9) // 10 AS h FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events, hi WHERE user_id > h""".stripMargin,
 
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the

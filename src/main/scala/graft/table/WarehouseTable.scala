@@ -335,6 +335,47 @@ final class WarehouseTable(val root: String) {
     }
   }
 
+  /** INCREMENTAL change read — rows in data dirs that joined the table
+    * AFTER snapshot `sinceSnapId` (exclusive), up to `asOf` (default
+    * current): the consumption primitive an incremental pipeline drives
+    * on ("process only what arrived since my last checkpoint"). No
+    * per-row bookkeeping exists or is needed — snapshots are immutable
+    * and data dirs are content-addressed, so the DIFF OF TWO MANIFESTS'
+    * dir sets IS the change set, resolved entirely from metadata before
+    * a single file is opened. At 100 TB this is the difference between
+    * an arrival-bound nightly pass and re-reading the corpus to find
+    * what's new.
+    *
+    * Exactness contract: APPEND commits and MOR merge deltas contribute
+    * exactly their new/upserted rows (tombstoned delta rows are
+    * filtered — deletes do not surface as additions). A COW merge
+    * REWRITES its touched partitions, so their full post-merge content
+    * appears (a documented superset — the same caveat Iceberg's
+    * incremental scan carries; run MOR when the feed must be tight).
+    */
+  def addedSince(
+      spark: SparkSession,
+      sinceSnapId: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    val meta = readMeta()
+    val to = asOf.getOrElse(currentSnapshotId)
+    require(Files.exists(snapPath(sinceSnapId)),
+      s"snapshot $sinceSnapId does not exist (expired or never created)")
+    val beforeM = readManifest(sinceSnapId)
+    val afterM = readManifest(to)
+    val seen: Set[String] =
+      (beforeM.base.values.flatten ++
+        beforeM.deltas.flatMap(_.data.values.flatten)).toSet
+    def fresh(m: Map[String, List[String]]): Seq[(String, List[String])] =
+      m.view.mapValues(_.filterNot(seen)).filter(_._2.nonEmpty).toSeq
+    val wanted: Map[String, List[String]] =
+      (fresh(afterM.base) ++ afterM.deltas.flatMap(d => fresh(d.data)))
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+    readParts(spark, meta, wanted, withTombstone = true)
+      .filter(!col(TombstoneCol))
+      .drop(TombstoneCol)
+  }
+
   /** DataFrame over a set of manifest entries (empty → empty frame).
     * `withTombstone` additionally surfaces the MOR delete marker
     * [[TombstoneCol]] (false where files predate tombstones — parquet
@@ -817,6 +858,73 @@ final class WarehouseTable(val root: String) {
       val untouched = old.base.view.filterKeys(k => !crowded.contains(k)).toMap
       commit(cur, Manifest(untouched ++ rewritten, Nil, old.stats ++ stats).pruneStats)
     }
+  }
+
+  /** SORT-CLUSTERED base rewrite — linear Z-ordering for DATA SKIPPING:
+    * rewrite the base into `nBuckets` RANGE-DISJOINT data dirs on
+    * `clusterCol`, so the dir-level min/max stats prune reads by a
+    * column that is NOT the partition key. Without clustering, every
+    * dir's [min, max] on a high-cardinality column spans nearly the full
+    * domain and `mayMatch` can never exclude anything; after it, a
+    * point/range predicate reads ~matching/nBuckets of the data. This is
+    * the layout decision that makes stats pruning WORK — harvesting
+    * stats was free, making them selective costs one clustered rewrite.
+    *
+    * Bucket cuts are EXACT equi-depth quantiles (`approxQuantile` at
+    * relativeError 0), so skew cannot starve buckets; ties collapse
+    * (duplicate cuts dedup) and nulls ride the first bucket. The rewrite
+    * is ONE pass: rows bucket map-side via the cut when-chain and a
+    * single dynamic-partition write lands one dir per non-empty bucket —
+    * not a per-bucket rescan. Unpartitioned tables only (a partitioned
+    * table's partition column is already its coarse clustering; nesting
+    * a second hive level under it would leak a phantom partition column
+    * through basePath discovery).
+    */
+  def clusterBase(
+      spark: SparkSession,
+      clusterCol: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets=$nBuckets out of range [2, 1024]")
+    val meta = readMeta()
+    require(meta.partition.isEmpty,
+      "clusterBase supports unpartitioned tables (the partition column " +
+        "already provides coarse clustering for partitioned ones)")
+    require(meta.schema.fieldNames.contains(clusterCol),
+      s"cluster column '$clusterCol' not in schema")
+    if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val slice = read(spark)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts = slice.na.drop(Seq(clusterCol))
+      .stat.approxQuantile(clusterCol, probs, 0.0) // err 0 ⇒ exact cuts
+      .distinct.sorted
+    val c = col(clusterCol)
+    val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+      case ((cut, i), rest) =>
+        when(if (i == 0) c.isNull || c <= lit(cut) else c <= lit(cut),
+          lit(i)).otherwise(rest)
+    }
+    val uuid = UUID.randomUUID().toString
+    val rel = s"data/$uuid"
+    val aligned = slice.select(
+      meta.schema.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)) :+ bucket.as("__bucket"): _*)
+    aligned.repartition(col("__bucket")).write
+      .option("compression", compressionCodec(meta))
+      .partitionBy("__bucket")
+      .parquet(s"$root/$rel")
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(s"$root/$rel"))
+    val dirs =
+      try listing.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("__bucket="))
+        .map(d => s"$rel/${d.getFileName}").toList
+      finally listing.close()
+    val stats = TableStats.collect(root, dirs)
+    commit(cur, Manifest(Map(NoPart -> dirs), Nil, stats).pruneStats)
   }
 
   /** DELETE FROM: remove rows matching `cond`. Dir-level surgery, not a

@@ -259,6 +259,67 @@ class WarehouseTableSpec extends SparkSpec {
     }
   }
 
+  test("addedSince: append-only exact, windowed by asOf; MOR upserts surface, tombstones don't") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("inc"))
+    t.create(schema, None, Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val s1 = t.currentSnapshotId
+    t.append(df((3, "c", "TX")))
+    val s2 = t.currentSnapshotId
+    t.append(df((4, "d", "WA")))
+    def ks(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getInt(0)).toSet
+    assert(ks(t.addedSince(spark, s1)) == Set(3, 4))
+    assert(ks(t.addedSince(spark, s2)) == Set(4))
+    assert(ks(t.addedSince(spark, s1, asOf = Some(s2))) == Set(3))
+    assert(ks(t.addedSince(spark, t.currentSnapshotId)) == Set())
+    // MOR: the change feed is the delta content — upserts surface once,
+    // a delete tombstone is NOT an addition
+    val m = WarehouseTable(tmpDir("incmor"))
+    m.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
+    m.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val m1 = m.currentSnapshotId
+    m.merge(spark, df((2, "DEAD", "NY"), (3, "new", "TX")), Seq("k"),
+      deleteWhere = Some(col("v") === "DEAD"))
+    assert(m.addedSince(spark, m1).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((3, "new")))
+  }
+
+  test("clusterBase: range-disjoint dirs make stats pruning selective; contents unchanged") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("clust"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("payload", StringType)))
+    t.create(sch, None, Map.empty)
+    // 4 appends of interleaved ranges: every dir's [min,max] spans the
+    // whole domain, so stats can prune NOTHING before clustering
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { _ =>
+      val rows = rnd.shuffle((1 to 1000).toList).take(250)
+        .map(i => Row(i, s"p$i"))
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), sch))
+    }
+    val before = t.read(spark).collect().map(_.getInt(0)).sorted.toSeq
+    val filt = Seq(org.apache.spark.sql.sources.GreaterThan("id", 900))
+    val filesBefore = t.read(spark, dataFilters = filt).inputFiles.length
+    t.clusterBase(spark, "id", 4)
+    val after = t.read(spark).collect().map(_.getInt(0)).sorted.toSeq
+    assert(after == before) // clustering is a layout change, not a data change
+    val filesAfter = t.read(spark, dataFilters = filt).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"stats pruning should read fewer files after clustering " +
+        s"($filesAfter vs $filesBefore)")
+    // pruned read returns exactly the matching rows' superset semantics:
+    // the FILTERED result is identical either way
+    val got = t.read(spark, dataFilters = filt)
+      .filter(org.apache.spark.sql.functions.col("id") > 900)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == before.filter(_ > 900))
+  }
+
   test("merge with evolveSchema adds new source columns; old rows read NULL") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wh_evo"))
