@@ -1847,6 +1847,13 @@ object SparkEntry {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // The COMPLETE Gopher repetition table (Rae et al. 2021 A1): top
+    // n-gram char fractions (n 2-4, occurrences × chars, capped) and
+    // duplicated n-gram UNION char coverage (n 5-10) — q45 covers the
+    // n=1 rows; together they are the published rule set verbatim.
+    "q111_gopher_repetition" -> ((s, dir) =>
+      Repetition.gopherRepetition(t(s, dir, "documents"), "doc_id", "text")),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -3848,6 +3855,94 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events, hi WHERE user_id > h""".stripMargin,
+
+    // same gram construction, same struct-min top rule (row_number over
+    // cnt desc/gram asc), same interval-union coverage, same e4 cap
+    "q111_gopher_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(length(ws[i]) AS BIGINT) AS wlen
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+        |        FROM toks)
+        |), totals AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wlen) AS BIGINT) AS total_chars
+        |  FROM tk GROUP BY doc_id
+        |), occ AS (
+        |  SELECT doc_id, n, CAST(i AS BIGINT) AS s,
+        |    array_to_string(ws[i:i+n-1], ' ') AS gram
+        |  FROM (
+        |    SELECT doc_id, ws, n, unnest(range(1, len(ws) - n + 2)) AS i
+        |    FROM toks, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+        |    WHERE len(ws) >= n)
+        |), gcnt AS (
+        |  SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM occ WHERE n <= 4 GROUP BY doc_id, n, gram
+        |), topg AS (
+        |  SELECT doc_id, n, cnt * (length(gram) - (n - 1)) AS top_chars
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |          ORDER BY cnt DESC, gram ASC) AS r FROM gcnt)
+        |  WHERE r = 1
+        |), docc AS (
+        |  SELECT doc_id, n, s, s + n - 1 AS e
+        |  FROM (SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram)
+        |          AS reps FROM occ WHERE n >= 5)
+        |  WHERE reps >= 2
+        |), cov AS (
+        |  SELECT doc_id, n, unnest(range(f, e + 1)) AS pos
+        |  FROM (
+        |    SELECT doc_id, n, e,
+        |      greatest(s, coalesce(max(e) OVER (
+        |        PARTITION BY doc_id, n ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |        AS f
+        |    FROM docc
+        |  ) WHERE f <= e
+        |), dchar AS (
+        |  SELECT c.doc_id, c.n, CAST(sum(t.wlen) AS BIGINT) AS dup_chars
+        |  FROM cov c JOIN tk t ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  GROUP BY c.doc_id, c.n
+        |), tp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN n = 2 THEN top_chars END) AS t2,
+        |    sum(CASE WHEN n = 3 THEN top_chars END) AS t3,
+        |    sum(CASE WHEN n = 4 THEN top_chars END) AS t4
+        |  FROM topg GROUP BY doc_id
+        |), dp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN n = 5 THEN dup_chars END) AS d5,
+        |    sum(CASE WHEN n = 6 THEN dup_chars END) AS d6,
+        |    sum(CASE WHEN n = 7 THEN dup_chars END) AS d7,
+        |    sum(CASE WHEN n = 8 THEN dup_chars END) AS d8,
+        |    sum(CASE WHEN n = 9 THEN dup_chars END) AS d9,
+        |    sum(CASE WHEN n = 10 THEN dup_chars END) AS d10
+        |  FROM dchar GROUP BY doc_id
+        |)
+        |SELECT t.doc_id AS id, t.n_tokens, t.total_chars,
+        |  least(10000, CAST(floor(CAST(coalesce(t2, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS top2_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(t3, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS top3_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(t4, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS top4_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(d5, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup5_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(d6, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup6_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(d7, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup7_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(d8, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup8_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(d9, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup9_e4,
+        |  least(10000, CAST(floor(CAST(coalesce(d10, 0) AS DOUBLE)
+        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup10_e4
+        |FROM totals t
+        |LEFT JOIN tp ON tp.doc_id = t.doc_id
+        |LEFT JOIN dp ON dp.doc_id = t.doc_id""".stripMargin,
 
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Repetition-based quality signals (the Gopher/MassiveText repetition
@@ -107,6 +108,104 @@ object Repetition {
         stable4(log2(col("n_chars").cast("double"))
           - col("sq").cast("double") / 10000.0 / col("n_chars"))
           .as("entropy"))
+  }
+
+  /** The COMPLETE Gopher repetition table (Rae et al. 2021, Table A1) —
+    * [[signals]] covers the n=1 rows; this adds the published n-gram
+    * family: for n ∈ {2,3,4} the fraction of characters contained in
+    * the doc's MOST FREQUENT n-gram (occurrences × gram chars — the
+    * paper's accounting; overlapping occurrences can exceed the doc, so
+    * the e4 value caps at 10000), and for n ∈ {5..10} the fraction of
+    * characters covered by ALL within-doc duplicated n-grams, with
+    * overlapping spans UNION-counted (the q52 interval-union rule —
+    * double-counting would let one repeated sentence saturate every n).
+    * Characters = token characters (whitespace never counts, so the
+    * signal is layout-invariant). All fractions land as e4 LONGs under
+    * the engine-stable floor(x·10⁴+0.5).
+    *
+    * Scale shape: positional grams for all 9 n-values are map-side
+    * native passes ([[graft.functions.WordShinglesAll]]) tagged with
+    * their n and shuffled ONCE keyed (id, n, gram); the top-1 per
+    * (id, n) is a struct-min aggregate (never a sort); dup-span unions
+    * are per-(id, n) prefix-max windows over only duplicated
+    * occurrences; covered positions cut-explode to exactly the covered
+    * token count (≤ 6 · n_tokens rows) and join token lengths on
+    * (id, pos). Nothing is quadratic in document or corpus size.
+    */
+  def gopherRepetition(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val toks = base
+      .select(col("id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        length(col("w")).cast("long").as("wlen"))
+    val totals = toks.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("wlen")).as("total_chars"))
+    def occFor(ns: Seq[Int]): DataFrame = ns.map { n =>
+      base.select(col("id"), lit(n).as("n"),
+        posexplode(graft.functions.WordShinglesAll(col("text"), n))
+          .as(Seq("p", "gram")))
+        .select(col("id"), col("n"),
+          (col("p") + 1).cast("long").as("start"), col("gram"))
+    }.reduce(_ unionByName _)
+    // ---- top n-gram char fraction (n = 2..4) ---------------------------
+    val topFracs = occFor(topNs)
+      .groupBy(col("id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      // top-1 by (cnt desc, gram asc) as a struct-min — no per-doc sort
+      .groupBy(col("id"), col("n"))
+      .agg(min(struct((-col("cnt")).as("negc"), col("gram"))).as("top"))
+      .select(col("id"), col("n"),
+        ((-col("top.negc")) *
+          (length(col("top.gram")) - (col("n") - 1))).as("top_chars"))
+    // ---- duplicated n-gram union coverage (n = 5..10) ------------------
+    val occD = occFor(dupNs)
+    val dupOcc = occD
+      .withColumn("reps",
+        count(lit(1)).over(Window.partitionBy(col("id"), col("n"), col("gram"))))
+      .filter(col("reps") >= 2)
+      .select(col("id"), col("n"), col("start"),
+        (col("start") + col("n") - 1).cast("long").as("end"))
+    val wPrev = Window.partitionBy(col("id"), col("n")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = dupOcc
+      .withColumn("prev_end", coalesce(max(col("end")).over(wPrev), lit(0L)))
+      .withColumn("from", greatest(col("start"), col("prev_end") + 1))
+      .filter(col("from") <= col("end"))
+      // cut-explode: exactly the newly-covered positions, never occurrence
+      // fanout (the q68 rule)
+      .select(col("id"), col("n"),
+        explode(expr("sequence(from, end)")).as("pos"))
+    val dupChars = covered
+      .join(toks, Seq("id", "pos"))
+      .groupBy(col("id"), col("n"))
+      .agg(sum(col("wlen")).as("dup_chars"))
+    // ---- assemble: fixed-n pivots, one left join each ------------------
+    def e4(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(lit(10000L), floor(x * 10000.0 + 0.5).cast("long"))
+    val topAggs = topNs.map(n =>
+      sum(when(col("n") === n, col("top_chars"))).as(s"top${n}_chars"))
+    val topPivot = topFracs.groupBy(col("id"))
+      .agg(topAggs.head, topAggs.tail: _*)
+    val dupAggs = dupNs.map(n =>
+      sum(when(col("n") === n, col("dup_chars"))).as(s"dup${n}_chars"))
+    val dupPivot = dupChars.groupBy(col("id"))
+      .agg(dupAggs.head, dupAggs.tail: _*)
+    val outCols =
+      topNs.map(n => e4(coalesce(col(s"top${n}_chars"), lit(0L)).cast("double")
+        / col("total_chars")).as(s"top${n}_e4")) ++
+      dupNs.map(n => e4(coalesce(col(s"dup${n}_chars"), lit(0L)).cast("double")
+        / col("total_chars")).as(s"dup${n}_e4"))
+    totals
+      .join(topPivot, Seq("id"), "left")
+      .join(dupPivot, Seq("id"), "left")
+      .select(col("id") +: col("n_tokens") +: col("total_chars") +: outCols: _*)
   }
 
   /** Per-SOURCE lexical diversity — the corpus-level "distinct-n" report

@@ -1285,6 +1285,32 @@ class OperatorsSpec extends SparkSpec {
       ("b", 1L, 4L, 4L, 10000L, 2L, 2L, 10000L)))
   }
 
+  test("gopherRepetition: top-ngram char fractions, dup-span union coverage, overlap cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa bb aa cc dd ee ff gg hh ii jj"),
+      (2L, "x y z w v x y z w v u"),
+      (3L, "solo"),
+      (4L, "a a a a")
+    ).toDF("doc_id", "text")
+    val out = Repetition.gopherRepetition(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), // top2..4
+        r.getLong(6), r.getLong(7))) // dup5, dup6
+      .toSeq
+    // doc 1: top2 "aa bb"×2 → 8/26; top3 "aa bb aa"×2 → 12/26;
+    //        top4 all-once, lexicographic min "aa bb aa bb" → 8/26; no dup-5+
+    assert(out(0) == (1L, 13L, 26L, 3077L, 4615L, 3077L, 0L, 0L))
+    // doc 2: top2 "w v"×2 → 4/11; top3 "x y z"×2 → 6/11; top4 "x y z w"×2
+    // → 8/11; 5-gram "x y z w v" repeats at 1 and 6 → union covers 10/11
+    assert(out(1) == (2L, 11L, 11L, 3636L, 5455L, 7273L, 9091L, 0L))
+    // doc 3: shorter than every n → all fractions 0
+    assert(out(2) == (3L, 1L, 4L, 0L, 0L, 0L, 0L, 0L))
+    // doc 4: overlapping "a a"×3 would be 6/4 chars — capped at 10000
+    assert(out(3)._4 == 10000L && out(3)._5 == 10000L && out(3)._6 == 10000L)
+  }
+
   test("incrementalComponents: fold equals full recompute; replay is a no-op") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("id")
