@@ -1854,6 +1854,33 @@ object SparkEntry {
     "q111_gopher_repetition" -> ((s, dir) =>
       Repetition.gopherRepetition(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Percentile model AT REST: the q90 fit rebuilt from the warehouse —
+    // two batch-keyed commits + one checkpoint REPLAY (guarded no-op) +
+    // a fold to bucket-bounded rows, then arrivals score against the
+    // stored model. Must equal the one-shot fitSketch exactly (same
+    // oracle as q90) — idempotence exercised INSIDE the gate, q87-style.
+    "q112_percentile_at_rest" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q112_scratch/pct_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val P = graft.operators.Percentiles
+      val docs = t(s, dir, "documents").filter(col("n_chars") > 0)
+        .withColumn("density_e6",
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) " +
+            "* 1000000 div n_chars"))
+      val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+      val ref = docs.filter(col("doc_id") <= cut)
+      P.sketchTableCommit(s, ref.filter(col("doc_id") % 2 === 0),
+        "source", "density_e6", batchId = 0L, table)
+      P.sketchTableCommit(s, ref.filter(col("doc_id") % 2 === 1),
+        "source", "density_e6", batchId = 1L, table)
+      P.sketchTableCommit(s, ref.filter(col("doc_id") % 2 === 1),
+        "source", "density_e6", batchId = 1L, table) // replay: guarded no-op
+      P.sketchTableFold(s, table)
+      P.scoreAgainstSketch(docs.filter(col("doc_id") > cut),
+        "doc_id", "source", "density_e6", P.sketchTableRead(s, table), bits = 8)
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -3533,34 +3560,11 @@ object SparkEntry {
     // string length, never floating log — bucket boundaries can't drift
     // an ulp between engines), strictly-smaller-BUCKET count over the
     // frozen reference half
-    "q90_sketch_percentile" ->
-      """WITH base AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      * 1000000 // n_chars AS density_e6
-        |  FROM documents WHERE n_chars > 0
-        |), cut AS (
-        |  SELECT CAST(max(doc_id) // 2 AS BIGINT) AS c FROM base
-        |), bkt AS (
-        |  SELECT doc_id, source, density_e6,
-        |    CAST(sign(density_e6) AS BIGINT)
-        |      * ((abs(density_e6) >> sh) << sh) AS b
-        |  FROM (SELECT *,
-        |          greatest(0, length(bin(abs(density_e6))) - 8) AS sh
-        |        FROM base)
-        |), ref AS (
-        |  SELECT source, b FROM bkt, cut WHERE doc_id <= c
-        |), arr AS (
-        |  SELECT doc_id, source, density_e6, b FROM bkt, cut WHERE doc_id > c
-        |), n AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY source
-        |)
-        |SELECT a.doc_id, a.source, a.density_e6,
-        |  CAST(floor(
-        |    CAST((SELECT count(*) FROM ref r
-        |          WHERE r.source = a.source AND r.b < a.b) AS DOUBLE)
-        |    / n.n * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT) AS pct_e4
-        |FROM arr a JOIN n USING (source)""".stripMargin,
+    "q90_sketch_percentile" -> sketchPercentileOracle,
+
+    // the at-rest model (two commits + replay + fold) must score
+    // arrivals exactly like the one-shot fit — same oracle as q90
+    "q112_percentile_at_rest" -> sketchPercentileOracle,
 
     // overlap-matrix replay: same normalized fingerprint, same per-source
     // distinct collapse, same triangular pair join
@@ -4753,6 +4757,40 @@ object SparkEntry {
     * (dist ASC, cid ASC), same floor(sum/count) centroid update, same
     * emptied-cluster carry-forward (LEFT JOIN + coalesce).
     */
+  /** Shared by q90 (one-shot fitSketch) and q112 (the at-rest model):
+    * the same integer log-bucketing + strictly-smaller CDF replay —
+    * equality of the two gates proves the at-rest commit/fold chain
+    * reconstructs the one-shot model exactly.
+    */
+  private val sketchPercentileOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      * 1000000 // n_chars AS density_e6
+      |  FROM documents WHERE n_chars > 0
+      |), cut AS (
+      |  SELECT CAST(max(doc_id) // 2 AS BIGINT) AS c FROM base
+      |), bkt AS (
+      |  SELECT doc_id, source, density_e6,
+      |    CAST(sign(density_e6) AS BIGINT)
+      |      * ((abs(density_e6) >> sh) << sh) AS b
+      |  FROM (SELECT *,
+      |          greatest(0, length(bin(abs(density_e6))) - 8) AS sh
+      |        FROM base)
+      |), ref AS (
+      |  SELECT source, b FROM bkt, cut WHERE doc_id <= c
+      |), arr AS (
+      |  SELECT doc_id, source, density_e6, b FROM bkt, cut WHERE doc_id > c
+      |), n AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY source
+      |)
+      |SELECT a.doc_id, a.source, a.density_e6,
+      |  CAST(floor(
+      |    CAST((SELECT count(*) FROM ref r
+      |          WHERE r.source = a.source AND r.b < a.b) AS DOUBLE)
+      |    / n.n * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT) AS pct_e4
+      |FROM arr a JOIN n USING (source)""".stripMargin
+
   private lazy val kmeansOracle: String = {
     val k = 8
     val iters = 3

@@ -223,4 +223,99 @@ object Percentiles {
       .select(col(idCol), col("pk_key").as(keyCol),
         col("pk_v").as(valueCol), col("pct_e4"))
   }
+
+  // ---- the percentile model AT REST --------------------------------------
+
+  /** Incrementally maintain the [[fitSketch]] model AT REST — the last
+    * at-rest structure in the engine to gain a commit path (minhash /
+    * IVF / IVFADC / pHash / BM25 / KMV / CMS / cluster tables all have
+    * one). Rows are `(bid, pk_key, pk_v, pk_nv)`: each arrival batch
+    * MERGEs its own bucket tie counts under its batch id WITHOUT reading
+    * anything stored — bucket counts are a pure function of the batch,
+    * so a checkpoint replay upserts byte-identical rows (counts are NOT
+    * idempotent adds, the CMS lesson — per-batch keying sidesteps the
+    * double-count entirely), and the `pct.maxBid` high-water no-ops
+    * batch ids at or below the last committed one, which keeps replays
+    * safe AFTER [[sketchTableFold]] collapses history.
+    *
+    * Scale shape: commit cost = one map-side bucket pass over the BATCH
+    * plus a merge of ≤ |buckets per key| · |batch keys| rows; nothing
+    * corpus-sized is touched, ever. The stored `bits` is an index-format
+    * parameter — commits with a different `bits` are rejected loudly
+    * (buckets of different widths never merge).
+    */
+  def sketchTableCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      batchId: Long,
+      table: graft.table.WarehouseTable,
+      bits: Int = 8): Unit = {
+    require(batchId >= 0, s"batchId=$batchId must be >= 0 (negative ids " +
+      "are reserved for fold output)")
+    integralValue(batch, valueCol)
+    if (table.exists) {
+      val p = table.properties
+      require(p.get("pct.bits").forall(_ == bits.toString),
+        s"sketch table was built with pct.bits=${p("pct.bits")} but the " +
+          s"commit passed $bits — buckets of different widths never merge")
+      if (p.get("pct.maxBid").exists(_.toLong >= batchId)) return // replay
+    }
+    val partial = batch
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("pk_key"),
+        logBucket(col(valueCol).cast("long"), bits).as("pk_v"))
+      .groupBy(col("pk_key"), col("pk_v"))
+      .agg(count(lit(1)).as("pk_nv"))
+      .select(lit(batchId).as("bid"), col("pk_key"), col("pk_v"), col("pk_nv"))
+    if (!table.exists)
+      table.create(partial.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy")
+          ++ Map("pct.bits" -> bits.toString))
+    table.merge(spark, partial, Seq("bid", "pk_key", "pk_v"))
+    // property write AFTER the merge: a crash between the two leaves the
+    // replay guard unset, and the replayed merge is byte-idempotent anyway
+    table.setProperties(Map("pct.maxBid" -> batchId.toString))
+  }
+
+  /** Whole-history [[Model]] from the at-rest table: per-batch tie
+    * counts sum per (key, bucket), then the same exclusive-prefix
+    * construction as [[fit]]. The window runs over the BUCKET-BOUNDED
+    * distinct table (≤ ~29k rows per key at bits = 8), never rows.
+    * Score arrivals with [[scoreAgainstSketch]] under the table's own
+    * `pct.bits`.
+    */
+  def sketchTableRead(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.table.WarehouseTable): Model = {
+    val ties = table.read(spark)
+      .groupBy(col("pk_key"), col("pk_v"))
+      .agg(sum(col("pk_nv")).as("pk_nv"))
+    val wKey = Window.partitionBy(col("pk_key")).orderBy(col("pk_v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coord = ties
+      .withColumn("pk_off", coalesce(sum(col("pk_nv")).over(wKey), lit(0L)))
+      .select(col("pk_key"), col("pk_v"), col("pk_off"), col("pk_nv"))
+    val sizes = ties.groupBy(col("pk_key")).agg(sum(col("pk_nv")).as("pk_n"))
+    Model(coord, sizes)
+  }
+
+  /** Collapse per-batch history to one folded row set (bid = −1), the
+    * [[graft.operators.Sketches.countersTableFold]] rule: the table
+    * stays bucket-bounded no matter how many batches committed, the
+    * `pct.maxBid` guard persisted by the last commit keeps pre-fold
+    * replays no-ops, and the overwrite is one atomic snapshot commit.
+    */
+  def sketchTableFold(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.table.WarehouseTable): Unit = {
+    require(table.properties.contains("pct.maxBid"),
+      "table has no pct.maxBid property — not a percentile sketch table")
+    val folded = table.read(spark)
+      .groupBy(col("pk_key"), col("pk_v"))
+      .agg(sum(col("pk_nv")).as("pk_nv"))
+      .select(lit(-1L).as("bid"), col("pk_key"), col("pk_v"), col("pk_nv"))
+    table.overwrite(folded)
+  }
 }

@@ -1285,6 +1285,39 @@ class OperatorsSpec extends SparkSpec {
       ("b", 1L, 4L, 4L, 10000L, 2L, 2L, 10000L)))
   }
 
+  test("percentile sketch at rest: commits converge to one-shot fit; replay guarded; bits enforced") {
+    import spark.implicits._
+    import graft.operators.Percentiles
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 300L),
+      ("b", 5L), ("b", 7L), ("b", 7000L)).toDF("k", "v")
+    val table = graft.table.WarehouseTable(tmpDir("pctrest") + "/t")
+    Percentiles.sketchTableCommit(spark,
+      df.filter($"v" <= 20L), "k", "v", batchId = 0L, table)
+    Percentiles.sketchTableCommit(spark,
+      df.filter($"v" > 20L), "k", "v", batchId = 1L, table)
+    // checkpoint replay of batch 1: the maxBid guard makes it a no-op
+    Percentiles.sketchTableCommit(spark,
+      df.filter($"v" > 20L), "k", "v", batchId = 1L, table)
+    def modelSets(m: Percentiles.Model) = (
+      m.coord.as[(String, Long, Long, Long)].collect().toSet,
+      m.sizes.as[(String, Long)].collect().toSet)
+    val oneShot = modelSets(Percentiles.fitSketch(df, "k", "v"))
+    assert(modelSets(Percentiles.sketchTableRead(spark, table)) == oneShot)
+    // fold collapses history; the model is unchanged and bucket-bounded
+    Percentiles.sketchTableFold(spark, table)
+    assert(modelSets(Percentiles.sketchTableRead(spark, table)) == oneShot)
+    // post-fold replay of an already-committed batch id: still a no-op
+    Percentiles.sketchTableCommit(spark,
+      df.filter($"v" > 20L), "k", "v", batchId = 1L, table)
+    assert(modelSets(Percentiles.sketchTableRead(spark, table)) == oneShot)
+    // a different bucket width never merges
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.sketchTableCommit(spark, df, "k", "v",
+        batchId = 2L, table, bits = 6)
+    }
+    assert(e.getMessage.contains("pct.bits"))
+  }
+
   test("gopherRepetition: top-ngram char fractions, dup-span union coverage, overlap cap") {
     import spark.implicits._
     val docs = Seq(
