@@ -807,6 +807,44 @@ object StreamingIngest {
       .start()
   }
 
+  /** Gopher repetition scoring as a STREAMING stage — the full Rae et al.
+    * A1 n-gram table (q111) per micro-batch: every signal is a
+    * WITHIN-document property (top n-gram fractions, dup-span union
+    * coverage), so the stage needs no model and no cross-batch state —
+    * the per-(id, n, gram) shuffle is batch-confined. Arriving documents
+    * land with the 9-column repetition profile the quality gate reads;
+    * batch-id-keyed overwrite keeps replays idempotent.
+    */
+  def startRepetitionScorer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Repetition
+          .gopherRepetition(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Snapshot-diff classification as a STREAMING stage — the incremental
     * face of batch q65: every arriving document is classified `added` /
     * `changed` / `unchanged` against a STATIC baseline snapshot's

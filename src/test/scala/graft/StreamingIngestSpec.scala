@@ -1111,6 +1111,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming repetition scorer equals batch gopherRepetition on the same files") {
+    import spark.implicits._
+    import graft.operators.Repetition
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val landing = tmpDir("rep_land")
+    val staging = tmpDir("rep_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("rep_out")
+    val q = StreamingIngest.startRepetitionScorer(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text",
+      outDir = outDir, checkpointDir = tmpDir("rep_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .collect().map(_.toSeq).toSet
+    val batch = Repetition.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    ()
+  }
+
   test("streaming cluster maintainer: at-rest clusters equal full recompute over all batches") {
     import spark.implicits._
     import graft.operators.{Dedup, TextDedup}
