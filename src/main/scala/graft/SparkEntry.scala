@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{BigramLm, Chunking, Dedup, MergeInto, Multimodal, Normalize, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
+import graft.operators.{BigramLm, C4Rules, Chunking, Dedup, MergeInto, Multimodal, Normalize, Repetition, Sampling, SimilaritySearch, TemporalJoins, TextDedup}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (relational core W1/F1/P1/J1-J3 + the training-data-pipeline extension
@@ -1879,6 +1879,34 @@ object SparkEntry {
       P.sketchTableFold(s, table)
       P.scoreAgainstSketch(docs.filter(col("doc_id") > cut),
         "doc_id", "source", "density_e6", P.sketchTableRead(s, table), bits = 8)
+    }),
+
+    // C4 line rules (Raffel et al. 2020 §2.2): the corpus has no line
+    // structure, so pages are planted the way a crawler sees them —
+    // 6-word lines, terminal '.' on 2 of 3 ((i + doc_id) % 3 rotates the
+    // phase per doc), an 'enable javascript' banner on every 11th page
+    // (line-rule kill), 'lorem ipsum' filler on every 13th and a curly-
+    // brace code line on every 17th (page-rule kills). Entirely map-side.
+    "q113_c4_line_rules" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .withColumn("body", expr(
+          "array_join(transform(sequence(0, int(ceil(size(ws) / 6.0)) - 1), " +
+            "i -> concat(array_join(slice(ws, i * 6 + 1, 6), ' '), " +
+            "CASE WHEN (i + doc_id) % 3 = 0 THEN '' ELSE '.' END)), '\\n')"))
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 11 === 0,
+            lit("please enable javascript before reading this page .\n"))
+            .otherwise(lit("")),
+          col("body"),
+          when(col("doc_id") % 13 === 0,
+            lit("\nthis page is only lorem ipsum filler text ."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("\nvar config = { mode: production } ;"))
+            .otherwise(lit("")))
+          .as("text"))
+      C4Rules.clean(planted, "doc_id", "text")
     }),
 
     // MMR diversified selection over a bounded candidate set: top-20 by
@@ -3947,6 +3975,64 @@ object SparkEntry {
         |FROM totals t
         |LEFT JOIN tp ON tp.doc_id = t.doc_id
         |LEFT JOIN dp ON dp.doc_id = t.doc_id""".stripMargin,
+
+    // same plant, same three line rules, same two page rules, same
+    // sentence proxy — the whole program is per-line predicates. The
+    // kept text coalesces to '': DuckDB's array_to_string over an EMPTY
+    // list is NULL (string_agg semantics), and an all-lines-dropped
+    // page must hash '' exactly like the Spark side.
+    "q113_c4_line_rules" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN 'please enable javascript before reading this page .'
+        |              || chr(10) ELSE '' END ||
+        |    array_to_string([array_to_string(w[(i*6+1):(i*6+6)], ' ') ||
+        |        CASE WHEN (i + doc_id) % 3 = 0 THEN '' ELSE '.' END
+        |      for i in range(0, CAST(ceil(len(w) / 6.0) AS BIGINT))],
+        |      chr(10)) ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'this page is only lorem ipsum filler text .'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN chr(10) || 'var config = { mode: production } ;'
+        |         ELSE '' END AS text
+        |  FROM ws
+        |), lined AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> x <> '') AS lines
+        |  FROM planted
+        |), kept AS (
+        |  SELECT doc_id, text, lines,
+        |    coalesce(array_to_string(list_filter(lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(regexp_split_to_array(l, '\s+')) >= 5
+        |      AND NOT regexp_matches(lower(l),
+        |        '(^|[^a-z])javascript([^a-z]|$)')), chr(10)), '') AS ct,
+        |    len(list_filter(lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(regexp_split_to_array(l, '\s+')) >= 5
+        |      AND NOT regexp_matches(lower(l),
+        |        '(^|[^a-z])javascript([^a-z]|$)'))) AS nk
+        |  FROM lined
+        |)
+        |SELECT doc_id AS id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(nk AS BIGINT) AS n_kept_lines,
+        |  CAST(length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g'))
+        |    AS BIGINT) AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')
+        |    AND length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g')) >= 3
+        |    AS keep,
+        |  md5(ct) AS clean_md5
+        |FROM kept""".stripMargin,
 
     // the JSONL round-trip must be lossless vs the parquet originals —
     // the oracle never sees the JSON at all, only documents + the

@@ -1285,6 +1285,34 @@ class OperatorsSpec extends SparkSpec {
       ("b", 1L, 4L, 4L, 10000L, 2L, 2L, 10000L)))
   }
 
+  test("C4 line rules: terminal punct, min words, javascript kill, page kills, sentence floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "this line has enough words here .\nshort line .\n" +
+        "no terminal punct line here\nanother good long line right there !\n" +
+        "a third fine sentence sits here ?"),
+      (2L, "please enable JavaScript to continue reading now .\n" +
+        "real content line with five words ."),
+      (3L, "good line one with enough words .\nsecond decent line with words too .\n" +
+        "third worthy line with many words .\nlorem ipsum dolor sit amet friend ."),
+      (4L, "some code follows right here now { x } .\nplain line with enough words .")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.C4Rules.clean(docs, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, String)]
+      .collect().toSeq
+    // doc 1: "short line ." (3 words) and the punct-less line drop; 3 kept
+    assert(out(0)._1 == 1L && out(0)._2 == 5L && out(0)._3 == 3L
+      && out(0)._4 == 3L && !out(0)._5 && !out(0)._6 && out(0)._7)
+    // doc 2: the JavaScript banner dies on rule 3 (case-insensitive,
+    // word-bounded); 1 surviving sentence < 3 -> page dropped
+    assert(out(1)._3 == 1L && out(1)._4 == 1L && !out(1)._7)
+    // doc 3: all 4 lines keep, but 'lorem ipsum' kills the page
+    assert(out(2)._3 == 4L && out(2)._5 && !out(2)._7)
+    // doc 4: both lines keep as lines, but '{' kills the page
+    assert(out(3)._3 == 2L && out(3)._6 && !out(3)._7)
+  }
+
   test("percentile sketch at rest: commits converge to one-shot fit; replay guarded; bits enforced") {
     import spark.implicits._
     import graft.operators.Percentiles
