@@ -3955,23 +3955,23 @@ object SparkEntry {
         |)
         |SELECT t.doc_id AS id, t.n_tokens, t.total_chars,
         |  least(10000, CAST(floor(CAST(coalesce(t2, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS top2_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS top2_e4,
         |  least(10000, CAST(floor(CAST(coalesce(t3, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS top3_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS top3_e4,
         |  least(10000, CAST(floor(CAST(coalesce(t4, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS top4_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS top4_e4,
         |  least(10000, CAST(floor(CAST(coalesce(d5, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup5_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS dup5_e4,
         |  least(10000, CAST(floor(CAST(coalesce(d6, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup6_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS dup6_e4,
         |  least(10000, CAST(floor(CAST(coalesce(d7, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup7_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS dup7_e4,
         |  least(10000, CAST(floor(CAST(coalesce(d8, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup8_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS dup8_e4,
         |  least(10000, CAST(floor(CAST(coalesce(d9, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup9_e4,
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS dup9_e4,
         |  least(10000, CAST(floor(CAST(coalesce(d10, 0) AS DOUBLE)
-        |    / t.total_chars * 10000.0 + 0.5) AS BIGINT)) AS dup10_e4
+        |    / greatest(t.total_chars, 1) * 10000.0 + 0.5) AS BIGINT)) AS dup10_e4
         |FROM totals t
         |LEFT JOIN tp ON tp.doc_id = t.doc_id
         |LEFT JOIN dp ON dp.doc_id = t.doc_id""".stripMargin,

@@ -197,11 +197,13 @@ object Repetition {
       sum(when(col("n") === n, col("dup_chars"))).as(s"dup${n}_chars"))
     val dupPivot = dupChars.groupBy(col("id"))
       .agg(dupAggs.head, dupAggs.tail: _*)
+    // greatest(·,1): a zero-char doc (empty text tokenizes to one
+    // zero-length token) must read 0 everywhere, not NaN — the q102 rule
     val outCols =
       topNs.map(n => e4(coalesce(col(s"top${n}_chars"), lit(0L)).cast("double")
-        / col("total_chars")).as(s"top${n}_e4")) ++
+        / greatest(col("total_chars"), lit(1L))).as(s"top${n}_e4")) ++
       dupNs.map(n => e4(coalesce(col(s"dup${n}_chars"), lit(0L)).cast("double")
-        / col("total_chars")).as(s"dup${n}_e4"))
+        / greatest(col("total_chars"), lit(1L))).as(s"dup${n}_e4"))
     totals
       .join(topPivot, Seq("id"), "left")
       .join(dupPivot, Seq("id"), "left")
