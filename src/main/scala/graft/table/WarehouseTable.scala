@@ -356,7 +356,40 @@ final class WarehouseTable(val root: String) {
   def addedSince(
       spark: SparkSession,
       sinceSnapId: Long,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None): DataFrame =
+    freshRows(spark, sinceSnapId, asOf)
+      .filter(!col(TombstoneCol))
+      .drop(TombstoneCol)
+
+  /** Change FEED with deletes — [[addedSince]]'s MOR-complete sibling:
+    * every row that joined the table after `sinceSnapId`, labeled
+    * `_change_type` `insert` (append / COW content / MOR upsert) or
+    * `delete` (a MOR tombstone — the key columns carry the deleted key;
+    * equality-delete tombstones surface NULL in non-key columns). This
+    * is the CDC read a downstream mirror applies verbatim: inserts
+    * upsert, deletes delete, replaying a window is idempotent under a
+    * keyed apply. The COW caveat is [[addedSince]]'s: a COW rewrite
+    * re-emits its touched partitions as inserts and its deletes are
+    * silent — run MOR when the feed must carry deletions (which is why
+    * MOR exists).
+    */
+  def changesSince(
+      spark: SparkSession,
+      sinceSnapId: Long,
+      asOf: Option[Long] = None): DataFrame =
+    freshRows(spark, sinceSnapId, asOf)
+      .withColumn("_change_type",
+        when(col(TombstoneCol), lit("delete")).otherwise(lit("insert")))
+      .drop(TombstoneCol)
+
+  /** Rows of data dirs present at `asOf` but not at `sinceSnapId`, with
+    * the tombstone marker surfaced — the manifest-diff core shared by
+    * [[addedSince]] and [[changesSince]].
+    */
+  private def freshRows(
+      spark: SparkSession,
+      sinceSnapId: Long,
+      asOf: Option[Long]): DataFrame = {
     val meta = readMeta()
     val to = asOf.getOrElse(currentSnapshotId)
     require(Files.exists(snapPath(sinceSnapId)),
@@ -372,8 +405,6 @@ final class WarehouseTable(val root: String) {
       (fresh(afterM.base) ++ afterM.deltas.flatMap(d => fresh(d.data)))
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
     readParts(spark, meta, wanted, withTombstone = true)
-      .filter(!col(TombstoneCol))
-      .drop(TombstoneCol)
   }
 
   /** DataFrame over a set of manifest entries (empty → empty frame).

@@ -286,6 +286,30 @@ class WarehouseTableSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).toSet == Set((3, "new")))
   }
 
+  test("changesSince: inserts and MOR tombstone deletes labeled; mirror apply reconstructs the table") {
+    import org.apache.spark.sql.functions.col
+    val m = WarehouseTable(tmpDir("feed"))
+    m.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
+    m.append(df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "TX")))
+    val s1 = m.currentSnapshotId
+    // delete 2, update 3, insert 4 — one CDC batch
+    m.merge(spark, df((2, "DEAD", "NY"), (3, "c2", "TX"), (4, "d", "WA")),
+      Seq("k"), deleteWhere = Some(col("v") === "DEAD"))
+    val feed = m.changesSince(spark, s1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3))).toSet
+    assert(feed == Set((2, "DEAD", "delete"), (3, "c2", "insert"),
+      (4, "d", "insert")))
+    // a mirror applying the feed keyed on k reconstructs the table
+    val base = Map(1 -> "a", 2 -> "b", 3 -> "c")
+    val applied = feed.foldLeft(base) {
+      case (acc, (k, _, "delete")) => acc - k
+      case (acc, (k, v, _)) => acc.updated(k, v)
+    }
+    val now = m.read(spark).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(applied == now)
+  }
+
   test("clusterBase: range-disjoint dirs make stats pruning selective; contents unchanged") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("clust"))
