@@ -1071,6 +1071,77 @@ object StreamingIngest {
       .start()
   }
 
+  /** END-TO-END streaming corpus dedup — the whole pipeline the last
+    * three stages rehearse, composed: per micro-batch, arrivals UPSERT
+    * into the corpus table (keyed merge, never append — append would
+    * duplicate on replay), near-dup edges mine against the table's
+    * CURRENT content (arrivals included — arrival-vs-arrival pairs come
+    * out of the same cross join; self-pairs filtered), the cluster
+    * table folds touched components, and the keep-one decision
+    * MATERIALIZES: non-minimum members merge-delete out. After every
+    * batch the corpus table holds exactly its clusters' minima — a
+    * re-crawl dies on arrival, forever, without any full recompute.
+    *
+    * Replay: every step is keyed (upsert / fold / delete), so
+    * reprocessing a batch converges to the identical table state (the
+    * spec replays the whole stream and diffs nothing). The corpus-side
+    * mining here re-shingles the stored corpus per batch — fine at
+    * demo scale; at 100 TB the same loop runs against the at-rest
+    * minhash index ([[graft.operators.TextDedup.minhashLookupAtRest]] +
+    * `minhashIndexCommit` on accepted survivors), which is this exact
+    * plumbing with pruned-partition probes instead of a corpus scan.
+    */
+  def startCorpusDeduper(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      corpusTable: graft.table.WarehouseTable,
+      clusterTable: graft.table.WarehouseTable,
+      outDir: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, TextDedup}
+        val others = batch.columns.filter(_ != idCol)
+        val uniq = batch
+          .groupBy(col(idCol))
+          .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
+          .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
+        corpusTable.merge(spark, uniq, Seq(idCol))
+        val corpus = corpusTable.read(spark)
+          .select(col(idCol), col(textCol))
+        val edges = TextDedup.crossPairsAgainstCorpus(
+          uniq, corpus, idCol, textCol, shingleN, threshold)
+          .filter(col("d1") =!= col("d2"))
+        Dedup.componentsCommit(
+          spark, uniq.select(col(idCol).as("id")),
+          edges.select(col("d1"), col("d2")), clusterTable)
+        Dedup.keepOneMaterialize(
+          spark, corpusTable, clusterTable.read(spark), idCol)
+        uniq.agg(count(lit(1)).as("n_arrivals"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Boilerplate-line scrubbing as a STREAMING stage — the q103 filter
     * under a FROZEN line set ([[graft.operators.TextDedup.boilerplateModel]]
     * built offline over the corpus): arriving documents shed every line

@@ -1201,6 +1201,77 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming corpus deduper: table converges to cluster minima; full replay changes nothing") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextDedup}
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpusTable = graft.table.WarehouseTable(tmpDir("cdup") + "/corpus")
+    corpusTable.create(docs.schema,
+      properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+    corpusTable.append(docs)
+    val clusterTable = graft.table.WarehouseTable(tmpDir("cdup") + "/clusters")
+    val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+    Dedup.componentsCommit(spark, docs.select(col("doc_id").as("id")),
+      TextDedup.verifyPairs(TextDedup.minHashCandidates(sh), sh, 0.5)
+        .select(col("d1"), col("d2")), clusterTable)
+    Dedup.keepOneMaterialize(spark, corpusTable,
+      clusterTable.read(spark), "doc_id")
+    val survivors0 = corpusTable.read(spark)
+      .select("doc_id").as[Long].collect().toSet
+    val singles = clusterTable.read(spark)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), min(col("id")).as("id"))
+      .filter(col("n") === 1).orderBy(col("id")).limit(2)
+      .select(col("id")).as[Long].collect()
+    val Array(s1, s2) = singles
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").as[String].head()
+    val off = 1000000000L
+    val novel = (1 to 30).map(i => s"novelword$i").mkString(" ")
+    val batchA = Seq((off + 1, textOf(s1)), (off + 2, textOf(s1)))
+      .toDF("doc_id", "text")
+    val batchB = Seq((off + 3, textOf(s2)), (off + 9, novel))
+      .toDF("doc_id", "text")
+    val landing = tmpDir("cdup_land")
+    Seq(batchA -> "f0", batchB -> "f1").foreach { case (df, nm) =>
+      val stage = tmpDir(s"cdup_stage_$nm") + "/files"
+      df.coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val q = StreamingIngest.startCorpusDeduper(
+      spark, landing, batchA.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text",
+      corpusTable = corpusTable, clusterTable = clusterTable,
+      outDir = tmpDir("cdup_out"), checkpointDir = tmpDir("cdup_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(300000)
+    val after = corpusTable.read(spark)
+      .select("doc_id").as[Long].collect().toSet
+    // every re-crawl copy died (its source is its cluster minimum); the
+    // genuinely novel doc survived
+    assert(after == survivors0 + (off + 9))
+    // the cluster table carries the copies' assignments to their sources
+    val cl = clusterTable.read(spark).as[(Long, Long)].collect().toMap
+    assert(cl(off + 1) == s1 && cl(off + 2) == s1 && cl(off + 3) == s2
+      && cl(off + 9) == off + 9)
+    // FULL replay (fresh checkpoint, same landing): keyed upsert + fold +
+    // delete all converge — nothing changes
+    val q2 = StreamingIngest.startCorpusDeduper(
+      spark, landing, batchA.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text",
+      corpusTable = corpusTable, clusterTable = clusterTable,
+      outDir = tmpDir("cdup_out2"), checkpointDir = tmpDir("cdup_ckpt2"),
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination(300000)
+    assert(corpusTable.read(spark)
+      .select("doc_id").as[Long].collect().toSet == after)
+    assert(clusterTable.read(spark).as[(Long, Long)].collect().toMap == cl)
+    ()
+  }
+
   test("streaming boilerplate scrubber under a frozen line set matches batch q103") {
     import spark.implicits._
     import graft.operators.TextDedup
