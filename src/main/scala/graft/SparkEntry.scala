@@ -1909,6 +1909,33 @@ object SparkEntry {
       C4Rules.clean(planted, "doc_id", "text")
     }),
 
+    // Z-ordered data skipping: events land bit-interleaved on
+    // (user_id, event_id) — ONE layout serves range predicates on BOTH
+    // columns (q110's linear clustering can only serve one). The doubly
+    // stats-pruned scan must agree exactly with the full-table answer.
+    "q114_zorder_skipping" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q114_scratch/events_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      table.create(ev.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(ev)
+      table.clusterBaseZ(s, Seq("user_id", "event_id"),
+        bitsPerCol = 3, nBuckets = 16)
+      val hi = ev.agg(
+        (max(col("user_id")) * 3 / 4).cast("long"),
+        (max(col("event_id")) * 3 / 4).cast("long")).head()
+      val (hu, he) = (hi.getLong(0), hi.getLong(1))
+      table.read(s, dataFilters = Seq(
+          org.apache.spark.sql.sources.GreaterThan("user_id", hu),
+          org.apache.spark.sql.sources.GreaterThan("event_id", he)))
+        .filter(col("user_id") > hu && col("event_id") > he)
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -3880,6 +3907,14 @@ object SparkEntry {
       """WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents)
         |SELECT doc_id, md5(text) AS text_md5
         |FROM documents, cut WHERE doc_id > c""".stripMargin,
+
+    // the doubly-pruned z-order scan must agree with the full answer
+    "q114_zorder_skipping" ->
+      """WITH hi AS (SELECT (max(user_id) * 3) // 4 AS hu,
+        |                   (max(event_id) * 3) // 4 AS he FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events, hi WHERE user_id > hu AND event_id > he""".stripMargin,
 
     // the stats-pruned scan must agree with the full-table answer
     "q110_clustered_skipping" ->

@@ -937,6 +937,75 @@ final class WarehouseTable(val root: String) {
         when(if (i == 0) c.isNull || c <= lit(cut) else c <= lit(cut),
           lit(i)).otherwise(rest)
     }
+    commitBucketed(meta, cur, slice, bucket)
+  }
+
+  /** Multi-column Z-ORDER clustering — where [[clusterBase]]'s linear
+    * range clustering serves ONE predicate column, bit-interleaving
+    * serves several: each cluster column rank-normalizes to a
+    * 2^bitsPerCol-level code via EXACT equi-depth cuts, the codes'
+    * bits interleave into a z-value, and the base rewrites into
+    * `nBuckets` z-RANGE dirs. A z-contiguous dir covers a small
+    * hyper-rectangle of the original space, so dir min/max stats are
+    * narrow on EVERY clustered column at once — a predicate on any of
+    * them prunes (the spec proves both columns prune on the same
+    * layout; single-column clustering provably can't). Equi-depth
+    * level cuts make the z-space near-uniform, so equi-width z-bucket
+    * cuts give balanced dirs without a second quantile pass.
+    */
+  def clusterBaseZ(
+      spark: SparkSession,
+      clusterCols: Seq[String],
+      bitsPerCol: Int = 4,
+      nBuckets: Int = 16): Unit = {
+    require(clusterCols.size >= 2,
+      "z-ordering needs >= 2 columns (use clusterBase for one)")
+    require(bitsPerCol >= 1 && bitsPerCol <= 8,
+      s"bitsPerCol=$bitsPerCol out of range [1, 8]")
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets=$nBuckets out of range [2, 1024]")
+    val meta = readMeta()
+    require(meta.partition.isEmpty,
+      "clusterBaseZ supports unpartitioned tables (the partition column " +
+        "already provides coarse clustering for partitioned ones)")
+    clusterCols.foreach(cc => require(meta.schema.fieldNames.contains(cc),
+      s"cluster column '$cc' not in schema"))
+    if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
+    val cur = currentSnapshotId
+    val slice = read(spark)
+    val levels = 1 << bitsPerCol
+    val probs = (1 until levels).map(_.toDouble / levels).toArray
+    // per-column level codes via exact equi-depth cuts (nulls -> level 0)
+    val codes = clusterCols.map { cc =>
+      val cuts = slice.na.drop(Seq(cc))
+        .stat.approxQuantile(cc, probs, 0.0).distinct.sorted
+      val c = col(cc)
+      cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+        case ((cut, i), rest) =>
+          when(if (i == 0) c.isNull || c <= lit(cut) else c <= lit(cut),
+            lit(i)).otherwise(rest)
+      }
+    }
+    // interleave: bit b of column k lands at position b*nCols + k
+    val z = (0 until bitsPerCol).flatMap(b => codes.zipWithIndex.map {
+      case (code, k) =>
+        shiftleft(shiftright(code, b).bitwiseAND(lit(1)),
+          b * clusterCols.size + k)
+    }).reduce((a, c) => a.bitwiseOR(c))
+    val zSpan = 1 << (bitsPerCol * clusterCols.size)
+    val per = math.max(1, zSpan / nBuckets)
+    commitBucketed(meta, cur, slice, (z / per).cast("int"))
+  }
+
+  /** Shared rewrite core of [[clusterBase]]/[[clusterBaseZ]]: one
+    * dynamic-partition write of `slice` keyed by `bucket`, then a commit
+    * referencing the bucket dirs with freshly harvested per-dir stats.
+    */
+  private def commitBucketed(
+      meta: Meta,
+      parent: Long,
+      slice: DataFrame,
+      bucket: Column): Unit = {
     val uuid = UUID.randomUUID().toString
     val rel = s"data/$uuid"
     val aligned = slice.select(
@@ -955,7 +1024,7 @@ final class WarehouseTable(val root: String) {
         .map(d => s"$rel/${d.getFileName}").toList
       finally listing.close()
     val stats = TableStats.collect(root, dirs)
-    commit(cur, Manifest(Map(NoPart -> dirs), Nil, stats).pruneStats)
+    commit(parent, Manifest(Map(NoPart -> dirs), Nil, stats).pruneStats)
   }
 
   /** DELETE FROM: remove rows matching `cond`. Dir-level surgery, not a

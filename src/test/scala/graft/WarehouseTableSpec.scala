@@ -344,6 +344,49 @@ class WarehouseTableSpec extends SparkSpec {
     assert(got == before.filter(_ > 900))
   }
 
+  test("clusterBaseZ: one layout prunes on BOTH clustered columns; contents unchanged") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("zord"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", IntegerType),
+      StructField("y", IntegerType)))
+    t.create(sch, None, Map.empty)
+    // x and y are independent permutations of 1..2000: neither column is
+    // correlated with the other, so single-column clustering could only
+    // ever serve one of the two predicates below
+    val rows = (1 to 2000).map(i =>
+      Row(i, (i * 7919) % 2000 + 1, (i * 104729) % 2000 + 1))
+    rows.grouped(500).foreach { chunk =>
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toSeq, 2), sch))
+    }
+    val before = t.read(spark).collect().map(_.getInt(0)).sorted.toSeq
+    val fx = Seq(org.apache.spark.sql.sources.GreaterThan("x", 1800))
+    val fy = Seq(org.apache.spark.sql.sources.GreaterThan("y", 1800))
+    val (fxBefore, fyBefore) = (
+      t.read(spark, dataFilters = fx).inputFiles.length,
+      t.read(spark, dataFilters = fy).inputFiles.length)
+    t.clusterBaseZ(spark, Seq("x", "y"), bitsPerCol = 3, nBuckets = 16)
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == before)
+    val all = t.read(spark).inputFiles.length
+    val (fxAfter, fyAfter) = (
+      t.read(spark, dataFilters = fx).inputFiles.length,
+      t.read(spark, dataFilters = fy).inputFiles.length)
+    assert(fxAfter < all && fyAfter < all,
+      s"both columns should prune ($fxAfter, $fyAfter of $all files)")
+    assert(fxAfter < fxBefore && fyAfter < fyBefore)
+    // pruned reads stay exact
+    val gx = t.read(spark, dataFilters = fx)
+      .filter(org.apache.spark.sql.functions.col("x") > 1800)
+      .collect().map(_.getInt(0)).toSet
+    assert(gx == rows.filter(_.getInt(1) > 1800).map(_.getInt(0)).toSet)
+    val gy = t.read(spark, dataFilters = fy)
+      .filter(org.apache.spark.sql.functions.col("y") > 1800)
+      .collect().map(_.getInt(0)).toSet
+    assert(gy == rows.filter(_.getInt(2) > 1800).map(_.getInt(0)).toSet)
+  }
+
   test("merge with evolveSchema adds new source columns; old rows read NULL") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wh_evo"))
