@@ -906,10 +906,11 @@ final class WarehouseTable(val root: String) {
     * (duplicate cuts dedup) and nulls ride the first bucket. The rewrite
     * is ONE pass: rows bucket map-side via the cut when-chain and a
     * single dynamic-partition write lands one dir per non-empty bucket —
-    * not a per-bucket rescan. Unpartitioned tables only (a partitioned
-    * table's partition column is already its coarse clustering; nesting
-    * a second hive level under it would leak a phantom partition column
-    * through basePath discovery).
+    * not a per-bucket rescan. On a PARTITIONED table the clustering nests
+    * WITHIN each partition (one dynamic write keyed (partition, bucket);
+    * the bucket level is renamed to a non-hive name so basePath
+    * discovery sees only the real partition column) — partition pruning
+    * and stats pruning then compose multiplicatively.
     */
   def clusterBase(
       spark: SparkSession,
@@ -918,9 +919,8 @@ final class WarehouseTable(val root: String) {
     require(nBuckets >= 2 && nBuckets <= 1024,
       s"nBuckets=$nBuckets out of range [2, 1024]")
     val meta = readMeta()
-    require(meta.partition.isEmpty,
-      "clusterBase supports unpartitioned tables (the partition column " +
-        "already provides coarse clustering for partitioned ones)")
+    require(!meta.partition.contains(clusterCol),
+      "clusterCol IS the partition column - partitioning already clusters it")
     require(meta.schema.fieldNames.contains(clusterCol),
       s"cluster column '$clusterCol' not in schema")
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
@@ -965,9 +965,8 @@ final class WarehouseTable(val root: String) {
     require(nBuckets >= 2 && nBuckets <= 1024,
       s"nBuckets=$nBuckets out of range [2, 1024]")
     val meta = readMeta()
-    require(meta.partition.isEmpty,
-      "clusterBaseZ supports unpartitioned tables (the partition column " +
-        "already provides coarse clustering for partitioned ones)")
+    require(meta.partition.forall(p => !clusterCols.contains(p)),
+      "a cluster column IS the partition column - partitioning already clusters it")
     clusterCols.foreach(cc => require(meta.schema.fieldNames.contains(cc),
       s"cluster column '$cc' not in schema"))
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
@@ -1006,25 +1005,58 @@ final class WarehouseTable(val root: String) {
       parent: Long,
       slice: DataFrame,
       bucket: Column): Unit = {
+    import scala.jdk.CollectionConverters._
     val uuid = UUID.randomUUID().toString
     val rel = s"data/$uuid"
     val aligned = slice.select(
       meta.schema.fields.toIndexedSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)) :+ bucket.as("__bucket"): _*)
-    aligned.repartition(col("__bucket")).write
-      .option("compression", compressionCodec(meta))
-      .partitionBy("__bucket")
-      .parquet(s"$root/$rel")
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(Paths.get(s"$root/$rel"))
-    val dirs =
+    def bucketDirs(parentDir: Path): List[String] = {
+      val listing = Files.list(parentDir)
       try listing.iterator().asScala
         .filter(d => Files.isDirectory(d) &&
           d.getFileName.toString.startsWith("__bucket="))
-        .map(d => s"$rel/${d.getFileName}").toList
+        .map(_.getFileName.toString).toList
       finally listing.close()
+    }
+    val entries: Map[String, List[String]] = meta.partition match {
+      case None =>
+        aligned.repartition(col("__bucket")).write
+          .option("compression", compressionCodec(meta))
+          .partitionBy("__bucket")
+          .parquet(s"$root/$rel")
+        Map(NoPart -> bucketDirs(Paths.get(s"$root/$rel"))
+          .map(b => s"$rel/$b"))
+      case Some(p) =>
+        // partitioned: one dynamic write keyed (partition, bucket), then
+        // the __bucket=N level RENAMES to bN — a non-hive name, so
+        // basePath partition discovery sees only the real partition
+        // column and the bucket level stays a plain data dir
+        aligned.repartition(col(p), col("__bucket")).write
+          .option("compression", compressionCodec(meta))
+          .partitionBy(p, "__bucket")
+          .parquet(s"$root/$rel")
+        val top = Files.list(Paths.get(s"$root/$rel"))
+        val partDirs =
+          try top.iterator().asScala
+            .filter(d => Files.isDirectory(d) &&
+              d.getFileName.toString.contains("=")).toList
+          finally top.close()
+        partDirs.map { pd =>
+          val dirName = pd.getFileName.toString
+          val value = unescapePartitionValue(
+            dirName.substring(dirName.indexOf('=') + 1))
+          val renamed = bucketDirs(pd).map { b =>
+            val clean = "b" + b.substring("__bucket=".length)
+            Files.move(pd.resolve(b), pd.resolve(clean))
+            s"$rel/$dirName/$clean"
+          }
+          value -> renamed
+        }.toMap
+    }
+    val dirs = entries.values.flatten.toSeq
     val stats = TableStats.collect(root, dirs)
-    commit(parent, Manifest(Map(NoPart -> dirs), Nil, stats).pruneStats)
+    commit(parent, Manifest(entries, Nil, stats).pruneStats)
   }
 
   /** DELETE FROM: remove rows matching `cond`. Dir-level surgery, not a

@@ -387,6 +387,39 @@ class WarehouseTableSpec extends SparkSpec {
     assert(gy == rows.filter(_.getInt(2) > 1800).map(_.getInt(0)).toSet)
   }
 
+  test("clusterBase on a partitioned table: buckets nest within partitions, pruning composes") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("pclust"))
+    t.create(schema, Some("state"), Map.empty)
+    val rnd = new scala.util.Random(11)
+    // two appends per state: every dir spans nearly the full k range, so
+    // stats alone can prune nothing before clustering
+    (0 until 2).foreach { _ =>
+      val rows = Seq("CA", "NY").flatMap(st =>
+        rnd.shuffle((1 to 400).toList).take(200).map(k => Row(k, s"v$k", st)))
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema))
+    }
+    val before = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    t.clusterBase(spark, "k", 4)
+    val after = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(after == before)
+    val filt = Seq(org.apache.spark.sql.sources.GreaterThan("k", 350))
+    // partition pruning still works, and stats pruning now composes
+    val caAll = t.read(spark, Some(Seq("CA"))).inputFiles.length
+    val caPruned = t.read(spark, Some(Seq("CA")), dataFilters = filt)
+      .inputFiles.length
+    assert(caPruned < caAll,
+      s"stats should prune within the partition ($caPruned of $caAll)")
+    val got = t.read(spark, Some(Seq("CA")), dataFilters = filt)
+      .filter(org.apache.spark.sql.functions.col("k") > 350)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == before.filter(r => r._3 == "CA" && r._1 > 350)
+      .map(_._1).sorted.toSeq)
+  }
+
   test("merge with evolveSchema adds new source columns; old rows read NULL") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wh_evo"))
