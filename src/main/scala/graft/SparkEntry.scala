@@ -1936,6 +1936,34 @@ object SparkEntry {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // Change-feed-driven incremental curation: the corpus table lands in
+    // two batches; scoring runs ONCE over the initial content and then
+    // ONLY over addedSince(snapshot) — the scores table (keyed MERGE)
+    // must equal scoring the whole corpus. The pattern every recurring
+    // curation job wants: arrival-bound work, never a corpus rescan.
+    "q115_incremental_scoring" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft_q115_scratch"
+      val docsTable = graft.table.WarehouseTable(s"$base/docs_t")
+      val scoresTable = graft.table.WarehouseTable(s"$base/scores_t")
+      docsTable.drop(); scoresTable.drop()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+      docsTable.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      docsTable.append(docs.filter(col("doc_id") <= cut))
+      def score(d: DataFrame): DataFrame =
+        d.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      val first = score(docsTable.read(s))
+      scoresTable.create(first.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      scoresTable.merge(s, first, Seq("doc_id"))
+      val snap = docsTable.currentSnapshotId
+      docsTable.append(docs.filter(col("doc_id") > cut))
+      scoresTable.merge(s,
+        score(docsTable.addedSince(s, snap)), Seq("doc_id"))
+      scoresTable.read(s)
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2235,6 +2263,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q09_quality_score" -> qualityOracleSql,
+
+    // incremental scoring must converge to whole-corpus scoring — the
+    // oracle IS q09's (the feed is invisible by construction)
+    "q115_incremental_scoring" -> qualityOracleSql,
 
     "q10_lang_id" -> langIdOracleSql,
 
