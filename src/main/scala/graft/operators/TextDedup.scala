@@ -1073,9 +1073,17 @@ object TextDedup {
       .select(col("qid").as("d1"), col("doc_id").as("d2"))
       .distinct()
     // candidates are FEW (LSH output) — the array_intersect verify is the
-    // right tool here, unlike the recall-1.0 inverted index (q57 lesson)
-    val allSh = qsh.unionByName(shingled(corpus, idCol, textCol, shingleN))
-    verifyPairs(cands, allSh, threshold)
+    // right tool here, unlike the recall-1.0 inverted index (q57 lesson).
+    // The corpus side SEMI-JOINS to the candidate ids BEFORE shingling:
+    // without it the verify's doc_id repartition would shuffle the whole
+    // corpus's shingle arrays on every lookup (corpus-bound, exactly what
+    // the pruned index read just avoided); with it the scan stays a
+    // column-pruned pass and only candidate-bounded rows shuffle.
+    val candIds = cands.select(col("d2").as(idCol)).distinct()
+    val corpusSh = shingled(
+      corpus.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+    verifyPairs(cands, qsh.unionByName(corpusSh), threshold)
   }
 
   /** Incremental maintenance of the at-rest dedup infrastructure — the
