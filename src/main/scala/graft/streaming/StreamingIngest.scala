@@ -845,6 +845,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** C4 line-rule cleanup as a STREAMING stage — the q113 rule set per
+    * micro-batch: every arriving page lands with its per-line keep
+    * decisions applied (clean text + audit counts + page-kill flags).
+    * Like the repetition scorer, every rule is a within-document
+    * predicate — no model, no state, pure map-side; batch-id-keyed
+    * overwrite keeps replays idempotent. Clean-at-ingest ordering: raw
+    * chrome never reaches downstream consumers.
+    */
+  def startC4Scrubber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      minWords: Int = 5,
+      minSentences: Int = 3,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.C4Rules
+          .clean(batch, idCol, textCol, minWords, minSentences)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Snapshot-diff classification as a STREAMING stage — the incremental
     * face of batch q65: every arriving document is classified `added` /
     * `changed` / `unchanged` against a STATIC baseline snapshot's

@@ -1138,6 +1138,39 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming C4 scrubber equals batch C4Rules on the same files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // plant line structure the q113 way (terminal punct on some lines)
+    val planted = raw.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("\na planted line with terminal punctuation ."))
+          .otherwise(lit("\nshort .")))
+        .as("text"))
+    val landing = tmpDir("c4_land")
+    val staging = tmpDir("c4_stage") + "/files"
+    planted.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("c4_out")
+    val q = StreamingIngest.startC4Scrubber(
+      spark, landing, planted.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text",
+      outDir = outDir, checkpointDir = tmpDir("c4_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.C4Rules.clean(planted, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    ()
+  }
+
   test("streaming cluster maintainer: at-rest clusters equal full recompute over all batches") {
     import spark.implicits._
     import graft.operators.{Dedup, TextDedup}
