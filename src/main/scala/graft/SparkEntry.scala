@@ -1788,7 +1788,7 @@ object SparkEntry {
     // of only the partitions carrying one), survivors read back clean.
     // Decide once, materialize once; no per-read filter downstream.
     "q108_dedup_materialize" -> ((s, dir) => {
-      val wh = sys.props("java.io.tmpdir") + "/graft_q108_scratch/docs_t"
+      val wh = scratchPath("q108", dir) + "/docs_t"
       val table = graft.table.WarehouseTable(wh)
       table.drop()
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1810,7 +1810,7 @@ object SparkEntry {
     // half, resolved from the manifest diff before any file opens. The
     // consumption primitive an incremental pipeline checkpoints on.
     "q109_incremental_read" -> ((s, dir) => {
-      val wh = sys.props("java.io.tmpdir") + "/graft_q109_scratch/docs_t"
+      val wh = scratchPath("q109", dir) + "/docs_t"
       val table = graft.table.WarehouseTable(wh)
       table.drop()
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1829,7 +1829,7 @@ object SparkEntry {
     // read of the top decile — the pruned scan must agree exactly with
     // the full-scan answer while reading ~1/8 of the files.
     "q110_clustered_skipping" -> ((s, dir) => {
-      val wh = sys.props("java.io.tmpdir") + "/graft_q110_scratch/events_t"
+      val wh = scratchPath("q110", dir) + "/events_t"
       val table = graft.table.WarehouseTable(wh)
       table.drop()
       val ev = t(s, dir, "events")
@@ -1860,7 +1860,7 @@ object SparkEntry {
     // stored model. Must equal the one-shot fitSketch exactly (same
     // oracle as q90) — idempotence exercised INSIDE the gate, q87-style.
     "q112_percentile_at_rest" -> ((s, dir) => {
-      val wh = sys.props("java.io.tmpdir") + "/graft_q112_scratch/pct_t"
+      val wh = scratchPath("q112", dir) + "/pct_t"
       val table = graft.table.WarehouseTable(wh)
       table.drop()
       val P = graft.operators.Percentiles
@@ -1914,7 +1914,7 @@ object SparkEntry {
     // columns (q110's linear clustering can only serve one). The doubly
     // stats-pruned scan must agree exactly with the full-table answer.
     "q114_zorder_skipping" -> ((s, dir) => {
-      val wh = sys.props("java.io.tmpdir") + "/graft_q114_scratch/events_t"
+      val wh = scratchPath("q114", dir) + "/events_t"
       val table = graft.table.WarehouseTable(wh)
       table.drop()
       val ev = t(s, dir, "events")
@@ -1942,7 +1942,7 @@ object SparkEntry {
     // must equal scoring the whole corpus. The pattern every recurring
     // curation job wants: arrival-bound work, never a corpus rescan.
     "q115_incremental_scoring" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") + "/graft_q115_scratch"
+      val base = scratchPath("q115", dir)
       val docsTable = graft.table.WarehouseTable(s"$base/docs_t")
       val scoresTable = graft.table.WarehouseTable(s"$base/scores_t")
       docsTable.drop(); scoresTable.drop()
@@ -3911,10 +3911,12 @@ object SparkEntry {
         |SELECT b.source, n_docs, n_tokens, n_distinct_tokens,
         |  CAST(floor(CAST(n_distinct_tokens AS DOUBLE) / n_tokens
         |    * 10000.0 + 0.5) AS BIGINT) AS ttr_e4,
-        |  n_trigrams, n_distinct_trigrams,
-        |  CAST(floor(CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(n_distinct_trigrams, 0) AS n_distinct_trigrams,
+        |  CAST(floor(CAST(COALESCE(n_distinct_trigrams, 0) AS DOUBLE)
+        |    / GREATEST(COALESCE(n_trigrams, 0), 1)
         |    * 10000.0 + 0.5) AS BIGINT) AS tri_e4
-        |FROM base b JOIN ws USING (source) JOIN ts USING (source)""".stripMargin,
+        |FROM base b JOIN ws USING (source) LEFT JOIN ts USING (source)""".stripMargin,
 
     // survivors = ids equal to their component minimum under the same
     // recursive closure; the merge-delete must land on exactly this set

@@ -264,8 +264,19 @@ object Dedup {
       newIds: DataFrame,     // id — arrivals
       newPairs: DataFrame,   // d1, d2 — edges touching arrivals
       maxRounds: Int = 50): DataFrame = {
+    // Edge endpoints join the vertex set too: an endpoint in neither the
+    // stored assignment nor the arrivals (a corpus doc never seeded into
+    // the cluster table) would otherwise get NO assignment row
+    // (connectedComponents drops non-id vertices), and a later batch
+    // connecting through that same doc could mint a DIFFERENT label for
+    // the same true component. Unioning endpoints makes every connecting
+    // vertex persist, so labels stay globally consistent without a
+    // pre-seeding precondition on callers.
     val ids = assignment.select(col("id"))
-      .unionByName(newIds.select(col("id"))).distinct()
+      .unionByName(newIds.select(col("id")))
+      .unionByName(newPairs.select(col("d1").as("id")))
+      .unionByName(newPairs.select(col("d2").as("id")))
+      .distinct()
     val oldEdges = assignment
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("d1"), col("cluster").as("d2"))
@@ -302,7 +313,14 @@ object Dedup {
       newPairs: DataFrame, // d1, d2 — edges touching arrivals
       table: graft.table.WarehouseTable): Unit = {
     if (!table.exists) {
-      val assignment = connectedComponents(newIds, newPairs)
+      // same endpoint-union rule as incrementalComponents: an endpoint
+      // appearing only in an edge still gets a persisted assignment row,
+      // so later batches connecting through it resolve the same label
+      val ids = newIds.select(col("id"))
+        .unionByName(newPairs.select(col("d1").as("id")))
+        .unionByName(newPairs.select(col("d2").as("id")))
+        .distinct()
+      val assignment = connectedComponents(ids, newPairs)
       table.create(assignment.schema,
         properties =
           graft.table.WarehouseTable.tableProperties("COW", "snappy"))

@@ -246,13 +246,22 @@ object Repetition {
     val tStats = tris.groupBy(col("src")).agg(
       count(lit(1)).as("n_trigrams"),
       countDistinct(col("g")).as("n_distinct_trigrams"))
-    base.join(wStats, Seq("src")).join(tStats, Seq("src"))
+    // tStats joins LEFT: a source whose every document is under 3 tokens
+    // has no trigram rows, and an inner join would silently drop the
+    // whole source from the report — a mixture planner reading it would
+    // lose the source entirely. Absent trigram stats read as 0 (the
+    // q102/q111 zero-guard convention), never null, never a missing row.
+    base.join(wStats, Seq("src"))
+      .join(tStats, Seq("src"), "left")
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+      .withColumn("n_distinct_trigrams",
+        coalesce(col("n_distinct_trigrams"), lit(0L)))
       .withColumn("ttr_e4",
         floor(col("n_distinct_tokens").cast("double")
           / col("n_tokens") * 10000.0 + 0.5).cast("long"))
       .withColumn("tri_e4",
         floor(col("n_distinct_trigrams").cast("double")
-          / col("n_trigrams") * 10000.0 + 0.5).cast("long"))
+          / greatest(col("n_trigrams"), lit(1L)) * 10000.0 + 0.5).cast("long"))
       .select(col("src").as(srcCol), col("n_docs"), col("n_tokens"),
         col("n_distinct_tokens"), col("ttr_e4"), col("n_trigrams"),
         col("n_distinct_trigrams"), col("tri_e4"))

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *    output for inspection/replay — the tag-don't-drop rule applied to
   *    ingest.
   *
-  * Scale shape: one distributed text-file scan; the corrupt test is a
-  * per-row predicate on the scan output (both branches share the one
-  * scan plan; no shuffle added by the split).
+  * Scale shape: plain text scans + a per-row `from_json`; the corrupt
+  * test is a map-side predicate, so neither branch adds a shuffle.
+  * Each consumed branch re-scans its lines rather than pinning the
+  * parsed frame in storage memory — a text scan is cheap, a cached
+  * 100 TB parse is not (and a leaked one never unpins).
   */
 object JsonlReader {
 
@@ -38,23 +40,15 @@ object JsonlReader {
       spark: SparkSession,
       path: String,
       schema: StructType): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains(CorruptCol),
-      s"schema must not already contain $CorruptCol")
-    val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
-    val raw = spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .schema(withCorrupt)
-      .json(path)
-      // Spark refuses plans that reference ONLY the internal corrupt
-      // column; materializing the full row set once (cache) is the
-      // documented idiom and keeps both branches on one scan
-      .cache()
-    val good = raw.filter(col(CorruptCol).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    val quarantine = raw.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
-    (good, quarantine)
+    // Composed over [[parseLines]] (text scan + from_json) rather than
+    // the JSON file source: the file source's internal corrupt column
+    // can't be referenced alone without caching the whole parsed frame —
+    // a storage-memory leak for long-lived sessions — while text +
+    // from_json gives both branches ordinary uncached scans. JSONL is
+    // line-delimited by contract, so a text scan sees exactly the
+    // records the JSON source would (blank lines skipped both ways);
+    // equivalence with the file-source semantics is spec-asserted.
+    parseLines(spark.read.text(path), "value", schema)
   }
 
   /** The same parse/quarantine contract over a frame of RAW LINES

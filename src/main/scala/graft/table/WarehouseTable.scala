@@ -992,7 +992,10 @@ final class WarehouseTable(val root: String) {
           b * clusterCols.size + k)
     }).reduce((a, c) => a.bitwiseOR(c))
     val zSpan = 1 << (bitsPerCol * clusterCols.size)
-    val per = math.max(1, zSpan / nBuckets)
+    // ceil, not floor: a floor cut with nBuckets not dividing zSpan
+    // emits bucket ids past nBuckets-1 (e.g. span 64 / 10 -> id 10),
+    // breaking the nBuckets dir-count contract callers reason with
+    val per = math.max(1, (zSpan + nBuckets - 1) / nBuckets)
     commitBucketed(meta, cur, slice, (z / per).cast("int"))
   }
 

@@ -906,6 +906,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(table.read(spark).as[(Long, Long)].collect().toSet == s2)
   }
 
+  test("componentsCommit: unseeded edge endpoints persist, so labels stay consistent across batches") {
+    import graft.operators.Dedup
+    // corpus doc 2 is NEVER seeded as an arrival id — it only ever
+    // appears as an edge endpoint. Two later batches each connect a new
+    // arrival through it; both must land in ONE component labeled by the
+    // true minimum (2), not two independently-minted labels.
+    val table = graft.table.WarehouseTable(tmpDir("ccseed") + "/cc")
+    Dedup.componentsCommit(spark, Seq(10L).toDF("id"),
+      Seq((10L, 2L)).toDF("d1", "d2"), table)
+    // the connecting vertex got its own persisted assignment row
+    assert(table.read(spark).as[(Long, Long)].collect().toSet ==
+      Set((10L, 2L), (2L, 2L)))
+    Dedup.componentsCommit(spark, Seq(11L).toDF("id"),
+      Seq((11L, 2L)).toDF("d1", "d2"), table)
+    assert(table.read(spark).as[(Long, Long)].collect().toSet ==
+      Set((10L, 2L), (2L, 2L), (11L, 2L)))
+  }
+
   test("keepOneMaterialize: duplicates merge-delete out; survivors intact; replay no-op") {
     import graft.operators.Dedup
     val table = graft.table.WarehouseTable(tmpDir("keepone") + "/docs")

@@ -1285,6 +1285,23 @@ class OperatorsSpec extends SparkSpec {
       ("b", 1L, 4L, 4L, 10000L, 2L, 2L, 10000L)))
   }
 
+  test("sourceDiversity: a source with no >=3-token doc still appears, trigram stats zero") {
+    import spark.implicits._
+    // every "tiny" doc is under 3 tokens -> zero trigram rows; an inner
+    // join would drop the source from the report entirely
+    val docs = Seq(
+      ("tiny", "x y"), ("tiny", "p"),
+      ("full", "a b c d")
+    ).toDF("source", "text")
+    val out = Repetition.sourceDiversity(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("full", 1L, 4L, 4L, 10000L, 2L, 2L, 10000L),
+      ("tiny", 2L, 3L, 3L, 10000L, 0L, 0L, 0L)))
+  }
+
   test("C4 line rules: terminal punct, min words, javascript kill, page kills, sentence floor") {
     import spark.implicits._
     val docs = Seq(

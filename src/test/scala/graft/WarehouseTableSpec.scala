@@ -387,6 +387,42 @@ class WarehouseTableSpec extends SparkSpec {
     assert(gy == rows.filter(_.getInt(2) > 1800).map(_.getInt(0)).toSet)
   }
 
+  test("clusterBaseZ: bucket count honors nBuckets when it does not divide the z span") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // bitsPerCol=3, 2 cols -> zSpan=64; nBuckets=10 does not divide it.
+    // A floor cut (per=6) would emit bucket id 10 — an 11th dir — and
+    // break dir-count reasoning; the ceil cut keeps ids in [0, 10)
+    val t = WarehouseTable(tmpDir("zceil"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", IntegerType),
+      StructField("y", IntegerType)))
+    t.create(sch, None, Map.empty)
+    val rows = (1 to 1000).map(i =>
+      Row(i, (i * 7919) % 1000 + 1, (i * 104729) % 1000 + 1))
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), sch))
+    val before = t.read(spark).collect().map(_.getInt(0)).sorted.toSeq
+    t.clusterBaseZ(spark, Seq("x", "y"), bitsPerCol = 3, nBuckets = 10)
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == before)
+    val dataDirs = {
+      val root = java.nio.file.Paths.get(t.root, "data")
+      val l = java.nio.file.Files.list(root)
+      try l.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .flatMap { d =>
+          val l2 = java.nio.file.Files.list(d)
+          try l2.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("__bucket="))
+            .map(_.getFileName.toString).toList.iterator
+          finally l2.close()
+        }.toList
+      finally l.close()
+    }
+    assert(dataDirs.nonEmpty && dataDirs.distinct.size <= 10,
+      s"expected <= 10 bucket dirs, saw ${dataDirs.distinct.sorted}")
+  }
+
   test("clusterBase on a partitioned table: buckets nest within partitions, pruning composes") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("pclust"))
