@@ -1182,6 +1182,115 @@ object StreamingIngest {
       .start()
   }
 
+  /** The INDEXED streaming corpus deduper — [[startCorpusDeduper]]'s
+    * 100 TB form: identical per-batch semantics (upsert → mine → fold →
+    * materialize, every step keyed and replay-idempotent), but arrival
+    * candidates come from the AT-REST minhash index
+    * ([[graft.operators.TextDedup.minhashLookupAtRest]]) instead of
+    * re-shingling the stored corpus. Per micro-batch:
+    *
+    *  1. arrivals collapse to one row per id (min-struct — the q04 rule);
+    *  2. [[graft.operators.TextDedup.minhashIndexCommit]] MERGEs their
+    *     band hashes into the `pb`-partitioned index and their rows into
+    *     the corpus table (keyed upserts — replay re-writes identical
+    *     rows);
+    *  3. the lookup probes ONLY the `pb` partitions the arrivals' hashes
+    *     land in (≤ bands·partBuckets values, manifest-level pruning) and
+    *     exact-verifies candidates — arrival-vs-arrival pairs fall out of
+    *     the same probe because step 2 already indexed the batch;
+    *  4. [[graft.operators.Dedup.componentsCommit]] folds the edges into
+    *     the cluster table (touched-component-bound);
+    *  5. [[graft.operators.Dedup.keepOneMaterialize]] merge-deletes
+    *     non-minimum members from the corpus, and the same duplicate id
+    *     set merge-deletes their band hashes from the index — the index
+    *     never accumulates dead entries, so probe candidate sets stay
+    *     corpus-bounded forever.
+    *
+    * The per-batch cost is arrival-bound end-to-end: band hashing is a
+    * map-side pass over the batch, the index MERGE rewrites only the
+    * touched `pb` partitions, the probe reads only those partitions, and
+    * the verify shuffles only candidate rows (the corpus side semi-joins
+    * to candidate ids before shingling). Nothing rescans the corpus —
+    * the difference between this stage and [[startCorpusDeduper]] at
+    * 100 TB is a per-batch corpus scan vs a bounded partition read.
+    *
+    * Replay: a checkpoint replay re-upserts identical hashes and rows,
+    * re-mines the same edges, re-folds the same labels, and re-deletes
+    * already-deleted keys — the end state is byte-identical (spec replays
+    * the whole stream and diffs nothing).
+    */
+  def startIndexedCorpusDeduper(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      indexTable: graft.table.WarehouseTable,
+      corpusTable: graft.table.WarehouseTable,
+      clusterTable: graft.table.WarehouseTable,
+      outDir: String,
+      checkpointDir: String,
+      bands: Int = 32,
+      rows: Int = 4,
+      shingleN: Int = 3,
+      partBuckets: Int = 8,
+      threshold: Double = 0.5,
+      minRecallJaccard: Double = 0.75,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, TextDedup}
+        val others = batch.columns.filter(_ != idCol)
+        val uniq = batch
+          .groupBy(col(idCol))
+          .agg(min(struct(others.map(col).toIndexedSeq: _*)).as("_row"))
+          .select(col(idCol) +: others.map(c => col(s"_row.`$c`").as(c)).toIndexedSeq: _*)
+        if (!indexTable.exists)
+          // bootstrap an EMPTY index (schema + banding properties only);
+          // the commit below folds the first batch in through the same
+          // keyed path every later batch uses
+          TextDedup.minhashIndexAtRest(uniq.limit(0), idCol, textCol,
+            indexTable, bands, rows, shingleN, partBuckets)
+        TextDedup.minhashIndexCommit(
+          spark, uniq, idCol, textCol, indexTable, corpusTable)
+        val arrivals = uniq.select(
+          col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+        val corpus = corpusTable.read(spark).select(col("doc_id"), col("text"))
+        val edges = TextDedup.minhashLookupAtRest(
+          spark, arrivals, corpus, "doc_id", "text", indexTable,
+          bands, rows, shingleN, partBuckets, threshold, minRecallJaccard)
+          .select(col("d1"), col("d2"))
+        Dedup.componentsCommit(
+          spark, arrivals.select(col("doc_id").as("id")), edges, clusterTable)
+        val assignment = clusterTable.read(spark)
+        Dedup.keepOneMaterialize(spark, corpusTable, assignment, "doc_id")
+        // index hygiene: a deleted doc's band hashes leave with it, so
+        // later probes never surface dead candidates
+        val dupIds = assignment.filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        val deadIdx = indexTable.read(spark)
+          .join(dupIds, Seq("doc_id"), "left_semi")
+        indexTable.merge(spark, deadIdx, Seq("doc_id", "band"),
+          deleteWhere = Some(lit(true)))
+        arrivals.agg(count(lit(1)).as("n_arrivals"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Boilerplate-line scrubbing as a STREAMING stage — the q103 filter
     * under a FROZEN line set ([[graft.operators.TextDedup.boilerplateModel]]
     * built offline over the corpus): arriving documents shed every line

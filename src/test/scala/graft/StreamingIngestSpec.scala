@@ -1305,6 +1305,86 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("indexed streaming corpus deduper: pruned probes converge like the scan form; index stays corpus-aligned; replay changes nothing") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextDedup}
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val indexTable = graft.table.WarehouseTable(tmpDir("icdup") + "/mh_idx")
+    val corpusTable = graft.table.WarehouseTable(tmpDir("icdup") + "/corpus")
+    val clusterTable = graft.table.WarehouseTable(tmpDir("icdup") + "/clusters")
+    // seed index + corpus through the SAME keyed commit the stage uses
+    TextDedup.minhashIndexAtRest(docs.limit(0), "doc_id", "text", indexTable)
+    TextDedup.minhashIndexCommit(
+      spark, docs, "doc_id", "text", indexTable, corpusTable)
+    val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+    Dedup.componentsCommit(spark, docs.select(col("doc_id").as("id")),
+      TextDedup.verifyPairs(TextDedup.minHashCandidates(sh), sh, 0.5)
+        .select(col("d1"), col("d2")), clusterTable)
+    Dedup.keepOneMaterialize(spark, corpusTable,
+      clusterTable.read(spark), "doc_id")
+    val survivors0 = corpusTable.read(spark)
+      .select("doc_id").as[Long].collect().toSet
+    val singles = clusterTable.read(spark)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), min(col("id")).as("id"))
+      .filter(col("n") === 1).orderBy(col("id")).limit(2)
+      .select(col("id")).as[Long].collect()
+    val Array(s1, s2) = singles
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").as[String].head()
+    val off = 2000000000L
+    val novel = (1 to 30).map(i => s"idxnovel$i").mkString(" ")
+    val batchA = Seq((off + 1, textOf(s1)), (off + 2, textOf(s1)))
+      .toDF("doc_id", "text")
+    val batchB = Seq((off + 3, textOf(s2)), (off + 9, novel))
+      .toDF("doc_id", "text")
+    val landing = tmpDir("icdup_land")
+    Seq(batchA -> "f0", batchB -> "f1").foreach { case (df, nm) =>
+      val stage = tmpDir(s"icdup_stage_$nm") + "/files"
+      df.coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val q = StreamingIngest.startIndexedCorpusDeduper(
+      spark, landing, batchA.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text",
+      indexTable = indexTable, corpusTable = corpusTable,
+      clusterTable = clusterTable,
+      outDir = tmpDir("icdup_out"), checkpointDir = tmpDir("icdup_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(300000)
+    val after = corpusTable.read(spark)
+      .select("doc_id").as[Long].collect().toSet
+    // re-crawl copies died against their sources; the novel doc survived
+    assert(after == survivors0 + (off + 9))
+    val cl = clusterTable.read(spark).as[(Long, Long)].collect().toMap
+    assert(cl(off + 1) == s1 && cl(off + 2) == s1 && cl(off + 3) == s2
+      && cl(off + 9) == off + 9)
+    // index hygiene: the id set the index knows IS the corpus — deleted
+    // docs' band hashes left with them
+    val idxIds = indexTable.read(spark)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == after)
+    // FULL replay (fresh checkpoint, same landing): keyed commits + fold +
+    // deletes all converge — corpus, clusters AND index unchanged
+    val q2 = StreamingIngest.startIndexedCorpusDeduper(
+      spark, landing, batchA.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text",
+      indexTable = indexTable, corpusTable = corpusTable,
+      clusterTable = clusterTable,
+      outDir = tmpDir("icdup_out2"), checkpointDir = tmpDir("icdup_ckpt2"),
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination(300000)
+    assert(corpusTable.read(spark)
+      .select("doc_id").as[Long].collect().toSet == after)
+    assert(clusterTable.read(spark).as[(Long, Long)].collect().toMap == cl)
+    assert(indexTable.read(spark)
+      .select("doc_id").distinct().as[Long].collect().toSet == after)
+    ()
+  }
+
   test("streaming boilerplate scrubber under a frozen line set matches batch q103") {
     import spark.implicits._
     import graft.operators.TextDedup
