@@ -1964,6 +1964,21 @@ object SparkEntry {
       scoresTable.read(s)
     }),
 
+    // Sentence-boundary-aware packing — q41's cumulative-bin rule at
+    // SENTENCE granularity: documents cut only at sentence joints
+    // (never mid-sentence), sentences pack into 16-token bins, and each
+    // chunk carries the md5 of its reassembled text for downstream
+    // chunk-level dedup. One per-doc window, no global sort. The
+    // synthetic corpus carries no terminal punctuation, so the gate
+    // derives one deterministically (plain substring replace — engine-
+    // identical) to exercise real multi-sentence packing, not the
+    // one-sentence degenerate case.
+    "q116_sentence_pack" -> ((s, dir) =>
+      graft.operators.Chunking.sentencePack(
+        t(s, dir, "documents")
+          .withColumn("text", expr("replace(text, 'table', 'table.')")),
+        "doc_id", "text", budget = 16L)),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2267,6 +2282,40 @@ object SparkEntry {
     // incremental scoring must converge to whole-corpus scoring — the
     // oracle IS q09's (the feed is invisible by construction)
     "q115_incremental_scoring" -> qualityOracleSql,
+
+    // sentence split = terminal-punct runs over whitespace-normalized
+    // text; bin = q41's cumulative rule; chunk_md5 = ordered reassembly
+    "q116_sentence_pack" ->
+      """WITH p AS (
+        |  SELECT doc_id, replace(text, 'table', 'table.') AS text
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')), '[.!?]+')) AS sent,
+        |    CAST(generate_subscripts(regexp_split_to_array(
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')), '[.!?]+'), 1)
+        |      AS BIGINT) - 1 AS idx
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, idx, trim(sent) AS sent,
+        |    CAST(len(regexp_split_to_array(trim(sent), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM s WHERE len(trim(sent)) > 0
+        |), c AS (
+        |  SELECT doc_id, idx, sent, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY idx)
+        |      AS BIGINT) AS cum
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |  CAST(greatest(cum - 1, 0) // 16 AS BIGINT) AS chunk,
+        |  count(*) AS n_sentences,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+        |  min(idx) AS first_sent,
+        |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
+        |FROM c
+        |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
 
     "q10_lang_id" -> langIdOracleSql,
 

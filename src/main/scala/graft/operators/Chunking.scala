@@ -46,6 +46,59 @@ object Chunking {
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
   }
 
+  /** Sentence-boundary-aware packing — the fidelity step after
+    * [[chunkTokens]]: instead of cutting documents at arbitrary token
+    * offsets (which starts training examples mid-sentence), cut ONLY at
+    * sentence joints. Sentences (terminal `.`/`!`/`?` runs — the same
+    * engine-stable proxy as the C4 rules) pack into `budget`-token
+    * chunks under the q41 cumulative-bin rule at sentence granularity:
+    * a sentence lands in bin `floor((cum − 1) / budget)` of its
+    * document's running token sum, so sentences are NEVER split, bins
+    * never exceed `budget` (a single over-budget sentence sits alone in
+    * its bin), and assignment is a pure function of the document — no
+    * cross-document state, replay-stable.
+    *
+    * Whitespace is normalized up front (`\s+` → single space, trim) so
+    * sentence token counts and reassembled chunk text are canonical; the
+    * `chunk_md5` keys the reassembled chunk (sentences joined in order)
+    * for downstream chunk-level exact dedup, exactly like
+    * [[chunkTokens]]'s.
+    *
+    * Scale shape: one map-side split/explode per document, ONE window
+    * partitioned by doc_id (parallel across documents, no global sort),
+    * one doc_id-keyed aggregation. Output rows ≈ n_tokens/budget per
+    * document.
+    */
+  def sentencePack(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sents = docs
+      .select(col(idCol),
+        posexplode(split(trim(regexp_replace(col(textCol), "\\s+", " ")),
+          "[.!?]+")).as(Seq("idx", "sent")))
+      .select(col(idCol), col("idx").cast("long").as("idx"),
+        trim(col("sent")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .withColumn("n_tokens", size(split(col("sent"), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("idx").asc)
+    sents
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk",
+        floor(greatest(col("cum") - 1, lit(0L)) / budget).cast("long"))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_tokens")).as("tok_sum"),
+        min(col("idx")).as("first_sent"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("sent")))),
+            x => x.getField("sent")), " ")).as("chunk_md5"))
+  }
+
   /** Content-defined chunking (rolling-hash CDC, the rsync/LBFS family):
     * chunk boundaries are placed where the hash of the local `k`-gram
     * matches a pattern, NOT at fixed offsets — so inserting a paragraph

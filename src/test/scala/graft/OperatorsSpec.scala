@@ -1302,6 +1302,37 @@ class OperatorsSpec extends SparkSpec {
       ("tiny", 2L, 3L, 3L, 10000L, 0L, 0L, 0L)))
   }
 
+  test("sentencePack: cuts only at sentence joints; bins never exceed budget; over-budget sentence sits alone") {
+    import spark.implicits._
+    import graft.operators.Chunking
+    // doc 1: sentences of 2, 3, 1 tokens; budget 4 -> cum 2,5,6 ->
+    // bins 0,1,1. doc 2: one 6-token sentence -> alone in bin 1.
+    val docs = Seq(
+      (1L, "aa bb. cc dd ee! ff?"),
+      (2L, "w1 w2 w3 w4 w5 w6.")
+    ).toDF("doc_id", "text")
+    val out = Chunking.sentencePack(docs, "doc_id", "text", budget = 4L)
+      .orderBy("doc_id", "chunk")
+      .select("doc_id", "chunk", "n_sentences", "tok_sum", "first_sent")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 1L, 2L, 0L),
+      (1L, 1L, 2L, 4L, 1L),
+      (2L, 1L, 1L, 6L, 0L)))
+    // chunk_md5 keys the ordered reassembly: both docs' first chunks
+    // differ, and identical chunk text hashes identically
+    val m = Chunking.sentencePack(docs, "doc_id", "text", budget = 4L)
+      .select("chunk_md5").as[String].collect().toSet
+    assert(m.size == 3)
+    val twin = Chunking.sentencePack(
+      Seq((9L, "cc   dd\n ee! ff?")).toDF("doc_id", "text"),
+      "doc_id", "text", budget = 4L)
+      .select("chunk_md5").as[String].head()
+    // whitespace-normalized reassembly: "cc dd ee ff" regardless of
+    // the source's spacing, matching doc 1's bin-1 chunk
+    assert(m.contains(twin))
+  }
+
   test("C4 line rules: terminal punct, min words, javascript kill, page kills, sentence floor") {
     import spark.implicits._
     val docs = Seq(
