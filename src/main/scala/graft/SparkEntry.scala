@@ -1979,6 +1979,26 @@ object SparkEntry {
           .withColumn("text", expr("replace(text, 'table', 'table.')")),
         "doc_id", "text", budget = 16L)),
 
+    // Range join via grid bucketing — the non-equi join shape (point in
+    // interval) as a shuffled equi-join on grid cells instead of the
+    // broadcast nested loop Spark would otherwise plan. Here: per-event
+    // ±5-minute concurrency (how many events, any user, fall inside each
+    // event's window) — the burst/bot-detection primitive. Cell width =
+    // the 10-min window length, so each interval explodes to ≤ 3 cells
+    // and each qualifying pair is met exactly once.
+    "q117_interval_join" -> ((s, dir) => {
+      val HalfWin = 300000000000L // 5 min in nanos
+      val e = t(s, dir, "events").select(col("event_id"), col("ts"))
+      val pts = e.select(col("ts").as("p_ts"))
+      val ivals = e.select(col("event_id"),
+        (col("ts") - HalfWin).as("w_start"),
+        (col("ts") + HalfWin).as("w_end"))
+      graft.operators.TemporalJoins.intervalJoin(
+        pts, ivals, "p_ts", "w_start", "w_end", bucketWidth = 2 * HalfWin)
+        .groupBy(col("event_id"))
+        .agg((count(lit(1)) - 1).cast("long").as("n_concurrent"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2316,6 +2336,16 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // the oracle states the non-equi join directly; the engine's grid
+    // cells are an execution strategy, invisible in the result
+    "q117_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts FROM events)
+        |SELECT a.event_id,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_concurrent
+        |FROM e a JOIN e b
+        |  ON b.ts BETWEEN a.ts - 300000000000 AND a.ts + 300000000000
+        |GROUP BY a.event_id""".stripMargin,
 
     "q10_lang_id" -> langIdOracleSql,
 

@@ -95,4 +95,52 @@ object TemporalJoins {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new_session")
   }
+
+  /** Point-in-interval RANGE JOIN via grid bucketing — the non-equi join
+    * Spark's planner would otherwise execute as a broadcast nested loop
+    * (one side fully in driver/executor memory, O(|P|·|I|) compare — dead
+    * at 100 TB). Bucketing turns it into an ordinary shuffled equi-join:
+    * every interval `[start, end]` explodes to the grid cells
+    * `start div w .. end div w` it overlaps (`len/w + 1` rows — bounded
+    * when interval length is bounded relative to `bucketWidth`), every
+    * point maps to its single cell `p div w`, the equi-join on the cell
+    * id meets exactly the pairs that can match, and the exact containment
+    * filter (`start ≤ p ≤ end`, closed on both ends) runs map-side after
+    * the join. Because a point owns exactly ONE cell, each qualifying
+    * pair is emitted exactly once — no distinct pass.
+    *
+    * `div` truncation vs floor is immaterial: `x div w` is monotone
+    * nondecreasing in `x` either way, so `sequence(start div w,
+    * end div w)` covers every cell a value in `[start, end]` can map to —
+    * negative coordinates included.
+    *
+    * Scale shape: one shuffle of |P| + |I|·(len/w + 1) rows on the cell
+    * id; the filter is codegen'd. Pick `bucketWidth` ≈ the typical
+    * interval length: smaller widths multiply interval rows, larger
+    * widths let each cell pair points with intervals they can't match
+    * (more post-filter waste). Dense time regions make hot cells — AQE
+    * skew-join splits them at runtime (enabled in the session).
+    *
+    * Column names of `points` and `intervals` must be disjoint (the
+    * output carries both sides' columns, exactly like a SQL join).
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must have disjoint column names")
+    val ivals = intervals.withColumn("_rj_cell",
+      explode(sequence(
+        expr(s"`$startCol` div $bucketWidth"),
+        expr(s"`$endCol` div $bucketWidth"))))
+    val pts = points.withColumn("_rj_cell", expr(s"`$pointCol` div $bucketWidth"))
+    pts.join(ivals, Seq("_rj_cell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_rj_cell")
+  }
 }

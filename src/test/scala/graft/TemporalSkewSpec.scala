@@ -75,4 +75,30 @@ class TemporalSkewSpec extends SparkSpec {
       .as[(Int, String, Long)].collect().toSet
     assert(salted == plain)
   }
+
+  test("intervalJoin: closed bounds, multi-cell intervals, negatives; each pair exactly once; no nested loop") {
+    val pts = Seq(-12L, -5L, 0L, 5L, 9L, 10L, 25L, 100L).map(Tuple1(_))
+      .toDF("p")
+    val ivals = Seq(
+      (1L, -15L, -5L),  // negative-domain interval
+      (2L, 0L, 10L),    // closed on both ends
+      (3L, 4L, 37L),    // spans 4 cells at width 10
+      (4L, 90L, 90L)    // point-width interval, no match
+    ).toDF("iv", "s", "e")
+    val out = TemporalJoins.intervalJoin(pts, ivals, "p", "s", "e", 10L)
+      .select("iv", "p").as[(Long, Long)].collect().toSeq
+    // brute-force oracle: every (interval, point) with s <= p <= e, once
+    val expect = for {
+      (iv, s, e) <- Seq((1L, -15L, -5L), (2L, 0L, 10L), (3L, 4L, 37L), (4L, 90L, 90L))
+      p <- Seq(-12L, -5L, 0L, 5L, 9L, 10L, 25L, 100L) if s <= p && p <= e
+    } yield (iv, p)
+    assert(out.sorted == expect.sorted)
+    assert(out.size == out.distinct.size) // exactly once, no dedup pass
+    // the whole point of the operator: the physical plan is an equi-join
+    // (sort-merge or shuffled hash), never a broadcast nested loop
+    val phys = TemporalJoins.intervalJoin(pts, ivals, "p", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      phys)
+  }
 }
