@@ -1999,6 +1999,29 @@ object SparkEntry {
         .agg((count(lit(1)) - 1).cast("long").as("n_concurrent"))
     }),
 
+    // Interval-overlap join (the owner-cell variant of q117's grid):
+    // cross-USER session overlap counts — for each user, how many
+    // (their session, someone else's session) pairs coincide in time.
+    // Sessions from q19's 30-min-gap rule; the overlap join runs on
+    // 30-min grid cells with each pair emitted only in the cell owning
+    // the later start — exactly once, no distinct, no nested loop.
+    "q118_session_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val sess = TemporalJoins.sessionize(
+        ev, keys = Seq("user_id"), timeCol = "ts_us",
+        tiebreak = "event_id", maxGap = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_us")).as("st"), max(col("ts_us")).as("en"))
+      val a = sess.select(col("user_id"), col("st"), col("en"))
+      val b = sess.select(col("user_id").as("b_user"),
+        col("st").as("b_st"), col("en").as("b_en"))
+      TemporalJoins.overlapJoin(a, b, "st", "en", "b_st", "b_en",
+        bucketWidth = 1800000000L)
+        .filter(col("user_id") =!= col("b_user"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2336,6 +2359,29 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // the oracle states the overlap inequality directly; grid cells and
+    // the owner-cell rule are execution strategy, invisible here
+    "q118_session_overlap" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, seq, min(tus) AS st, max(tus) AS en
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, count(*) AS n_overlaps
+        |FROM sess a JOIN sess b
+        |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
+        |GROUP BY a.user_id""".stripMargin,
 
     // the oracle states the non-equi join directly; the engine's grid
     // cells are an execution strategy, invisible in the result

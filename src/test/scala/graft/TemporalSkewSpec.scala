@@ -101,4 +101,33 @@ class TemporalSkewSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
       phys)
   }
+
+  test("overlapJoin: owner-cell emits each overlapping pair exactly once; touching endpoints overlap; no nested loop") {
+    val lefts = Seq(
+      (1L, 0L, 25L),    // spans 3 cells at width 10
+      (2L, 5L, 5L),     // zero-length
+      (3L, -14L, -10L), // negative domain
+      (4L, 40L, 41L)
+    )
+    val rights = Seq(
+      (11L, 20L, 60L),  // shares cells 2..6 with l1 -> must emit once
+      (12L, 5L, 9L),    // touches l2 at a point
+      (13L, -10L, -1L), // touches l3 at -10 (closed -> overlap)
+      (14L, 42L, 99L)   // misses l4 by 1
+    )
+    val l = lefts.toDF("lid", "ls", "le")
+    val r = rights.toDF("rid", "rs", "re")
+    val out = TemporalJoins.overlapJoin(l, r, "ls", "le", "rs", "re", 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expect = for {
+      (lid, ls, le) <- lefts
+      (rid, rs, re) <- rights if ls <= re && rs <= le
+    } yield (lid, rid)
+    assert(out.sorted == expect.sorted)
+    assert(out.size == out.distinct.size) // exactly once despite shared cells
+    val phys = TemporalJoins.overlapJoin(l, r, "ls", "le", "rs", "re", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      phys)
+  }
 }
