@@ -2022,6 +2022,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Markup stripping — web-crawl text extraction (tags → spaces before
+    // entity decode, &amp; decoded last, whitespace canonicalized), with
+    // the tag count and shrinkage as quality signals and the clean-text
+    // md5 for downstream dedup. The synthetic corpus is markup-free, so
+    // the gate plants tags + entities deterministically (substring
+    // replaces — engine-identical) before stripping.
+    "q119_markup_strip" -> ((s, dir) =>
+      graft.operators.Normalize.stripMarkup(
+        t(s, dir, "documents").withColumn("text",
+          expr("replace(replace(text, 'table', '<span class=\"x\">table</span>')," +
+            " 'value', '&quot;value&amp;co&quot;')")),
+        "doc_id", "text")),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2359,6 +2372,31 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // same plant, same strip order: tags first, entities in the fixed
+    // sequence with &amp; last, collapse, trim
+    "q119_markup_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, 'table', '<span class="x">table</span>'),
+        |      'value', '&quot;value&amp;co&quot;') AS raw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(len(clean) AS BIGINT) AS n_chars_clean,
+        |  md5(clean) AS clean_md5
+        |FROM c""".stripMargin,
 
     // the oracle states the overlap inequality directly; grid cells and
     // the owner-cell rule are execution strategy, invisible here

@@ -41,6 +41,45 @@ object Normalize {
       length(col(textCol)).cast("long").as("n_raw"))
       .withColumn("n_norm", length(col("norm")).cast("long"))
 
+  /** HTML/markup stripping — the extraction step in front of every
+    * web-crawl pipeline (raw crawl text arrives tagged and
+    * entity-encoded; every downstream signal — tokens, LM scores, dedup
+    * fingerprints — must run over the rendered text, not the markup):
+    *
+    *  1. tags (`<[^>]*>`) → a space (tag boundaries are word boundaries:
+    *     `a<br>b` must not fuse to `ab`), BEFORE entity decoding, so an
+    *     encoded `&lt;script&gt;` in the text stays literal text and
+    *     entities inside attributes vanish with their tag;
+    *  2. the five common entities + `&amp;` LAST (decoding `&amp;` first
+    *     would double-decode `&amp;lt;`);
+    *  3. whitespace runs collapse, ends trim.
+    *
+    * Output per document: `n_tags` (tag occurrences removed), raw/clean
+    * char counts (the shrinkage ratio is the "mostly markup" quality
+    * signal), and `clean_md5` keying the extracted text for downstream
+    * exact dedup.
+    *
+    * Engine portability: fixed-string entity replaces in a FIXED order
+    * and an explicit `<[^>]*>` tag class — both replayable verbatim in a
+    * SQL oracle. Entirely map-side, codegen'd, no shuffle.
+    */
+  def stripMarkup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val noTags = regexp_replace(raw, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(raw, lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      length(raw).cast("long").as("n_chars_raw"),
+      length(clean).cast("long").as("n_chars_clean"),
+      md5(clean).as("clean_md5"))
+  }
+
   /** Encoding-damage signals — the mojibake/transcoding-failure detector
     * a web-scale corpus needs BEFORE any text statistic is trusted
     * (damaged decoding corrupts every downstream signal: tokens, LM

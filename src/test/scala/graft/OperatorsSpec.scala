@@ -1333,6 +1333,30 @@ class OperatorsSpec extends SparkSpec {
     assert(m.contains(twin))
   }
 
+  test("stripMarkup: tags are word boundaries, encoded markup stays literal, &amp; decodes last") {
+    import spark.implicits._
+    import graft.operators.Normalize
+    val docs = Seq(
+      (1L, "a<br>b <span class=\"x\">c</span>"),   // tag = boundary: "a b c"
+      (2L, "say &lt;b&gt; and &amp;lt; loudly"),    // stays literal: "say <b> and &lt; loudly"
+      (3L, "Tom&#39;s &quot;x&quot;&nbsp;y &amp; z"),
+      (4L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val out = Normalize.stripMarkup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tags", "n_chars_clean", "clean_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out == Seq(
+      (1L, 3L, 5L, m("a b c")),
+      (2L, 0L, 23L, m("say <b> and &lt; loudly")),
+      (3L, 0L, 15L, m("Tom's \"x\" y & z")),
+      (4L, 0L, 16L, m("no markup at all"))))
+  }
+
   test("C4 line rules: terminal punct, min words, javascript kill, page kills, sentence floor") {
     import spark.implicits._
     val docs = Seq(
