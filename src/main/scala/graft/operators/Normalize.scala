@@ -63,18 +63,29 @@ object Normalize {
     * and an explicit `<[^>]*>` tag class — both replayable verbatim in a
     * SQL oracle. Entirely map-side, codegen'd, no shuffle.
     */
-  def stripMarkup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val raw = col(textCol)
-    val noTags = regexp_replace(raw, "<[^>]*>", " ")
+  /** The extracted (rendered) text as a column expression — tag strip,
+    * fixed-order entity decode, whitespace canonicalization. Shared by
+    * [[stripMarkup]] and the streaming markup scrubber.
+    */
+  def cleanMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
-    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Tag-occurrence count of the raw text (the markup-density signal). */
+  def markupTagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("<[^>]*>"), lit(0))).cast("long")
+
+  def stripMarkup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val clean = cleanMarkup(raw)
     docs.select(
       col(idCol),
-      size(regexp_extract_all(raw, lit("<[^>]*>"), lit(0)))
-        .cast("long").as("n_tags"),
+      markupTagCount(raw).as("n_tags"),
       length(raw).cast("long").as("n_chars_raw"),
       length(clean).cast("long").as("n_chars_clean"),
       md5(clean).as("clean_md5"))

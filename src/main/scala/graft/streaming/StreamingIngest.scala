@@ -1291,6 +1291,87 @@ object StreamingIngest {
       .start()
   }
 
+  /** Markup scrubbing as a STREAMING stage — the q119 extraction
+    * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
+    * fixed-order entity decode, whitespace canonicalized) applied at
+    * ingest, so everything downstream of the landing zone sees rendered
+    * text, never crawl markup. The raw text is REPLACED by its clean
+    * form; `n_tags`/`n_chars_raw` ride along as the markup-density audit
+    * (tag-don't-drop). Pure map-side scalar expressions ⇒ plain append
+    * sink; checkpoint replay rewrites identical rows.
+    */
+  def startMarkupScrubber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream
+      .withColumn("n_tags",
+        graft.operators.Normalize.markupTagCount(col(textCol)))
+      .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
+      .withColumn(textCol,
+        graft.operators.Normalize.cleanMarkup(col(textCol)))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
+  /** Sentence-boundary packing as a STREAMING stage — q116's
+    * [[graft.operators.Chunking.sentencePack]] per micro-batch. Packing
+    * is PER-DOCUMENT (one window partitioned by doc id, no cross-doc
+    * state), so batch boundaries cannot change any chunk: streaming
+    * output ≡ batch output on the same documents regardless of how files
+    * split into micro-batches. The per-doc window keeps this in
+    * `foreachBatch` (windows over non-time columns aren't allowed in a
+    * continuous plan); stateless given the budget ⇒ the batch-id-keyed
+    * overwrite is replay-idempotent.
+    */
+  def startSentencePacker(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      budget: Long = 16L,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Chunking
+          .sentencePack(batch, idCol, textCol, budget)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Boilerplate-line scrubbing as a STREAMING stage — the q103 filter
     * under a FROZEN line set ([[graft.operators.TextDedup.boilerplateModel]]
     * built offline over the corpus): arriving documents shed every line

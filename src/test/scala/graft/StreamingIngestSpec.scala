@@ -998,6 +998,62 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamedChunks == batchChunks && streamedChunks.nonEmpty)
   }
 
+  test("streaming markup scrubber + sentence packer equal their batch twins on the same files") {
+    import spark.implicits._
+    import graft.operators.{Chunking, Normalize}
+    import org.apache.spark.sql.functions.expr
+    // plant markup + sentence punctuation so both stages are observable
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        expr("replace(replace(text, 'table', '<b>table.</b>')," +
+          " 'value', '&quot;value&quot;')").as("text"))
+    val landing = tmpDir("mk_land")
+    val staging = tmpDir("mk_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+    }
+    // stage 1: markup scrubber (two micro-batches) — clean text + audit
+    val cleanOut = tmpDir("mk_out") + "/clean"
+    val q1 = StreamingIngest.startMarkupScrubber(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      textCol = "text", outDir = cleanOut,
+      checkpointDir = tmpDir("mk_ckpt"), maxFilesPerTrigger = 1)
+    q1.awaitTermination(120000)
+    val streamedClean = spark.read.parquet(cleanOut)
+      .select("doc_id", "text", "n_tags", "n_chars_raw")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batchClean = docs.select(col("doc_id"),
+        Normalize.cleanMarkup(col("text")).as("text"),
+        Normalize.markupTagCount(col("text")).as("n_tags"),
+        length(col("text")).cast("long").as("n_chars_raw"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamedClean == batchClean)
+    assert(streamedClean.exists(_._3 > 0)) // markup actually seen
+    // stage 2: sentence packer over the scrubbed landing dir — per-doc
+    // packing means micro-batch boundaries cannot change any chunk
+    val packOut = tmpDir("pack_out")
+    val q2 = StreamingIngest.startSentencePacker(
+      spark, cleanOut, spark.read.parquet(cleanOut).schema, "parquet",
+      Map.empty, idCol = "doc_id", textCol = "text", outDir = packOut,
+      checkpointDir = tmpDir("pack_ckpt"), budget = 16L,
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination(120000)
+    val streamedPack = spark.read.parquet(s"$packOut/batch=*")
+      .select("doc_id", "chunk", "n_sentences", "tok_sum", "chunk_md5")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batchPack = Chunking.sentencePack(
+        spark.read.parquet(cleanOut), "doc_id", "text", 16L)
+      .select("doc_id", "chunk", "n_sentences", "tok_sum", "chunk_md5")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamedPack == batchPack && streamedPack.nonEmpty)
+    // multi-chunk docs exist, so the packing is non-degenerate
+    assert(streamedPack.exists(_._2 > 0))
+  }
+
   test("streaming entropy scorer equals batch charEntropy on the same files") {
     import spark.implicits._
     import graft.operators.Repetition
