@@ -2035,6 +2035,39 @@ object SparkEntry {
             " 'value', '&quot;value&amp;co&quot;')")),
         "doc_id", "text")),
 
+    // Incrementally-maintained rollup (materialized-view maintenance
+    // with EXACTLY-ONCE folds): q06's hourly aggregate built from two
+    // arrival halves via IncrementalRollup.commit, with the second half
+    // RE-COMMITTED (same batch id) inside the gate — the per-row
+    // last_batch guard makes the non-idempotent "+= counts" fold
+    // replay-safe in one snapshot. Must equal the one-shot group-by.
+    // Exact integer cents (decimal-cast then ×100) dodge float drift.
+    "q120_incremental_rollup" -> ((s, dir) => {
+      val wh = scratchPath("q120", dir) + "/rollup_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val R = graft.operators.IncrementalRollup
+      val cents =
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val prep = t(s, dir, "events").select(
+        col("event_id"),
+        col("event_type"),
+        (expr(s"ts div $NanosPerHour") * 3600).as("hour_bucket"),
+        lit(1L).as("n_events"),
+        cents.as("sum_cents"),
+        cents.as("max_cents"))
+      val cut = prep.agg((max(col("event_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val keys = Seq("event_type", "hour_bucket")
+      val merges = Map(
+        "n_events" -> "sum", "sum_cents" -> "sum", "max_cents" -> "max")
+      R.commit(s, prep.filter(col("event_id") <= cut), keys, merges, table, 1L)
+      R.commit(s, prep.filter(col("event_id") > cut), keys, merges, table, 2L)
+      // checkpoint-replay twin: identical batch, identical id — no-op
+      R.commit(s, prep.filter(col("event_id") > cut), keys, merges, table, 2L)
+      R.read(s, table)
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2372,6 +2405,18 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // the maintained rollup must equal the one-shot group-by over the
+    // whole history — the arrival split and the replay are invisible
+    "q120_incremental_rollup" ->
+      """SELECT event_type,
+        |  CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS hour_bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // same plant, same strip order: tags first, entities in the fixed
     // sequence with &amp; last, collapse, trim

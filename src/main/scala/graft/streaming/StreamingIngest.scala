@@ -1291,6 +1291,44 @@ object StreamingIngest {
       .start()
   }
 
+  /** Incremental rollup maintenance as a STREAMING stage — each
+    * micro-batch folds into the at-rest aggregate table via
+    * [[graft.operators.IncrementalRollup.commit]] under the per-row
+    * `last_batch` guard, so the non-idempotent "add the counts" fold is
+    * EXACTLY-ONCE across checkpoint replays (guard and delta commit in
+    * one snapshot — see the operator docs). `prepare` maps the raw batch
+    * to keys + measure columns (a projection, run inside the batch).
+    */
+  def startRollupMaintainer(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      prepare: DataFrame => DataFrame,
+      keys: Seq[String],
+      merges: Map[String, String],
+      table: graft.table.WarehouseTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IncrementalRollup.commit(
+          spark, prepare(batch), keys, merges, table, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Markup scrubbing as a STREAMING stage — the q119 extraction
     * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
     * fixed-order entity decode, whitespace canonicalized) applied at

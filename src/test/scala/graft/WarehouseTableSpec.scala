@@ -423,6 +423,37 @@ class WarehouseTableSpec extends SparkSpec {
       s"expected <= 10 bucket dirs, saw ${dataDirs.distinct.sorted}")
   }
 
+  test("IncrementalRollup.commit: folds sum/min/max; replayed and stale batches are per-key no-ops") {
+    import spark.implicits._
+    import graft.operators.IncrementalRollup
+    val table = WarehouseTable(tmpDir("rollup") + "/agg")
+    val keys = Seq("k")
+    val merges = Map("n" -> "sum", "mx" -> "max", "mn" -> "min")
+    def commit(rows: Seq[(String, Long, Long, Long)], id: Long): Unit =
+      IncrementalRollup.commit(spark,
+        rows.toDF("k", "n", "mx", "mn"), keys, merges, table, id)
+    def state(): Map[String, (Long, Long, Long)] =
+      IncrementalRollup.read(spark, table)
+        .select("k", "n", "mx", "mn")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // raw multiplicity in one batch pre-aggregates before the fold
+    commit(Seq(("a", 1L, 5L, 5L), ("a", 1L, 3L, 3L), ("b", 1L, 7L, 7L)), 1L)
+    assert(state() == Map("a" -> ((2L, 5L, 3L)), "b" -> ((1L, 7L, 7L))))
+    commit(Seq(("a", 1L, 9L, 9L), ("c", 1L, 2L, 2L)), 2L)
+    val after2 = Map("a" -> ((3L, 9L, 3L)), "b" -> ((1L, 7L, 7L)),
+      "c" -> ((1L, 2L, 2L)))
+    assert(state() == after2)
+    // checkpoint replay: same batch, same id — every touched key is
+    // already marked, the non-idempotent fold must not re-apply
+    commit(Seq(("a", 1L, 9L, 9L), ("c", 1L, 2L, 2L)), 2L)
+    assert(state() == after2)
+    // stale replay (restart from an older checkpoint): batch 1 again —
+    // keys marked at or past id 1 all skip
+    commit(Seq(("a", 1L, 5L, 5L), ("a", 1L, 3L, 3L), ("b", 1L, 7L, 7L)), 1L)
+    assert(state() == after2)
+  }
+
   test("clusterBase on a partitioned table: buckets nest within partitions, pruning composes") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("pclust"))
