@@ -2068,6 +2068,56 @@ object SparkEntry {
       R.read(s, table)
     }),
 
+    // AT-REST interval index — q117's stored twin: ±5-min windows land
+    // in a cell-partitioned warehouse table (half at build, half via
+    // keyed commits, second commit REPLAYED in-gate), and the point
+    // probe reads only the partitions its own cells name. Equality with
+    // the direct inequality join proves pruning + commits lossless.
+    "q121_interval_at_rest" -> ((s, dir) => {
+      val wh = scratchPath("q121", dir) + "/win_idx"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val R = graft.operators.RangeIndex
+      val HalfWin = 300000000000L
+      val e = t(s, dir, "events").select(col("event_id"), col("ts"))
+      val wins = e.select(col("event_id").as("win_id"),
+        (col("ts") - HalfWin).as("w_start"),
+        (col("ts") + HalfWin).as("w_end"))
+      val cut = e.agg((max(col("event_id")) / 2).cast("long"))
+        .head().getLong(0)
+      R.indexAtRest(wins.filter(col("win_id") <= cut),
+        "w_start", "w_end", Seq("win_id"), table, bucketWidth = 2 * HalfWin)
+      R.indexCommit(s, wins.filter(col("win_id") > cut), table)
+      R.indexCommit(s, wins.filter(col("win_id") > cut), table) // replay
+      R.lookupAtRest(s, e.select(col("ts").as("p_ts")), "p_ts", table)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_inside"))
+    }),
+
+    // Incremental VOCABULARY maintenance — IncrementalRollup composed
+    // over the token axis: per-word corpus counts maintained at rest
+    // from two arrival halves (+ in-gate replay), equal to the one-shot
+    // corpus word count. The word-frequency table every tokenizer/vocab
+    // job reads, kept arrival-bound instead of recounted.
+    "q122_word_counts_at_rest" -> ((s, dir) => {
+      val wh = scratchPath("q122", dir) + "/wc_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val R = graft.operators.IncrementalRollup
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .withColumn("n", lit(1L))
+      val cut = toks.agg((max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def half(p: Column): DataFrame =
+        toks.filter(p).select(col("w"), col("n"))
+      R.commit(s, half(col("doc_id") <= cut), Seq("w"), Map("n" -> "sum"), table, 1L)
+      R.commit(s, half(col("doc_id") > cut), Seq("w"), Map("n" -> "sum"), table, 2L)
+      R.commit(s, half(col("doc_id") > cut), Seq("w"), Map("n" -> "sum"), table, 2L)
+      R.read(s, table)
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2405,6 +2455,23 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // pruned at-rest probe ≡ the direct inequality join (q117 family;
+    // count includes the window's own center event)
+    "q121_interval_at_rest" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts FROM events)
+        |SELECT a.event_id AS win_id, count(*) AS n_inside
+        |FROM e a JOIN e b
+        |  ON b.ts BETWEEN a.ts - 300000000000 AND a.ts + 300000000000
+        |GROUP BY a.event_id""".stripMargin,
+
+    // maintained word counts ≡ the one-shot corpus count; the halves
+    // and the replay are invisible
+    "q122_word_counts_at_rest" ->
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |      FROM documents)
+        |GROUP BY w""".stripMargin,
 
     // the maintained rollup must equal the one-shot group-by over the
     // whole history — the arrival split and the replay are invisible

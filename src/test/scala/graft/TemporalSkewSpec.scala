@@ -130,4 +130,40 @@ class TemporalSkewSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
       phys)
   }
+
+  test("RangeIndex: pruned at-rest probe equals the direct interval join; commits fold and replay as no-ops; grid params enforced") {
+    import graft.operators.RangeIndex
+    val ivals = Seq(
+      (1L, 0L, 25L), (2L, 5L, 5L), (3L, -14L, -10L), (4L, 40L, 41L),
+      (5L, 18L, 33L)
+    )
+    val pts = Seq(-12L, -5L, 0L, 5L, 9L, 10L, 25L, 30L, 100L)
+    val ptsDf = pts.map(Tuple1(_)).toDF("p")
+    val table = graft.table.WarehouseTable(tmpDir("rix") + "/idx")
+    // build on the first three, commit the rest, replay the commit
+    val (seed, late) = ivals.splitAt(3)
+    RangeIndex.indexAtRest(seed.toDF("iv", "s", "e"), "s", "e",
+      Seq("iv"), table, bucketWidth = 10L)
+    RangeIndex.indexCommit(spark, late.toDF("iv", "s", "e"), table)
+    RangeIndex.indexCommit(spark, late.toDF("iv", "s", "e"), table)
+    val got = RangeIndex.lookupAtRest(spark, ptsDf, "p", table)
+      .select("iv", "p").as[(Long, Long)].collect().toSeq
+    val expect = for {
+      (iv, s, e) <- ivals
+      p <- pts if s <= p && p <= e
+    } yield (iv, p)
+    assert(got.sorted == expect.sorted)
+    assert(got.size == got.distinct.size)
+    // direct operator agreement on the same inputs
+    val direct = TemporalJoins.intervalJoin(
+      ptsDf, ivals.toDF("iv", "s", "e"), "p", "s", "e", 10L)
+      .select("iv", "p").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == direct.sorted)
+    // a non-index table refuses probes instead of joining garbage
+    val plain = graft.table.WarehouseTable(tmpDir("rix") + "/plain")
+    plain.create(ptsDf.schema)
+    intercept[IllegalArgumentException] {
+      RangeIndex.lookupAtRest(spark, ptsDf, "p", plain)
+    }
+  }
 }
