@@ -2118,6 +2118,34 @@ object SparkEntry {
       R.read(s, table)
     }),
 
+    // Incremental clustered append — q110's layout kept selective as
+    // data arrives: half the table clusters (cuts persist as the layout
+    // contract), the other half lands via clusterAppend (routed through
+    // the FROZEN cuts into bucket-split dirs — narrow stats, no base
+    // rewrite), and the stats-pruned top-decile scan must equal the
+    // full-table answer over BOTH halves.
+    "q123_clustered_append" -> ((s, dir) => {
+      val wh = scratchPath("q123", dir) + "/events_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cut = ev.agg((max(col("event_id")) / 2).cast("long"))
+        .head().getLong(0)
+      table.create(ev.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(ev.filter(col("event_id") <= cut))
+      table.clusterBase(s, "user_id", 8)
+      table.clusterAppend(s, ev.filter(col("event_id") > cut))
+      val hi = ev.agg((max(col("user_id")) * 9 / 10).cast("long"))
+        .head().getLong(0)
+      table.read(s,
+          dataFilters = Seq(org.apache.spark.sql.sources.GreaterThan("user_id", hi)))
+        .filter(col("user_id") > hi)
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2455,6 +2483,14 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // the cluster/append split and the stats pruning are invisible —
+    // the answer is the plain full-table aggregate (q110's oracle)
+    "q123_clustered_append" ->
+      """WITH hi AS (SELECT (max(user_id) * 9) // 10 AS h FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events, hi WHERE user_id > h""".stripMargin,
 
     // pruned at-rest probe ≡ the direct inequality join (q117 family;
     // count includes the window's own center event)

@@ -930,15 +930,78 @@ final class WarehouseTable(val root: String) {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val cuts = slice.na.drop(Seq(clusterCol))
       .stat.approxQuantile(clusterCol, probs, 0.0) // err 0 ⇒ exact cuts
-      .distinct.sorted
+      .distinct.sorted.toSeq
+    // the cuts ARE the layout: persisting them lets clusterAppend route
+    // later arrivals into the same ranges without re-deriving (and
+    // therefore without rewriting) anything
+    setProperties(Map(
+      "cluster.kind" -> "range",
+      "cluster.col" -> clusterCol,
+      "cluster.cuts" -> cuts.mkString(",")))
+    commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts))
+  }
+
+  /** Bucket id for a value under frozen equi-depth cuts (nulls → 0). */
+  private def rangeBucketExpr(clusterCol: String, cuts: Seq[Double]): Column = {
     val c = col(clusterCol)
-    val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+    cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
       case ((cut, i), rest) =>
         when(if (i == 0) c.isNull || c <= lit(cut) else c <= lit(cut),
           lit(i)).otherwise(rest)
     }
-    commitBucketed(meta, cur, slice, bucket)
   }
+
+  /** APPEND arrivals INTO the clustered layout — the incremental half of
+    * [[clusterBase]]/[[clusterBaseZ]]: a plain append would land one
+    * wide-min/max dir that no stats filter ever prunes, and skipping
+    * would decay with every batch until the next full rewrite. Instead
+    * the arrival batch is routed through the PERSISTED cuts (frozen at
+    * cluster time — the layout contract, like every other at-rest
+    * structure's parameters) and written as bucket-split dirs appended
+    * to the manifest: each new dir spans one bucket's value range, so
+    * its stats stay as narrow as the base's and pruned scans keep their
+    * selectivity with zero base rewrite. Periodic re-clustering (which
+    * also refreshes the cuts against drifted data) folds the
+    * accumulated per-batch dirs back into one dir per bucket — the
+    * OPTIMIZE cadence, now amortized instead of mandatory per batch.
+    */
+  def clusterAppend(spark: SparkSession, df: DataFrame): Unit = {
+    val meta = readMeta()
+    val bucket = meta.properties.get("cluster.kind") match {
+      case Some("range") =>
+        val cc = meta.properties("cluster.col")
+        val cuts = meta.properties("cluster.cuts")
+          .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
+        rangeBucketExpr(cc, cuts)
+      case Some("z") =>
+        val cols = meta.properties("cluster.cols").split(",").toSeq
+        val bits = meta.properties("cluster.bits").toInt
+        val per = meta.properties("cluster.per").toLong
+        val codes = cols.map { cc =>
+          rangeBucketExpr(cc, meta.properties(s"cluster.cuts.$cc")
+            .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)
+        }
+        (zInterleave(codes, bits, cols.size) / per).cast("int")
+      case _ => throw new IllegalArgumentException(
+        s"table at $root has no persisted clustering (run clusterBase/clusterBaseZ first)")
+    }
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val (added, stats) = writeBucketedDirs(meta, df, bucket)
+    val merged = (old.base.keySet ++ added.keySet).map { k =>
+      k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
+    }.toMap
+    commit(cur, Manifest(merged, old.deltas, old.stats ++ stats))
+  }
+
+  /** Interleave per-column level codes into a z-value: bit b of column k
+    * lands at position `b·nCols + k`.
+    */
+  private def zInterleave(codes: Seq[Column], bitsPerCol: Int, nCols: Int): Column =
+    (0 until bitsPerCol).flatMap(b => codes.zipWithIndex.map {
+      case (code, k) =>
+        shiftleft(shiftright(code, b).bitwiseAND(lit(1)), b * nCols + k)
+    }).reduce((a, c) => a.bitwiseOR(c))
 
   /** Multi-column Z-ORDER clustering — where [[clusterBase]]'s linear
     * range clustering serves ONE predicate column, bit-interleaving
@@ -975,27 +1038,26 @@ final class WarehouseTable(val root: String) {
     val levels = 1 << bitsPerCol
     val probs = (1 until levels).map(_.toDouble / levels).toArray
     // per-column level codes via exact equi-depth cuts (nulls -> level 0)
-    val codes = clusterCols.map { cc =>
-      val cuts = slice.na.drop(Seq(cc))
-        .stat.approxQuantile(cc, probs, 0.0).distinct.sorted
-      val c = col(cc)
-      cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-        case ((cut, i), rest) =>
-          when(if (i == 0) c.isNull || c <= lit(cut) else c <= lit(cut),
-            lit(i)).otherwise(rest)
-      }
+    val colCuts = clusterCols.map { cc =>
+      cc -> slice.na.drop(Seq(cc))
+        .stat.approxQuantile(cc, probs, 0.0).distinct.sorted.toSeq
     }
-    // interleave: bit b of column k lands at position b*nCols + k
-    val z = (0 until bitsPerCol).flatMap(b => codes.zipWithIndex.map {
-      case (code, k) =>
-        shiftleft(shiftright(code, b).bitwiseAND(lit(1)),
-          b * clusterCols.size + k)
-    }).reduce((a, c) => a.bitwiseOR(c))
+    val codes = colCuts.map { case (cc, cuts) => rangeBucketExpr(cc, cuts) }
+    val z = zInterleave(codes, bitsPerCol, clusterCols.size)
     val zSpan = 1 << (bitsPerCol * clusterCols.size)
     // ceil, not floor: a floor cut with nBuckets not dividing zSpan
     // emits bucket ids past nBuckets-1 (e.g. span 64 / 10 -> id 10),
     // breaking the nBuckets dir-count contract callers reason with
     val per = math.max(1, (zSpan + nBuckets - 1) / nBuckets)
+    // persist the layout so clusterAppend can route arrivals (see
+    // clusterBase — same contract, z flavor)
+    setProperties(Map(
+      "cluster.kind" -> "z",
+      "cluster.cols" -> clusterCols.mkString(","),
+      "cluster.bits" -> bitsPerCol.toString,
+      "cluster.per" -> per.toString) ++
+      colCuts.map { case (cc, cuts) =>
+        s"cluster.cuts.$cc" -> cuts.mkString(",") })
     commitBucketed(meta, cur, slice, (z / per).cast("int"))
   }
 
@@ -1003,11 +1065,10 @@ final class WarehouseTable(val root: String) {
     * dynamic-partition write of `slice` keyed by `bucket`, then a commit
     * referencing the bucket dirs with freshly harvested per-dir stats.
     */
-  private def commitBucketed(
+  private def writeBucketedDirs(
       meta: Meta,
-      parent: Long,
       slice: DataFrame,
-      bucket: Column): Unit = {
+      bucket: Column): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
     import scala.jdk.CollectionConverters._
     val uuid = UUID.randomUUID().toString
     val rel = s"data/$uuid"
@@ -1058,7 +1119,15 @@ final class WarehouseTable(val root: String) {
         }.toMap
     }
     val dirs = entries.values.flatten.toSeq
-    val stats = TableStats.collect(root, dirs)
+    (entries, TableStats.collect(root, dirs))
+  }
+
+  private def commitBucketed(
+      meta: Meta,
+      parent: Long,
+      slice: DataFrame,
+      bucket: Column): Unit = {
+    val (entries, stats) = writeBucketedDirs(meta, slice, bucket)
     commit(parent, Manifest(entries, Nil, stats).pruneStats)
   }
 

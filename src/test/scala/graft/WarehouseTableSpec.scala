@@ -454,6 +454,90 @@ class WarehouseTableSpec extends SparkSpec {
     assert(state() == after2)
   }
 
+  test("clusterAppend: arrivals route through frozen cuts; pruning stays selective with no base rewrite") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("clapp"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("payload", StringType)))
+    t.create(sch, None, Map.empty)
+    val rnd = new scala.util.Random(11)
+    val first = rnd.shuffle((1 to 1000).toList).take(500)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(first.map(i => Row(i, s"p$i")), 2), sch))
+    t.clusterBase(spark, "id", 4)
+    val baseDirs = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.walk(java.nio.file.Paths.get(t.root, "data"))
+      try l.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally l.close()
+    }
+    // a second interleaved wave lands via clusterAppend — full domain
+    // again, so an unsplit append dir would never prune
+    val second = (1 to 1000).filterNot(first.contains)
+    t.clusterAppend(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rnd.shuffle(second.toList).map(i => Row(i, s"p$i")), 2), sch))
+    // the base's files survive byte-identical — append never rewrites
+    val afterDirs = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.walk(java.nio.file.Paths.get(t.root, "data"))
+      try l.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally l.close()
+    }
+    assert(baseDirs.subsetOf(afterDirs))
+    // contents = both waves exactly
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 1000).toSeq)
+    // pruned scan reads fewer files than the table holds, and the
+    // filtered answer is exact — arrivals' dirs prune like the base's
+    val filt = Seq(org.apache.spark.sql.sources.GreaterThan("id", 900))
+    val allFiles = t.read(spark).inputFiles.length
+    val prunedFiles = t.read(spark, dataFilters = filt).inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"expected pruning after clusterAppend ($prunedFiles vs $allFiles)")
+    assert(t.read(spark, dataFilters = filt)
+      .filter(org.apache.spark.sql.functions.col("id") > 900)
+      .collect().map(_.getInt(0)).sorted.toSeq == (901 to 1000).toSeq)
+    // an unclustered table refuses clusterAppend
+    val plain = WarehouseTable(tmpDir("clapp_plain"))
+    plain.create(sch, None, Map.empty)
+    intercept[IllegalArgumentException] {
+      plain.clusterAppend(spark, spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1, "x")), 1), sch))
+    }
+  }
+
+  test("clusterAppend after clusterBaseZ: z-routed arrivals prune on every clustered column") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("clappz"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", IntegerType),
+      StructField("y", IntegerType)))
+    t.create(sch, None, Map.empty)
+    val rows = (1 to 2000).map(i =>
+      Row(i, (i * 7919) % 1000 + 1, (i * 104729) % 1000 + 1))
+    val (h1, h2) = rows.splitAt(1000)
+    t.append(spark.createDataFrame(spark.sparkContext.parallelize(h1, 2), sch))
+    t.clusterBaseZ(spark, Seq("x", "y"), bitsPerCol = 3, nBuckets = 8)
+    t.clusterAppend(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(h2, 2), sch))
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 2000).toSeq)
+    val fx = Seq(org.apache.spark.sql.sources.GreaterThan("x", 900))
+    val fy = Seq(org.apache.spark.sql.sources.GreaterThan("y", 900))
+    val all = t.read(spark).inputFiles.length
+    assert(t.read(spark, dataFilters = fx).inputFiles.length < all)
+    assert(t.read(spark, dataFilters = fy).inputFiles.length < all)
+    val gx = t.read(spark, dataFilters = fx)
+      .filter(org.apache.spark.sql.functions.col("x") > 900)
+      .collect().map(_.getInt(0)).toSet
+    assert(gx == rows.filter(_.getInt(1) > 900).map(_.getInt(0)).toSet)
+  }
+
   test("clusterBase on a partitioned table: buckets nest within partitions, pruning composes") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("pclust"))
