@@ -2146,6 +2146,17 @@ object SparkEntry {
           sum(col("event_id")).as("id_sum"))
     }),
 
+    // Within-doc repeated-line removal — q103's complement on the other
+    // axis (cross-doc df can't see repetition living inside one doc):
+    // first occurrence survives in order, repeats drop. The gate plants
+    // each doc's text twice plus a repeated echo line and a unique tail.
+    "q124_intradoc_lines" -> ((s, dir) =>
+      graft.operators.TextDedup.intraDocLineDedup(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit("\necho line\n"), col("text"),
+            lit("\necho line\ntail "), col("doc_id").cast("string"))),
+        "doc_id", "text")),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2483,6 +2494,33 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // same plant; first-occurrence keep via row_number over
+    // (doc, line) ordered by position, ordered reassembly hash
+    "q124_intradoc_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'echo line' || chr(10) || text || chr(10)
+        |      || 'echo line' || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+        |      AS raw
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    trim(unnest(string_split(raw, chr(10)))) AS line,
+        |    CAST(generate_subscripts(string_split(raw, chr(10)), 1)
+        |      AS BIGINT) AS pos
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, line, pos,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM l WHERE len(line) > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos))
+        |    AS clean_md5
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     // the cluster/append split and the stats pruning are invisible —
     // the answer is the plain full-table aggregate (q110's oracle)

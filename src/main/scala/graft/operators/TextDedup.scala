@@ -691,6 +691,44 @@ object TextDedup {
     * NOT broadcast — at corpus scale the distinct-line set is data-sized
     * (the long tail of unique lines), so it must stay a shuffle join.
     */
+  /** WITHIN-document repeated-line removal — [[lineBoilerplate]]'s
+    * complement on the other axis: boilerplate kills lines repeated
+    * ACROSS documents; this keeps the FIRST occurrence of each distinct
+    * line WITHIN a document and drops the rest (navigation blocks,
+    * quoted-reply pileups, template stutter — repetition a cross-doc df
+    * can never see because it lives inside one doc). First-occurrence
+    * (not last) so the reassembled text preserves the original reading
+    * order; lines compare trimmed, empties never count.
+    *
+    * Scale shape: map-side line split, ONE window keyed
+    * `(doc, line-content)` ordered by position (parallel across
+    * documents AND line contents — no per-doc sort of all lines), one
+    * doc-keyed reassembly agg. Output per doc: kept/removed counts and
+    * the md5 of the ordered reassembly.
+    */
+  def intraDocLineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(filter(
+        transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("pos").asc)
+    lines
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_lines"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("pos"), col("line"))))),
+            _.getField("line")),
+          "\n")).as("clean_md5"))
+  }
+
   def lineBoilerplate(
       docs: DataFrame,
       idCol: String,

@@ -1329,6 +1329,53 @@ object StreamingIngest {
       .start()
   }
 
+  /** Range-join probing as a STREAMING stage — the q121 at-rest interval
+    * index serving a live point stream: each micro-batch of events
+    * probes ONLY the index partitions its own grid cells name
+    * ([[graft.operators.RangeIndex.lookupAtRest]] — batch-bounded
+    * planning, pruned reads), lands its qualifying (point, interval)
+    * pairs batch-keyed. Each batch's own intervals (derived by
+    * `toIntervals`) COMMIT before its probe — the indexed-corpus-deduper
+    * order — so a batch sees itself and every earlier arrival: the
+    * output is the as-of-arrival join (a point meets exactly the
+    * intervals registered by its batch's commit point — interval batch ≤
+    * point batch), the semantics an event stream against an interval
+    * store actually has. Commits are keyed MERGEs (replay-idempotent);
+    * the pair set is monotone in the index, so replays can only re-land
+    * pairs valid under the final index.
+    */
+  def startWindowProber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      pointCol: String,
+      toIntervals: DataFrame => DataFrame,
+      indexTable: graft.table.WarehouseTable,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.RangeIndex
+        RangeIndex.indexCommit(spark, toIntervals(batch), indexTable)
+        RangeIndex.lookupAtRest(spark, batch, pointCol, indexTable)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Markup scrubbing as a STREAMING stage — the q119 extraction
     * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
     * fixed-order entity decode, whitespace canonicalized) applied at

@@ -1357,6 +1357,27 @@ class OperatorsSpec extends SparkSpec {
       (4L, 0L, 16L, m("no markup at all"))))
   }
 
+  test("intraDocLineDedup: first occurrence survives in order; trimmed compare; empties never count") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val docs = Seq(
+      (1L, "a\nb\na\n b \nc"),   // ' b ' trims equal to 'b'
+      (2L, "x\n\n\nx\nx"),        // empties skipped, two repeats
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.intraDocLineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out == Seq(
+      (1L, 3L, 2L, m("a\nb\nc")),
+      (2L, 1L, 2L, m("x")),
+      (3L, 1L, 0L, m("solo"))))
+  }
+
   test("C4 line rules: terminal punct, min words, javascript kill, page kills, sentence floor") {
     import spark.implicits._
     val docs = Seq(

@@ -1099,6 +1099,50 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == oneShot)
   }
 
+  test("streaming window prober: as-of-arrival join — each batch sees itself and every earlier interval") {
+    import spark.implicits._
+    import graft.operators.RangeIndex
+    import org.apache.spark.sql.functions.expr
+    // seed: one wide interval; batch0 and batch1 each register a ±5
+    // window around their own points before probing
+    val idx = graft.table.WarehouseTable(tmpDir("wprob") + "/idx")
+    RangeIndex.indexAtRest(
+      Seq((100L, 0L, 1000L)).toDF("iv", "s", "e"),
+      "s", "e", Seq("iv"), idx, bucketWidth = 10L)
+    val b0 = Seq((1L, 50L), (2L, 61L)).toDF("pid", "p")
+    val b1 = Seq((3L, 55L), (4L, 900L)).toDF("pid", "p")
+    val landing = tmpDir("wprob_land")
+    Seq(b0 -> "f0", b1 -> "f1").foreach { case (df, nm) =>
+      val stage = tmpDir(s"wprob_stage_$nm") + "/files"
+      df.coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val toIntervals = (b: org.apache.spark.sql.DataFrame) =>
+      b.select((col("pid") + 10L).as("iv"),
+        (col("p") - 5L).as("s"), (col("p") + 5L).as("e"))
+    val outDir = tmpDir("wprob_out")
+    val q = StreamingIngest.startWindowProber(
+      spark, landing, b0.schema, "parquet", Map.empty,
+      pointCol = "p", toIntervals = toIntervals, indexTable = idx,
+      outDir = outDir, checkpointDir = tmpDir("wprob_ckpt"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir + "/batch=*")
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    // batch0: seed covers both points; windows 11 (45..55) and 12
+    // (56..66) registered first, so 50∈11, 61∈12 (self), and no cross
+    // (50∉12, 61∉11). batch1: 55 hits seed + 11 + its own 13 (50..60),
+    // not 12 (55 < 56); 900 hits seed + its own 14 (895..905).
+    assert(out == Set(
+      (1L, 100L), (1L, 11L),
+      (2L, 100L), (2L, 12L),
+      (3L, 100L), (3L, 11L), (3L, 13L),
+      (4L, 100L), (4L, 14L)))
+    ()
+  }
+
   test("streaming entropy scorer equals batch charEntropy on the same files") {
     import spark.implicits._
     import graft.operators.Repetition
