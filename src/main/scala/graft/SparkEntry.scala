@@ -2157,6 +2157,30 @@ object SparkEntry {
             lit("\necho line\ntail "), col("doc_id").cast("string"))),
         "doc_id", "text")),
 
+    // CUBE — all four grouping combinations in one pass (q21's rollup
+    // covers the hierarchy prefixes; cube adds the column-marginal the
+    // hierarchy misses). Spark plans one Expand + one shuffle — the
+    // subtotals are NOT four scans.
+    "q125_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Anti join — customers with no 1995 order (the TPC-H Q22 shape,
+    // year-scoped so the gate is non-degenerate at every SF): a LEFT
+    // ANTI hash join, one shuffle, never a per-row NOT EXISTS probe.
+    "q126_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          dsum(col("c_acctbal")).as("bal_sum"))
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2494,6 +2518,20 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    "q125_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q126_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // same plant; first-occurrence keep via row_number over
     // (doc, line) ordered by position, ordered reassembly hash

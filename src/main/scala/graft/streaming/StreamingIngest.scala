@@ -1376,6 +1376,44 @@ object StreamingIngest {
       .start()
   }
 
+  /** Intra-document line dedup as a STREAMING stage — q124's
+    * [[graft.operators.TextDedup.intraDocLineDedup]] per micro-batch.
+    * The operator is PER-DOCUMENT (one window keyed doc+line-content, no
+    * cross-doc state), so batch boundaries cannot change any output row;
+    * the per-doc window keeps it in `foreachBatch` (non-time windows
+    * aren't allowed in a continuous plan); stateless ⇒ the batch-id-keyed
+    * overwrite is replay-idempotent.
+    */
+  def startIntraDocScrubber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextDedup
+          .intraDocLineDedup(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Markup scrubbing as a STREAMING stage — the q119 extraction
     * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
     * fixed-order entity decode, whitespace canonicalized) applied at

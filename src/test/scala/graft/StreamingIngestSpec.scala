@@ -1143,6 +1143,36 @@ class StreamingIngestSpec extends SparkSpec {
     ()
   }
 
+  test("streaming intra-doc scrubber equals batch intraDocLineDedup on the same files") {
+    import spark.implicits._
+    import graft.operators.TextDedup
+    import org.apache.spark.sql.functions.concat
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit("\necho line\n"), col("text"),
+          lit("\necho line")).as("text"))
+    val landing = tmpDir("idl_land")
+    val staging = tmpDir("idl_stage") + "/files"
+    docs.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    val outDir = tmpDir("idl_out")
+    val q = StreamingIngest.startIntraDocScrubber(
+      spark, landing, docs.schema, "parquet", Map.empty,
+      idCol = "doc_id", textCol = "text", outDir = outDir,
+      checkpointDir = tmpDir("idl_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id", "n_lines", "n_removed", "clean_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = TextDedup.intraDocLineDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall(_._3 >= 2)) // the planted repeats were removed
+  }
+
   test("streaming entropy scorer equals batch charEntropy on the same files") {
     import spark.implicits._
     import graft.operators.Repetition
