@@ -7,41 +7,53 @@ import org.apache.spark.sql.functions._
   * completing the at-rest family (minhash/IVF/IVFADC/pHash/BM25/KMV/CMS/
   * percentile/cluster/rollup all commit incrementally; the interval side
   * of a recurring range join should too). Intervals are materialized ONCE
-  * into a warehouse table partitioned by the grid cells they overlap
+  * into a warehouse table keyed by the grid cells they overlap
   * (`cell = bound div bucketWidth`, the q117 grid), so later point
-  * batches probe ONLY the partitions their own cells name — a
+  * batches probe ONLY the slices their own cells name — a
   * session/validity-window store probed by event arrivals, without
   * re-scanning or re-exploding the interval corpus per batch.
   *
-  * The grid parameters ARE the index format (a probe under a different
-  * width would join cells computed under a different grid and return
-  * garbage or nothing), so `bucketWidth` and the column names persist as
-  * table properties and every probe/commit validates against them — the
-  * same contract the minhash index enforces for its banding.
+  * The PARTITION column is `pcell = cell mod partBuckets`, NOT the cell
+  * itself: cell cardinality grows without bound with the time axis, and
+  * one directory per cell would explode the partition count as the
+  * corpus ages (measured: a 30-day corpus at 10-min cells is ~4.3k dirs,
+  * and every commit's COW pass pays the metadata bill). The bounded mod
+  * keeps the layout at ≤ `partBuckets` directories forever — the same
+  * move the minhash index makes with `pb = band·B + bh mod B`. Pruning
+  * still holds: a probe reads `min(distinct probe cells, partBuckets)`
+  * partitions, the equi-join on the exact `cell` column discards the
+  * other cells sharing a partition, and the containment filter makes the
+  * output exact.
   *
-  * Scale shape: the probe's distinct cell set is batch-bounded (the
-  * batch's time span over the width — a bounded driver collect, the same
-  * manifest-pruning planning step as every other at-rest lookup); the
-  * containment filter runs map-side after the pruned equi-join; a point
-  * owns exactly one cell, so each qualifying (point, interval) pair is
-  * met exactly once. Commits explode ONLY the arrival intervals and
-  * keyed-MERGE into the touched cell partitions — replay-idempotent.
+  * The grid parameters ARE the index format (a probe under a different
+  * width or bucket count would read the wrong slices), so `bucketWidth`,
+  * `partBuckets` and the column names persist as table properties and
+  * every probe/commit validates against them — the same contract the
+  * minhash index enforces for its banding.
+  *
+  * Scale shape: the probe's partition set is bounded by `partBuckets`
+  * (driver collect bounded by construction); the containment filter runs
+  * map-side after the pruned equi-join; a point owns exactly one cell,
+  * so each qualifying (point, interval) pair is met exactly once.
+  * Commits explode ONLY the arrival intervals and keyed-MERGE into the
+  * touched `pcell` partitions — replay-idempotent.
   */
 object RangeIndex {
 
   val CellCol = "cell"
+  val PartCol = "pcell"
 
   private def withCells(
       intervals: DataFrame, startCol: String, endCol: String,
-      width: Long): DataFrame =
+      width: Long, partBuckets: Int): DataFrame =
     intervals.withColumn(CellCol,
       explode(sequence(
         expr(s"`$startCol` div $width"),
         expr(s"`$endCol` div $width"))))
-      .withColumn(CellCol, col(CellCol).cast("int"))
+      .withColumn(PartCol, pmod(col(CellCol), lit(partBuckets)).cast("int"))
 
   /** Build the index: one explode of the interval corpus, one
-    * cell-partitioned write. `keyCols` identify an interval row (the
+    * bounded-partition write. `keyCols` identify an interval row (the
     * commit MERGE key, together with the cell).
     */
   def indexAtRest(
@@ -51,61 +63,67 @@ object RangeIndex {
       keyCols: Seq[String],
       table: graft.table.WarehouseTable,
       bucketWidth: Long,
+      partBuckets: Int = 64,
       compression: String = "snappy"): Unit = {
     require(bucketWidth >= 1, "bucketWidth must be positive")
-    val idx = withCells(intervals, startCol, endCol, bucketWidth)
-    table.create(idx.schema, partition = Some(CellCol),
+    require(partBuckets >= 1 && partBuckets <= 4096,
+      s"partBuckets=$partBuckets out of range [1, 4096]")
+    val idx = withCells(intervals, startCol, endCol, bucketWidth, partBuckets)
+    table.create(idx.schema, partition = Some(PartCol),
       properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
         Map(
           "range.bucketWidth" -> bucketWidth.toString,
+          "range.partBuckets" -> partBuckets.toString,
           "range.startCol" -> startCol,
           "range.endCol" -> endCol,
           "range.keys" -> keyCols.mkString(",")))
     table.append(idx)
   }
 
+  private def param(table: graft.table.WarehouseTable, k: String): String =
+    table.properties.getOrElse(s"range.$k",
+      throw new IllegalArgumentException(
+        s"index table has no range.$k property — not a range index"))
+
   /** Probe a point batch against the index: the points' cells decide
-    * which partitions to READ (manifest-level pruning), containment is
-    * exact. Output = points' columns ++ interval columns, one row per
-    * qualifying pair.
+    * which `pcell` partitions to READ (manifest-level pruning, ≤
+    * partBuckets of them), the `cell` equi-join keeps only the exact
+    * grid cells, containment is exact. Output = points' columns ++
+    * interval columns, one row per qualifying pair.
     */
   def lookupAtRest(
       spark: SparkSession,
       points: DataFrame,
       pointCol: String,
       table: graft.table.WarehouseTable): DataFrame = {
-    val props = table.properties
-    def param(k: String): String = props.getOrElse(s"range.$k",
-      throw new IllegalArgumentException(
-        s"index table has no range.$k property — not a range index"))
-    val width = param("bucketWidth").toLong
-    val startCol = param("startCol"); val endCol = param("endCol")
+    val width = param(table, "bucketWidth").toLong
+    val partBuckets = param(table, "partBuckets").toInt
+    val startCol = param(table, "startCol"); val endCol = param(table, "endCol")
     val pts = points
-      .withColumn(CellCol, expr(s"`$pointCol` div $width").cast("int"))
+      .withColumn(CellCol, expr(s"`$pointCol` div $width"))
+      .withColumn(PartCol, pmod(col(CellCol), lit(partBuckets)).cast("int"))
       .localCheckpoint()
-    // batch-bounded: the arrival batch's span over the grid width
-    val cells = pts.select(col(CellCol)).distinct().collect().map(_.get(0)).toSeq
-    val idx = table.read(spark, partitions = Some(cells))
-    pts.join(idx, Seq(CellCol))
+    // bounded by construction: at most partBuckets distinct values
+    val parts = pts.select(col(PartCol)).distinct().collect().map(_.get(0)).toSeq
+    val idx = table.read(spark, partitions = Some(parts)).drop(PartCol)
+    pts.drop(PartCol)
+      .join(idx, Seq(CellCol))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(CellCol)
   }
 
   /** Fold an arrival batch of intervals into the index: explode ONLY the
-    * batch, MERGE keyed by (interval keys, cell) — only touched cell
+    * batch, MERGE keyed by (interval keys, cell) — only touched `pcell`
     * partitions rewrite; a checkpoint replay upserts identical rows.
     */
   def indexCommit(
       spark: SparkSession,
       newIntervals: DataFrame,
       table: graft.table.WarehouseTable): Unit = {
-    val props = table.properties
-    def param(k: String): String = props.getOrElse(s"range.$k",
-      throw new IllegalArgumentException(
-        s"index table has no range.$k property — not a range index"))
     val idx = withCells(newIntervals,
-      param("startCol"), param("endCol"), param("bucketWidth").toLong)
+      param(table, "startCol"), param(table, "endCol"),
+      param(table, "bucketWidth").toLong, param(table, "partBuckets").toInt)
     table.merge(spark, idx,
-      param("keys").split(",").toSeq :+ CellCol)
+      param(table, "keys").split(",").toSeq :+ CellCol)
   }
 }
