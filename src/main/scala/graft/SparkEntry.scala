@@ -145,6 +145,68 @@ object SparkEntry {
     table
   }
 
+  /** q121's at-rest interval index: ±5-min event windows, half at build,
+    * half via keyed commits with the second commit REPLAYED — the
+    * build/commit/replay sequence IS the semantics under test, so it runs
+    * in full on the first invocation per (JVM, sfDir) and is memoized
+    * like [[q34Index]] so Bench's scored runs measure the pruned point
+    * probe (the recurring per-arrival-batch cost), not the one-time
+    * ingest.
+    */
+  private def q121Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q121", dir) + "/win_idx"
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      val R = graft.operators.RangeIndex
+      val HalfWin = 300000000000L
+      val e = t(s, dir, "events").select(col("event_id"), col("ts"))
+      val wins = e.select(col("event_id").as("win_id"),
+        (col("ts") - HalfWin).as("w_start"),
+        (col("ts") + HalfWin).as("w_end"))
+      val cut = e.agg((max(col("event_id")) / 2).cast("long"))
+        .head().getLong(0)
+      R.indexAtRest(wins.filter(col("win_id") <= cut),
+        "w_start", "w_end", Seq("win_id"), table, bucketWidth = 2 * HalfWin)
+      R.indexCommit(s, wins.filter(col("win_id") > cut), table)
+      R.indexCommit(s, wins.filter(col("win_id") > cut), table) // replay
+    }
+    table
+  }
+
+  /** q127's at-rest session-interval index — q118's sessions stored,
+    * half at build + half via a replayed commit. Same memoization
+    * contract as [[q121Index]].
+    */
+  private def q127Sessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    TemporalJoins.sessionize(
+      ev, keys = Seq("user_id"), timeCol = "ts_us",
+      tiebreak = "event_id", maxGap = 30L * 60 * 1000000)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("st"), max(col("ts_us")).as("en"))
+  }
+
+  private def q127Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q127", dir) + "/sess_idx"
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      val R = graft.operators.RangeIndex
+      val stored = q127Sessions(s, dir).select(col("user_id").as("b_user"),
+        col("session_seq").as("b_seq"),
+        col("st").as("b_st"), col("en").as("b_en"))
+      val cut = stored.agg((max(col("b_user")) / 2).cast("long"))
+        .head().getLong(0)
+      R.indexAtRest(stored.filter(col("b_user") <= cut),
+        "b_st", "b_en", Seq("b_user", "b_seq"), table,
+        bucketWidth = 1800000000L)
+      R.indexCommit(s, stored.filter(col("b_user") > cut), table)
+      R.indexCommit(s, stored.filter(col("b_user") > cut), table) // replay
+    }
+    table
+  }
+
   private def q66Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q66", dir)
     val table = graft.table.WarehouseTable(wh)
@@ -199,7 +261,11 @@ object SparkEntry {
       "q66_minhash_at_rest" -> timed(q66Index(s, dir)),
       "q77_ivfpq_at_rest" -> timed(q77Index(s, dir)),
       "q82_phash_at_rest" -> timed(q82Index(s, dir)),
-      "q92_bm25_at_rest" -> timed(q92Index(s, dir)))
+      "q92_bm25_at_rest" -> timed(q92Index(s, dir)),
+      // interval-index builds INCLUDE their in-gate commit + replay
+      // sequence — that IS the ingest path being priced
+      "q121_interval_at_rest" -> timed(q121Index(s, dir)),
+      "q127_overlap_at_rest" -> timed(q127Index(s, dir)))
   }
 
   /** q100's JSONL landing fixture: `documents` round-tripped to
@@ -2074,22 +2140,10 @@ object SparkEntry {
     // probe reads only the partitions its own cells name. Equality with
     // the direct inequality join proves pruning + commits lossless.
     "q121_interval_at_rest" -> ((s, dir) => {
-      val wh = scratchPath("q121", dir) + "/win_idx"
-      val table = graft.table.WarehouseTable(wh)
-      table.drop()
-      val R = graft.operators.RangeIndex
-      val HalfWin = 300000000000L
+      val table = q121Index(s, dir)
       val e = t(s, dir, "events").select(col("event_id"), col("ts"))
-      val wins = e.select(col("event_id").as("win_id"),
-        (col("ts") - HalfWin).as("w_start"),
-        (col("ts") + HalfWin).as("w_end"))
-      val cut = e.agg((max(col("event_id")) / 2).cast("long"))
-        .head().getLong(0)
-      R.indexAtRest(wins.filter(col("win_id") <= cut),
-        "w_start", "w_end", Seq("win_id"), table, bucketWidth = 2 * HalfWin)
-      R.indexCommit(s, wins.filter(col("win_id") > cut), table)
-      R.indexCommit(s, wins.filter(col("win_id") > cut), table) // replay
-      R.lookupAtRest(s, e.select(col("ts").as("p_ts")), "p_ts", table)
+      graft.operators.RangeIndex
+        .lookupAtRest(s, e.select(col("ts").as("p_ts")), "p_ts", table)
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n_inside"))
     }),
@@ -2179,6 +2233,22 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_custs"),
           dsum(col("c_acctbal")).as("bal_sum"))
+    }),
+
+    // Overlap probe against the AT-REST interval index — q118's join
+    // with the stored side materialized: sessions land in the index
+    // (half at build, half via a replayed commit), the other copy
+    // probes with overlap semantics + the owner-cell rule. Equality
+    // with q118's direct-join oracle proves the pruned at-rest path
+    // reconstructs the inequality join exactly.
+    "q127_overlap_at_rest" -> ((s, dir) => {
+      val table = q127Index(s, dir)
+      graft.operators.RangeIndex.overlapLookupAtRest(s,
+          q127Sessions(s, dir).select(col("user_id"), col("st"), col("en")),
+          "st", "en", table)
+        .filter(col("user_id") =!= col("b_user"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
     }),
 
     // MMR diversified selection over a bounded candidate set: top-20 by
@@ -2518,6 +2588,29 @@ object SparkEntry {
         |  md5(string_agg(sent, ' ' ORDER BY idx)) AS chunk_md5
         |FROM c
         |GROUP BY doc_id, CAST(greatest(cum - 1, 0) // 16 AS BIGINT)""".stripMargin,
+
+    // the at-rest overlap probe must equal q118's direct join — the
+    // build/commit split, replay and pruning are invisible
+    "q127_overlap_at_rest" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, seq, min(tus) AS st, max(tus) AS en
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, count(*) AS n_overlaps
+        |FROM sess a JOIN sess b
+        |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
+        |GROUP BY a.user_id""".stripMargin,
 
     "q125_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -112,6 +112,40 @@ object RangeIndex {
       .drop(CellCol)
   }
 
+  /** Probe the index with a batch of INTERVALS (overlap semantics —
+    * closed, touching endpoints overlap) — [[TemporalJoins.overlapJoin]]
+    * against the stored side: the query intervals explode to their own
+    * cells, the probe reads only the touched `pcell` partitions, the
+    * `cell` equi-join meets candidate pairs in every shared cell, and the
+    * owner-cell rule (emit only in the cell of `max(starts)` — always in
+    * both covers when the intervals overlap) makes each pair exactly
+    * once, no distinct. Query columns must be disjoint from the stored
+    * interval's columns.
+    */
+  def overlapLookupAtRest(
+      spark: SparkSession,
+      intervals: DataFrame,
+      qStartCol: String,
+      qEndCol: String,
+      table: graft.table.WarehouseTable): DataFrame = {
+    val width = param(table, "bucketWidth").toLong
+    val partBuckets = param(table, "partBuckets").toInt
+    val startCol = param(table, "startCol"); val endCol = param(table, "endCol")
+    require(!intervals.columns.contains(startCol) &&
+      !intervals.columns.contains(endCol),
+      "query interval columns must be disjoint from the stored interval's")
+    val q = withCells(intervals, qStartCol, qEndCol, width, partBuckets)
+      .localCheckpoint()
+    val parts = q.select(col(PartCol)).distinct().collect().map(_.get(0)).toSeq
+    val idx = table.read(spark, partitions = Some(parts)).drop(PartCol)
+    q.drop(PartCol)
+      .join(idx, Seq(CellCol))
+      .filter(col(qStartCol) <= col(endCol) && col(startCol) <= col(qEndCol))
+      .filter(col(CellCol) ===
+        expr(s"greatest(`$qStartCol`, `$startCol`) div $width"))
+      .drop(CellCol)
+  }
+
   /** Fold an arrival batch of intervals into the index: explode ONLY the
     * batch, MERGE keyed by (interval keys, cell) — only touched `pcell`
     * partitions rewrite; a checkpoint replay upserts identical rows.

@@ -166,4 +166,31 @@ class TemporalSkewSpec extends SparkSpec {
       RangeIndex.lookupAtRest(spark, ptsDf, "p", plain)
     }
   }
+
+  test("RangeIndex.overlapLookupAtRest equals direct overlapJoin; owner-cell exactly-once across shared cells") {
+    import graft.operators.RangeIndex
+    val stored = Seq(
+      (11L, 20L, 60L), (12L, 5L, 9L), (13L, -10L, -1L), (14L, 42L, 99L)
+    )
+    val queries = Seq(
+      (1L, 0L, 25L), (2L, 5L, 5L), (3L, -14L, -10L), (4L, 40L, 41L),
+      (5L, 18L, 63L) // shares 5 cells with iv 11 -> one emission
+    )
+    val table = graft.table.WarehouseTable(tmpDir("orix") + "/idx")
+    RangeIndex.indexAtRest(stored.toDF("iv", "s", "e"), "s", "e",
+      Seq("iv"), table, bucketWidth = 10L, partBuckets = 4)
+    val q = queries.toDF("qid", "qs", "qe")
+    val got = RangeIndex.overlapLookupAtRest(spark, q, "qs", "qe", table)
+      .select("qid", "iv").as[(Long, Long)].collect().toSeq
+    val direct = TemporalJoins.overlapJoin(
+      q, stored.toDF("iv", "s", "e"), "qs", "qe", "s", "e", 10L)
+      .select("qid", "iv").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == direct.sorted)
+    assert(got.size == got.distinct.size)
+    val expect = for {
+      (qid, qs, qe) <- queries
+      (iv, s, e) <- stored if qs <= e && s <= qe
+    } yield (qid, iv)
+    assert(got.sorted == expect.sorted)
+  }
 }
