@@ -2251,6 +2251,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Ordered funnel over the event stream: view → click → purchase,
+    // each step strictly after the user's previous step time. Chained
+    // user-keyed aggregations (co-partitioned, map-side mins) — never a
+    // per-user window sort. Exact integer lag sums.
+    "q128_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.EventAnalytics.funnel(
+        ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Weekly cohort retention: cohort = week of a user's first event;
+    // each (cohort, week-offset) cell counts distinct active members.
+    "q129_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.operators.EventAnalytics.retentionCohorts(
+        ev, "user_id", "ts_us", periodUs = 604800000000L)
+    }),
+
+    // Hopping-window rollup: 2 h windows every 30 min — each event fans
+    // out to exactly 4 window instances; one (window, type)-keyed shuffle.
+    "q130_hopping" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.EventAnalytics.hoppingWindows(
+        ev, "ts_us", "event_type", "value",
+        lenUs = 7200000000L, hopUs = 1800000000L)
+    }),
+
     // MMR diversified selection over a bounded candidate set: top-20 by
     // relevance to query vector 0, then 5 greedy picks trading relevance
     // against redundancy (λ = 0.5, exact integer objective). The
@@ -2611,6 +2644,61 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // step k = earliest event of its type strictly after step k-1's time;
+    // lag sums are exact integer µs; empty steps keep their zero row
+    "q128_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(tus) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |  count(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', count(*),
+        |  coalesce(CAST(sum(t2 - t1) AS BIGINT), 0)
+        |FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', count(*),
+        |  coalesce(CAST(sum(t3 - t1) AS BIGINT), 0)
+        |FROM s3 JOIN s1 USING (user_id)""".stripMargin,
+
+    "q129_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus FROM events
+        |), f AS (
+        |  SELECT user_id, min(tus) // 604800000000 AS cohort_period
+        |  FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_period,
+        |    (e.tus // 604800000000) - f.cohort_period AS period_offset
+        |  FROM e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_period, period_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // each event lands in exactly len/hop = 4 overlapping windows
+    "q130_hopping" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS tus, event_type, value FROM events
+        |), x AS (
+        |  SELECT unnest(generate_series(
+        |      (tus // 1800000000) * 1800000000 - 5400000000,
+        |      (tus // 1800000000) * 1800000000, 1800000000)) AS window_start,
+        |    event_type, value
+        |  FROM e
+        |)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q125_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the ingested event table — the questions a
+  * product/ops team actually asks of the reference's landed `events` data
+  * (reference scope: `read.py` lands raw events; analytics are downstream):
+  * ordered-funnel conversion, cohort retention, hopping-window rollups.
+  *
+  * Scale shapes, by construction:
+  *  - [[funnel]] is a chain of `steps.length` aggregations ALL keyed by the
+  *    user column — every shuffle lands on the same key, so AQE plans them
+  *    as co-partitioned hash joins with map-side partial mins; there is no
+  *    per-user sort (a `Window.partitionBy(user).orderBy(ts)` would sort
+  *    the whole corpus to answer a 3-number report). Step k's candidate
+  *    set is filtered to ONE event type before its shuffle, so each round
+  *    moves only that type's slice.
+  *  - [[retentionCohorts]] is two user-keyed aggregations (first-touch,
+  *    then per-(user,period) dedup) and a final small rollup — the
+  *    (cohort, offset) matrix is weeks×weeks, driver-tiny, but the
+  *    dedup stays distributed because its key includes the user.
+  *  - [[hoppingWindows]] explodes each event to exactly `len/hop` window
+  *    instances (the fan-out IS the semantics — an event belongs to that
+  *    many overlapping windows) and aggregates on (window, type): one
+  *    shuffle whose volume is a constant multiple of the input, map-side
+  *    combinable. No self-join, no range join.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, step 1's time is the user's earliest
+    * `steps(0)` event; step k's time is the earliest `steps(k-1)` event
+    * STRICTLY after the user's step k-1 time (same-microsecond events do
+    * not advance the funnel — both engines compare the same integers, so
+    * the tie rule is deterministic). Returns one row per step:
+    * `(step_idx, step, n_users, sum_lag_us)` where `sum_lag_us` is the
+    * exact integer sum over converting users of (step time − step-1 time).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      timeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol)
+    // per-user step times t1..tk, built left-to-right; acc holds (user, t1..ti)
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(col(timeCol)).as("t1"))
+    for (i <- 2 to steps.length) {
+      val prev = s"t${i - 1}"
+      val nxt = events.filter(col(typeCol) === steps(i - 1))
+        .join(acc.select(u, col(prev)), Seq(userCol))
+        .filter(col(timeCol) > col(prev))
+        .groupBy(u).agg(min(col(timeCol)).as(s"t$i"))
+      acc = acc.join(nxt, Seq(userCol), "left")
+    }
+    val perStep = (1 to steps.length).map { i =>
+      val lag: Column = if (i == 1) lit(0L) else (col(s"t$i") - col("t1"))
+      acc.filter(col(s"t$i").isNotNull)
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(lag), lit(0L)).as("sum_lag_us"))
+        .select(lit(i).as("step_idx"), lit(steps(i - 1)).as("step"),
+          col("n_users"), col("sum_lag_us"))
+    }
+    perStep.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention matrix: a user's cohort is the period (e.g. week)
+    * of their FIRST event; for every (cohort, later activity period) cell,
+    * count the distinct cohort members active in it. `periodUs` divides
+    * the integer time column (epoch µs) — period ids are `time div
+    * periodUs`, offsets are activity period − cohort period (offset 0 =
+    * the cohort's own period, so every cohort's offset-0 count is its
+    * size). Output: `(cohort_period, period_offset, n_users)`.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      timeCol: String,
+      periodUs: Long): DataFrame = {
+    require(periodUs >= 1, "periodUs must be positive")
+    val u = col(userCol)
+    // integer `div`, not `/` (double division) — period ids stay exact
+    val firstTouch = events.groupBy(u)
+      .agg(expr(s"min(`$timeCol`) div $periodUs").as("cohort_period"))
+    events.select(u, expr(s"`$timeCol` div $periodUs").as("p"))
+      .join(firstTouch, Seq(userCol))
+      .select(u, col("cohort_period"),
+        (col("p") - col("cohort_period")).as("period_offset"))
+      .distinct()
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Hopping (sliding) window rollup: windows of length `lenUs` starting
+    * every `hopUs` (`lenUs` must be a multiple of `hopUs`); an event at
+    * time t lands in the `lenUs/hopUs` windows whose start satisfies
+    * `ws <= t < ws + lenUs`. Returns per (window_start, group column)
+    * exact counts and a 2-decimal exact sum of `valueCol` surfaced as
+    * double — the same decimal-sum rule every money-summing query here
+    * uses. Time must be a non-negative integer column (epoch µs).
+    */
+  def hoppingWindows(
+      events: DataFrame,
+      timeCol: String,
+      groupCol: String,
+      valueCol: String,
+      lenUs: Long,
+      hopUs: Long): DataFrame = {
+    require(hopUs >= 1 && lenUs >= hopUs && lenUs % hopUs == 0,
+      s"window length $lenUs must be a positive multiple of hop $hopUs")
+    val wsMax = expr(s"(`$timeCol` div $hopUs) * $hopUs")
+    val wsMin = wsMax - (lenUs / hopUs - 1) * hopUs
+    events
+      .withColumn("window_start",
+        explode(sequence(wsMin, wsMax, lit(hopUs))))
+      .groupBy(col("window_start"), col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("funnel: strict ordering — out-of-order and same-instant events do not advance") {
+    val ev = Seq(
+      // u1 converts fully: view@10 click@20 purchase@30 (lag 20)
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: click BEFORE first view never counts; the click at the same
+      // instant as the view doesn't either (strict >) -> stops at view
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 10L),
+      // u3: purchase before click -> stops at click (lag 15)
+      (3L, "view", 0L), (3L, "purchase", 7L), (3L, "click", 15L),
+      // u4 never views: no step at all, even with click+purchase
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      // u5: two views; funnel measures from the FIRST (t1=2), click@4,
+      // purchase@9 -> lags 2 and 7
+      (5L, "view", 6L), (5L, "view", 2L), (5L, "click", 4L), (5L, "purchase", 9L)
+    ).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "t", steps)
+      .select("step_idx", "n_users", "sum_lag_us")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 4L, 0L),       // u1 u2 u3 u5
+      (2, 3L, 10L + 15L + 2L), // u1 u3 u5
+      (3, 2L, 20L + 7L)))      // u1 u5
+  }
+
+  test("funnel: empty steps keep an explicit zero row") {
+    val ev = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "t", steps)
+      .select("step_idx", "step", "n_users", "sum_lag_us")
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "view", 1L, 0L), (2, "click", 0L, 0L),
+      (3, "purchase", 0L, 0L)))
+  }
+
+  test("retentionCohorts: cohort = first-touch period, offset 0 row counts the whole cohort") {
+    // period = 10: u1 first at 5 (cohort 0), active periods {0,2};
+    // u2 first at 12 (cohort 1), active {1}; u3 first at 7 (cohort 0),
+    // active {0, 2} -> (0,0)=2, (0,2)=2, (1,0)=1
+    val ev = Seq(
+      (1L, 5L), (1L, 25L), (2L, 12L), (3L, 7L), (3L, 29L), (1L, 27L)
+    ).toDF("user_id", "t")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "t", 10L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 2L, 2L), (1L, 0L, 1L)))
+  }
+
+  test("hoppingWindows: each event lands in exactly len/hop instances covering it") {
+    // len 40, hop 10 -> 4 windows per event
+    val ev = Seq(("a", 1.0, 35L), ("a", 2.5, 39L), ("b", 4.0, 0L))
+      .toDF("event_type", "value", "t")
+    val out = EventAnalytics
+      .hoppingWindows(ev, "t", "event_type", "value", lenUs = 40L, hopUs = 10L)
+      .as[(Long, String, Long, Double)].collect()
+    // fan-out is exactly 4 per input row
+    assert(out.map(_._3).sum == 3 * 4)
+    // every emitted instance actually covers its event times
+    out.foreach { case (ws, typ, _, _) =>
+      val times = Seq(("a", 35L), ("a", 39L), ("b", 0L)).filter(_._1 == typ)
+      assert(times.exists { case (_, t) => ws <= t && t < ws + 40L })
+    }
+    // both 'a' events share windows 0,10,20,30: summed there
+    val a0 = out.find(r => r._1 == 0L && r._2 == "a").get
+    assert(a0._3 == 2L && a0._4 == 3.5)
+    // 'b' at t=0 belongs to windows -30,-20,-10,0
+    assert(out.filter(_._2 == "b").map(_._1).sorted.toSeq ==
+      Seq(-30L, -20L, -10L, 0L))
+  }
+
+  test("hoppingWindows: rejects a length that is not a multiple of the hop") {
+    val ev = Seq(("a", 1.0, 0L)).toDF("event_type", "value", "t")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.hoppingWindows(ev, "t", "event_type", "value", 25L, 10L)
+    }
+  }
+}
