@@ -2251,6 +2251,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Nearest as-of join: each error event attaches the user's closest
+    // purchase within ±3 days (backward-preferred on distance ties) —
+    // one union shuffle + one sort; both direction carries are frames
+    // over the same window sort, the choice + tolerance gate map-side.
+    "q131_nearest_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts_us").as("p_ts"))
+      TemporalJoins.asofJoinNearest(
+        err, pur, keys = Seq("user_id"), leftTime = "ts_us",
+        rightTime = "p_ts", rightValueCols = Seq("p_id"),
+        tiebreak = "p_id", tolerance = 259200000000L)
+        .select(col("user_id"), col("event_id"),
+          col("asof_p_id").as("near_purchase"),
+          col("asof_dist").as("near_dist_us"))
+    }),
+
     // Ordered funnel over the event stream: view → click → purchase,
     // each step strictly after the user's previous step time. Chained
     // user-keyed aggregations (co-partitioned, map-side mins) — never a
@@ -2644,6 +2666,32 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // nearest = min |Δt| within tolerance; ties prefer the backward row,
+    // equal-time backward rows the largest id, forward rows the smallest
+    "q131_nearest_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events
+        |), err AS (
+        |  SELECT user_id, event_id, tus FROM e WHERE event_type = 'error'
+        |), pur AS (
+        |  SELECT user_id, event_id AS p_id, tus AS ptus FROM e
+        |  WHERE event_type = 'purchase'
+        |), cand AS (
+        |  SELECT err.event_id, pur.p_id, abs(pur.ptus - err.tus) AS dist,
+        |    row_number() OVER (PARTITION BY err.event_id
+        |      ORDER BY abs(pur.ptus - err.tus),
+        |        CASE WHEN pur.ptus <= err.tus THEN 0 ELSE 1 END,
+        |        CASE WHEN pur.ptus <= err.tus THEN -pur.p_id
+        |             ELSE pur.p_id END) AS rn
+        |  FROM err JOIN pur USING (user_id)
+        |  WHERE abs(pur.ptus - err.tus) <= 259200000000
+        |)
+        |SELECT err.user_id, err.event_id, c.p_id AS near_purchase,
+        |  c.dist AS near_dist_us
+        |FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  USING (event_id)""".stripMargin,
 
     // step k = earliest event of its type strictly after step k-1's time;
     // lag sums are exact integer µs; empty steps keep their zero row

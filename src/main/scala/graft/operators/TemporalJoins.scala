@@ -73,6 +73,128 @@ object TemporalJoins {
         rightValueCols.map(c => col("__r").getField(c).as(s"asof_$c"))): _*)
   }
 
+  /** Forward as-of join: for each left row, attach the single EARLIEST
+    * right row with the same key and `rightTime >= leftTime` (inclusive)
+    * — the mirror of [[asofJoinBackward]], same union-and-carry shape
+    * (one shuffle, one sort per key): right rows sort AFTER left rows at
+    * equal time, and `first(right-struct, ignoreNulls)` over the
+    * current-row-to-following frame carries the next right row backward
+    * onto each left row. Ties among right rows with equal time: SMALLEST
+    * `tiebreak` wins (matching "earliest").
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      tiebreak: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    // side: 0=left so right rows at the SAME time fall in the following
+    // frame (inclusive >=)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", lit(Long.MinValue))
+    val r0 = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", col(tiebreak).cast("long"))
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
+    val lPart = l.select(
+      (keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb")) ++
+        lCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rStructType).as("__r")): _*)
+    val rPart = r0.select(
+      (keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb")) ++
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValueCols.map(col): _*).as("__r")): _*)
+    val unioned = lPart.unionByName(rPart)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__r", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select((lCols.map(col) ++
+        rightValueCols.map(c => col("__r").getField(c).as(s"asof_$c"))): _*)
+  }
+
+  /** Nearest as-of join: attach the right row minimizing
+    * `|rightTime − leftTime|` (both must be integer epoch columns in the
+    * same unit), NULL when no right row lands within `tolerance`.
+    * Deterministic tie rules: equal backward/forward distance prefers the
+    * BACKWARD row; equal-time backward rows resolve to the largest
+    * `tiebreak` (the [[asofJoinBackward]] rule), equal-time forward rows
+    * to the smallest (the [[asofJoinForward]] rule).
+    *
+    * ONE shuffle and ONE sort: both the backward carry
+    * (`last` over preceding) and the forward carry (`first` over
+    * following) are frames over the same window sort, so Catalyst plans a
+    * single Exchange + Sort feeding one WindowExec pair; the
+    * closer-candidate choice and the tolerance gate are map-side. Output:
+    * left columns ++ `asof_<c>` ++ `asof_dist` (NULL when out of
+    * tolerance). Right rows at exactly the left time sort BEFORE the left
+    * row, so they surface through the backward carry at distance 0.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      tiebreak: String,
+      tolerance: Long = Long.MaxValue): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val lCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(Long.MaxValue))
+    val r0 = right
+      .withColumn("__t", col(rightTime).cast("long"))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", col(tiebreak).cast("long"))
+    // the right struct carries its own time (__rt) so distances are
+    // computable after the carry without a second join
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt",
+          org.apache.spark.sql.types.LongType))
+    val lPart = l.select(
+      (keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb")) ++
+        lCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rStructType).as("__r")): _*)
+    val rPart = r0.select(
+      (keys.map(col) ++ Seq(col("__t"), col("__side"), col("__tb")) ++
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct((rightValueCols.map(col) :+ col("__t").as("__rt")): _*).as("__r")): _*)
+    val unioned = lPart.unionByName(rPart)
+    val sort = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+    val bwd = last(col("__r"), ignoreNulls = true)
+      .over(sort.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__r"), ignoreNulls = true)
+      .over(sort.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val distB = col("__t") - col("__b").getField("__rt")
+    val distF = col("__f").getField("__rt") - col("__t")
+    val chosen = when(col("__b").isNotNull &&
+        (col("__f").isNull || distB <= distF), col("__b"))
+      .otherwise(col("__f"))
+    unioned
+      .withColumn("__b", bwd).withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__n", chosen)
+      .withColumn("__d", abs(col("__t") - col("__n").getField("__rt")))
+      .withColumn("__n", when(col("__d") <= tolerance, col("__n")))
+      .select((lCols.map(col) ++
+        rightValueCols.map(c => col("__n").getField(c).as(s"asof_$c")) :+
+        when(col("__n").isNotNull, col("__d")).as("asof_dist")): _*)
+  }
+
   /** Gap-based sessionization: rows of the same key belong to one session
     * while consecutive gaps are ≤ `maxGap` (in the time column's units).
     * Classic lag + flag + running-sum — two window passes over one

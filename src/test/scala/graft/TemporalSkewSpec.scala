@@ -38,6 +38,59 @@ class TemporalSkewSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", None, Some("b"))))
   }
 
+  test("asofJoinForward attaches earliest right row at-or-after; ties pick smallest tiebreak") {
+    val trades = Seq(
+      (1, 100L, "t1"), (1, 205L, "t2"), (2, 500L, "t3")
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1, 100L, 11.0, 7L), (1, 100L, 13.0, 3L), (1, 300L, 12.0, 1L),
+      (2, 60L, 99.0, 2L)
+    ).toDF("k", "t", "px", "qid")
+    val out = TemporalJoins.asofJoinForward(
+      trades, quotes, Seq("k"), "t", "t", Seq("px"), tiebreak = "qid")
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").contains(13.0)) // inclusive t=100; tie -> qid 3 < 7
+    assert(out("t2").contains(12.0)) // earliest >= 205
+    assert(out("t3").isEmpty)        // nothing at or after t=500
+  }
+
+  test("asofJoinNearest picks min |Δt|, prefers backward on ties, nulls outside tolerance") {
+    val L = Seq(
+      (1, 100L, "a"), // bwd@90 (d10) vs fwd@105 (d5) -> fwd
+      (1, 200L, "b"), // bwd@195 (d5) vs fwd@205 (d5) -> tie -> bwd
+      (1, 400L, "c"), // only bwd@205, d195 > tol 100 -> null
+      (2, 50L, "d"),  // right at exactly 50 -> dist 0
+      (3, 10L, "e")   // no right rows for key at all -> null
+    ).toDF("k", "t", "tag")
+    val R = Seq(
+      (1, 90L, 1L), (1, 105L, 2L), (1, 195L, 3L), (1, 205L, 4L),
+      (2, 50L, 5L)
+    ).toDF("k", "rt", "rid")
+    val out = TemporalJoins.asofJoinNearest(
+      L, R, Seq("k"), "t", "rt", Seq("rid"), tiebreak = "rid",
+      tolerance = 100L)
+      .select("tag", "asof_rid", "asof_dist")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") == ((Some(2L), Some(5L))))
+    assert(out("b") == ((Some(3L), Some(5L))))
+    assert(out("c") == ((None, None)))
+    assert(out("d") == ((Some(5L), Some(0L))))
+    assert(out("e") == ((None, None)))
+  }
+
+  test("asofJoinNearest plans ONE exchange: both direction carries share a single sort") {
+    val L = Seq((1, 100L, "a")).toDF("k", "t", "tag")
+    val R = Seq((1, 90L, 1L)).toDF("k", "rt", "rid")
+    val plan = TemporalJoins.asofJoinNearest(
+      L, R, Seq("k"), "t", "rt", Seq("rid"), "rid")
+      .queryExecution.executedPlan.toString
+    val nEx = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(nEx <= 2, s"expected at most one shuffle round, got:\n$plan")
+  }
+
   test("sessionize splits on gaps and keeps runs together") {
     val ev = Seq(
       (1, 0L, 1L), (1, 100L, 2L), (1, 5000L, 3L), (1, 5050L, 4L),
