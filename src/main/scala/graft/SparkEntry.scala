@@ -2251,6 +2251,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Link-graph centrality as a curation signal: PageRank over the
+    // planted citation graph i → i div 2, i → i div 3 (deterministic at
+    // every SF; parallel edges honored), 5 iterations of exact
+    // fixed-point updates — bit-identical across engines and reduction
+    // orders, so the oracle replays it cell-exact.
+    "q133_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val linked = docs.filter(col("doc_id") >= 1)
+      val edges = linked
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        .unionByName(linked
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst")))
+      graft.operators.GraphRank.pageRank(
+        edges, "src", "dst", docs, "doc_id",
+        iters = 5, dampingPct = 85, scale = 1000000000L)
+        .select(col("node").as("doc_id"), col("r").as("rank_e9"))
+    }),
+
+    // Correlated-aggregate filter (TPC-H Q17 shape): lineitems with
+    // quantity below 20% of their part's average, revenue rolled up per
+    // brand. The correlation decorrelates to ONE partkey-keyed
+    // aggregation joined back on the same key (co-partitioned, AQE
+    // picks the dispatch); the avg threshold is the exact integer rule
+    // 5·qty·cnt < sum_qty — no floating division anywhere.
+    "q132_correlated_avg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qc"),
+        col("l_extendedprice"))
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qc")).as("sq"))
+      li.join(pa, "l_partkey")
+        .filter(col("qc") * lit(5) * col("cnt") < col("sq"))
+        .join(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          Seq("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          dsum(col("l_extendedprice")).as("rev_small"))
+    }),
+
     // Nearest as-of join: each error event attaches the user's closest
     // purchase within ±3 days (backward-preferred on distance ties) —
     // one union shuffle + one sort; both direction carries are frames
@@ -2666,6 +2706,55 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // 5 unrolled fixed-point iterations — the same integer ops the
+    // engine runs; dangling mass dropped, ranks un-normalized (init =
+    // 1e9), base = 1e9*15/100
+    "q133_pagerank" -> {
+      val steps = (1 to 5).map { i =>
+        s"""c$i AS (
+           |  SELECT ed.dst, CAST(sum((r.r * 85) // (100 * ed.od)) AS BIGINT) AS c
+           |  FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY 1
+           |), r$i AS (
+           |  SELECT n.node, CAST(150000000 + coalesce(c.c, 0) AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH nodes AS (
+         |  SELECT doc_id AS node FROM documents
+         |), edges AS (
+         |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+         |  WHERE doc_id >= 1
+         |  UNION ALL
+         |  SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+         |  WHERE doc_id >= 1
+         |), ed AS (
+         |  SELECT e.src, e.dst, o.od FROM edges e
+         |  JOIN (SELECT src, count(*) AS od FROM edges GROUP BY 1) o
+         |    USING (src)
+         |), r0 AS (
+         |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes
+         |), $steps
+         |SELECT node AS doc_id, r AS rank_e9 FROM r5""".stripMargin
+    },
+
+    // same exact integer threshold: 5*qty*cnt < sum_qty, never a float avg
+    "q132_correlated_avg" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qc,
+        |    l_extendedprice
+        |  FROM lineitem
+        |), pa AS (
+        |  SELECT l_partkey, count(*) AS cnt, sum(qc) AS sq
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS rev_small
+        |FROM li JOIN pa USING (l_partkey)
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE qc * 5 * cnt < sq
+        |GROUP BY 1""".stripMargin,
 
     // nearest = min |Δt| within tolerance; ties prefer the backward row,
     // equal-time backward rows the largest id, forward rows the smallest
