@@ -1414,6 +1414,45 @@ object StreamingIngest {
       .start()
   }
 
+  /** Clustered-layout ingestion as a STREAMING stage — q123's
+    * [[graft.table.WarehouseTable.clusterAppend]] per micro-batch:
+    * arrivals route through the table's FROZEN cluster cuts (range or
+    * z — whatever the base persisted) into bucket-split dirs, so the
+    * stats-pruned selectivity that made the base layout worth building
+    * survives CONTINUOUS ingestion, not just one-shot appends. An
+    * optional `prepare` maps the raw batch into the table's schema.
+    * Replay safety comes from the batch-id-keyed append itself: a
+    * replayed micro-batch REPLACES its own earlier dirs in one snapshot
+    * commit (dir-granular keying), so a fresh-checkpoint rerun
+    * converges to the identical table instead of doubling rows.
+    */
+  def startClusteredWriter(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      prepare: DataFrame => DataFrame,
+      table: graft.table.WarehouseTable,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.clusterAppend(spark, prepare(batch), Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Markup scrubbing as a STREAMING stage — the q119 extraction
     * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
     * fixed-order entity decode, whitespace canonicalized) applied at

@@ -964,8 +964,21 @@ final class WarehouseTable(val root: String) {
     * also refreshes the cuts against drifted data) folds the
     * accumulated per-batch dirs back into one dir per bucket — the
     * OPTIMIZE cadence, now amortized instead of mandatory per batch.
+    *
+    * `batchId` makes the append REPLAY-IDEMPOTENT for streaming
+    * callers: the batch's dirs are written under a `abatch-<id>-`
+    * tagged path, and the commit first drops any manifest entries (and
+    * their stats) carrying the same tag — so a checkpoint replay
+    * REPLACES its own earlier dirs instead of duplicating rows, no
+    * matter where a previous attempt crashed (dirs written but not
+    * committed are simply unreferenced; committed dirs are swapped out
+    * in the same snapshot that adds the rewrite). Appends are keyed at
+    * DIR granularity by the batch id — the same move the CMS counter
+    * table makes with its `bid` row key.
     */
-  def clusterAppend(spark: SparkSession, df: DataFrame): Unit = {
+  def clusterAppend(
+      spark: SparkSession, df: DataFrame,
+      batchId: Option[Long] = None): Unit = {
     val meta = readMeta()
     val bucket = meta.properties.get("cluster.kind") match {
       case Some("range") =>
@@ -987,11 +1000,20 @@ final class WarehouseTable(val root: String) {
     }
     val cur = currentSnapshotId
     val old = readManifest(cur)
-    val (added, stats) = writeBucketedDirs(meta, df, bucket)
-    val merged = (old.base.keySet ++ added.keySet).map { k =>
-      k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
+    val tag = batchId.map(b => s"abatch-$b")
+    val (added, stats) = writeBucketedDirs(meta, df, bucket, tag)
+    // batch-keyed replay: this batch's previous dirs (if any) leave the
+    // manifest in the SAME commit that lands the rewrite
+    val stale: String => Boolean = tag match {
+      case Some(t) => _.startsWith(s"data/$t-")
+      case None => _ => false
+    }
+    val basePruned = old.base.map { case (k, v) => k -> v.filterNot(stale) }
+    val statsPruned = old.stats.filterNot { case (d, _) => stale(d) }
+    val merged = (basePruned.keySet ++ added.keySet).map { k =>
+      k -> (basePruned.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
     }.toMap
-    commit(cur, Manifest(merged, old.deltas, old.stats ++ stats))
+    commit(cur, Manifest(merged, old.deltas, statsPruned ++ stats))
   }
 
   /** Interleave per-column level codes into a z-value: bit b of column k
@@ -1068,10 +1090,14 @@ final class WarehouseTable(val root: String) {
   private def writeBucketedDirs(
       meta: Meta,
       slice: DataFrame,
-      bucket: Column): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
+      bucket: Column,
+      tag: Option[String] = None): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
     import scala.jdk.CollectionConverters._
     val uuid = UUID.randomUUID().toString
-    val rel = s"data/$uuid"
+    val rel = tag match {
+      case Some(t) => s"data/$t-$uuid"
+      case None => s"data/$uuid"
+    }
     val aligned = slice.select(
       meta.schema.fields.toIndexedSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)) :+ bucket.as("__bucket"): _*)

@@ -1099,6 +1099,50 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == oneShot)
   }
 
+  test("streaming clustered writer: arrivals keep the layout's pruning; fresh-checkpoint replay changes nothing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("payload", StringType)))
+    def df(ids: Seq[Int]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i => Row(i, s"p$i")), 2), sch)
+    val table = graft.table.WarehouseTable(tmpDir("sclw_wh") + "/t")
+    table.create(sch, None, Map.empty)
+    table.append(df(1 to 400))
+    table.clusterBase(spark, "id", 4)
+    // two arrival files -> two micro-batches, each spanning the full
+    // domain (an unsplit append dir would never prune)
+    val landing = tmpDir("sclw_land")
+    Seq((401 to 700) -> "f0", (701 to 1000) -> "f1").foreach { case (ids, nm) =>
+      val stage = tmpDir(s"sclw_stage_$nm") + "/files"
+      df(ids).coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val q = StreamingIngest.startClusteredWriter(
+      spark, landing, sch, "parquet", Map.empty, identity,
+      table, checkpointDir = tmpDir("sclw_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val full = (1 to 1000).toSeq
+    assert(table.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
+    // arrivals' dirs prune like the base's
+    val filt = Seq(org.apache.spark.sql.sources.GreaterThan("id", 900))
+    assert(table.read(spark, dataFilters = filt).inputFiles.length <
+      table.read(spark).inputFiles.length)
+    assert(table.read(spark, dataFilters = filt)
+      .filter(col("id") > 900)
+      .collect().map(_.getInt(0)).sorted.toSeq == (901 to 1000).toSeq)
+    // fresh checkpoint, same landing dir, same batch composition: every
+    // micro-batch replaces its own dirs — the table converges, no dups
+    val q2 = StreamingIngest.startClusteredWriter(
+      spark, landing, sch, "parquet", Map.empty, identity,
+      table, checkpointDir = tmpDir("sclw_ckpt2"), maxFilesPerTrigger = 1)
+    q2.awaitTermination(120000)
+    assert(table.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
+  }
+
   test("streaming window prober: as-of-arrival join — each batch sees itself and every earlier interval") {
     import spark.implicits._
     import graft.operators.RangeIndex

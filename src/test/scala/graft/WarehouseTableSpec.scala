@@ -510,6 +510,37 @@ class WarehouseTableSpec extends SparkSpec {
     }
   }
 
+  test("clusterAppend with batchId: replays replace their own dirs — same-id and crash-retry converge") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("clapp_bid"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("payload", StringType)))
+    t.create(sch, None, Map.empty)
+    def df(ids: Seq[Int]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i => Row(i, s"p$i")), 2), sch)
+    t.append(df(1 to 400))
+    t.clusterBase(spark, "id", 4)
+    t.clusterAppend(spark, df(401 to 700), Some(0L))
+    t.clusterAppend(spark, df(701 to 1000), Some(1L))
+    val full = (1 to 1000).toSeq
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
+    // checkpoint replay of batch 1: identical content lands ONCE
+    t.clusterAppend(spark, df(701 to 1000), Some(1L))
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
+    // stale-checkpoint replay of batch 0 too
+    t.clusterAppend(spark, df(401 to 700), Some(0L))
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
+    // untagged appends keep the old accumulate semantics
+    t.clusterAppend(spark, df(Seq(1001)))
+    t.clusterAppend(spark, df(Seq(1002)))
+    assert(t.read(spark).count() == 1002)
+    // pruning still holds across tagged + untagged dirs
+    val filt = Seq(org.apache.spark.sql.sources.GreaterThan("id", 900))
+    assert(t.read(spark, dataFilters = filt).inputFiles.length <
+      t.read(spark).inputFiles.length)
+  }
+
   test("clusterAppend after clusterBaseZ: z-routed arrivals prune on every clustered column") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("clappz"))
