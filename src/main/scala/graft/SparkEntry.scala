@@ -207,6 +207,27 @@ object SparkEntry {
     table
   }
 
+  /** q134's bloom-indexed content-hash table: documents keyed by a
+    * per-doc fingerprint, landed as FOUR append dirs (so no dir's
+    * min/max range can prune an equality probe), bloom sidecars built
+    * over the fingerprint column. Build-once per (JVM, sfDir).
+    */
+  private def q134Table(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q134", dir) + "/fp_t"
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      val rows = t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("fp"))
+      table.create(rows.schema, None, Map.empty)
+      (0 until 4).foreach(w =>
+        table.append(rows.filter(col("doc_id") % 4 === w)))
+      table.buildBloomIndex(s, "fp")
+    }
+    table
+  }
+
   private def q66Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q66", dir)
     val table = graft.table.WarehouseTable(wh)
@@ -265,7 +286,8 @@ object SparkEntry {
       // interval-index builds INCLUDE their in-gate commit + replay
       // sequence — that IS the ingest path being priced
       "q121_interval_at_rest" -> timed(q121Index(s, dir)),
-      "q127_overlap_at_rest" -> timed(q127Index(s, dir)))
+      "q127_overlap_at_rest" -> timed(q127Index(s, dir)),
+      "q134_bloom_skipping" -> timed(q134Table(s, dir)))
   }
 
   /** q100's JSONL landing fixture: `documents` round-tripped to
@@ -2251,6 +2273,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Bloom file-skipping point lookups: a batch of content-hash probes
+    // (half present, half absent) against the bloom-indexed table —
+    // the sidecars name the only dirs that can hold each hash, stats
+    // never could (every dir spans the full hash domain). Exactness =
+    // no false negatives; the absent probes exercise full skips.
+    "q134_bloom_skipping" -> ((s, dir) => {
+      val table = q134Table(s, dir)
+      val docs = t(s, dir, "documents")
+      val hits = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))).as("fp"))
+        .collect().map(_.getString(0))
+      val misses = docs.filter(col("doc_id") % 101 === 0)
+        .select(md5(concat(col("doc_id").cast("string"), lit("@absent:"),
+          col("text"))).as("fp"))
+        .collect().map(_.getString(0))
+      val probes = (hits ++ misses).toSeq
+      table.read(s,
+          dataFilters = Seq(org.apache.spark.sql.sources.In(
+            "fp", probes.toArray[Any])))
+        .filter(col("fp").isin(probes: _*))
+        .select(col("doc_id"), col("fp"))
+    }),
+
     // Link-graph centrality as a curation signal: PageRank over the
     // planted citation graph i → i div 2, i → i div 3 (deterministic at
     // every SF; parallel edges honored), 5 iterations of exact
@@ -2706,6 +2752,14 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // the probe set is exactly the %97 fingerprints (absent probes match
+    // nothing), so the answer is the direct fingerprint projection
+    "q134_bloom_skipping" ->
+      """SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || text) AS fp
+        |FROM documents
+        |WHERE doc_id % 97 = 0""".stripMargin,
 
     // 5 unrolled fixed-point iterations — the same integer ops the
     // engine runs; dangling mass dropped, ranks un-normalized (init =

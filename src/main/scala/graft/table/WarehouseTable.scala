@@ -304,6 +304,13 @@ final class WarehouseTable(val root: String) {
         val keys = mergeKeys(meta).getOrElse(Nil).toSet
         dataFilters.filter(_.references.forall(keys.contains))
       }
+    // bloom sidecars prune equality probes the min/max stats can't (a
+    // high-cardinality value scattered across dirs); same filter set as
+    // stats pruning, so the MOR key restriction carries over — and a
+    // bloom has no false negatives, so the skip is exact
+    val bloomPs = bloomParams(meta)
+    val bloomCache =
+      scala.collection.mutable.Map.empty[(String, String), Option[Array[Long]]]
     def prune(m: Map[String, List[String]]): Map[String, List[String]] = {
       val byPartition = partitions match {
         case Some(vals) =>
@@ -313,7 +320,9 @@ final class WarehouseTable(val root: String) {
       }
       if (statFilters.isEmpty) byPartition
       else byPartition.view.mapValues(_.filter(dir =>
-        manifest.stats.get(dir).forall(TableStats.mayMatch(_, statFilters))))
+        manifest.stats.get(dir).forall(TableStats.mayMatch(_, statFilters)) &&
+          (bloomPs.isEmpty ||
+            bloomMayMatch(meta, bloomPs, bloomCache, dir, statFilters))))
         .filter(_._2.nonEmpty).toMap
     }
     val baseDf = readParts(spark, meta, prune(manifest.base))
@@ -1014,6 +1023,145 @@ final class WarehouseTable(val root: String) {
       k -> (basePruned.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
     }.toMap
     commit(cur, Manifest(merged, old.deltas, statsPruned ++ stats))
+  }
+
+  // ---- bloom file-skipping index ----------------------------------------
+
+  /** Per-dir BLOOM membership index for point lookups on a NON-clustered,
+    * high-cardinality column — the skip an equality probe needs when
+    * min/max stats can't help (a content hash, a doc id scattered across
+    * every dir: each dir's [min, max] spans the whole domain, so stats
+    * prune nothing, yet any single value lives in only a few dirs). The
+    * same metadata move as Iceberg's puffin bloom sidecars.
+    *
+    * One distributed pass builds a fixed-geometry bitset per data dir
+    * ([[graft.functions.BloomBits]] — map-side partials, OR-merge) over
+    * `xxhash64(column)`; the ≤ dirs × m/8-byte results land as sidecar
+    * files under `root/bloom/` (bounded metadata, like manifests — the
+    * collect is dir-count-sized, never row-sized). A dir with no
+    * non-null values gets the all-zero bitset — every probe on it prunes.
+    *
+    * INCREMENTAL by construction: only dirs missing a sidecar are read
+    * (arrival dirs from appends/commits pick up blooms on the next
+    * refresh call; until then they are conservatively kept). Re-running
+    * is a no-op; geometry persists as table properties and a rebuild
+    * under different geometry must drop the sidecar dir first.
+    *
+    * Soundness at read time: a Bloom filter has NO false negatives, so
+    * [[read]]'s dir skip can never drop a matching row; false positives
+    * only cost a read. Only `EqualTo`/`In` (and their And/Or closures)
+    * consult the index, and only under the same MOR key restriction as
+    * stats pruning.
+    *
+    * @return number of dirs indexed by this call
+    */
+  def buildBloomIndex(
+      spark: SparkSession,
+      column: String,
+      mBits: Int = 1 << 16,
+      k: Int = 7): Int = {
+    val meta = readMeta()
+    require(meta.schema.fieldNames.contains(column),
+      s"bloom column '$column' not in schema")
+    require(!meta.partition.contains(column),
+      "bloom on the partition column is redundant - partition pruning already keys it")
+    meta.properties.get(s"bloom.$column").foreach { p =>
+      require(p == s"$mBits,$k",
+        s"bloom index for '$column' was built with geometry $p but this " +
+          s"call passed $mBits,$k — drop root/bloom first to rebuild")
+    }
+    val manifest = readManifest(currentSnapshotId)
+    val dirs = (manifest.base.values.flatten ++
+      manifest.deltas.flatMap(_.data.values.flatten)).toList.distinct
+    val missing = dirs.filterNot(d => Files.exists(bloomFile(column, d)))
+    if (missing.nonEmpty) {
+      val dt = meta.schema(column).dataType
+      val perDir = missing.map { rel =>
+        spark.read.parquet(s"$root/$rel")
+          .where(col(column).isNotNull)
+          .select(lit(rel).as("__dir"),
+            xxhash64(col(column).cast(dt)).as("__h"))
+      }.reduce(_ unionByName _)
+      val built = perDir.groupBy(col("__dir"))
+        .agg(graft.functions.BloomBits(col("__h"), mBits, k).as("bits"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      Files.createDirectories(bloomDir(column))
+      missing.foreach { rel =>
+        // a dir with zero non-null values drops out of the aggregation:
+        // its bloom is all zeros, which (correctly) prunes every probe
+        val bytes = built.getOrElse(rel, new Array[Byte](mBits / 8))
+        Files.write(bloomFile(column, rel), bytes)
+      }
+    }
+    setProperties(Map(s"bloom.$column" -> s"$mBits,$k"))
+    missing.size
+  }
+
+  private def bloomDir(column: String): Path = {
+    val enc = column.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(column.getBytes(StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+    rootPath.resolve("bloom").resolve(enc)
+  }
+
+  private def bloomFile(column: String, relDir: String): Path =
+    bloomDir(column).resolve(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(relDir.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString + ".bits")
+
+  /** Bloom-indexed columns and their (mBits, k) geometry. */
+  private def bloomParams(meta: Meta): Map[String, (Int, Int)] =
+    meta.properties.collect {
+      case (key, v) if key.startsWith("bloom.") =>
+        val parts = v.split(",")
+        key.stripPrefix("bloom.") -> ((parts(0).toInt, parts(1).toInt))
+    }
+
+  /** Driver-side hash of a filter literal — the SAME xxhash64 (seed 42)
+    * the build pass computed executor-side, via the identical catalyst
+    * hash function, so probe and build cannot drift.
+    */
+  private def bloomHash(v: Any, dt: DataType): Long = {
+    val internal =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(internal, dt, 42L)
+  }
+
+  /** Can `relDir` hold a row satisfying ALL `filters`, per its bloom
+    * sidecars? Missing sidecar / non-equality shapes answer "yes".
+    */
+  private def bloomMayMatch(
+      meta: Meta,
+      params: Map[String, (Int, Int)],
+      cache: scala.collection.mutable.Map[(String, String), Option[Array[Long]]],
+      relDir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources
+    def bits(c: String): Option[Array[Long]] =
+      cache.getOrElseUpdate((c, relDir), {
+        val f = bloomFile(c, relDir)
+        if (Files.exists(f))
+          Some(graft.functions.BloomBits.fromBytes(Files.readAllBytes(f)))
+        else None
+      })
+    def one(f: sources.Filter): Boolean = f match {
+      case sources.EqualTo(c, v) if v != null && params.contains(c) &&
+          meta.schema.fieldNames.contains(c) =>
+        bits(c).forall { b =>
+          val (m, kk) = params(c)
+          graft.functions.BloomBits.mayContain(
+            b, m, kk, bloomHash(v, meta.schema(c).dataType))
+        }
+      case sources.In(c, vs) if params.contains(c) =>
+        vs.isEmpty || vs.exists(v => one(sources.EqualTo(c, v)))
+      case sources.And(l, r) => one(l) && one(r)
+      case sources.Or(l, r) => one(l) || one(r)
+      case _ => true
+    }
+    filters.forall(one)
   }
 
   /** Interleave per-column level codes into a z-value: bit b of column k

@@ -510,6 +510,59 @@ class WarehouseTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom index: equality probes skip dirs stats cannot; no false negatives; incremental refresh") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, In}
+    val t = WarehouseTable(tmpDir("bloomix"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("key", StringType)))
+    t.create(sch, None, Map.empty)
+    // 4 dirs, each spanning the FULL id range with interleaved keys —
+    // min/max stats can never prune an equality probe on `key`
+    def wave(w: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (w until 1000 by 4).map(i => Row(i, s"k$i")), 1), sch)
+    (0 until 4).foreach(w => t.append(wave(w)))
+    assert(t.buildBloomIndex(spark, "key") == 4)
+    val all = t.read(spark).inputFiles.length
+    // present key: only its own dir survives the bloom skip
+    val hit = t.read(spark, dataFilters = Seq(EqualTo("key", "k10")))
+    assert(hit.inputFiles.length < all)
+    assert(hit.filter(col("key") === "k10").collect().map(_.getInt(0)).toSeq
+      == Seq(10))
+    // absent key: everything prunes, answer stays exact (empty)
+    val miss = t.read(spark, dataFilters = Seq(EqualTo("key", "nope")))
+    assert(miss.inputFiles.isEmpty &&
+      miss.filter(col("key") === "nope").isEmpty)
+    // In over two dirs' keys keeps (at most) those two dirs
+    val in2 = t.read(spark,
+      dataFilters = Seq(In("key", Array[Any]("k1", "k2"))))
+    assert(in2.inputFiles.length <= 2)
+    assert(in2.filter(col("key").isin("k1", "k2"))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // composes with stats pruning under And
+    val both = t.read(spark,
+      dataFilters = Seq(And(EqualTo("key", "k10"), GreaterThan("id", 5))))
+    assert(both.inputFiles.length < all)
+    // an un-bloomed arrival dir is conservatively kept: answers stay
+    // exact for keys in it, then the refresh indexes ONLY the new dir
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5000, "fresh")), 1), sch))
+    val freshHit = t.read(spark, dataFilters = Seq(EqualTo("key", "fresh")))
+    assert(freshHit.filter(col("key") === "fresh")
+      .collect().map(_.getInt(0)).toSeq == Seq(5000))
+    assert(t.buildBloomIndex(spark, "key") == 1)
+    assert(t.buildBloomIndex(spark, "key") == 0) // re-run: no-op
+    assert(t.read(spark, dataFilters = Seq(EqualTo("key", "fresh")))
+      .inputFiles.length < t.read(spark).inputFiles.length)
+    // geometry is part of the index format
+    intercept[IllegalArgumentException] {
+      t.buildBloomIndex(spark, "key", mBits = 1 << 12)
+    }
+  }
+
   test("clusterAppend with batchId: replays replace their own dirs — same-id and crash-retry converge") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("clapp_bid"))
