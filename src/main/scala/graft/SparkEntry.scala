@@ -2273,6 +2273,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Unicode script profiling: per-doc script-block counts, dominant
+    // script (first-at-max tie rule), mixed-script flag. Fixture docs
+    // are ASCII, so Cyrillic/CJK mass is planted deterministically
+    // in-gate (engine-identical literals, the q119 planting rule).
+    "q135_script_mix" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(" привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" 你好世界")).otherwise(lit("")))
+          .as("text"))
+      graft.operators.ScriptDetect.profile(planted, "text").drop("text")
+    }),
+
     // Bloom file-skipping point lookups: a batch of content-hash probes
     // (half present, half absent) against the bloom-indexed table —
     // the sidecars name the only dirs that can hold each hash, stats
@@ -2752,6 +2765,43 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // same planted literals; dominant = first class at the max count
+    "q135_script_mix" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' привет мир' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' 你好世界' ELSE '' END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS INT)
+        |      AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS INT)
+        |      AS n_cjk,
+        |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS INT)
+        |      AS n_arabic,
+        |    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS INT)
+        |      AS n_greek
+        |  FROM p
+        |), m AS (
+        |  SELECT *, greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek)
+        |    AS mx FROM c
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
+        |  CASE WHEN n_latin > 0 AND n_latin = mx THEN 'latin'
+        |       WHEN n_cyrillic > 0 AND n_cyrillic = mx THEN 'cyrillic'
+        |       WHEN n_cjk > 0 AND n_cjk = mx THEN 'cjk'
+        |       WHEN n_arabic > 0 AND n_arabic = mx THEN 'arabic'
+        |       WHEN n_greek > 0 AND n_greek = mx THEN 'greek'
+        |       ELSE 'none' END AS dominant,
+        |  ((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2) AS mixed
+        |FROM m""".stripMargin,
 
     // the probe set is exactly the %97 fingerprints (absent probes match
     // nothing), so the answer is the direct fingerprint projection

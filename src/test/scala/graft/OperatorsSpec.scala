@@ -1487,4 +1487,28 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(replay == inc)
   }
+
+  test("ScriptDetect.profile: block counts, first-at-max dominance, letters-only mixed flag") {
+    import spark.implicits._
+    import graft.operators.ScriptDetect
+    val docs = Seq(
+      (1L, "hello мир"),        // latin 5, cyr 3 -> latin dominant, mixed
+      (2L, "привет"),           // pure cyrillic, not mixed
+      (3L, "你好 world 你好"),   // latin 5 > cjk 4 -> latin
+      (4L, "abc где"),          // 3 vs 3 tie -> FIRST class (latin) wins
+      (5L, "12345 !!!"),        // nothing scripted -> none, not mixed
+      (6L, "αβγ γδε 123")       // greek only; digits don't make it mixed
+    ).toDF("doc_id", "text")
+    val out = ScriptDetect.profile(docs, "text")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_cjk", "n_greek",
+        "dominant", "mixed")
+      .as[(Long, Int, Int, Int, Int, String, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 5, 3, 0, 0, "latin", true)))
+    assert(out(1) == ((2L, 0, 6, 0, 0, "cyrillic", false)))
+    assert(out(2) == ((3L, 5, 0, 4, 0, "latin", true)))
+    assert(out(3) == ((4L, 3, 3, 0, 0, "latin", true)))
+    assert(out(4) == ((5L, 0, 0, 0, 0, "none", false)))
+    assert(out(5) == ((6L, 0, 0, 0, 6, "greek", false)))
+  }
 }
