@@ -228,6 +228,19 @@ object SparkEntry {
     table
   }
 
+  /** q136's ORC landing fixture: the events table written once as ORC —
+    * the other columnar interchange format a landing zone actually
+    * receives (Spark's native vectorized ORC path; no extra deps).
+    * Memoized per (JVM, sfDir).
+    */
+  private def q136OrcDir(s: SparkSession, dir: String): String = {
+    val root = scratchPath("q136", dir)
+    if (atRestBuilt.add(root)) {
+      t(s, dir, "events").write.mode("overwrite").orc(root)
+    }
+    root
+  }
+
   private def q66Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q66", dir)
     val table = graft.table.WarehouseTable(wh)
@@ -2273,6 +2286,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Ingest contracts (the DLT-expectation layer): planted violations —
+    // re-crawl duplicate fingerprints, nulled langs, negated lengths —
+    // tagged per row with the broken rules, never dropped. Row rules are
+    // map-side; the uniqueness rule is the one honest shuffle (count per
+    // fp joined back on fp).
+    "q137_contracts" -> ((s, dir) => {
+      val C = graft.operators.Contracts
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val un = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("lang"),
+          col("text"), col("n_chars")))
+      val planted = un
+        .withColumn("lang", when(col("doc_id") % 19 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("n_chars", when(col("doc_id") % 23 === 0,
+          -col("n_chars")).otherwise(col("n_chars")))
+        .withColumn("fp", md5(col("text")))
+      val flagged = C.withDupFlag(planted, "fp", "dup")
+      C.tag(flagged, Seq(
+          C.notNull("lang_null", col("lang")),
+          C.inRange("chars_range", col("n_chars"), 1L, 1000000L),
+          C.Rule("dup_fp", col("dup"))))
+        .select(col("doc_id"), col("violations"), col("clean"))
+    }),
+
+    // ORC format surface: the events table round-trips through ORC
+    // (longs, strings, doubles — Spark's vectorized ORC reader) and the
+    // aggregate over the ORC copy must equal DuckDB's over the parquet
+    // original: byte-faithful interchange, proven by hash equality.
+    "q136_orc_roundtrip" -> ((s, dir) => {
+      s.read.orc(q136OrcDir(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          min(expr("ts div 1000")).as("min_ts_us"),
+          max(expr("ts div 1000")).as("max_ts_us"))
+    }),
+
     // Unicode script profiling: per-doc script-block counts, dominant
     // script (first-at-max tie rule), mixed-script flag. Fixture docs
     // are ASCII, so Cyrillic/CJK mass is planted deterministically
@@ -2765,6 +2817,40 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // concat_ws skips NULL branches in both engines; '' = clean
+    "q137_contracts" ->
+      """WITH un AS (
+        |  SELECT doc_id, lang, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, lang, text, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 23 = 0 THEN -n_chars ELSE n_chars END
+        |      AS n_chars,
+        |    md5(text) AS fp
+        |  FROM un
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY fp) > 1 AS dup FROM p
+        |), v AS (
+        |  SELECT doc_id, concat_ws(',',
+        |    CASE WHEN lang IS NULL THEN 'lang_null' END,
+        |    CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000
+        |         THEN 'chars_range' END,
+        |    CASE WHEN dup THEN 'dup_fp' END) AS violations
+        |  FROM d
+        |)
+        |SELECT doc_id, violations, violations = '' AS clean FROM v""".stripMargin,
+
+    // oracle reads the parquet ORIGINAL — equality proves the ORC copy
+    "q136_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_us(ts)) AS min_ts_us,
+        |  max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
 
     // same planted literals; dominant = first class at the max count
     "q135_script_mix" ->

@@ -1488,6 +1488,48 @@ class OperatorsSpec extends SparkSpec {
     assert(replay == inc)
   }
 
+  test("Contracts: multi-rule tags in rule order, dup flag, zero-row summary for clean rules") {
+    import spark.implicits._
+    import graft.operators.Contracts
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some("en"), 10L, "x"),
+      (2L, None: Option[String], -5L, "y"),  // null lang AND bad range
+      (3L, Some("zz"), 20L, "x"),            // not in set; dup key with 1
+      (4L, Some("en"), 2000000L, "w")        // over range
+    ).toDF("id", "lang", "n", "key")
+    val rules = Seq(
+      Contracts.notNull("lang_null", col("lang")),
+      Contracts.inRange("range", col("n"), 1L, 1000000L),
+      Contracts.inSet("lang_set", col("lang"), Seq("en", "de")),
+      Contracts.Rule("dup", col("dup")))
+    val tagged = Contracts.tag(
+      Contracts.withDupFlag(df, "key", "dup"), rules)
+    val out = tagged.select("id", "violations", "clean")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, "dup", false)))
+    // violations join in RULE order, not alphabetically; null lang also
+    // fails the set rule (null is never in the set)
+    assert(out(1) == ((2L, "lang_null,range,lang_set", false)))
+    assert(out(2) == ((3L, "lang_set,dup", false)))
+    assert(out(3) == ((4L, "range", false)))
+    // '' is the clean spelling — never NULL
+    assert(tagged.filter(col("violations").isNull).isEmpty)
+    val sums = Contracts.summary(tagged, rules)
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("lang_null" -> 1L, "range" -> 2L,
+      "lang_set" -> 2L, "dup" -> 2L))
+    // a rule nothing violates still reports an explicit zero
+    val clean = Contracts.tag(
+      Seq((9L, "ok")).toDF("id", "s"),
+      Seq(Contracts.matches("shape", col("s"), "^[a-z]+$")))
+    assert(clean.select("clean").as[Boolean].collect().toSeq == Seq(true))
+    val zs = Contracts.summary(clean,
+      Seq(Contracts.matches("shape", col("s"), "^[a-z]+$")))
+      .as[(String, Long)].collect().toMap
+    assert(zs == Map("shape" -> 0L))
+  }
+
   test("ScriptDetect.profile: block counts, first-at-max dominance, letters-only mixed flag") {
     import spark.implicits._
     import graft.operators.ScriptDetect
