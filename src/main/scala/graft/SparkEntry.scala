@@ -2286,6 +2286,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Right-to-be-forgotten cascade: %13 subjects deleted from the
+    // corpus AND both derived tables (fingerprints; a (doc, part)-keyed
+    // aux table) in one partition-pruned pass each; the output joins the
+    // survivors against both derived row sets, so equality with the
+    // oracle proves the cascade deleted everywhere and ONLY there.
+    "q138_forget" -> ((s, dir) => {
+      val whRoot = scratchPath("q138", dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def freshTable(name: String, df: DataFrame): graft.table.WarehouseTable = {
+        val wt = graft.table.WarehouseTable(s"$whRoot/$name")
+        wt.drop(); wt.create(df.schema, None, Map.empty); wt.append(df); wt
+      }
+      val corpus = freshTable("corpus", docs)
+      val fps = freshTable("fps",
+        docs.select(col("doc_id"), md5(col("text")).as("fp")))
+      val aux = freshTable("aux", docs.select(col("doc_id"),
+        explode(array(lit(0), lit(1))).as("part")))
+      val F = graft.pipeline.Forget
+      val ids = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      F.forget(s, ids, Seq(
+        F.Target(corpus, "doc_id"),
+        F.Target(fps, "doc_id"),
+        F.Target(aux, "doc_id", keys = Seq("doc_id", "part"))))
+      // replay of the same request: matches nothing, changes nothing
+      F.forget(s, ids, Seq(F.Target(corpus, "doc_id")))
+      corpus.read(s).select(col("doc_id"))
+        .join(fps.read(s).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp")), Seq("doc_id"))
+        .join(aux.read(s).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_aux")), Seq("doc_id"))
+    }),
+
     // Ingest contracts (the DLT-expectation layer): planted violations —
     // re-crawl duplicate fingerprints, nulled langs, negated lengths —
     // tagged per row with the broken rules, never dropped. Row rules are
@@ -2817,6 +2849,11 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // survivors keep exactly their derived rows; forgotten ids have none
+    "q138_forget" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_fp, CAST(2 AS BIGINT) AS n_aux
+        |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
 
     // concat_ws skips NULL branches in both engines; '' = clean
     "q137_contracts" ->

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten CASCADE — deletion requests propagated across a
+  * corpus table AND every derived artifact that carries the subject's
+  * rows (chunk tables, fingerprint tables, at-rest index slices): the
+  * data-governance primitive a training-data platform must run, because
+  * deleting a document from the corpus while its chunks keep feeding the
+  * packer is not deletion.
+  *
+  * Each target table is cleaned by the same partition-pruned machinery
+  * every other commit here uses: the id set (request-sized, never
+  * corpus-sized) LEFT-SEMI joins the table to recover the doomed rows,
+  * and a keyed merge-delete rewrites ONLY the partitions holding them —
+  * COW tables rewrite those partitions' dirs, MOR tables land equality
+  * tombstones. Untouched partitions survive byte-identical. Replay is
+  * idempotent: re-deleting absent keys matches nothing and commits
+  * nothing new.
+  *
+  * Returns per-table deleted-row counts — the audit receipt a deletion
+  * request needs (proving "0 rows remained" is as important as the
+  * delete itself).
+  */
+object Forget {
+
+  /** One cascade target: `idCol` is the column carrying the subject id;
+    * `keys` identify a row for the merge-delete (default: the id alone —
+    * right for one-row-per-subject tables; index tables keyed
+    * (id, band/cell/chunk) pass their full key so every slice row dies).
+    */
+  final case class Target(
+      table: graft.table.WarehouseTable,
+      idCol: String,
+      keys: Seq[String] = Nil) {
+    def keyCols: Seq[String] = if (keys.isEmpty) Seq(idCol) else keys
+  }
+
+  /** Delete every row of every target whose `idCol` is in `ids` (a
+    * one-column frame; column name is irrelevant). Returns
+    * table-root → rows deleted there.
+    */
+  def forget(
+      spark: SparkSession,
+      ids: DataFrame,
+      targets: Seq[Target]): Map[String, Long] = {
+    require(ids.columns.length == 1, "ids must be a single-column frame")
+    targets.map { t =>
+      val keyed = ids.select(col(ids.columns.head).as(t.idCol)).distinct()
+      val doomed = t.table.read(spark)
+        .join(keyed, Seq(t.idCol), "left_semi")
+        .localCheckpoint() // the merge re-reads the table; pin the row set
+      val n = doomed.count()
+      if (n > 0)
+        t.table.merge(spark, doomed, t.keyCols, deleteWhere = Some(lit(true)))
+      t.table.root -> n
+    }.toMap
+  }
+}
