@@ -228,6 +228,32 @@ object SparkEntry {
     table
   }
 
+  /** q137/q139's shared contracts pipeline: the planted-violation corpus
+    * (re-crawl dups, nulled langs, negated lengths) tagged under the
+    * standard rule set. Returns (tagged frame, rules).
+    */
+  private def q137Tagged(
+      s: SparkSession, dir: String): (DataFrame, Seq[graft.operators.Contracts.Rule]) = {
+    val C = graft.operators.Contracts
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val un = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("lang"),
+        col("text"), col("n_chars")))
+    val planted = un
+      .withColumn("lang", when(col("doc_id") % 19 === 0,
+        lit(null).cast("string")).otherwise(col("lang")))
+      .withColumn("n_chars", when(col("doc_id") % 23 === 0,
+        -col("n_chars")).otherwise(col("n_chars")))
+      .withColumn("fp", md5(col("text")))
+    val flagged = C.withDupFlag(planted, "fp", "dup")
+    val rules = Seq(
+      C.notNull("lang_null", col("lang")),
+      C.inRange("chars_range", col("n_chars"), 1L, 1000000L),
+      C.Rule("dup_fp", col("dup")))
+    (C.tag(flagged, rules), rules)
+  }
+
   /** q136's ORC landing fixture: the events table written once as ORC —
     * the other columnar interchange format a landing zone actually
     * receives (Spark's native vectorized ORC path; no extra deps).
@@ -2323,25 +2349,16 @@ object SparkEntry {
     // tagged per row with the broken rules, never dropped. Row rules are
     // map-side; the uniqueness rule is the one honest shuffle (count per
     // fp joined back on fp).
-    "q137_contracts" -> ((s, dir) => {
-      val C = graft.operators.Contracts
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
-      val un = base.unionByName(base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + PlantOffset).as("doc_id"), col("lang"),
-          col("text"), col("n_chars")))
-      val planted = un
-        .withColumn("lang", when(col("doc_id") % 19 === 0,
-          lit(null).cast("string")).otherwise(col("lang")))
-        .withColumn("n_chars", when(col("doc_id") % 23 === 0,
-          -col("n_chars")).otherwise(col("n_chars")))
-        .withColumn("fp", md5(col("text")))
-      val flagged = C.withDupFlag(planted, "fp", "dup")
-      C.tag(flagged, Seq(
-          C.notNull("lang_null", col("lang")),
-          C.inRange("chars_range", col("n_chars"), 1L, 1000000L),
-          C.Rule("dup_fp", col("dup"))))
-        .select(col("doc_id"), col("violations"), col("clean"))
+    "q137_contracts" -> ((s, dir) =>
+      q137Tagged(s, dir)._1
+        .select(col("doc_id"), col("violations"), col("clean"))),
+
+    // The audit half of the same gate: per-rule violation totals, with
+    // explicit zero rows (a missing rule must read as "never checked",
+    // not "clean") — one explode + rule-keyed aggregation.
+    "q139_contract_summary" -> ((s, dir) => {
+      val (tagged, rules) = q137Tagged(s, dir)
+      graft.operators.Contracts.summary(tagged, rules)
     }),
 
     // ORC format surface: the events table round-trips through ORC
@@ -2854,6 +2871,36 @@ object SparkEntry {
     "q138_forget" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_fp, CAST(2 AS BIGINT) AS n_aux
         |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
+
+    // same planted pipeline, aggregated per rule with explicit zeros
+    "q139_contract_summary" ->
+      """WITH un AS (
+        |  SELECT doc_id, lang, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, lang, text, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 23 = 0 THEN -n_chars ELSE n_chars END
+        |      AS n_chars,
+        |    md5(text) AS fp
+        |  FROM un
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY fp) > 1 AS dup FROM p
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lang_null,
+        |    CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+        |                       OR n_chars > 1000000
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS chars_range,
+        |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_fp
+        |  FROM d
+        |)
+        |SELECT 'lang_null' AS rule, lang_null AS n_violations FROM c
+        |UNION ALL SELECT 'chars_range', chars_range FROM c
+        |UNION ALL SELECT 'dup_fp', dup_fp FROM c""".stripMargin,
 
     // concat_ws skips NULL branches in both engines; '' = clean
     "q137_contracts" ->

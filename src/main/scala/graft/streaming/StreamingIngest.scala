@@ -1453,6 +1453,52 @@ object StreamingIngest {
       .start()
   }
 
+  /** Ingest contracts as a STREAMING stage — the q137 expectation layer
+    * ([[graft.operators.Contracts.tag]]) run per micro-batch at the
+    * landing zone: every row is tagged with the rules it breaks, clean
+    * rows land under `out/clean/`, violating rows under
+    * `out/quarantine/` WITH their tags (tag-don't-drop — quarantine is
+    * reviewable, reprocessable, and auditable). Row rules are pure
+    * map-side predicates, so the stage is stateless and the
+    * batch-id-keyed overwrite replays idempotently. Corpus-level rules
+    * (uniqueness) deliberately stay batch-scoped here: a cross-batch
+    * unique check is the at-rest dedup family's job (stages 26/27), not
+    * a row gate's.
+    */
+  def startContractsGate(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      rules: Seq[graft.operators.Contracts.Rule],
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tagged = graft.operators.Contracts.tag(batch, rules)
+          .localCheckpoint() // one evaluation feeds both sinks
+        tagged.filter(org.apache.spark.sql.functions.col("clean"))
+          .drop("violations", "clean")
+          .write.mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
+        tagged.filter(!org.apache.spark.sql.functions.col("clean"))
+          .drop("clean")
+          .write.mode("overwrite").parquet(s"$outDir/quarantine/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Markup scrubbing as a STREAMING stage — the q119 extraction
     * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
     * fixed-order entity decode, whitespace canonicalized) applied at

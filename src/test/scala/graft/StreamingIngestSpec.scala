@@ -1099,6 +1099,45 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == oneShot)
   }
 
+  test("streaming contracts gate: clean/quarantine split equals the batch tag; tags travel with quarantined rows") {
+    import spark.implicits._
+    import graft.operators.Contracts
+    val rows = Seq(
+      (1L, "en", 10L), (2L, null.asInstanceOf[String], 20L),
+      (3L, "de", -4L), (4L, "fr", 30L), (5L, null.asInstanceOf[String], -1L)
+    )
+    val src = rows.toDF("id", "lang", "n")
+    val landing = tmpDir("cgate_land")
+    val staging = tmpDir("cgate_stage") + "/files"
+    src.repartition(2).write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, Paths.get(s"$landing/f$i.parquet"))
+      }
+    def rules = Seq(
+      Contracts.notNull("lang_null", col("lang")),
+      Contracts.inRange("range", col("n"), 1L, 1000L))
+    val outDir = tmpDir("cgate_out")
+    val q = StreamingIngest.startContractsGate(
+      spark, landing, src.schema, "parquet", Map.empty, rules,
+      outDir, checkpointDir = tmpDir("cgate_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val clean = spark.read.parquet(s"$outDir/clean/batch=*")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(1L, 4L))
+    val quar = spark.read.parquet(s"$outDir/quarantine/batch=*")
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(quar == Map(2L -> "lang_null", 3L -> "range",
+      5L -> "lang_null,range"))
+    // stream split ≡ batch tag partition
+    val batchTag = Contracts.tag(src, rules)
+    assert(batchTag.filter(col("clean")).select("id").as[Long]
+      .collect().sorted.toSeq == clean)
+    assert(batchTag.filter(!col("clean")).select("id", "violations")
+      .as[(Long, String)].collect().toMap == quar)
+  }
+
   test("streaming clustered writer: arrivals keep the layout's pruning; fresh-checkpoint replay changes nothing") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
