@@ -59,9 +59,17 @@ object ScaleUp {
     copies(customer) { (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * ckStride))
     }.write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    // dims stay fixed (TPC-H scaling: nation/region are constant-size)
-    spark.read.parquet(s"$src/nation.parquet")
-      .write.mode("overwrite").parquet(s"$dst/nation.parquet")
+    // dims stay fixed (TPC-H scaling: nation/region are constant-size;
+    // part/supplier stay fixed here because lineitem's l_partkey /
+    // l_suppkey are NOT offset — per-part/supplier group sizes grow
+    // ×factor, which is the interesting stress for the correlated-agg
+    // and join shapes that touch them)
+    Seq("nation", "region", "part", "supplier").foreach { d =>
+      val p = new java.io.File(s"$src/$d.parquet")
+      if (p.exists())
+        spark.read.parquet(p.toString)
+          .write.mode("overwrite").parquet(s"$dst/$d.parquet")
+    }
 
     // ---- events (nanos ts read via explicit long schema) -----------------
     import org.apache.spark.sql.types._
