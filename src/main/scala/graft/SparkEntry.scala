@@ -2312,6 +2312,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // Distribution drift alarm: an arrival batch (every 3rd doc, with
+    // one source's lengths DOUBLED — planted drift) against the frozen
+    // reference bucket model. Doubling shifts every value's exponent,
+    // so the planted source's mass relocates to disjoint geometric
+    // buckets (TVD → 1) while unplanted sources stay put; the alarm is
+    // decided in exact integers (4·num > den), no float anywhere.
+    "q140_drift" -> ((s, dir) => {
+      val D = graft.operators.Drift
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val ref = D.bucketCounts(docs, Seq("source"), "n_chars", bits = 4)
+      val drifter = docs.agg(min(col("source"))).head().getString(0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", when(col("source") === drifter,
+          col("n_chars") * 2).otherwise(col("n_chars")))
+      D.tvd(ref, D.bucketCounts(batch, Seq("source"), "n_chars", bits = 4),
+          Seq("source"))
+        .select(col("source"),
+          col("tv_num").cast("long").as("tv_num"),
+          col("tv_den").cast("long").as("tv_den"),
+          col("n_buckets"), col("drifted"))
+    }),
+
     // Right-to-be-forgotten cascade: %13 subjects deleted from the
     // corpus AND both derived tables (fingerprints; a (doc, part)-keyed
     // aux table) in one partition-pruned pass each; the output joins the
@@ -2866,6 +2889,52 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY a.user_id""".stripMargin,
+
+    // same q90 bucket spelling, add-one smoothing over the union bucket
+    // set, exact cross-multiplied TVD — no division, no ln
+    "q140_drift" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents
+        |), ms AS (SELECT min(source) AS s FROM documents),
+        |bref AS (
+        |  SELECT source,
+        |    CAST(sign(v) AS BIGINT) * ((abs(v) >> sh) << sh) AS bucket,
+        |    count(*) AS ra
+        |  FROM (SELECT *, greatest(0, length(bin(abs(v))) - 4) AS sh
+        |        FROM docs)
+        |  GROUP BY 1, 2
+        |), bat0 AS (
+        |  SELECT source,
+        |    CASE WHEN source = (SELECT s FROM ms) THEN v * 2 ELSE v END AS v
+        |  FROM docs WHERE doc_id % 3 = 0
+        |), bbat AS (
+        |  SELECT source,
+        |    CAST(sign(v) AS BIGINT) * ((abs(v) >> sh) << sh) AS bucket,
+        |    count(*) AS rb
+        |  FROM (SELECT *, greatest(0, length(bin(abs(v))) - 4) AS sh
+        |        FROM bat0)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT source, bucket, coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb
+        |  FROM bref FULL OUTER JOIN bbat USING (source, bucket)
+        |), t AS (
+        |  SELECT source, sum(ra) AS ta, sum(rb) AS tb,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT j.source,
+        |  CAST(sum(abs((j.ra + 1) * (t.tb + t.nb)
+        |              - (j.rb + 1) * (t.ta + t.nb))) AS BIGINT) AS tv_num,
+        |  CAST(2 * (max(t.ta) + max(t.nb)) * (max(t.tb) + max(t.nb))
+        |    AS BIGINT) AS tv_den,
+        |  max(t.nb) AS n_buckets,
+        |  4 * CAST(sum(abs((j.ra + 1) * (t.tb + t.nb)
+        |                 - (j.rb + 1) * (t.ta + t.nb))) AS BIGINT)
+        |    > CAST(2 * (max(t.ta) + max(t.nb)) * (max(t.tb) + max(t.nb))
+        |        AS BIGINT) AS drifted
+        |FROM j JOIN t USING (source)
+        |GROUP BY 1""".stripMargin,
 
     // survivors keep exactly their derived rows; forgotten ids have none
     "q138_forget" ->

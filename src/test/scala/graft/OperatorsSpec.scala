@@ -1488,6 +1488,50 @@ class OperatorsSpec extends SparkSpec {
     assert(replay == inc)
   }
 
+  test("Drift.tvd: identical distributions score near zero, disjoint near one; alarm threshold exact") {
+    import spark.implicits._
+    import graft.operators.Drift
+    import org.apache.spark.sql.functions.col
+    def counts(rows: Seq[(String, Long)]) = Drift.bucketCounts(
+      rows.toDF("k", "v"), Seq("k"), "v", bits = 4)
+    // identical reference and batch -> every cross-term cancels, num = 0
+    val same = Seq(("a", 10L), ("a", 20L), ("a", 300L), ("a", 300L))
+      .map(x => (x._1, x._2))
+    val self = Drift.tvd(counts(same), counts(same), Seq("k"))
+      .select("tv_num", "drifted").as[(java.math.BigDecimal, Boolean)]
+      .collect().head
+    assert(self._1.longValueExact == 0L && !self._2)
+    // fully disjoint buckets -> TVD near 1 (smoothing keeps it < 1)
+    val ref = Seq(("a", 16L), ("a", 17L), ("a", 16L))
+    val far = Seq(("a", 4096L), ("a", 4097L), ("a", 4100L))
+    val d = Drift.tvd(counts(ref), counts(far), Seq("k"))
+      .select("tv_num", "tv_den", "drifted")
+      .as[(java.math.BigDecimal, java.math.BigDecimal, Boolean)]
+      .collect().head
+    val tvd = d._1.doubleValue / d._2.doubleValue
+    assert(tvd > 0.5 && d._3)
+    // hand-check the exact integers on a tiny asymmetric case:
+    // ref {b16:2} batch {b16:1, b4096:1}; union B=2
+    // a-side: (2+1,0+1) vs (1+1,1+1); Ta=2, Tb=2, taB=tbB=4
+    // terms: |3*4-2*4| + |1*4-2*4| = 4+4 = 8; den = 2*4*4 = 32
+    val h = Drift.tvd(
+      counts(Seq(("a", 16L), ("a", 17L))),
+      counts(Seq(("a", 16L), ("a", 4096L))), Seq("k"))
+      .select("tv_num", "tv_den", "n_buckets", "drifted")
+      .as[(java.math.BigDecimal, java.math.BigDecimal, Long, Boolean)]
+      .collect().head
+    assert(h._1.longValueExact == 8L && h._2.longValueExact == 32L)
+    assert(h._3 == 2L && !h._4) // 4*8 = 32 is NOT > 32: threshold strict
+    // a key present only in the reference still reports a row; with one
+    // bucket, the empty batch smooths to the SAME shape (TVD compares
+    // proportions, not volume) — no alarm, but the row is there to read
+    val only = Drift.tvd(
+      counts(Seq(("a", 16L), ("b", 16L))),
+      counts(Seq(("a", 16L))), Seq("k"))
+      .select("k", "drifted").as[(String, Boolean)].collect().toMap
+    assert(only.keySet == Set("a", "b") && !only("b"))
+  }
+
   test("Contracts: multi-rule tags in rule order, dup flag, zero-row summary for clean rules") {
     import spark.implicits._
     import graft.operators.Contracts
