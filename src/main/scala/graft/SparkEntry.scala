@@ -2335,6 +2335,43 @@ object SparkEntry {
           col("n_buckets"), col("drifted"))
     }),
 
+    // The drift reference AT REST: the frozen bucket model maintained
+    // incrementally (IncrementalRollup over (source, bucket) — counts
+    // are mergeable sums) from two corpus halves with an in-gate
+    // replayed commit, then the SAME batch comparison as q140. Equality
+    // with q140's direct-reference answer proves the maintained model
+    // is the model — drift monitoring composes with continuous
+    // ingestion at arrival-bound upkeep cost.
+    "q141_drift_at_rest" -> ((s, dir) => {
+      val D = graft.operators.Drift
+      val R = graft.operators.IncrementalRollup
+      val wh = scratchPath("q141", dir) + "/ref_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val cut = docs.agg((max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def half(p: Column): DataFrame =
+        D.bucketCounts(docs.filter(p), Seq("source"), "n_chars", bits = 4)
+          .select(col("source"), col("bucket"), col("cnt"))
+      val keys = Seq("source", "bucket")
+      R.commit(s, half(col("doc_id") <= cut), keys, Map("cnt" -> "sum"), table, 1L)
+      R.commit(s, half(col("doc_id") > cut), keys, Map("cnt" -> "sum"), table, 2L)
+      R.commit(s, half(col("doc_id") > cut), keys, Map("cnt" -> "sum"), table, 2L)
+      val ref = R.read(s, table).select(col("source"), col("bucket"), col("cnt"))
+      val drifter = docs.agg(min(col("source"))).head().getString(0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", when(col("source") === drifter,
+          col("n_chars") * 2).otherwise(col("n_chars")))
+      D.tvd(ref, D.bucketCounts(batch, Seq("source"), "n_chars", bits = 4),
+          Seq("source"))
+        .select(col("source"),
+          col("tv_num").cast("long").as("tv_num"),
+          col("tv_den").cast("long").as("tv_den"),
+          col("n_buckets"), col("drifted"))
+    }),
+
     // Right-to-be-forgotten cascade: %13 subjects deleted from the
     // corpus AND both derived tables (fingerprints; a (doc, part)-keyed
     // aux table) in one partition-pruned pass each; the output joins the
@@ -2892,49 +2929,12 @@ object SparkEntry {
 
     // same q90 bucket spelling, add-one smoothing over the union bucket
     // set, exact cross-multiplied TVD — no division, no ln
-    "q140_drift" ->
-      """WITH docs AS (
-        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
-        |  FROM documents
-        |), ms AS (SELECT min(source) AS s FROM documents),
-        |bref AS (
-        |  SELECT source,
-        |    CAST(sign(v) AS BIGINT) * ((abs(v) >> sh) << sh) AS bucket,
-        |    count(*) AS ra
-        |  FROM (SELECT *, greatest(0, length(bin(abs(v))) - 4) AS sh
-        |        FROM docs)
-        |  GROUP BY 1, 2
-        |), bat0 AS (
-        |  SELECT source,
-        |    CASE WHEN source = (SELECT s FROM ms) THEN v * 2 ELSE v END AS v
-        |  FROM docs WHERE doc_id % 3 = 0
-        |), bbat AS (
-        |  SELECT source,
-        |    CAST(sign(v) AS BIGINT) * ((abs(v) >> sh) << sh) AS bucket,
-        |    count(*) AS rb
-        |  FROM (SELECT *, greatest(0, length(bin(abs(v))) - 4) AS sh
-        |        FROM bat0)
-        |  GROUP BY 1, 2
-        |), j AS (
-        |  SELECT source, bucket, coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb
-        |  FROM bref FULL OUTER JOIN bbat USING (source, bucket)
-        |), t AS (
-        |  SELECT source, sum(ra) AS ta, sum(rb) AS tb,
-        |    CAST(count(*) AS BIGINT) AS nb
-        |  FROM j GROUP BY 1
-        |)
-        |SELECT j.source,
-        |  CAST(sum(abs((j.ra + 1) * (t.tb + t.nb)
-        |              - (j.rb + 1) * (t.ta + t.nb))) AS BIGINT) AS tv_num,
-        |  CAST(2 * (max(t.ta) + max(t.nb)) * (max(t.tb) + max(t.nb))
-        |    AS BIGINT) AS tv_den,
-        |  max(t.nb) AS n_buckets,
-        |  4 * CAST(sum(abs((j.ra + 1) * (t.tb + t.nb)
-        |                 - (j.rb + 1) * (t.ta + t.nb))) AS BIGINT)
-        |    > CAST(2 * (max(t.ta) + max(t.nb)) * (max(t.tb) + max(t.nb))
-        |        AS BIGINT) AS drifted
-        |FROM j JOIN t USING (source)
-        |GROUP BY 1""".stripMargin,
+    "q140_drift" -> driftOracle,
+
+    // the maintained-at-rest reference must answer identically to the
+    // direct one — same oracle as q140
+    "q141_drift_at_rest" -> driftOracle,
+
 
     // survivors keep exactly their derived rows; forgotten ids have none
     "q138_forget" ->
@@ -5965,6 +5965,50 @@ object SparkEntry {
     * equality of the two gates proves the at-rest commit/fold chain
     * reconstructs the one-shot model exactly.
     */
+  private val driftOracle: String =
+      """WITH docs AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents
+        |), ms AS (SELECT min(source) AS s FROM documents),
+        |bref AS (
+        |  SELECT source,
+        |    CAST(sign(v) AS BIGINT) * ((abs(v) >> sh) << sh) AS bucket,
+        |    count(*) AS ra
+        |  FROM (SELECT *, greatest(0, length(bin(abs(v))) - 4) AS sh
+        |        FROM docs)
+        |  GROUP BY 1, 2
+        |), bat0 AS (
+        |  SELECT source,
+        |    CASE WHEN source = (SELECT s FROM ms) THEN v * 2 ELSE v END AS v
+        |  FROM docs WHERE doc_id % 3 = 0
+        |), bbat AS (
+        |  SELECT source,
+        |    CAST(sign(v) AS BIGINT) * ((abs(v) >> sh) << sh) AS bucket,
+        |    count(*) AS rb
+        |  FROM (SELECT *, greatest(0, length(bin(abs(v))) - 4) AS sh
+        |        FROM bat0)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT source, bucket, coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb
+        |  FROM bref FULL OUTER JOIN bbat USING (source, bucket)
+        |), t AS (
+        |  SELECT source, sum(ra) AS ta, sum(rb) AS tb,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT j.source,
+        |  CAST(sum(abs((j.ra + 1) * (t.tb + t.nb)
+        |              - (j.rb + 1) * (t.ta + t.nb))) AS BIGINT) AS tv_num,
+        |  CAST(2 * (max(t.ta) + max(t.nb)) * (max(t.tb) + max(t.nb))
+        |    AS BIGINT) AS tv_den,
+        |  max(t.nb) AS n_buckets,
+        |  4 * CAST(sum(abs((j.ra + 1) * (t.tb + t.nb)
+        |                 - (j.rb + 1) * (t.ta + t.nb))) AS BIGINT)
+        |    > CAST(2 * (max(t.ta) + max(t.nb)) * (max(t.tb) + max(t.nb))
+        |        AS BIGINT) AS drifted
+        |FROM j JOIN t USING (source)
+        |GROUP BY 1""".stripMargin
+
   private val sketchPercentileOracle: String =
     """WITH base AS (
       |  SELECT doc_id, source,

@@ -1499,6 +1499,50 @@ object StreamingIngest {
       .start()
   }
 
+  /** Drift monitoring as a STREAMING stage — each micro-batch's signal
+    * distribution compared against the FROZEN reference bucket model
+    * ([[graft.operators.Drift.tvd]] — exact-integer TVD, the q140
+    * alarm), one report row per key per batch landed batch-keyed. The
+    * reference is frozen at start (recomputing it per batch would make
+    * earlier alarms retroactively wrong — the q60 frozen-cuts argument);
+    * refreshing it is [[graft.operators.IncrementalRollup]]'s job (the
+    * q141 at-rest composition). Stateless against the frozen model ⇒
+    * batch-id-keyed overwrite replays idempotently.
+    */
+  def startDriftMonitor(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      reference: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      bits: Int,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val ref = reference.localCheckpoint() // frozen once, reused per batch
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Drift
+        Drift.tvd(ref,
+            Drift.bucketCounts(batch, keyCols, valueCol, bits), keyCols)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Markup scrubbing as a STREAMING stage — the q119 extraction
     * ([[graft.operators.Normalize.cleanMarkup]]: tags → spaces before a
     * fixed-order entity decode, whitespace canonicalized) applied at

@@ -1099,6 +1099,48 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == oneShot)
   }
 
+  test("streaming drift monitor: per-batch TVD vs the frozen reference equals the batch operator") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val refRows = (1 to 60).map(i => ("s" + (i % 2), (i % 5 + 1).toLong * 16))
+    val reference = Drift.bucketCounts(
+      refRows.toDF("k", "v"), Seq("k"), "v", bits = 4)
+    // batch 0 mirrors the reference shape; batch 1 is shifted 256x
+    val b0 = (1 to 30).map(i => ("s" + (i % 2), (i % 5 + 1).toLong * 16))
+    val b1 = (1 to 30).map(i => ("s" + (i % 2), (i % 5 + 1).toLong * 4096))
+    val landing = tmpDir("drift_land")
+    Seq(b0 -> "f0", b1 -> "f1").foreach { case (rows, nm) =>
+      val stage = tmpDir(s"drift_stage_$nm") + "/files"
+      rows.toDF("k", "v").coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val outDir = tmpDir("drift_out")
+    val q = StreamingIngest.startDriftMonitor(
+      spark, landing, b0.toDF("k", "v").schema, "parquet", Map.empty,
+      reference, Seq("k"), "v", bits = 4, outDir,
+      checkpointDir = tmpDir("drift_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    def report(batch: Int): Map[String, Boolean] =
+      spark.read.parquet(s"$outDir/batch=$batch")
+        .select("k", "drifted").as[(String, Boolean)].collect().toMap
+    // same shape -> quiet; 256x shift -> disjoint buckets -> alarm
+    assert(report(0) == Map("s0" -> false, "s1" -> false))
+    assert(report(1) == Map("s0" -> true, "s1" -> true))
+    // stream report ≡ the batch operator on the same inputs
+    val direct = Drift.tvd(reference,
+        Drift.bucketCounts(b1.toDF("k", "v"), Seq("k"), "v", 4), Seq("k"))
+      .select("k", "tv_num", "tv_den")
+      .as[(String, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(r => r._1 -> ((r._2.longValueExact, r._3.longValueExact))).toMap
+    val streamed = spark.read.parquet(s"$outDir/batch=1")
+      .select("k", "tv_num", "tv_den")
+      .as[(String, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(r => r._1 -> ((r._2.longValueExact, r._3.longValueExact))).toMap
+    assert(streamed == direct)
+  }
+
   test("streaming contracts gate: clean/quarantine split equals the batch tag; tags travel with quarantined rows") {
     import spark.implicits._
     import graft.operators.Contracts
