@@ -2489,6 +2489,28 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("r").as("rank_e9"))
     }),
 
+    // Semi-supervised label propagation: the %10 seed docs' langs
+    // spread 3 synchronous rounds through the symmetrized citation
+    // graph (clamped seeds, majority vote, lexicographic tie) — the
+    // "label the unlabeled 99% from the curated 1%" move. Pure
+    // integer/string ops, so the unrolled oracle replays it exactly.
+    "q142_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val linked = docs.filter(col("doc_id") >= 1)
+      val fwd = linked
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        .unionByName(linked
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst")))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang").as("label"))
+      graft.operators.GraphRank.labelPropagation(
+        edges, "src", "dst", seeds, docs.select(col("doc_id")),
+        "doc_id", iters = 3)
+        .select(col("node").as("doc_id"), col("label"))
+    }),
+
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems with
     // quantity below 20% of their part's average, revenue rolled up per
     // brand. The correlation decorrelates to ONE partkey-keyed
@@ -3049,6 +3071,43 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || ':' || text) AS fp
         |FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,
+
+    // 3 unrolled vote rounds — recompute-from-seeds semantics, clamped
+    // seeds, majority with lexicographic tie, parallel edges vote twice
+    "q142_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (
+           |  SELECT e.dst, l.label, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON l.node = e.src
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2
+           |), p$i AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT dst, label, row_number() OVER (
+           |      PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+           |    FROM v$i) WHERE rn = 1
+           |), l$i AS (
+           |  SELECT n.node, coalesce(s.label, p.label) AS label
+           |  FROM nodes n LEFT JOIN seed s USING (node)
+           |  LEFT JOIN p$i p USING (node)
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH nodes AS (
+         |  SELECT doc_id AS node FROM documents
+         |), f AS (
+         |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+         |  WHERE doc_id >= 1
+         |  UNION ALL
+         |  SELECT doc_id, doc_id // 3 FROM documents WHERE doc_id >= 1
+         |), e AS (
+         |  SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f
+         |), seed AS (
+         |  SELECT doc_id AS node, lang AS label FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), l0 AS (
+         |  SELECT n.node, s.label FROM nodes n LEFT JOIN seed s USING (node)
+         |), $rounds
+         |SELECT node AS doc_id, label FROM l3""".stripMargin
+    },
 
     // 5 unrolled fixed-point iterations — the same integer ops the
     // engine runs; dangling mass dropped, ranks un-normalized (init =

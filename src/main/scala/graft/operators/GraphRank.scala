@@ -72,4 +72,55 @@ object GraphRank {
     }
     rank
   }
+
+  /** Semi-supervised LABEL PROPAGATION with clamped seeds — spread a
+    * labeled subset's labels (topic, quality tier, language) through a
+    * graph onto the unlabeled mass: `iters` SYNCHRONOUS rounds where
+    * every non-seed node adopts the majority label of its in-neighbors
+    * (vote = edge count, so parallel edges weigh double — deliberate),
+    * ties to the LEXICOGRAPHICALLY SMALLEST label; nodes with no labeled
+    * in-neighbor stay unlabeled this round; SEEDS NEVER CHANGE (the
+    * clamped/semi-supervised variant — free-running LPA oscillates on
+    * bipartite structures, clamping plus a fixed iteration count keeps
+    * the fixpoint engine-replayable). All-integer/string ops — two
+    * engines cannot disagree.
+    *
+    * Scale shape per round: one src-keyed join (label frame is
+    * node-sized), one (dst, label)-keyed count (map-side combinable),
+    * one dst-keyed argmax via `min(struct(-votes, label))` — never a
+    * window sort; label frame `localCheckpoint`ed per round (the same
+    * lineage discipline as [[pageRank]]).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame, // (node, label) — label non-null
+      nodes: DataFrame,
+      nodeCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 1000, s"iters=$iters out of range")
+    val n = nodes.select(col(nodeCol).as("node"))
+    val seed = seeds.select(col(nodeCol).as("node"), col("label"))
+      .filter(col("label").isNotNull)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var labels = n.join(seed, Seq("node"), "left")
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull)
+          .withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val picked = votes
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("negc"), col("label"))).as("w"))
+        .select(col("dst").as("node"), col("w.label").as("vote"))
+      labels = n
+        .join(seed, Seq("node"), "left")
+        .join(picked, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("vote")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

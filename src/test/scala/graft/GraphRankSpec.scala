@@ -38,6 +38,37 @@ class GraphRankSpec extends SparkSpec {
     assert(f(2L) == B + S * 85 / 200 && f(3L) == B + S * 85 / 200)
   }
 
+  test("labelPropagation: clamped seeds, majority vote, lexicographic ties, hop-limited reach") {
+    import org.apache.spark.sql.functions.col
+    def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
+        nodes: Seq[Long], iters: Int): Map[Long, Option[String]] =
+      GraphRank.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("doc_id", "label"), nodes.toDF("doc_id"), "doc_id", iters)
+        .select(col("node"), col("label"))
+        .as[(Long, Option[String])].collect().toMap
+    // chain 1->2->3->4: label reaches exactly `iters` hops
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val n = Seq(1L, 2L, 3L, 4L)
+    val s = Seq((1L, "en"))
+    assert(lp(chain, s, n, 1) ==
+      Map(1L -> Some("en"), 2L -> Some("en"), 3L -> None, 4L -> None))
+    assert(lp(chain, s, n, 3)(4L).contains("en"))
+    // majority: node 9 hears de,de,fr -> de; tie en/de -> de (lexicographic)
+    val maj = Seq((1L, 9L), (2L, 9L), (3L, 9L))
+    assert(lp(maj, Seq((1L, "de"), (2L, "de"), (3L, "fr")),
+      Seq(1L, 2L, 3L, 9L), 1)(9L).contains("de"))
+    assert(lp(maj.take(2), Seq((1L, "en"), (2L, "de")),
+      Seq(1L, 2L, 9L), 1)(9L).contains("de"))
+    // a seed surrounded by the other label NEVER flips (clamped)
+    val clamp = Seq((1L, 3L), (2L, 3L))
+    assert(lp(clamp, Seq((1L, "fr"), (2L, "fr"), (3L, "en")),
+      Seq(1L, 2L, 3L), 2)(3L).contains("en"))
+    // iters = 0 returns the seeds as-is
+    assert(lp(chain, s, n, 0) ==
+      Map(1L -> Some("en"), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("cycle conserves mass under exact arithmetic") {
     // 1->2->1: symmetric two-cycle; both nodes keep rank = base +
     // (prev*85)//100 and stay equal every iteration
