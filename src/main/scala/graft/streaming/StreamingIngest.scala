@@ -1740,6 +1740,62 @@ object StreamingIngest {
       .start()
   }
 
+  /** One funnel-relevant event: `step` is the 0-based index the event's
+    * type resolved to (the caller maps type → index before grouping —
+    * non-funnel events never reach the state function), `t` an integer
+    * event time (µs).
+    */
+  final case class FunnelEvent(user_id: Long, step: Int, t: Long)
+
+  /** Per-user funnel state: the completed steps' times in order. */
+  final case class FunnelTimes(times: Seq[Long])
+
+  /** Per-user progress after a batch: furthest step reached (1-based; 0 =
+    * nothing yet), first/last step times (-1 when unset).
+    */
+  final case class FunnelProgress(
+      user_id: Long, reached: Int, t_first: Long, t_last: Long)
+
+  /** The q128 ordered funnel over a STREAM with explicit per-user state
+    * (`mapGroupsWithState` — the streaming twin of
+    * [[graft.operators.EventAnalytics.funnel]]): each user's state is the
+    * times of the steps completed so far; a batch's events fold in
+    * event-time order, and an event advances the funnel only when it is
+    * the NEXT step and strictly after the previous step's time — exactly
+    * the batch rule, applied greedily, which equals the batch answer
+    * whenever each user's events arrive time-ordered ACROSS batches
+    * (within a batch, order is restored by sorting). An out-of-order
+    * arrival earlier than completed steps cannot retroactively improve
+    * them — the same documented divergence class as [[sessionizeStream]]'s
+    * late-event note; exact out-of-order equivalence would need
+    * watermark-deep buffering. State is O(steps) longs per ACTIVE user —
+    * users, not events, bound the store.
+    *
+    * Emits each touched user's progress every batch (Update semantics).
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      nSteps: Int): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(nSteps >= 1, "need at least one step")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
+          var times = state.getOption.map(_.times.toVector).getOrElse(Vector())
+          it.toSeq.sortBy(e => (e.t, e.step)).foreach { e =>
+            val k = times.size
+            if (k < nSteps && e.step == k &&
+                (k == 0 || e.t > times(k - 1)))
+              times = times :+ e.t
+          }
+          state.update(FunnelTimes(times))
+          FunnelProgress(uid, times.size,
+            if (times.nonEmpty) times.head else -1L,
+            if (times.nonEmpty) times.last else -1L)
+      }
+  }
+
   /** One keyed event on the session stream. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

@@ -1099,6 +1099,52 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == oneShot)
   }
 
+  test("streaming funnel tracker: stateful progress equals the batch funnel on in-order streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{FunnelEvent, FunnelProgress}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingIngest.funnelStream(input.toDS(), nSteps = 3)
+      .writeStream.format("memory").queryName("fun_out")
+      .outputMode("update").start()
+    // batch 1: u1 view@10 click@20; u2 click-before-view (ignored) then
+    // view@10 and a same-instant click@10 (strict > — ignored)
+    input.addData(
+      FunnelEvent(1L, 0, 10L), FunnelEvent(1L, 1, 20L),
+      FunnelEvent(2L, 1, 5L), FunnelEvent(2L, 0, 10L), FunnelEvent(2L, 1, 10L))
+    q.processAllAvailable()
+    def latest(): Map[Long, (Int, Long, Long)] =
+      spark.table("fun_out").as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          // progress is monotone, so the furthest row IS the latest
+          val r = rows.maxBy(x => (x.reached, x.t_last))
+          u -> ((r.reached, r.t_first, r.t_last))
+        }
+    assert(latest() == Map(1L -> ((2, 10L, 20L)), 2L -> ((1, 10L, 10L))))
+    // batch 2: u1 purchases@30 (completes); u2 clicks@15 (advances);
+    // u1's stale extra view@25 changes nothing
+    input.addData(
+      FunnelEvent(1L, 2, 30L), FunnelEvent(1L, 0, 25L),
+      FunnelEvent(2L, 1, 15L))
+    q.processAllAvailable()
+    assert(latest() == Map(1L -> ((3, 10L, 30L)), 2L -> ((2, 10L, 15L))))
+    q.stop()
+    // ≡ the batch operator's per-step counts on the union of both batches
+    val all = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (2L, "click", 5L),
+      (2L, "view", 10L), (2L, "click", 10L), (1L, "purchase", 30L),
+      (1L, "view", 25L), (2L, "click", 15L)
+    ).toDF("user_id", "event_type", "t")
+    val batch = graft.operators.EventAnalytics.funnel(
+      all, "user_id", "event_type", "t", Seq("view", "click", "purchase"))
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    val fin = latest()
+    (1 to 3).foreach { k =>
+      assert(batch(k) == fin.values.count(_._1 >= k))
+    }
+  }
+
   test("streaming drift monitor: per-batch TVD vs the frozen reference equals the batch operator") {
     import spark.implicits._
     import graft.operators.Drift
