@@ -2489,6 +2489,18 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("r").as("rank_e9"))
     }),
 
+    // Semi-structured JSON analytics: the events' props payload parsed
+    // in place (codegen'd JSON path scalar — no UDF, no pre-flatten
+    // pass) and aggregated two-level. The JSON never leaves the scan
+    // projection; only (type, bucket) partials shuffle.
+    "q143_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
     // Semi-supervised label propagation: the %10 seed docs' langs
     // spread 3 synchronous rounds through the symmetrized citation
     // graph (clamped seeds, majority vote, lexicographic tie) — the
@@ -3071,6 +3083,14 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || ':' || text) AS fp
         |FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,
+
+    "q143_json_props" ->
+      """SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // 3 unrolled vote rounds — recompute-from-seeds semantics, clamped
     // seeds, majority with lexicographic tie, parallel edges vote twice

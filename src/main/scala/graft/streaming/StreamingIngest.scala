@@ -1899,20 +1899,29 @@ object StreamingIngest {
         col("r.ts") <= col("l.ts"))
   }
 
-  /** Watermarked tumbling-window aggregation over an event stream —
-    * late rows beyond the watermark are dropped, state is bounded (the
-    * piece the reference's upsert pattern never needed but a streaming
-    * analytics engine must have).
+  /** Watermarked tumbling- or HOPPING-window aggregation over an event
+    * stream — late rows beyond the watermark are dropped, state is
+    * bounded (the piece the reference's upsert pattern never needed but
+    * a streaming analytics engine must have). A `slide` shorter than the
+    * window makes it hopping — q130's batch fan-out semantics, with
+    * Spark maintaining the len/slide instances per event in the state
+    * store instead of an explode.
     */
   def windowedRollup(
       events: DataFrame, // must carry an event-time timestamp column `ts`
       windowLength: String,
-      watermark: String): DataFrame =
+      watermark: String,
+      slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("ts"), windowLength, s)
+      case None => window(col("ts"), windowLength)
+    }
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .groupBy(w, col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
+  }
 }

@@ -1455,6 +1455,14 @@ class StreamingIngestSpec extends SparkSpec {
       .select("event_type", "n", "sum_value")
       .as[(String, Long, Double)].collect().toSet
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    // hopping: 1 h window every 30 min -> each event lands in 2 instances
+    val hop = StreamingIngest.windowedRollup(
+        events, "1 hour", "10 minutes", slide = Some("30 minutes"))
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    assert(hop.map(_._3).sum == 2 * 3) // q130's len/slide fan-out rule
+    assert(hop.filter(_._2 == "click").map(_._1.toString).sorted.toSeq ==
+      Seq("2023-12-31 23:30:00.0", "2024-01-01 00:00:00.0"))
   }
 
   test("streaming repetition scorer equals batch gopherRepetition on the same files") {
