@@ -2489,6 +2489,25 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("r").as("rank_e9"))
     }),
 
+    // Split-leakage REPAIR (q104's other half): the planted re-crawl
+    // pairs span split boundaries wherever the md5 shard put the copy
+    // elsewhere; every cluster moves wholly to its representative's
+    // split — afterwards the leakage audit is zero by construction.
+    "q144_split_repair" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val un = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id")))
+      val splits = un.select(col("doc_id"),
+        Sampling.shard(col("doc_id"),
+          Seq("valid" -> "14", "test" -> "28"), "train").as("split"))
+      val pairs = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("d1"),
+          (col("doc_id") + PlantOffset).as("d2"))
+      val assignment = Dedup.connectedComponents(
+        un.select(col("doc_id").as("id")), pairs)
+      Dedup.splitRepair(splits, assignment, "doc_id", "split")
+    }),
+
     // Semi-structured JSON analytics: the events' props payload parsed
     // in place (codegen'd JSON path scalar — no UDF, no pre-flatten
     // pass) and aggregated two-level. The JSON never leaves the scan
@@ -3083,6 +3102,32 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || ':' || text) AS fp
         |FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,
+
+    // pair structure is (d, d+1e12) only, so cluster = min member is
+    // spellable without a recursive CC: copies map down, others are self
+    "q144_split_repair" ->
+      """WITH un AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000 FROM documents WHERE doc_id % 7 = 0
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+        |           THEN 'valid'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+        |           THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM un
+        |), c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 1000000000000 THEN doc_id - 1000000000000
+        |         ELSE doc_id END AS cluster
+        |  FROM un
+        |)
+        |SELECT c.doc_id, s.split AS split_orig, r.split AS split,
+        |  r.split <> s.split AS moved
+        |FROM c JOIN s ON s.doc_id = c.doc_id
+        |JOIN s r ON r.doc_id = c.cluster""".stripMargin,
 
     "q143_json_props" ->
       """SELECT event_type,

@@ -398,4 +398,37 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"),
         col("split1"), col("split2"), col("leaks"))
   }
+
+  /** Leak REPAIR — [[crossSplitLeakage]]'s other half: move every
+    * near-dup cluster WHOLLY into one split so no eval example has a
+    * training-set near-duplicate. The rule is deterministic: a cluster
+    * adopts its REPRESENTATIVE's split (the cluster id — the minimum
+    * member under [[connectedComponents]]' convention), so re-running
+    * with more corpus or a different partitioning cannot re-decide a
+    * cluster differently. Output: `(id, split_orig, split, moved)` —
+    * tag-don't-drop, the caller sees exactly what moved and why.
+    * By construction, [[crossSplitLeakage]] over the repaired splits and
+    * the same pair set reports ZERO leaks (both endpoints of every edge
+    * share a cluster, hence a representative, hence a split).
+    *
+    * Scale shape: two id-keyed equi-joins (assignment, then the
+    * representatives' split rows keyed by cluster id) — corpus-linear,
+    * co-partitioned on the id; no windows, no collects.
+    */
+  def splitRepair(
+      splits: DataFrame, // (idCol, splitCol)
+      assignment: DataFrame, // (id, cluster) — connectedComponents output
+      idCol: String,
+      splitCol: String): DataFrame = {
+    val a = assignment.select(col("id").as(idCol), col("cluster"))
+    val reps = splits.select(col(idCol).as("cluster"),
+      col(splitCol).as("__rep_split"))
+    splits.join(a, Seq(idCol), "left")
+      .join(reps, Seq("cluster"), "left")
+      .select(col(idCol),
+        col(splitCol).as("split_orig"),
+        coalesce(col("__rep_split"), col(splitCol)).as("split"),
+        (coalesce(col("__rep_split"), col(splitCol)) =!= col(splitCol))
+          .as("moved"))
+  }
 }

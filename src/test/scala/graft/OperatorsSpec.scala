@@ -1488,6 +1488,33 @@ class OperatorsSpec extends SparkSpec {
     assert(replay == inc)
   }
 
+  test("splitRepair: clusters move wholly to the representative's split; leakage afterwards is zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // ids 1..6; near-dup clusters {1,2,3} and {5,6}; 4 is a singleton
+    val splits = Seq(
+      (1L, "train"), (2L, "valid"), (3L, "train"),
+      (4L, "test"), (5L, "test"), (6L, "train")
+    ).toDF("id", "split")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val assignment = Dedup.connectedComponents(
+      (1L to 6L).toDF("id"), pairs)
+    val out = Dedup.splitRepair(splits, assignment, "id", "split")
+      .select("id", "split_orig", "split", "moved")
+      .as[(Long, String, String, Boolean)].collect().sortBy(_._1).toSeq
+    // cluster {1,2,3} -> rep 1 -> train; {5,6} -> rep 5 -> test
+    assert(out == Seq(
+      (1L, "train", "train", false), (2L, "valid", "train", true),
+      (3L, "train", "train", false), (4L, "test", "test", false),
+      (5L, "test", "test", false), (6L, "train", "test", true)))
+    // the audit over the repaired splits reports zero leaks
+    val repaired = Dedup.splitRepair(splits, assignment, "id", "split")
+      .select(col("id"), col("split"))
+    val audit = Dedup.crossSplitLeakage(
+      pairs.withColumn("jaccard", lit(1.0)), repaired, "id", "split")
+    assert(audit.filter(col("leaks")).isEmpty)
+  }
+
   test("Drift.tvd: identical distributions score near zero, disjoint near one; alarm threshold exact") {
     import spark.implicits._
     import graft.operators.Drift
