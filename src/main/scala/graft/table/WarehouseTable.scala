@@ -1473,6 +1473,61 @@ final class WarehouseTable(val root: String) {
     * the trade every snapshot-versioned store makes between history depth
     * and storage.
     */
+  /** TTL at partition granularity — drop whole partitions from the
+    * manifest WITHOUT touching a data file: the retention primitive a
+    * date-partitioned landing table runs nightly ("expire everything
+    * older than 90 days"). Pure metadata: the new snapshot simply stops
+    * referencing the dropped partitions' dirs (and their delta slices and
+    * stats); the bytes are reclaimed later by [[expireSnapshots]] once no
+    * live snapshot references them — deletion cost is O(partitions
+    * dropped), not O(data), and time travel to pre-drop snapshots still
+    * works until they expire. Returns the number of partitions removed.
+    */
+  def dropPartitions(values: Seq[Any]): Int = {
+    val meta = readMeta()
+    require(meta.partition.nonEmpty,
+      "dropPartitions needs a partitioned table")
+    val keys = values.map(String.valueOf).toSet
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val removed = old.allPartitions.count(keys.contains)
+    val newBase = old.base.view.filterKeys(!keys.contains(_)).toMap
+    val newDeltas = old.deltas
+      .map(d => d.copy(data = d.data.view.filterKeys(!keys.contains(_)).toMap))
+      .filter(_.data.nonEmpty)
+    commit(cur, Manifest(newBase, newDeltas, old.stats).pruneStats)
+    removed
+  }
+
+  // ---- named snapshot tags ----------------------------------------------
+
+  /** TAG the current (or a given) snapshot with a durable name — corpus
+    * releases ("v1.0-train", "dedup-baseline") that survive ongoing
+    * ingestion: [[expireSnapshots]] never expires a tagged snapshot, and
+    * [[readTag]] resolves the name to an immutable time-travel read.
+    * Tags are table properties (`tag.<name>` → snapshot id), so they ride
+    * the same metadata the rest of the contract machinery uses.
+    */
+  def tagSnapshot(name: String, snapId: Option[Long] = None): Unit = {
+    require(name.nonEmpty && !name.contains("."),
+      s"tag name '$name' must be non-empty and dot-free")
+    val id = snapId.getOrElse(currentSnapshotId)
+    require(Files.exists(snapPath(id)), s"snapshot $id does not exist")
+    setProperties(Map(s"tag.$name" -> id.toString))
+  }
+
+  /** All tags: name → snapshot id. */
+  def tags: Map[String, Long] = readMeta().properties.collect {
+    case (k, v) if k.startsWith("tag.") => k.stripPrefix("tag.") -> v.toLong
+  }
+
+  /** Time-travel read of a tagged snapshot. */
+  def readTag(spark: SparkSession, name: String): DataFrame = {
+    val id = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag named '$name'"))
+    read(spark, asOf = Some(id))
+  }
+
   def expireSnapshots(keepLast: Int = 5): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     import scala.jdk.CollectionConverters._
@@ -1486,7 +1541,10 @@ final class WarehouseTable(val root: String) {
         }.toList.sorted
       finally l.close()
     }
-    val (expired, kept) = ids.partition(id => id < cur - keepLast + 1 && id != cur)
+    // tagged snapshots are pinned releases — never expired
+    val tagged = tags.values.toSet
+    val (expired, kept) = ids.partition(id =>
+      id < cur - keepLast + 1 && id != cur && !tagged.contains(id))
     if (expired.nonEmpty) {
       val liveFragments = kept.flatMap(snapFragmentPaths(_).values).toSet
       val liveDataRoots = kept.flatMap { id =>

@@ -510,6 +510,49 @@ class WarehouseTableSpec extends SparkSpec {
     }
   }
 
+  test("snapshot tags pin releases through expiry; dropPartitions is metadata-only TTL") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("tags"))
+    val sch = StructType(Seq(
+      StructField("day", StringType, nullable = false),
+      StructField("v", IntegerType)))
+    t.create(sch, Some("day"), Map.empty)
+    def rows(day: String, vs: Seq[Int]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map(v => Row(day, v)), 1), sch)
+    t.append(rows("d1", Seq(1, 2)))
+    t.tagSnapshot("v1-release")
+    val taggedId = t.currentSnapshotId
+    (1 to 8).foreach(i => t.append(rows(s"d$i", Seq(i * 10))))
+    // expiry keeps the tagged snapshot alive alongside the recent window
+    t.expireSnapshots(keepLast = 2)
+    assert(t.tags == Map("v1-release" -> taggedId))
+    assert(t.readTag(spark, "v1-release").collect().map(_.getInt(1)).sorted
+      .toSeq == Seq(1, 2))
+    // an untagged old snapshot IS gone
+    intercept[IllegalArgumentException] {
+      t.read(spark, asOf = Some(taggedId + 1))
+    }
+    // TTL: drop two day-partitions without touching a data file
+    val filesBefore = t.read(spark).inputFiles.toSet
+    val preDrop = t.currentSnapshotId
+    assert(t.dropPartitions(Seq("d1", "d2")) == 2)
+    val after = t.read(spark)
+    assert(after.filter(col("day").isin("d1", "d2")).isEmpty)
+    assert(after.count() > 0)
+    assert(after.inputFiles.toSet.subsetOf(filesBefore)) // no rewrite
+    // time travel to the pre-drop snapshot still sees the dropped days
+    // (2 rows from the tagged append + 1 from the loop's d1 wave)
+    assert(t.read(spark, asOf = Some(preDrop))
+      .filter(col("day") === "d1").count() == 3)
+    // dropping an absent partition is a no-op count
+    assert(t.dropPartitions(Seq("nope")) == 0)
+    // tags on unpartitioned-table guard
+    val plain = WarehouseTable(tmpDir("tags_plain"))
+    plain.create(StructType(Seq(StructField("x", IntegerType))), None, Map.empty)
+    intercept[IllegalArgumentException] { plain.dropPartitions(Seq("a")) }
+  }
+
   test("bloom index: equality probes skip dirs stats cannot; no false negatives; incremental refresh") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.col
