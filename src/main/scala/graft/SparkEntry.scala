@@ -2586,6 +2586,18 @@ object SparkEntry {
           col("asof_dist").as("near_dist_us"))
     }),
 
+    // Time-bounded funnel: the q128 funnel under a 24 h CONVERSION
+    // WINDOW — later steps count only within a day of the user's first
+    // view (the product-analytics framing: "converted within 24h").
+    "q145_funnel_windowed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.EventAnalytics.funnel(
+        ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"), maxLag = 86400000000L)
+    }),
+
     // Ordered funnel over the event stream: view → click → purchase,
     // each step strictly after the user's previous step time. Chained
     // user-keyed aggregations (co-partitioned, map-side mins) — never a
@@ -3248,6 +3260,34 @@ object SparkEntry {
         |  c.dist AS near_dist_us
         |FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
         |  USING (event_id)""".stripMargin,
+
+    // q128's chain with the 24 h window folded into each step's filter
+    "q145_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(tus) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t1
+        |    AND e.tus - s1.t1 <= 86400000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t3
+        |  FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+        |    AND e.tus - s1.t1 <= 86400000000 GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |  count(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', count(*),
+        |  coalesce(CAST(sum(t2 - t1) AS BIGINT), 0)
+        |FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', count(*),
+        |  coalesce(CAST(sum(t3 - t1) AS BIGINT), 0)
+        |FROM s3 JOIN s1 USING (user_id)""".stripMargin,
 
     // step k = earliest event of its type strictly after step k-1's time;
     // lag sums are exact integer µs; empty steps keep their zero row

@@ -41,17 +41,27 @@ object EventAnalytics {
       userCol: String,
       typeCol: String,
       timeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxLag: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxLag > 0, "maxLag must be positive")
     val u = col(userCol)
     // per-user step times t1..tk, built left-to-right; acc holds (user, t1..ti)
     var acc = events.filter(col(typeCol) === steps.head)
       .groupBy(u).agg(min(col(timeCol)).as("t1"))
     for (i <- 2 to steps.length) {
       val prev = s"t${i - 1}"
+      // a CONVERSION WINDOW (maxLag < MaxValue) additionally requires
+      // every later step within maxLag of the user's step-1 time —
+      // "purchased within 24h of first view", the product framing.
+      // Unwindowed callers pay no extra predicate (always-true filter
+      // folds away under Long.MaxValue since t > t1 always holds first).
+      val carry = if (prev == "t1") Seq(col("t1")) else Seq(col("t1"), col(prev))
       val nxt = events.filter(col(typeCol) === steps(i - 1))
-        .join(acc.select(u, col(prev)), Seq(userCol))
-        .filter(col(timeCol) > col(prev))
+        .join(acc.select((u +: carry): _*), Seq(userCol))
+        .filter(col(timeCol) > col(prev) &&
+          (if (maxLag == Long.MaxValue) lit(true)
+           else col(timeCol) - col("t1") <= maxLag))
         .groupBy(u).agg(min(col(timeCol)).as(s"t$i"))
       acc = acc.join(nxt, Seq(userCol), "left")
     }

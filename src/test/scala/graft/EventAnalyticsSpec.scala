@@ -33,6 +33,29 @@ class EventAnalyticsSpec extends SparkSpec {
       (3, 2L, 20L + 7L)))      // u1 u5
   }
 
+  test("funnel with conversion window: later steps count only within maxLag of step 1") {
+    val ev = Seq(
+      // u1: click at lag 50 (in), purchase at lag 150 (OUT of window 100)
+      (1L, "view", 0L), (1L, "click", 50L), (1L, "purchase", 150L),
+      // u2: full conversion inside the window (lags 30, 90)
+      (2L, "view", 1000L), (2L, "click", 1030L), (2L, "purchase", 1090L),
+      // u3: click exactly AT the boundary (lag 100 — inclusive)
+      (3L, "view", 0L), (3L, "click", 100L)
+    ).toDF("user_id", "event_type", "t")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "t",
+        steps, maxLag = 100L)
+      .select("step_idx", "n_users", "sum_lag_us")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 3L, 0L),             // all three view
+      (2, 3L, 50L + 30L + 100L), // boundary lag 100 counts (inclusive)
+      (3, 1L, 90L)))           // only u2 purchases inside the window
+    // the unwindowed default is unchanged: u1's purchase now counts
+    val open = EventAnalytics.funnel(ev, "user_id", "event_type", "t", steps)
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    assert(open(3) == 2L)
+  }
+
   test("funnel: empty steps keep an explicit zero row") {
     val ev = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "t")
     val out = EventAnalytics.funnel(ev, "user_id", "event_type", "t", steps)
