@@ -2586,6 +2586,21 @@ object SparkEntry {
           col("asof_dist").as("near_dist_us"))
     }),
 
+    // Composition: hopping windows × KMV — approximate distinct users
+    // per (2 h window every 30 min, type). Each instance's sketch is
+    // ≤ k longs of map-side state; the window fan-out multiplies rows
+    // 4×, the sketch keeps the shuffle from multiplying with USERS.
+    "q146_window_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val wsMax = expr("(ts_us div 1800000000) * 1800000000")
+      val exploded = ev.withColumn("window_start",
+        explode(sequence(wsMax - 5400000000L, wsMax, lit(1800000000L))))
+      graft.operators.Sketches.approxDistinct(
+        exploded, Seq("window_start", "event_type"), "user_id", k = 16)
+    }),
+
     // Time-bounded funnel: the q128 funnel under a 24 h CONVERSION
     // WINDOW — later steps count only within a day of the user's first
     // view (the product-analytics framing: "converted within 24h").
@@ -3260,6 +3275,39 @@ object SparkEntry {
         |  c.dist AS near_dist_us
         |FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
         |  USING (event_id)""".stripMargin,
+
+    // the q73 KMV spelling under the q130 window explode
+    "q146_window_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS tus FROM events
+        |), x AS (
+        |  SELECT unnest(generate_series(
+        |      (tus // 1800000000) * 1800000000 - 5400000000,
+        |      (tus // 1800000000) * 1800000000, 1800000000)) AS window_start,
+        |    event_type, user_id
+        |  FROM e
+        |), hashed AS (
+        |  SELECT DISTINCT window_start, event_type,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+        |      AS h
+        |  FROM x
+        |), ranked AS (
+        |  SELECT window_start, event_type, h,
+        |    row_number() OVER (PARTITION BY window_start, event_type
+        |                       ORDER BY h) AS r
+        |  FROM hashed
+        |), kmins AS (
+        |  SELECT window_start, event_type,
+        |    CAST(count(*) AS BIGINT) AS kept, max(h) AS kth
+        |  FROM ranked WHERE r <= 16 GROUP BY 1, 2
+        |)
+        |SELECT window_start, event_type, kept, kth,
+        |  CAST(floor(
+        |    (CASE WHEN kept < 16 THEN CAST(kept AS DOUBLE)
+        |          ELSE CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |               / CAST(kth AS DOUBLE) END)
+        |    * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_e4
+        |FROM kmins""".stripMargin,
 
     // q128's chain with the 24 h window folded into each step's filter
     "q145_funnel_windowed" ->
