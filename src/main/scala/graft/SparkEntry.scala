@@ -2586,6 +2586,30 @@ object SparkEntry {
           col("asof_dist").as("near_dist_us"))
     }),
 
+    // Last-touch attribution: every purchase credits the user's newest
+    // preceding click's CHANNEL (parsed from the click's JSON props);
+    // purchases with no prior click fall into 'organic'. One as-of
+    // union-sort + one channel rollup — never the per-purchase
+    // backward-scan self-join the naive SQL writes.
+    "q147_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("channel"),
+          col("ts_us"))
+      TemporalJoins.asofJoinBackward(
+          purchases, clicks, keys = Seq("user_id"),
+          leftTime = "ts_us", rightTime = "ts_us",
+          rightValueCols = Seq("channel"), tiebreak = "click_id")
+        .groupBy(coalesce(col("asof_channel").cast("string"), lit("organic"))
+          .as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("revenue"))
+    }),
+
     // Composition: hopping windows × KMV — approximate distinct users
     // per (2 h window every 30 min, type). Each instance's sketch is
     // ≤ k longs of map-side state; the window fan-out multiplies rows
@@ -3275,6 +3299,33 @@ object SparkEntry {
         |  c.dist AS near_dist_us
         |FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
         |  USING (event_id)""".stripMargin,
+
+    // newest click at-or-before (ties to larger click_id, the q18 rule);
+    // clickless purchases land in 'organic'
+    "q147_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS ch
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, value, tus FROM e
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, ch, tus FROM e
+        |  WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT p.event_id, c.ch,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.tus DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.tus <= p.tus
+        |), best AS (
+        |  SELECT event_id, ch FROM j WHERE rn = 1
+        |)
+        |SELECT coalesce(CAST(b.ch AS VARCHAR), 'organic') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM p LEFT JOIN best b USING (event_id)
+        |GROUP BY 1""".stripMargin,
 
     // the q73 KMV spelling under the q130 window explode
     "q146_window_distinct" ->
