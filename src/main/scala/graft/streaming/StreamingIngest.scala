@@ -1453,6 +1453,52 @@ object StreamingIngest {
       .start()
   }
 
+  /** Interval-OVERLAP probing as a STREAMING stage (37th) — the q127
+    * at-rest probe under the stage-31 as-of-arrival discipline: each
+    * micro-batch of INTERVALS (e.g. freshly closed sessions) first
+    * COMMITS itself into the index (keyed MERGE, replay-idempotent),
+    * then overlap-probes ONLY the partitions its own cells touch
+    * ([[graft.operators.RangeIndex.overlapLookupAtRest]] — owner-cell
+    * exactly-once). A batch therefore meets itself and every earlier
+    * arrival — concurrent-session detection where both sides of the
+    * overlap stream in. Batch-keyed output lands the (probe, stored)
+    * pairs; the pair set is monotone in the index, so replays can only
+    * re-land pairs valid under the final index.
+    */
+  def startOverlapProber(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      qStartCol: String,
+      qEndCol: String,
+      toStored: DataFrame => DataFrame,
+      indexTable: graft.table.WarehouseTable,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.RangeIndex
+        RangeIndex.indexCommit(spark, toStored(batch), indexTable)
+        RangeIndex.overlapLookupAtRest(
+            spark, batch, qStartCol, qEndCol, indexTable)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Ingest contracts as a STREAMING stage — the q137 expectation layer
     * ([[graft.operators.Contracts.tag]]) run per micro-batch at the
     * landing zone: every row is tagged with the rules it breaks, clean

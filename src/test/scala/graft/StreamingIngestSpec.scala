@@ -1099,6 +1099,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == oneShot)
   }
 
+  test("streaming overlap prober: each interval batch meets itself and every earlier arrival") {
+    import spark.implicits._
+    import graft.operators.RangeIndex
+    // seed: one stored interval [0, 100]
+    val idx = graft.table.WarehouseTable(tmpDir("oprob") + "/idx")
+    RangeIndex.indexAtRest(
+      Seq((100L, 0L, 100L)).toDF("iv", "s", "e"),
+      "s", "e", Seq("iv"), idx, bucketWidth = 10L)
+    // batch0: q1 [5,20] overlaps seed; q2 [200,210] overlaps nothing yet
+    // batch1: q3 [205,207] overlaps q2's STORED copy (earlier arrival)
+    // and itself-as-stored; q4 [500,501] isolated
+    val b0 = Seq((1L, 5L, 20L), (2L, 200L, 210L)).toDF("qid", "qs", "qe")
+    val b1 = Seq((3L, 205L, 207L), (4L, 500L, 501L)).toDF("qid", "qs", "qe")
+    val landing = tmpDir("oprob_land")
+    Seq(b0 -> "f0", b1 -> "f1").foreach { case (df, nm) =>
+      val stage = tmpDir(s"oprob_stage_$nm") + "/files"
+      df.coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$landing/$nm.parquet"))
+    }
+    val toStored = (b: org.apache.spark.sql.DataFrame) =>
+      b.select((col("qid") + 1000L).as("iv"),
+        col("qs").as("s"), col("qe").as("e"))
+    val outDir = tmpDir("oprob_out")
+    val q = StreamingIngest.startOverlapProber(
+      spark, landing, b0.schema, "parquet", Map.empty,
+      "qs", "qe", toStored, idx, outDir,
+      checkpointDir = tmpDir("oprob_ckpt"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    def pairs(batch: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$outDir/batch=$batch")
+        .select("qid", "iv").as[(Long, Long)].collect().toSet
+    // batch 0: q1 meets the seed AND its own stored copy; q2 only itself
+    assert(pairs(0) == Set((1L, 100L), (1L, 1001L), (2L, 1002L)))
+    // batch 1: q3 meets q2's stored copy (earlier arrival) + itself;
+    // q4 only itself
+    assert(pairs(1) == Set((3L, 1002L), (3L, 1003L), (4L, 1004L)))
+  }
+
   test("streaming funnel tracker: stateful progress equals the batch funnel on in-order streams") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
