@@ -2610,6 +2610,19 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // PAIR-FREE session-overlap counts — q118's count-shaped answer
+    // without materializing a single pair: the order-statistics identity
+    // `overlaps(i) = |{starts ≤ end_i}| − |{ends < start_i}| − 1`, both
+    // ranks via the bucketed two-level running sum, minus the identical
+    // per-user term (same-user sessions excluded). Output is per SESSION
+    // (finer than q118's per-user sum) and LINEAR in sessions where
+    // q118's pair join is quadratic in dense windows — the 100 TB form.
+    "q148_overlap_counts" -> ((s, dir) =>
+      TemporalJoins.overlapCounts(
+          q127Sessions(s, dir), "st", "en",
+          excludeKey = Some("user_id"), bucketWidth = 1800000000L)
+        .select(col("user_id"), col("session_seq"), col("n_overlaps"))),
+
     // Composition: hopping windows × KMV — approximate distinct users
     // per (2 h window every 30 min, type). Each instance's sketch is
     // ≤ k longs of map-side state; the window fan-out multiplies rows
@@ -3326,6 +3339,31 @@ object SparkEntry {
         |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM p LEFT JOIN best b USING (event_id)
         |GROUP BY 1""".stripMargin,
+
+    // the oracle states the inequality self-join COUNT directly (LEFT
+    // join keeps zero-overlap sessions); the engine's rank identity and
+    // grid buckets are execution strategy, invisible in the result
+    "q148_overlap_counts" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, seq, min(tus) AS st, max(tus) AS en
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, a.seq AS session_seq,
+        |  count(b.user_id) AS n_overlaps
+        |FROM sess a LEFT JOIN sess b
+        |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // the q73 KMV spelling under the q130 window explode
     "q146_window_distinct" ->

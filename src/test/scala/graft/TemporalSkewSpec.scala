@@ -184,6 +184,44 @@ class TemporalSkewSpec extends SparkSpec {
       phys)
   }
 
+  test("overlapCounts: rank identity equals the brute pair count — ties, touching endpoints, negatives, zero-overlap rows, same-key exclusion") {
+    // deterministic pseudo-random intervals engineered for tie pressure:
+    // coordinates land on a tiny value grid so equal starts/ends, touching
+    // endpoints, and identical (value, side) collisions all occur
+    val ivals = (0 until 120).map { i =>
+      val key = i % 7
+      val st = ((i * 37 + 11) % 23).toLong - 8  // negatives included
+      val len = ((i * 13) % 5).toLong           // zero-length included
+      (key, i.toLong, st, st + len)
+    }
+    val df = ivals.toDF("user", "iv", "st", "en")
+    def brute(sameKeyExcluded: Boolean): Map[Long, Long] =
+      ivals.map { case (k, id, s, e) =>
+        id -> ivals.count { case (k2, id2, s2, e2) =>
+          id2 != id && s2 <= e && s <= e2 &&
+            (!sameKeyExcluded || k2 != k)
+        }.toLong
+      }.toMap
+    // with the same-key exclusion (the q148 shape)
+    val got = TemporalJoins.overlapCounts(
+        df, "st", "en", excludeKey = Some("user"), bucketWidth = 5L)
+      .select("iv", "n_overlaps").as[(Long, Long)].collect().toMap
+    assert(got == brute(sameKeyExcluded = true))
+    assert(got.size == ivals.size) // every row present, zero counts included
+    // without exclusion: every other interval counts
+    val gotAll = TemporalJoins.overlapCounts(
+        df, "st", "en", excludeKey = None, bucketWidth = 5L)
+      .select("iv", "n_overlaps").as[(Long, Long)].collect().toMap
+    assert(gotAll == brute(sameKeyExcluded = false))
+    // pair-free: the plan has no join between interval rows at all
+    val phys = TemporalJoins.overlapCounts(
+        df, "st", "en", Some("user"), 5L)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct") && !phys.contains("SortMergeJoin"),
+      phys)
+  }
+
   test("RangeIndex: pruned at-rest probe equals the direct interval join; commits fold and replay as no-ops; grid params enforced") {
     import graft.operators.RangeIndex
     val ivals = Seq(
