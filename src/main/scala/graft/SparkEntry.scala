@@ -207,6 +207,37 @@ object SparkEntry {
     table
   }
 
+  /** q149's at-rest ENDPOINT index — q118's sessions stored two rows
+    * each (start + end, filed by value cell) for pair-free counting;
+    * half at build + half via commits, with one commit planting WRONG
+    * bounds that the next commit fixes (the mutable-bounds path) and a
+    * final exact replay. Same memoization contract as [[q127Index]].
+    */
+  private def q149Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
+    val wh = scratchPath("q149", dir) + "/ep_idx"
+    val table = graft.table.WarehouseTable(wh)
+    if (atRestBuilt.add(wh)) {
+      table.drop()
+      val R = graft.operators.RangeIndex
+      val stored = q127Sessions(s, dir)
+      val cut = stored.agg((max(col("user_id")) / 2).cast("long"))
+        .head().getLong(0)
+      R.countIndexAtRest(stored.filter(col("user_id") <= cut),
+        "st", "en", Seq("user_id", "session_seq"), table,
+        bucketWidth = 1800000000L)
+      // first commit lands the late half with bounds shifted a full day —
+      // wrong cells on purpose — then the true bounds supersede them
+      // (stale endpoint rows must vanish), then an exact replay no-ops
+      val late = stored.filter(col("user_id") > cut)
+      R.countIndexCommit(s, late
+        .withColumn("st", col("st") + 86400000000L)
+        .withColumn("en", col("en") + 86400000000L), table)
+      R.countIndexCommit(s, late, table)
+      R.countIndexCommit(s, late, table) // replay
+    }
+    table
+  }
+
   /** q134's bloom-indexed content-hash table: documents keyed by a
     * per-doc fingerprint, landed as FOUR append dirs (so no dir's
     * min/max range can prune an equality probe), bloom sidecars built
@@ -326,6 +357,7 @@ object SparkEntry {
       // sequence — that IS the ingest path being priced
       "q121_interval_at_rest" -> timed(q121Index(s, dir)),
       "q127_overlap_at_rest" -> timed(q127Index(s, dir)),
+      "q149_overlap_counts_at_rest" -> timed(q149Index(s, dir)),
       "q134_bloom_skipping" -> timed(q134Table(s, dir)))
   }
 
@@ -2623,6 +2655,23 @@ object SparkEntry {
           excludeKey = Some("user_id"), bucketWidth = 1800000000L)
         .select(col("user_id"), col("session_seq"), col("n_overlaps"))),
 
+    // q148's counts against the AT-REST endpoint index (2 rows/interval,
+    // mutable bounds — the gate's build plants one commit of WRONG
+    // bounds that the next commit supersedes, then replays): per-cell
+    // totals + the probe's own cells reconstruct both ranks exactly;
+    // the same-user term comes from a key-bound semi-join. Must equal
+    // q148's direct identity — and q118's pair join — row for row.
+    "q149_overlap_counts_at_rest" -> ((s, dir) => {
+      val sess = q127Sessions(s, dir)
+        .select(col("user_id"), col("session_seq").as("probe_seq"),
+          col("st").as("qs"), col("en").as("qe"))
+      graft.operators.RangeIndex.overlapCountsAtRest(
+          s, sess, "qs", "qe", excludeKey = Some("user_id"),
+          q149Index(s, dir))
+        .select(col("user_id"), col("probe_seq").as("session_seq"),
+          col("n_overlaps"))
+    }),
+
     // Composition: hopping windows × KMV — approximate distinct users
     // per (2 h window every 30 min, type). Each instance's sketch is
     // ≤ k longs of map-side state; the window fan-out multiplies rows
@@ -3344,6 +3393,30 @@ object SparkEntry {
     // join keeps zero-overlap sessions); the engine's rank identity and
     // grid buckets are execution strategy, invisible in the result
     "q148_overlap_counts" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, seq, min(tus) AS st, max(tus) AS en
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT a.user_id, a.seq AS session_seq,
+        |  count(b.user_id) AS n_overlaps
+        |FROM sess a LEFT JOIN sess b
+        |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical statement — the endpoint store, mutable-bounds commits
+    // and per-cell rank reconstruction must be invisible in the result
+    "q149_overlap_counts_at_rest" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

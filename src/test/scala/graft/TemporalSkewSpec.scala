@@ -258,6 +258,70 @@ class TemporalSkewSpec extends SparkSpec {
     }
   }
 
+  test("RangeIndex.indexCommit with CHANGED bounds deletes stale cells — no phantom or double emission") {
+    import graft.operators.RangeIndex
+    val table = graft.table.WarehouseTable(tmpDir("mut") + "/idx")
+    RangeIndex.indexAtRest(Seq((1L, 0L, 25L), (2L, 40L, 45L)).toDF("iv", "s", "e"),
+      "s", "e", Seq("iv"), table, bucketWidth = 10L, partBuckets = 4)
+    // interval 1 SHRINKS to [30, 35] (old cells 0..2 stale, new cell 3),
+    // interval 2 extends to [40, 61] (keeps old cell, gains two)
+    RangeIndex.indexCommit(spark,
+      Seq((1L, 30L, 35L), (2L, 40L, 61L)).toDF("iv", "s", "e"), table)
+    val pts = Seq(5L, 33L, 44L, 60L).map(Tuple1(_)).toDF("p")
+    val got = RangeIndex.lookupAtRest(spark, pts, "p", table)
+      .select("iv", "p").as[(Long, Long)].collect().toSeq
+    // p=5 must NOT hit iv 1's stale [0,25] extent; each hit exactly once
+    assert(got.sorted == Seq((1L, 33L), (2L, 44L), (2L, 60L)))
+    // overlap probe: a query on iv 1's OLD extent must miss too
+    val q = Seq((9L, 0L, 25L)).toDF("qid", "qs", "qe")
+    val hits = RangeIndex.overlapLookupAtRest(spark, q, "qs", "qe", table)
+      .select("iv").as[Long].collect().toSeq
+    assert(hits.isEmpty)
+  }
+
+  test("RangeIndex endpoint index: pair-free at-rest counts equal brute force; commits replay and move bounds correctly") {
+    import graft.operators.RangeIndex
+    val stored = Seq(
+      (0, 11L, 20L, 60L), (0, 12L, 5L, 9L), (1, 13L, -10L, -1L),
+      (1, 14L, 42L, 99L), (2, 15L, 7L, 7L)
+    )
+    val table = graft.table.WarehouseTable(tmpDir("epix") + "/idx")
+    val (seed, late) = stored.splitAt(2)
+    RangeIndex.countIndexAtRest(seed.toDF("grp", "iv", "s", "e"),
+      "s", "e", Seq("grp", "iv"), table, bucketWidth = 10L, partBuckets = 4)
+    // first commit plants iv 15 at a WRONG extent far away (cell moves
+    // on the fix-up), then the fixed bounds, then an exact replay
+    RangeIndex.countIndexCommit(spark,
+      (late.dropRight(1) :+ ((2, 15L, 777L, 777L))).toDF("grp", "iv", "s", "e"), table)
+    RangeIndex.countIndexCommit(spark, late.toDF("grp", "iv", "s", "e"), table)
+    RangeIndex.countIndexCommit(spark, late.toDF("grp", "iv", "s", "e"), table)
+    // store holds exactly 2 endpoint rows per interval — no stale rows
+    assert(table.read(spark).count() == 2L * stored.size)
+    val probes = Seq(
+      (0, 91L, 0L, 25L), (0, 92L, 5L, 5L), (1, 93L, -14L, -10L),
+      (2, 94L, 40L, 41L), (2, 95L, 777L, 777L)
+    )
+    def brute(excl: Boolean): Map[Long, Long] =
+      probes.map { case (g, id, qs, qe) =>
+        id -> stored.count { case (g2, _, s, e) =>
+          s <= qe && qs <= e && (!excl || g2 != g)
+        }.toLong
+      }.toMap
+    val p = probes.toDF("grp", "pid", "qs", "qe")
+    val got = RangeIndex.overlapCountsAtRest(
+        spark, p, "qs", "qe", excludeKey = Some("grp"), table)
+      .select("pid", "n_overlaps").as[(Long, Long)].collect().toMap
+    assert(got == brute(excl = true))
+    val gotAll = RangeIndex.overlapCountsAtRest(
+        spark, p, "qs", "qe", excludeKey = None, table)
+      .select("pid", "n_overlaps").as[(Long, Long)].collect().toMap
+    assert(gotAll == brute(excl = false))
+    // flavor guards: cell probes refuse endpoint tables and vice versa
+    intercept[IllegalArgumentException] {
+      RangeIndex.lookupAtRest(spark, p.select(col("qs").as("p")), "p", table)
+    }
+  }
+
   test("RangeIndex.overlapLookupAtRest equals direct overlapJoin; owner-cell exactly-once across shared cells") {
     import graft.operators.RangeIndex
     val stored = Seq(
