@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, PrunedFilteredScan}
@@ -240,7 +240,7 @@ final class GraftDsv2Table(
       }
       override def pushedFilters(): Array[Filter] = pushed
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
         private val schema = required
         private val filters = pushed
         override def readSchema(): StructType = schema
@@ -248,6 +248,19 @@ final class GraftDsv2Table(
             context: SQLContext): T =
           new GraftV1Relation(context, wt, schema, filters, pinnedSnapshot)
             .asInstanceOf[T]
+        // Real size from the snapshot manifest's data files: without it a
+        // DSv2 scan reports defaultSizeInBytes (≈ Long.Max) and catalog
+        // SQL joins against a small warehouse table never auto-broadcast.
+        // Manifest-bounded stat walk, computed once per planned scan.
+        override def estimateStatistics(): Statistics = new Statistics {
+          private val bytes: java.util.OptionalLong =
+            try java.util.OptionalLong.of(
+              math.max(1L, wt.sizeInBytes(pinnedSnapshot)))
+            catch { case _: Exception => java.util.OptionalLong.empty() }
+          override def sizeInBytes(): java.util.OptionalLong = bytes
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
         override def description(): String =
           s"GraftWarehouseScan(${wt.root}, " +
             s"cols=${schema.fieldNames.mkString(",")}, " +
@@ -280,6 +293,20 @@ final class GraftV1Relation(
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
+
+  /** Real table statistics from the snapshot manifest's data files —
+    * without this override, `BaseRelation` reports
+    * `spark.sql.defaultSizeInBytes` (≈ Long.Max) and a catalog-SQL join
+    * against even a tiny warehouse table can never auto-broadcast: every
+    * `spark.sql("... JOIN graft.db.t ...")` would plan a shuffle join.
+    * Parquet bytes UNDERSTATE in-memory row size, so joins near the
+    * `autoBroadcastJoinThreshold` boundary still broadcast conservatively
+    * compressed data — the same bias FileSourceScanExec's own
+    * `sizeInBytes` carries, corrected at runtime by AQE.
+    */
+  override lazy val sizeInBytes: Long =
+    try math.max(1L, wt.sizeInBytes(asOf))
+    catch { case _: Exception => super.sizeInBytes }
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession

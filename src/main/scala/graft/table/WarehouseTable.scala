@@ -279,6 +279,29 @@ final class WarehouseTable(val root: String) {
     * arbitration keeps the newest row per merge key across base + deltas
     * (newer delta sequence wins; each delta holds ≤1 row per key).
     */
+  /** Total on-disk bytes of a snapshot's data files (base + MOR deltas) —
+    * the table-level statistic the CBO needs to auto-broadcast small
+    * tables (without it, catalog SQL joins see `defaultSizeInBytes` ≈
+    * Long.Max and every join plans as a shuffle). Manifest-bounded work:
+    * one filesystem stat walk over the snapshot's data dirs, no data read.
+    */
+  def sizeInBytes(asOf: Option[Long] = None): Long = {
+    val m = readManifest(asOf.getOrElse(currentSnapshotId))
+    val dirs = (m.base.values.flatten ++
+      m.deltas.flatMap(_.data.values.flatten)).toSeq.distinct
+    import scala.jdk.CollectionConverters._
+    dirs.map { d =>
+      val p = Paths.get(root, d)
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val walk = Files.list(p)
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+        finally walk.close()
+      }
+    }.sum
+  }
+
   def read(
       spark: SparkSession,
       partitions: Option[Seq[Any]] = None,

@@ -48,6 +48,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!graft.table.WarehouseTable(s"$wh/db/orders").exists)
   }
 
+  test("scan reports manifest-derived statistics: small catalog tables auto-broadcast, large ones don't") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.dim_s (k INT, name STRING)")
+    spark.sql("INSERT INTO graft.db.dim_s VALUES (1, 'a'), (2, 'b')")
+    spark.range(0, 50000)
+      .selectExpr("CAST(id AS INT) AS fk", "CAST(id % 7 AS INT) AS grp")
+      .createOrReplaceTempView("facts")
+    val joined = spark.sql(
+      """SELECT f.grp, count(*) AS n FROM facts f
+        |JOIN graft.db.dim_s d ON f.fk % 2 = d.k % 2 AND f.fk % 100 = d.k
+        |GROUP BY f.grp""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.collect().map(_.getLong(1)).sum == 1000)
+    // a table pushed past the broadcast threshold must NOT broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+    try {
+      spark.sql("CREATE TABLE graft.db.dim_l (k INT, pad STRING)")
+      spark.range(0, 20000)
+        .selectExpr("CAST(id AS INT) AS k", "repeat(uuid(), 4) AS pad")
+        .createOrReplaceTempView("dim_l_src")
+      spark.sql("INSERT INTO graft.db.dim_l SELECT * FROM dim_l_src")
+      val big = spark.sql(
+        """SELECT count(*) FROM facts f JOIN graft.db.dim_l d ON f.fk = d.k""")
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(!bigPlan.contains("BroadcastHashJoin"), bigPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft.db.dim_l")
+    }
+    spark.sql("DROP TABLE graft.db.dim_s")
+  }
+
   test("literal MERGE INTO SQL: conditional update, delete, and insert") {
     val wh = warehouse
     graft.plans.GraftMergeStrategy.register(spark)
