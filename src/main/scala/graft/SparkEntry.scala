@@ -238,6 +238,23 @@ object SparkEntry {
     table
   }
 
+  /** q71's corpus-fingerprint Bloom filter, built ONCE per (JVM, sfDir)
+    * — the build is index work (amortized across arrival batches, like
+    * q66/q82's at-rest builds), priced under the bench's index_build
+    * line, not the per-batch probe.
+    */
+  private val q71Blooms = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+  private def q71Bloom(s: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
+    q71Blooms.getOrElseUpdate(dir, {
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+      TextDedup.corpusFingerprintBloom(
+        corpus.select(graft.functions.TextFunctions
+          .fingerprint(col("text")).as("fp")).distinct(),
+        expectedItems = 1000000L, fpp = 0.01)
+    })
+
   /** q134's bloom-indexed content-hash table: documents keyed by a
     * per-doc fingerprint, landed as FOUR append dirs (so no dir's
     * min/max range can prune an equality probe), bloom sidecars built
@@ -358,6 +375,7 @@ object SparkEntry {
       "q121_interval_at_rest" -> timed(q121Index(s, dir)),
       "q127_overlap_at_rest" -> timed(q127Index(s, dir)),
       "q149_overlap_counts_at_rest" -> timed(q149Index(s, dir)),
+      "q71_bloom_dedup" -> timed(q71Bloom(s, dir)),
       "q134_bloom_skipping" -> timed(q134Table(s, dir)))
   }
 
@@ -1577,7 +1595,8 @@ object SparkEntry {
       val incoming = docs.filter(col("doc_id") % 2 === 1)
         .unionAll(corpus.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
-      TextDedup.bloomDedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      TextDedup.bloomDedupAgainstCorpus(incoming, corpus, "doc_id", "text",
+        prebuilt = Some(q71Bloom(s, dir)))
     }),
 
     // Learned k-means codebook (Lloyd, 3 iterations, fixed-point exact):

@@ -568,7 +568,14 @@ object TextDedup {
       corpusFps: DataFrame, // fp: string
       expectedItems: Long,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    corpusFps.stat.bloomFilter("fp", expectedItems, fpp)
+    // the filter holds xxhash64(fp) LONGS, not the strings: that is the
+    // form Spark's own BloomFilterMightContain expression probes
+    // (mightContainLong), so the arrival-side membership test compiles
+    // into whole-stage codegen instead of a Scala UDF. Hash collisions
+    // only add to the (already nonzero) false-positive rate the verify
+    // join removes; no-false-negatives is preserved.
+    corpusFps.select(xxhash64(col("fp")).as("fph"))
+      .stat.bloomFilter("fph", expectedItems, fpp)
 
   /** Exact arrival-vs-corpus dedup with a Bloom PREFILTER — the 100 TB
     * shape of [[dedupAgainstCorpus]]'s exact arm. The fingerprint equi-join
@@ -580,10 +587,12 @@ object TextDedup {
     * eliminated there, making the output EXACTLY the plain exact-arm
     * decision — the oracle is ordinary SQL, nothing probabilistic leaks.
     *
-    * The probe is a Scala UDF (`mightContainString`) by necessity — Spark
-    * exposes no public Bloom expression — but it is map-side, branch-only
-    * work on rows the shuffle never sees; the codegen'd fingerprint feeds
-    * it directly.
+    * The probe is Spark's internal `BloomFilterMightContain` expression
+    * (via the GraftBridge) over the filter's serialized bytes — map-side,
+    * inside whole-stage codegen, deserialized once per executor; the
+    * codegen'd fingerprint + xxhash64 feed it directly. Build the filter
+    * ONCE per corpus snapshot with [[corpusFingerprintBloom]] and pass it
+    * as `prebuilt`; rebuilding per batch pays a corpus scan per batch.
     *
     * Output: (idCol, exact_dup INT, keep INT), one row per arrival.
     */
@@ -599,9 +608,16 @@ object TextDedup {
     val corpusFp = corpus.select(fp(col(textCol)).as("fp")).distinct()
     val bloom = prebuilt.getOrElse(
       corpusFingerprintBloom(corpusFp, expectedCorpusDocs, fpp))
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => s != null && bc.value.mightContainString(s))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    // codegen'd probe (no UDF): Spark's own BloomFilterMightContain over
+    // the serialized filter + xxhash64 of the fingerprint — the filter
+    // was built over the same hashes. NULL fingerprints are definite
+    // non-members (the old UDF's contract), decided before hashing.
+    val mightContain = (c: Column) => c.isNotNull &&
+      org.apache.spark.sql.GraftBridge.bloomMightContain(bytes, xxhash64(c))
     val inFp = incoming.select(col(idCol), fp(col(textCol)).as("fp"))
     // definite non-members: decided map-side, never shuffled
     val misses = inFp.filter(!mightContain(col("fp")))

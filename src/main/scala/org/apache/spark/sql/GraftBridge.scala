@@ -21,4 +21,20 @@ object GraftBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Codegen'd Bloom membership probe — Spark's internal
+    * `BloomFilterMightContain` (the expression its own runtime row-level
+    * filtering injects), exposed for engine operators that pre-build a
+    * `org.apache.spark.util.sketch.BloomFilter` and probe it map-side.
+    * `filterBytes` is the sketch's `writeTo` serialization (embedded as a
+    * foldable binary literal; the expression deserializes it ONCE per
+    * executor via its lazy cache); `hashed` must be a LongType column —
+    * hash with `xxhash64(...)` and build the filter over the same hashes.
+    * Replaces a Scala UDF probe: stays inside whole-stage codegen, no
+    * per-row boxing or closure dispatch.
+    */
+  def bloomMightContain(filterBytes: Array[Byte], hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(org.apache.spark.sql.functions.lit(filterBytes)),
+      expression(hashed)))
 }

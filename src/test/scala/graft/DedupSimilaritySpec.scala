@@ -630,13 +630,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(planted.nonEmpty && planted.forall(id => bloomed(id + 1000000L) == 1))
   }
 
-  test("bloom prefilter: filter rejects non-member fingerprints at ~fpp") {
+  test("bloom prefilter: filter rejects non-member fingerprints at ~fpp; probe is codegen'd, no UDF") {
     val corpus = (1 to 2000).map(i => s"fp_$i").toDF("fp")
     val bloom = TextDedup.corpusFingerprintBloom(corpus, 2000, 0.01)
-    assert((1 to 2000).forall(i => bloom.mightContainString(s"fp_$i")))
-    val fpHits = (1 to 10000).count(i => bloom.mightContainString(s"other_$i"))
+    // the filter holds xxhash64 longs (the BloomFilterMightContain form);
+    // compute the engine's hashes engine-side and probe with the long API
+    def hashes(fps: Seq[String]): Seq[Long] =
+      fps.toDF("fp").select(xxhash64(col("fp"))).as[Long].collect().toSeq
+    assert(hashes((1 to 2000).map(i => s"fp_$i")).forall(bloom.mightContainLong))
+    val fpHits = hashes((1 to 10000).map(i => s"other_$i"))
+      .count(bloom.mightContainLong)
     // 1% nominal fpp; generous bound so the test never flakes
     assert(fpHits < 500, s"false-positive rate too high: $fpHits / 10000")
+    // the arrival-side probe plan contains no ScalaUDF anywhere
+    val d = docs.select(col("doc_id"), col("text"))
+    val plan = TextDedup.bloomDedupAgainstCorpus(
+      d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("might_contain"), plan)
   }
 
   test("segment dedup: first occurrence survives, later copies drop (q44)") {
