@@ -255,6 +255,40 @@ object SparkEntry {
         expectedItems = 1000000L, fpp = 0.01)
     })
 
+  /** q106's at-rest incremental-clustering fixture, built ONCE per
+    * (JVM, sfDir): the corpus minhash index (its own table — q66's gate
+    * must not see q106's committed arrivals), the at-rest corpus text
+    * table the verify step reads, and the cluster table seeded with the
+    * corpus-only assignment (historical pairs mined one-shot here — that
+    * mine is BUILD work, amortized like every other at-rest build). The
+    * timed gate then does only what a live ingest does per batch:
+    * pruned-index lookup + batch-local mine + three arrival-bound
+    * commits.
+    */
+  private def q106Fixture(s: SparkSession, dir: String):
+      (graft.table.WarehouseTable, graft.table.WarehouseTable, graft.table.WarehouseTable) = {
+    val root = scratchPath("q106", dir)
+    val idxT = graft.table.WarehouseTable(root + "/mh_idx")
+    val corpT = graft.table.WarehouseTable(root + "/corpus_t")
+    val clusT = graft.table.WarehouseTable(root + "/clusters")
+    if (atRestBuilt.add(root)) {
+      idxT.drop(); corpT.drop(); clusT.drop()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextDedup.minhashIndexAtRest(docs, "doc_id", "text", idxT)
+      val corp = docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        col("text"))
+      corpT.create(corp.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      corpT.append(corp)
+      val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
+      val pairs = TextDedup.verifyPairs(TextDedup.minHashCandidates(sh), sh, 0.5)
+      Dedup.componentsCommit(s, docs.select(col("doc_id").as("id")),
+        pairs.select(col("d1"), col("d2")), clusT)
+    }
+    (idxT, corpT, clusT)
+  }
+
   /** q134's bloom-indexed content-hash table: documents keyed by a
     * per-doc fingerprint, landed as FOUR append dirs (so no dir's
     * min/max range can prune an equality probe), bloom sidecars built
@@ -376,6 +410,7 @@ object SparkEntry {
       "q127_overlap_at_rest" -> timed(q127Index(s, dir)),
       "q149_overlap_counts_at_rest" -> timed(q149Index(s, dir)),
       "q71_bloom_dedup" -> timed(q71Bloom(s, dir)),
+      "q106_incremental_components" -> timed(q106Fixture(s, dir)),
       "q134_bloom_skipping" -> timed(q134Table(s, dir)))
   }
 
@@ -1933,25 +1968,32 @@ object SparkEntry {
     // assignment's spanning-star edges + only the arrival-touching edges
     // — never the full pair history. Output must equal clustering the
     // union from scratch (the oracle's recursive closure proves it).
+    // AT-REST incremental clustering — what a 100 TB deployment runs per
+    // arrival batch (round-9 verdict: the old gate re-mined the corpus
+    // per run; this one is ARRIVAL-BOUND): candidates come from the
+    // pruned minhash-index read + a batch-local arrival×arrival mine,
+    // verify reads only candidate rows of the at-rest corpus table, and
+    // three keyed commits (index hashes, corpus rows, touched-component
+    // cluster fold) absorb the batch. Oracle unchanged: the final
+    // cluster table must equal exact components over corpus ∪ arrivals.
+    // Re-runs replay the same batch — every commit is idempotent.
     "q106_incremental_components" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val (idxT, corpT, clusT) = q106Fixture(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val arrivals = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
-      val all = docs.select(col("doc_id"), col("text")).unionByName(arrivals)
-      val sh = TextDedup.shingled(all, "doc_id", "text", 3)
-      val pairs = TextDedup.verifyPairs(
-        TextDedup.minHashCandidates(sh), sh, 0.5)
-      val hist = pairs
-        .filter(col("d1") < PlantOffset && col("d2") < PlantOffset)
-      val fresh = pairs
-        .filter(col("d1") >= PlantOffset || col("d2") >= PlantOffset)
-      val assignment = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("id")),
-        hist.select(col("d1"), col("d2")))
-      Dedup.incrementalComponents(assignment,
-        arrivals.select(col("doc_id").as("id")),
-        fresh.select(col("d1"), col("d2")))
-        .select(col("id").as("doc_id"), col("cluster"))
+      val storePairs = TextDedup.minhashLookupAtRest(s, arrivals,
+        corpT.read(s).select(col("doc_id"), col("text")),
+        "doc_id", "text", idxT, threshold = 0.5)
+      val arrSh = TextDedup.shingled(arrivals, "doc_id", "text", 3)
+      val arrPairs = TextDedup.verifyPairs(
+        TextDedup.minHashCandidates(arrSh), arrSh, 0.5)
+      val fresh = storePairs.select(col("d1"), col("d2"))
+        .unionByName(arrPairs.select(col("d1"), col("d2"))).distinct()
+      TextDedup.minhashIndexCommit(s, arrivals, "doc_id", "text", idxT, corpT)
+      Dedup.componentsCommit(s, arrivals.select(col("doc_id").as("id")),
+        fresh, clusT)
+      clusT.read(s).select(col("id").as("doc_id"), col("cluster"))
     }),
 
     // Per-source lexical diversity: type-token + distinct-trigram ratios
