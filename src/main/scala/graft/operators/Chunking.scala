@@ -88,7 +88,10 @@ object Chunking {
     sents
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("chunk",
-        floor(greatest(col("cum") - 1, lit(0L)) / budget).cast("long"))
+        // integer `div`, not double `/`+floor: the bin rule stays a pure
+        // ring op, exact on the whole long domain (the house discipline —
+        // float division is only exact below 2^53)
+        expr(s"greatest(cum - 1, 0) div $budget"))
       .groupBy(col(idCol), col("chunk"))
       .agg(
         count(lit(1)).as("n_sentences"),

@@ -36,15 +36,23 @@ object Contracts {
     Rule(name, c.isNull || !c.rlike(pattern))
 
   /** Dup-count flag for a uniqueness contract: `flagCol` is TRUE on every
-    * row whose `keyCol` value appears more than once. One key-hashed
-    * aggregation + a same-key join — AQE co-partitions them.
+    * row whose `keyCol` value appears more than once — NULL keys
+    * included: the aggregation groups NULLs into one group (as SQL's
+    * `count(*) OVER (PARTITION BY key)` does) and the join back is
+    * NULL-SAFE (`<=>`), so two NULL-keyed rows read as duplicates
+    * instead of silently clean (a plain equi-join would drop them and
+    * leave the flag NULL — the one way a uniqueness audit must not
+    * fail). One key-hashed aggregation + a same-key join — AQE
+    * co-partitions them; the flag is never NULL by construction.
     */
-  def withDupFlag(df: DataFrame, keyCol: String, flagCol: String): DataFrame =
-    df.join(
-        df.groupBy(col(keyCol)).agg(count(lit(1)).as(s"__${flagCol}_n")),
-        Seq(keyCol), "left")
-      .withColumn(flagCol, col(s"__${flagCol}_n") > 1)
-      .drop(s"__${flagCol}_n")
+  def withDupFlag(df: DataFrame, keyCol: String, flagCol: String): DataFrame = {
+    val cnts = df.groupBy(col(keyCol)).agg(count(lit(1)).as(s"__${flagCol}_n"))
+      .withColumnRenamed(keyCol, s"__${flagCol}_k")
+    df.join(cnts, col(keyCol) <=> col(s"__${flagCol}_k"), "left")
+      .withColumn(flagCol,
+        coalesce(col(s"__${flagCol}_n") > 1, lit(false)))
+      .drop(s"__${flagCol}_k", s"__${flagCol}_n")
+  }
 
   /** Tag every row: `violations` = comma-joined names of broken rules in
     * the given rule order ('' when clean — never NULL, the

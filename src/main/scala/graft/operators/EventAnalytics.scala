@@ -93,8 +93,11 @@ object EventAnalytics {
     val u = col(userCol)
     // integer `div`, not `/` (double division) — period ids stay exact
     val firstTouch = events.groupBy(u)
-      .agg(expr(s"min(`$timeCol`) div $periodUs").as("cohort_period"))
-    events.select(u, expr(s"`$timeCol` div $periodUs").as("p"))
+      .agg(expr(
+        s"(min(`$timeCol`) - pmod(min(`$timeCol`), $periodUs)) div $periodUs")
+        .as("cohort_period"))
+    events.select(u, expr(
+        s"(`$timeCol` - pmod(`$timeCol`, $periodUs)) div $periodUs").as("p"))
       .join(firstTouch, Seq(userCol))
       .select(u, col("cohort_period"),
         (col("p") - col("cohort_period")).as("period_offset"))
@@ -109,7 +112,11 @@ object EventAnalytics {
     * `ws <= t < ws + lenUs`. Returns per (window_start, group column)
     * exact counts and a 2-decimal exact sum of `valueCol` surfaced as
     * double — the same decimal-sum rule every money-summing query here
-    * uses. Time must be a non-negative integer column (epoch µs).
+    * uses. Time is an integer column (epoch µs); window starts are
+    * FLOOR-aligned (`t − pmod(t, hop)`, not truncating `div`), so a
+    * negative event time still lands in exactly the `lenUs/hopUs`
+    * instances that COVER it — the fan-out invariant holds on the whole
+    * integer domain, matching DuckDB's floor-division `//`.
     */
   def hoppingWindows(
       events: DataFrame,
@@ -120,7 +127,7 @@ object EventAnalytics {
       hopUs: Long): DataFrame = {
     require(hopUs >= 1 && lenUs >= hopUs && lenUs % hopUs == 0,
       s"window length $lenUs must be a positive multiple of hop $hopUs")
-    val wsMax = expr(s"(`$timeCol` div $hopUs) * $hopUs")
+    val wsMax = expr(s"`$timeCol` - pmod(`$timeCol`, $hopUs)")
     val wsMin = wsMax - (lenUs / hopUs - 1) * hopUs
     events
       .withColumn("window_start",

@@ -84,28 +84,42 @@ object SimilaritySearch {
     * exact integer arithmetic with the id-asc tiebreak — both engines
     * replay the selection step-for-step.
     *
-    * Scale shape: MMR is inherently sequential in k, so the RIGHT design
-    * is bounded-candidate greedy — candidates are a top-N retrieval
+    * Scale shape: MMR is inherently sequential in k, so the preferred
+    * plan is bounded-candidate greedy — candidates are a top-N retrieval
     * result (N is a query parameter, like k), the N² pairwise sims are
     * computed distributed with the codegen'd [[graft.functions.CosineSim]]
     * kernel, and the ≤N + N² collect is planning-scale, not corpus-scale
-    * (the q72/q85 bounded-collect rule). Running each greedy step as a
-    * Spark job would schedule k sequential jobs over N rows — the q85
-    * anti-pattern this deliberately avoids.
+    * (the q72/q85 bounded-collect rule). That bound is now ENFORCED, not
+    * assumed: above `maxDriverCandidates` (default 10k ⇒ ≤10⁸ driver
+    * pairs) the method switches to a DISTRIBUTED greedy — each of the k
+    * steps scores all remaining candidates against the ≤k selected
+    * vectors executor-side (a broadcast of the selected rows, N·|sel|
+    * codegen'd pairs, one aggregate) and collects exactly ONE argmax
+    * row. k sequential jobs is the textbook q85 anti-pattern for
+    * DRIVER-SIZED inputs, and exactly the right trade when the
+    * alternative is an O(N²) driver matrix: selection identity is
+    * spec-asserted against the driver path, integer scores and id-asc
+    * tiebreaks make the two replay step-for-step.
     */
   def mmrDiversify(
       candidates: DataFrame, // id, vec, rel_e6
       k: Int,
-      lambdaE6: Long = 500000L): DataFrame = {
+      lambdaE6: Long = 500000L,
+      maxDriverCandidates: Int = 10000): DataFrame = {
     require(k >= 1, "k must be positive")
     require(lambdaE6 >= 0L && lambdaE6 <= 1000000L, "lambdaE6 in [0, 1e6]")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val relMap: Map[Long, Long] = candidates
-      .select(col("id").cast("long"), col("rel_e6").cast("long"))
+    val cand = candidates.select(col("id").cast("long").as("id"),
+      col("vec"), col("rel_e6").cast("long").as("rel_e6")).localCheckpoint()
+    val n = cand.count()
+    if (n > maxDriverCandidates)
+      return mmrDistributed(cand, k, lambdaE6, n)
+    val relMap: Map[Long, Long] = cand
+      .select(col("id"), col("rel_e6"))
       .as[(Long, Long)].collect().toMap
-    val a = candidates.select(col("id").as("ia"), col("vec").as("va"))
-    val b = candidates.select(col("id").as("ib"), col("vec").as("vb"))
+    val a = cand.select(col("id").as("ia"), col("vec").as("va"))
+    val b = cand.select(col("id").as("ib"), col("vec").as("vb"))
     val sim = scala.collection.mutable.HashMap[(Long, Long), Long]()
     a.crossJoin(b).filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
@@ -130,6 +144,48 @@ object SimilaritySearch {
       picked += ((bestId, rank, bestScore))
       selected += bestId
       remaining -= bestId
+      rank += 1
+    }
+    picked.toSeq.toDF("id", "mmr_rank", "score_q")
+  }
+
+  /** The over-bound arm of [[mmrDiversify]]: per greedy step, max-sim
+    * against the selected set is a broadcast join of ALL candidates with
+    * the ≤k selected vectors (never an N² matrix anywhere), the argmax
+    * is a 1-row collect with the same `score desc, id asc` rule the
+    * driver path's strict-`>`-over-ascending-ids implements.
+    */
+  private def mmrDistributed(
+      cand: DataFrame, k: Int, lambdaE6: Long, n: Long): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    var rank = 1
+    while (rank <= k && sel.size < n) {
+      val scored =
+        if (sel.isEmpty)
+          cand.withColumn("maxsim", lit(0L))
+        else {
+          val selDf = broadcast(cand
+            .filter(col("id").isin(sel.toSeq: _*))
+            .select(col("vec").as("svec")))
+          cand.filter(!col("id").isin(sel.toSeq: _*))
+            .crossJoin(selDf) // ≤k broadcast rows per candidate — bounded
+            .withColumn("sim_e6",
+              floor(CosineSim(col("vec"), col("svec")) * 1000000.0 + lit(0.5))
+                .cast("long"))
+            .groupBy(col("id"), col("rel_e6"))
+            .agg(max(col("sim_e6")).as("maxsim"))
+        }
+      val row = scored
+        .withColumn("score_q",
+          lit(lambdaE6) * col("rel_e6") -
+            (lit(1000000L) - lit(lambdaE6)) * col("maxsim"))
+        .orderBy(col("score_q").desc, col("id").asc)
+        .limit(1).select(col("id"), col("score_q")).head()
+      picked += ((row.getLong(0), rank, row.getLong(1)))
+      sel += row.getLong(0)
       rank += 1
     }
     picked.toSeq.toDF("id", "mmr_rank", "score_q")

@@ -247,6 +247,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(first == List(5L))
   }
 
+  test("mmr diversify: distributed over-bound path replays the driver selection step-for-step") {
+    import graft.operators.SimilaritySearch
+    // 60 candidates in deliberate tie-heavy clusters (8 distinct
+    // directions, repeated relevances) so the id-asc tiebreak is
+    // exercised, not dodged
+    val cand = (0 until 60).map { i =>
+      val ang = (i % 8) * math.Pi / 4
+      (i.toLong, Seq(math.cos(ang).toFloat, math.sin(ang).toFloat),
+        (1000000L - (i % 5) * 100000L))
+    }.toDF("id", "vec", "rel_e6")
+    val driver = SimilaritySearch.mmrDiversify(cand, k = 9)
+      .select("id", "mmr_rank", "score_q").as[(Long, Int, Long)]
+      .collect().toList.sortBy(_._2)
+    val dist = SimilaritySearch.mmrDiversify(cand, k = 9,
+        maxDriverCandidates = 10) // force the distributed arm
+      .select("id", "mmr_rank", "score_q").as[(Long, Int, Long)]
+      .collect().toList.sortBy(_._2)
+    assert(dist == driver)
+  }
+
   test("large-query-set shuffle paths ≡ broadcast paths (exact equivalence)") {
     // the shuffle variants exist for query sets too big to broadcast; they
     // must return EXACTLY what the broadcast plans return (same tiebreaks)

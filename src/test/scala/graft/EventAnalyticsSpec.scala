@@ -99,6 +99,22 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq(-30L, -20L, -10L, 0L))
   }
 
+  test("hoppingWindows: NEGATIVE event times land in the instances that cover them (floor alignment)") {
+    // t=-5 at len 10 / hop 10 must land in exactly window -10 (covering
+    // [-10, 0)) — truncating div would emit window 0, which misses it
+    val ev = Seq(("a", 1.0, -5L)).toDF("event_type", "value", "t")
+    val out = EventAnalytics
+      .hoppingWindows(ev, "t", "event_type", "value", lenUs = 10L, hopUs = 10L)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) == Seq((-10L, 1L)))
+    // len 20 / hop 10: two covering instances, both actually cover
+    val out2 = EventAnalytics
+      .hoppingWindows(ev, "t", "event_type", "value", lenUs = 20L, hopUs = 10L)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out2.map(_._1).sorted == Seq(-20L, -10L))
+    out2.foreach { case (ws, _, _, _) => assert(ws <= -5L && -5L < ws + 20L) }
+  }
+
   test("hoppingWindows: rejects a length that is not a multiple of the hop") {
     val ev = Seq(("a", 1.0, 0L)).toDF("event_type", "value", "t")
     intercept[IllegalArgumentException] {

@@ -1559,6 +1559,27 @@ class OperatorsSpec extends SparkSpec {
     assert(only.keySet == Set("a", "b") && !only("b"))
   }
 
+  test("Contracts: duplicate NULL keys read as duplicates, never silently clean") {
+    import spark.implicits._
+    import graft.operators.Contracts
+    import org.apache.spark.sql.functions.col
+    // two NULL-keyed rows = one duplicated key group (the SQL
+    // count(*) OVER (PARTITION BY key) reading); a lone NULL is clean
+    val df = Seq(
+      (1L, None: Option[String]), (2L, None: Option[String]),
+      (3L, Some("k")), (4L, Some("u"))
+    ).toDF("id", "key")
+    val flagged = Contracts.withDupFlag(df, "key", "dup")
+    val out = flagged.select("id", "dup").as[(Long, Boolean)]
+      .collect().toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    // the flag column is never NULL — tag()'s when(predicate) sees
+    // every row
+    assert(flagged.filter(col("dup").isNull).isEmpty)
+    val tagged = Contracts.tag(flagged, Seq(Contracts.Rule("dup", col("dup"))))
+    assert(tagged.filter(col("violations") === "dup").count() == 2)
+  }
+
   test("Contracts: multi-rule tags in rule order, dup flag, zero-row summary for clean rules") {
     import spark.implicits._
     import graft.operators.Contracts
