@@ -1814,14 +1814,22 @@ object StreamingIngest {
     * arrival earlier than completed steps cannot retroactively improve
     * them — the same documented divergence class as [[sessionizeStream]]'s
     * late-event note; exact out-of-order equivalence would need
-    * watermark-deep buffering. State is O(steps) longs per ACTIVE user —
-    * users, not events, bound the store.
+    * watermark-deep buffering (that exact form is
+    * [[funnelStreamOrdered]]). State is O(steps) longs per INCOMPLETE
+    * user: a user that reaches the last step is emitted and their state
+    * REMOVED — the store is bounded by users still inside the funnel,
+    * not by every user ever seen. Consequence of the expiry (documented,
+    * deliberate): events for an already-completed user start a fresh
+    * funnel pass — the "conversion cycles" reading. Callers needing
+    * every-user-forever retention pass `expireCompleted = false` and
+    * own the store growth.
     *
     * Emits each touched user's progress every batch (Update semantics).
     */
   def funnelStream(
       events: Dataset[FunnelEvent],
-      nSteps: Int): Dataset[FunnelProgress] = {
+      nSteps: Int,
+      expireCompleted: Boolean = true): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(nSteps >= 1, "need at least one step")
     events
@@ -1835,7 +1843,8 @@ object StreamingIngest {
                 (k == 0 || e.t > times(k - 1)))
               times = times :+ e.t
           }
-          state.update(FunnelTimes(times))
+          if (expireCompleted && times.size == nSteps) state.remove()
+          else state.update(FunnelTimes(times))
           FunnelProgress(uid, times.size,
             if (times.nonEmpty) times.head else -1L,
             if (times.nonEmpty) times.last else -1L)
@@ -1969,5 +1978,252 @@ object StreamingIngest {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  // ---- watermark-buffered ORDERED stateful stages --------------------------
+  //
+  // funnelStream / sessionizeStream fold each micro-batch eagerly, which is
+  // exact only while a user's events arrive time-ordered ACROSS batches.
+  // The *Ordered twins below close that divergence class the only way it
+  // can be closed: events are BUFFERED in state until the watermark passes
+  // them, then folded in event-time order — so any arrival order the
+  // watermark admits produces the batch answer, and the extra state is
+  // bounded by (events inside the watermark horizon), the minimum any
+  // exact out-of-order operator must hold. Eager vs ordered is the
+  // latency/exactness dial: eager emits on arrival and may diverge on
+  // disorder; ordered emits with watermark delay and never does.
+  //
+  // Settle rule: an event is FINAL once its time is ≤ the current
+  // watermark, because Spark's declared late policy drops arrivals at or
+  // before the watermark — every future survivor is strictly newer than
+  // anything settled, which is the invariant all finality proofs below
+  // lean on. (Corollary: events at or before the INITIAL watermark — 0 —
+  // never reach the state function at all, exactly like every other
+  // watermarked stateful operator.)
+
+  /** A funnel event with a real event-time column (watermarkable). */
+  final case class TimedFunnelEvent(
+      user_id: Long, step: Int, ts: java.sql.Timestamp)
+
+  /** Ordered-funnel state: settled step times + watermark-held events. */
+  final case class FunnelBuf(times: Seq[Long], pending: Seq[(Int, Long)])
+
+  /** EXACT out-of-order funnel: arrivals buffer in state until the
+    * watermark passes them, then fold in (time, step) order under the
+    * batch rule — the final progress per user equals
+    * [[graft.operators.EventAnalytics.funnel]] on the union of all
+    * batches for ANY cross-batch arrival order the watermark admits
+    * (rows later than the watermark are dropped by the declared policy,
+    * same as every watermarked stage). Progress counts only SETTLED
+    * events — a row's `reached` can lag arrivals by the watermark delay,
+    * never contradict the batch answer.
+    *
+    * State bound: O(steps) settled longs + the user's events inside the
+    * watermark horizon — the buffer drains every time the watermark
+    * advances (event-time timeout at the earliest pending event wakes
+    * the group even if no new data arrives for it). Completed users with
+    * a drained buffer are emitted and REMOVED.
+    *
+    * Emits each touched/woken user's progress (Update semantics).
+    */
+  def funnelStreamOrdered(
+      events: Dataset[TimedFunnelEvent],
+      nSteps: Int,
+      watermark: String): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(nSteps >= 1, "need at least one step")
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[TimedFunnelEvent], state: GroupState[FunnelBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(FunnelBuf(Nil, Nil))
+          val all = buf.pending ++ it.map(e => (e.step, e.ts.getTime))
+          // settled = at or before the watermark: no admissible future
+          // arrival can precede them, so their fold order is final
+          val (ready, hold) = all.partition(_._2 <= wm)
+          var times = buf.times.toVector
+          ready.sortBy { case (s, t) => (t, s) }.foreach { case (s, t) =>
+            val k = times.size
+            if (k < nSteps && s == k && (k == 0 || t > times(k - 1)))
+              times = times :+ t
+          }
+          if (times.size == nSteps && hold.isEmpty) state.remove()
+          else {
+            state.update(FunnelBuf(times, hold))
+            // wake when the watermark passes the earliest held event
+            // (held ⇒ t > wm, so the timestamp is legally in the future)
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(hold.map(_._2).min)
+          }
+          FunnelProgress(uid, times.size,
+            if (times.nonEmpty) times.head else -1L,
+            if (times.nonEmpty) times.last else -1L)
+      }
+  }
+
+  /** Ordered-sessionize state: watermark-held events + the open session
+    * built from settled events only.
+    */
+  final case class SessionBuf(
+      pending: Seq[(Long, Double)], open: Option[OpenSession])
+
+  /** EXACT out-of-order sessionization — [[sessionizeStream]] without its
+    * late-merge divergence: events buffer in state until the watermark
+    * passes them, then fold in event-time order, so emitted sessions
+    * equal the batch [[graft.operators.TemporalJoins.sessionize]] for ANY
+    * arrival order the watermark admits. Finality is provable at every
+    * emit: a session closed by a settled successor is final because every
+    * held/future event is newer than the watermark and hence newer than
+    * that successor; a trailing open session closes exactly when
+    * `watermark ≥ end + gap` (any admissible future event then sits
+    * beyond the gap by construction). Event-time timeout at
+    * min(earliest held event, open end + gap) wakes the group when either
+    * condition can next trigger, so sessions close without new data for
+    * the key and state drains to zero for idle keys.
+    */
+  def sessionizeStreamOrdered(
+      events: Dataset[SessionEvent],
+      gapMs: Long,
+      watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    require(gapMs > 0, "gap must be positive")
+    def close(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sum)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(SessionBuf(Nil, None))
+          val all = buf.pending ++ it.map(e => (e.ts.getTime, e.value))
+          val (ready, hold) = all.partition(_._1 <= wm)
+          var open = buf.open
+          val closed = Seq.newBuilder[ClosedSession]
+          // `open` was folded from events ≤ the PREVIOUS watermark and
+          // every `ready` event was held because it was newer than that
+          // watermark — so t ≥ open.end always holds here; the fold
+          // needs no min(start) repair and start/end stay monotone.
+          ready.sortBy(_._1).foreach { case (t, v) =>
+            open match {
+              case Some(s) if t - s.end <= gapMs =>
+                open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + v))
+              case Some(s) =>
+                closed += close(uid, s)
+                open = Some(OpenSession(t, t, 1, v))
+              case None =>
+                open = Some(OpenSession(t, t, 1, v))
+            }
+          }
+          open match {
+            case Some(s) if wm >= s.end + gapMs =>
+              closed += close(uid, s); open = None
+            case _ => ()
+          }
+          if (hold.isEmpty && open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(hold, open))
+            // both candidates are provably > wm: held events by the
+            // partition above, end+gap because the session didn't close
+            val wake = (open.map(_.end + gapMs).toSeq ++ hold.map(_._1)).min
+            state.setTimeoutTimestamp(wake)
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** One attribution-relevant event: a click (carrying its channel) or a
+    * purchase (carrying its value); `channel`/`value` are ignored on the
+    * other kind.
+    */
+  final case class AttrEvent(
+      user_id: Long, event_id: Long, is_click: Boolean,
+      channel: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** Per-user newest-click state (epoch ms + the q18/q147 tiebreak id). */
+  final case class NewestClick(t: Long, click_id: Long, channel: Long)
+
+  /** A purchase with its credited channel ('organic' when clickless). */
+  final case class AttributedPurchase(
+      user_id: Long, event_id: Long, channel: String, value: Double)
+
+  /** Streaming LAST-TOUCH ATTRIBUTION (38th stage) — the live form of the
+    * q147 as-of union-sort: per-user state is ONE NewestClick (not the
+    * click history — last-touch needs only the newest), each purchase
+    * emits immediately with the credited channel, clickless purchases
+    * credit 'organic'. Within a batch events fold in (time, clicks-first,
+    * id) order so a click at the purchase's own instant takes credit
+    * (the `c.t <= p.t` batch rule) and same-instant clicks tie to the
+    * larger click_id — exactly q147's ordering. Stream ≡ batch
+    * [[graft.operators.TemporalJoins.asofJoinBackward]]-rollup whenever
+    * each user's events arrive time-ordered ACROSS batches; an
+    * out-of-order click arriving after a later purchase was already
+    * credited cannot retroactively re-credit it — the same documented
+    * divergence class as [[funnelStream]], closable the same way
+    * ([[funnelStreamOrdered]]'s watermark buffer) at the cost of
+    * watermark-delayed emission.
+    *
+    * `attributionWindowMs`: with a finite window, a click older than
+    * `purchase.t − window` cannot take credit, so expiring a user's
+    * newest-click state once the WATERMARK passes `click.t + window` is
+    * semantically lossless (event-time timeout) — bounded state on an
+    * unbounded user population. `None` retains state forever (exact
+    * unwindowed attribution, O(users) state — the caller's trade).
+    */
+  def attributionStream(
+      events: Dataset[AttrEvent],
+      watermark: String,
+      attributionWindowMs: Option[Long] = None): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    attributionWindowMs.foreach(w => require(w > 0, "window must be positive"))
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[AttrEvent], state: GroupState[NewestClick]) =>
+          if (state.hasTimedOut) {
+            // only reachable with a finite window: the newest click is
+            // older than any future purchase's window — drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            var newest = state.getOption
+            val out = Seq.newBuilder[AttributedPurchase]
+            it.toSeq
+              .sortBy(e => (e.ts.getTime, if (e.is_click) 0 else 1, e.event_id))
+              .foreach { e =>
+                val t = e.ts.getTime
+                if (e.is_click) {
+                  if (newest.forall(c =>
+                      c.t < t || (c.t == t && c.click_id < e.event_id)))
+                    newest = Some(NewestClick(t, e.event_id, e.channel))
+                } else {
+                  val credit = newest.filter(c =>
+                    attributionWindowMs.forall(w => t - c.t <= w))
+                  out += AttributedPurchase(uid, e.event_id,
+                    credit.map(_.channel.toString).getOrElse("organic"), e.value)
+                }
+              }
+            newest match {
+              case Some(c) =>
+                state.update(c)
+                attributionWindowMs.foreach { w =>
+                  // legal (> wm): a click admitted by the watermark has
+                  // t + w > wm whenever its credit window is still open
+                  val expiry = c.t + w
+                  if (expiry > state.getCurrentWatermarkMs())
+                    state.setTimeoutTimestamp(expiry)
+                  else state.remove()
+                }
+              case None => ()
+            }
+            out.result().iterator
+          }
+      }
   }
 }

@@ -1826,4 +1826,179 @@ class StreamingIngestSpec extends SparkSpec {
     model.unpersist()
     ()
   }
+
+  test("ordered funnel stream equals the batch funnel under shuffled cross-batch arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{FunnelProgress, TimedFunnelEvent}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // 8 users × deterministic pseudo-random step events over [0, 500] s,
+    // including strict-tie traps (same-instant next step) and regressions
+    val rnd = new scala.util.Random(42)
+    val evs = (1L to 8L).flatMap { u =>
+      // times start at 1 s: Spark's late policy drops rows at or before
+      // the watermark, and the INITIAL watermark is 0 — a t=0 event
+      // would be declared late before the state function ever ran
+      (0 until 9).map { _ =>
+        TimedFunnelEvent(u, rnd.nextInt(3), ts(rnd.nextInt(500).toLong + 1))
+      }
+    }
+    // adversarial arrival order: global shuffle, then 5 micro-batches
+    val shuffled = rnd.shuffle(evs)
+    val batches = shuffled.grouped((shuffled.size + 4) / 5).toSeq
+    val input = MemoryStream[TimedFunnelEvent]
+    val q = StreamingIngest.funnelStreamOrdered(
+        input.toDS(), nSteps = 3, watermark = "2 hours")
+      .writeStream.format("memory").queryName("ofun_out")
+      .outputMode("update").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    // flush: a sentinel user far in the future pushes the watermark past
+    // every real event; the event-time timeouts then drain the buffers
+    input.addData(TimedFunnelEvent(-1L, 0, ts(500 + 3 * 3600)))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val fin = spark.table("ofun_out").as[FunnelProgress].collect()
+      .filter(_.user_id >= 0).groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(r => (r.reached, r.t_last))
+      }
+    q.stop()
+    // reference: the batch greedy fold over each user's time-sorted events
+    val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+      var times = Vector.empty[Long]
+      es.sortBy(e => (e.ts.getTime, e.step)).foreach { e =>
+        val k = times.size
+        if (k < 3 && e.step == k && (k == 0 || e.ts.getTime > times(k - 1)))
+          times = times :+ e.ts.getTime
+      }
+      u -> ((times.size, times.headOption.getOrElse(-1L),
+        times.lastOption.getOrElse(-1L)))
+    }
+    // every user was touched, so every user has progress rows
+    assert(fin.keySet == expected.keySet)
+    expected.foreach { case (u, (reached, tf, tl)) =>
+      val r = fin(u)
+      assert((r.reached, r.t_first, r.t_last) == ((reached, tf, tl)),
+        s"user $u diverged")
+    }
+    // and the per-step conversion counts equal the real batch operator
+    val all = evs.map(e => (e.user_id, s"s${e.step}", e.ts.getTime))
+      .toDF("user_id", "event_type", "t")
+    val batchCounts = graft.operators.EventAnalytics.funnel(
+        all, "user_id", "event_type", "t", Seq("s0", "s1", "s2"))
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    (1 to 3).foreach { k =>
+      assert(batchCounts(k) == fin.values.count(_.reached >= k))
+    }
+  }
+
+  test("ordered sessionization equals batch sessionize under shuffled cross-batch arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val rnd = new scala.util.Random(7)
+    // 5 users × events clustered into gap-separated bursts (gap = 60 s)
+    val evs = (1L to 5L).flatMap { u =>
+      // +1 s floor: rows at or before the initial watermark (0) are
+      // dropped as late by Spark before the state function runs
+      (0 until 12).map { _ =>
+        SessionEvent(u, ts(rnd.nextInt(6) * 300L + rnd.nextInt(40) + 1),
+          rnd.nextInt(10).toDouble)
+      }
+    }
+    val shuffled = rnd.shuffle(evs)
+    val batches = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingIngest.sessionizeStreamOrdered(
+        input.toDS(), gapMs = 60000L, watermark = "2 hours")
+      .writeStream.format("memory").queryName("osess_out")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    input.addData(SessionEvent(-1L, ts(3 * 3600 + 7200), 0.0))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamed = spark.table("osess_out").as[ClosedSession].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.sum_value)).toSet
+    q.stop()
+    // batch twin: sessionize tags rows; fold tags into closed sessions
+    val tagged = graft.operators.TemporalJoins.sessionize(
+      evs.map(e => (e.user_id, e.ts.getTime, e.value))
+        .toDF("user_id", "t", "value"),
+      Seq("user_id"), "t", tiebreak = "value", maxGap = 60000L)
+    val batchSessions = tagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("t")).as("st"), max(col("t")).as("en"),
+        count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select("user_id", "st", "en", "n", "sv")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    assert(streamed == batchSessions)
+  }
+
+  test("streaming last-touch attribution equals the batch as-of rollup on ordered arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{AttrEvent, AttributedPurchase}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    def click(u: Long, id: Long, ch: Long, sec: Long) =
+      AttrEvent(u, id, is_click = true, ch, 0.0, ts(sec))
+    def buy(u: Long, id: Long, v: Double, sec: Long) =
+      AttrEvent(u, id, is_click = false, 0L, v, ts(sec))
+    val evs = Seq(
+      click(1, 10, 2, 100), buy(1, 11, 5.0, 150),  // same-instant click 12
+      click(1, 12, 3, 150),                        // outranks click 10:
+      buy(1, 13, 7.0, 150),                        // c.t <= p.t → both ch 3
+      buy(2, 20, 9.0, 80),                         // clickless → organic
+      click(2, 21, 1, 90), click(2, 22, 0, 90),    // tie → larger id (22)
+      buy(2, 23, 4.0, 200),                        // → ch 0
+      click(3, 30, 2, 50), buy(3, 31, 1.0, 400))   // 350 s later → ch 2
+    // ordered arrivals: global time order, split across 3 batches
+    val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val batches = ordered.grouped((ordered.size + 2) / 3).toSeq
+    val input = MemoryStream[AttrEvent]
+    val q = StreamingIngest.attributionStream(input.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    val streamed = spark.table("attr_out").as[AttributedPurchase].collect()
+      .map(p => (p.event_id, p.channel, p.value)).toSet
+    q.stop()
+    assert(streamed == Set(
+      (11L, "3", 5.0), (13L, "3", 7.0), (20L, "organic", 9.0),
+      (23L, "0", 4.0), (31L, "2", 1.0)))
+    // the batch twin agrees: asofJoinBackward + organic coalesce
+    val purchases = evs.filterNot(_.is_click)
+      .map(e => (e.user_id, e.event_id, e.value, e.ts.getTime))
+      .toDF("user_id", "event_id", "value", "t")
+    val clicks = evs.filter(_.is_click)
+      .map(e => (e.user_id, e.event_id, e.channel, e.ts.getTime))
+      .toDF("user_id", "click_id", "channel", "t")
+    val batchAttr = graft.operators.TemporalJoins.asofJoinBackward(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTime = "t", rightTime = "t",
+        rightValueCols = Seq("channel"), tiebreak = "click_id")
+      .select(col("event_id"),
+        coalesce(col("asof_channel").cast("string"), lit("organic")).as("ch"),
+        col("value"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(batchAttr == streamed)
+    // windowed attribution: a 30 s window de-credits user 3's stale click
+    // (350 s gap) and expires newest-click state losslessly
+    val input2 = MemoryStream[AttrEvent]
+    val q2 = StreamingIngest.attributionStream(
+        input2.toDS(), watermark = "0 seconds",
+        attributionWindowMs = Some(30000L))
+      .writeStream.format("memory").queryName("attr_win_out")
+      .outputMode("append").start()
+    batches.foreach { b => input2.addData(b: _*); q2.processAllAvailable() }
+    val windowed = spark.table("attr_win_out").as[AttributedPurchase].collect()
+      .map(p => (p.event_id, p.channel)).toMap
+    q2.stop()
+    assert(windowed(31L) == "organic") // click 350 s before > 30 s window
+    assert(windowed(11L) == "3" && windowed(13L) == "3")
+  }
 }
