@@ -2740,6 +2740,40 @@ object SparkEntry {
           col("n_overlaps"))
     }),
 
+    // MOR POSITION DELETES (Iceberg v2's second delete flavor): predicate
+    // deletes with NO key columns — each delete writes an O(matching-rows)
+    // (file, row-ordinal) sidecar, applied as one anti join at read; no
+    // target rewrite, no compaction. The gate replays the lifecycle on a
+    // live MOR table: bulk load → predicate erase (every 5th-length doc) →
+    // upsert resurrects a third of them with revised text → second
+    // predicate erase (lang='de') evaluated on the CURRENT view — then
+    // reads the table cold. At 100 TB each delete costs the matching rows
+    // plus one manifest commit; reads stay scan + broadcast-anti-join.
+    "q150_position_delete" -> ((s, dir) => {
+      val wh = scratchPath("q150", dir)
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      table.create(docs.schema, partition = Some("lang"),
+        properties =
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+            ("compact.delta.threshold" -> "0"))
+      table.append(docs)
+      table.deleteWhereMor(s, col("n_chars") % 5 === 0)
+      val revived = docs
+        .filter(col("n_chars") % 5 === 0 && col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      table.merge(s, revived, Seq("doc_id"))
+      table.deleteWhereMor(s, col("lang") === "de")
+      table.read(s)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
     // Composition: hopping windows × KMV — approximate distinct users
     // per (2 h window every 30 min, type). Each instance's sketch is
     // ≤ k longs of map-side state; the window fan-out multiplies rows
@@ -3505,6 +3539,25 @@ object SparkEntry {
         |FROM sess a LEFT JOIN sess b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id <> b.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // the table lifecycle replayed as set algebra: visible = (not erased
+    // by delete 1 OR revived by the upsert) AND not erased by delete 2
+    "q150_position_delete" ->
+      """WITH revived AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE n_chars % 5 = 0 AND doc_id % 3 = 0
+        |), visible AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN r.doc_id IS NOT NULL THEN d.text || ' [rev2]'
+        |         ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN revived r ON d.doc_id = r.doc_id
+        |  WHERE (d.n_chars % 5 <> 0 OR r.doc_id IS NOT NULL)
+        |    AND d.lang <> 'de'
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM visible GROUP BY source""".stripMargin,
 
     // the q73 KMV spelling under the q130 window explode
     "q146_window_distinct" ->

@@ -254,7 +254,15 @@ case class GraftDmlExec(
   private def run(): Unit = {
     dml match {
       case Left(cond) =>
-        table.warehouse.deleteRows(spark, toCol(cond), pruneFilters(cond))
+        // honor the table's declared delete mode (Iceberg
+        // write.delete.mode): merge-on-read tables take an
+        // O(matching-rows) position-delete sidecar; copy-on-write
+        // tables take the stats-pruned dir-level rewrite
+        val wt = table.warehouse
+        if (wt.properties.get("write.delete.mode").contains("merge-on-read"))
+          wt.deleteWhereMor(spark, toCol(cond))
+        else
+          wt.deleteRows(spark, toCol(cond), pruneFilters(cond))
       case Right((assignments, cond)) =>
         val set = assignments.map { a =>
           val name = a.key match {

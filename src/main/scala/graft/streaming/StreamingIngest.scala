@@ -1980,6 +1980,57 @@ object StreamingIngest {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** STREAMING RIGHT-TO-BE-FORGOTTEN (39th stage) — deletion requests
+    * arrive as a stream of subject ids and each micro-batch runs the
+    * [[graft.pipeline.Forget]] cascade across the corpus table and every
+    * derived artifact, then writes the per-table audit receipt under
+    * `batch=<id>`. The live form of q138: a deletion-request queue is
+    * how RTBF actually reaches a platform — requests trickle in, the
+    * cascade must run promptly, and every run needs its receipt.
+    *
+    * Scale: per-batch cost is REQUEST-bound, never corpus-bound — the id
+    * set semi-joins each target and the merge-delete rewrites only the
+    * partitions holding doomed rows (COW) or lands equality tombstones
+    * (MOR), the cascade's own contract. Replay safety is the cascade's
+    * idempotence: a checkpoint replay re-deletes nothing and OVERWRITES
+    * its own receipt with zeros — receipts are per-execution records and
+    * the audit total is the SUM across batch dirs, which at-least-once
+    * delivery cannot inflate (absent ids match nothing).
+    */
+  def startForgetter(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      idCol: String,
+      targets: Seq[graft.pipeline.Forget.Target],
+      auditDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ids = batch.select(col(idCol)).distinct()
+        val counts = graft.pipeline.Forget.forget(spark, ids, targets)
+        import spark.implicits._
+        counts.toSeq.toDF("table_root", "rows_deleted")
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1) // receipt rows: one per target table
+          .write.mode("overwrite").parquet(s"$auditDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   // ---- watermark-buffered ORDERED stateful stages --------------------------
   //
   // funnelStream / sessionizeStream fold each micro-batch eagerly, which is

@@ -45,6 +45,12 @@ final class WarehouseTable(val root: String) {
   private val NoPart = "__ALL__"
   /** MOR delete-marker column persisted in delta files (never in base). */
   private val TombstoneCol = "__graft_deleted"
+  /** Position-delete file columns: the erased row's data-file URI (as
+    * Spark's `_metadata.file_path` reports it) + its ordinal in that file
+    * (`_metadata.row_index`). Never part of a table schema.
+    */
+  private val PosFileCol = "__graft_file"
+  private val PosIdxCol = "__graft_pos"
   // Spark writes null partition values to this hive dir name; manifest keys
   // must use the same spelling or null-partition rows silently diverge.
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -120,11 +126,16 @@ final class WarehouseTable(val root: String) {
 
   /** Snapshot contents: the base files plus ordered MOR deltas, and
     * file-level min/max stats per data dir (see [[TableStats]]).
+    * `posDeletes` lists position-delete dirs (Iceberg v2's second delete
+    * flavor): each holds (data-file path, row ordinal) rows naming
+    * physical rows erased from this snapshot's view — see
+    * [[deleteWhereMor]].
     */
   final case class Manifest(
       base: Map[String, List[String]],
       deltas: List[Delta],
-      stats: Map[String, TableStats.DirStats] = Map.empty) {
+      stats: Map[String, TableStats.DirStats] = Map.empty,
+      posDeletes: List[String] = Nil) {
     def allPartitions: Set[String] =
       base.keySet ++ deltas.flatMap(_.data.keySet)
     /** Drop stats of dirs no longer referenced by this snapshot. */
@@ -186,13 +197,20 @@ final class WarehouseTable(val root: String) {
         Manifest(
           frags.map(f => f._1 -> f._2).toMap,
           deltas,
-          frags.flatMap(_._3).toMap)
+          frags.flatMap(_._3).toMap,
+          posDeletesFromJson(j))
       case _ => (j \ "base") match {
         case JNothing => Manifest(partsFromJson(j), Nil) // v1 flat format
         case baseJ =>
-          Manifest(partsFromJson(baseJ), deltasFromJson(j), statsFromJson(j \ "stats"))
+          Manifest(partsFromJson(baseJ), deltasFromJson(j), statsFromJson(j \ "stats"),
+            posDeletesFromJson(j))
       }
     }
+  }
+
+  private def posDeletesFromJson(j: JValue): List[String] = (j \ "posdel") match {
+    case JArray(ds) => ds.map(_.extract[String])
+    case _ => Nil
   }
 
   private def deltasFromJson(j: JValue): List[Delta] = (j \ "deltas") match {
@@ -246,7 +264,8 @@ final class WarehouseTable(val root: String) {
       "parts" -> JObject(parts.toList),
       "ts" -> JLong(System.currentTimeMillis()), // commit time, for AS OF
       "deltas" -> JArray(m.deltas.map(d => JObject(
-        "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))))
+        "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))),
+      "posdel" -> JArray(m.posDeletes.map(JString(_))))
     val bytes = JsonMethods.compact(JsonMethods.render(snap))
       .getBytes(StandardCharsets.UTF_8)
     val p = snapPath(id)
@@ -306,7 +325,23 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession,
       partitions: Option[Seq[Any]] = None,
       dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None): DataFrame =
+    readResolved(spark, partitions, dataFilters, asOf, keepPos = false)
+
+  /** [[read]] plus control over the position-identity columns: with
+    * `keepPos` the resolved rows carry [[PosFileCol]]/[[PosIdxCol]] —
+    * the handle [[deleteWhereMor]] uses to name the physical rows it
+    * erases. Position deletes of the snapshot are ALWAYS applied here
+    * (after MOR arbitration: erasing the arbitration winner removes the
+    * key — an older shadowed version does not resurrect; a LATER upsert
+    * of the key does, exactly like equality tombstones).
+    */
+  private def readResolved(
+      spark: SparkSession,
+      partitions: Option[Seq[Any]],
+      dataFilters: Seq[org.apache.spark.sql.sources.Filter],
+      asOf: Option[Long],
+      keepPos: Boolean): DataFrame = {
     val meta = readMeta()
     // time travel: snapshots are immutable, so reading an older id is just
     // resolving its manifest instead of the current pointer
@@ -348,24 +383,42 @@ final class WarehouseTable(val root: String) {
             bloomMayMatch(meta, bloomPs, bloomCache, dir, statFilters))))
         .filter(_._2.nonEmpty).toMap
     }
-    val baseDf = readParts(spark, meta, prune(manifest.base))
-    if (manifest.deltas.isEmpty) baseDf
-    else {
-      val keys = mergeKeys(meta).getOrElse(throw new IllegalStateException(
-        "MOR table has deltas but no merge.keys property"))
-      // deltas may carry delete tombstones: the newest row per key wins,
-      // and a winning tombstone removes the key entirely
-      val frames = baseDf
-        .withColumn(TombstoneCol, lit(false)).withColumn("__seq", lit(0L)) ::
-        manifest.deltas.map(d =>
-          readParts(spark, meta, prune(d.data), withTombstone = true)
-            .withColumn("__seq", lit(d.seq)))
-      val unioned = frames.reduce(_ unionByName _)
-      Dedup.latestByKey(unioned, keys, orderDesc = "__seq")
-        .filter(!col(TombstoneCol))
-        .drop("__seq", TombstoneCol)
-    }
+    // position identity rides along only when something will consume it —
+    // the zero-pos-delete read is byte-identical to the pre-posdel plan
+    val withPos = keepPos || manifest.posDeletes.nonEmpty
+    val baseDf = readParts(spark, meta, prune(manifest.base), withFilePos = withPos)
+    val resolved =
+      if (manifest.deltas.isEmpty) baseDf
+      else {
+        val keys = mergeKeys(meta).getOrElse(throw new IllegalStateException(
+          "MOR table has deltas but no merge.keys property"))
+        // deltas may carry delete tombstones: the newest row per key wins,
+        // and a winning tombstone removes the key entirely
+        val frames = baseDf
+          .withColumn(TombstoneCol, lit(false)).withColumn("__seq", lit(0L)) ::
+          manifest.deltas.map(d =>
+            readParts(spark, meta, prune(d.data), withTombstone = true,
+              withFilePos = withPos)
+              .withColumn("__seq", lit(d.seq)))
+        val unioned = frames.reduce(_ unionByName _)
+        Dedup.latestByKey(unioned, keys, orderDesc = "__seq")
+          .filter(!col(TombstoneCol))
+          .drop("__seq", TombstoneCol)
+      }
+    // position deletes erase named physical rows from the resolved view —
+    // an anti join against the (file, pos) set, broadcast-sized in
+    // practice (the pos files carry two columns and only deleted rows)
+    val afterPos =
+      if (manifest.posDeletes.isEmpty) resolved
+      else resolved.join(
+        posDeleteFrame(spark, manifest), Seq(PosFileCol, PosIdxCol), "left_anti")
+    if (keepPos) afterPos else afterPos.drop(PosFileCol, PosIdxCol)
   }
+
+  /** The (file, pos) rows of a snapshot's position-delete dirs. */
+  private def posDeleteFrame(spark: SparkSession, m: Manifest): DataFrame =
+    spark.read.schema(s"$PosFileCol STRING, $PosIdxCol BIGINT")
+      .parquet(m.posDeletes.map(d => s"$root/$d"): _*)
 
   /** INCREMENTAL change read — rows in data dirs that joined the table
     * AFTER snapshot `sinceSnapId` (exclusive), up to `asOf` (default
@@ -436,7 +489,15 @@ final class WarehouseTable(val root: String) {
     val wanted: Map[String, List[String]] =
       (fresh(afterM.base) ++ afterM.deltas.flatMap(d => fresh(d.data)))
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
-    readParts(spark, meta, wanted, withTombstone = true)
+    val raw = readParts(spark, meta, wanted, withTombstone = true,
+      withFilePos = afterM.posDeletes.nonEmpty)
+    // a fresh row already position-deleted by `asOf` never became visible
+    // there — suppress it. (Erasures of PRE-`since` rows do not emit a
+    // delete event: the documented position-delete change-feed limitation;
+    // use equality deletes when the feed must carry deletions.)
+    if (afterM.posDeletes.isEmpty) raw
+    else raw.join(posDeleteFrame(spark, afterM),
+      Seq(PosFileCol, PosIdxCol), "left_anti").drop(PosFileCol, PosIdxCol)
   }
 
   /** DataFrame over a set of manifest entries (empty → empty frame).
@@ -448,25 +509,45 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession,
       meta: Meta,
       wanted: Map[String, List[String]],
-      withTombstone: Boolean = false): DataFrame = {
+      withTombstone: Boolean = false,
+      withFilePos: Boolean = false): DataFrame = {
     val schema =
       if (withTombstone)
         StructType(meta.schema.fields :+
           org.apache.spark.sql.types.StructField(
             TombstoneCol, org.apache.spark.sql.types.BooleanType))
       else meta.schema
+    // position identity must be captured AT THE SCAN (the `_metadata`
+    // pseudo-column resolves only against a file-source relation, not
+    // through a projection), so each per-dir read surfaces it immediately
+    def addPos(df: DataFrame): DataFrame =
+      if (withFilePos)
+        df.withColumn(PosFileCol, col("_metadata.file_path"))
+          .withColumn(PosIdxCol, col("_metadata.row_index"))
+      else df
+    val outFields =
+      if (withFilePos) schema.fieldNames.toIndexedSeq :+ PosFileCol :+ PosIdxCol
+      else schema.fieldNames.toIndexedSeq
     val dirs = wanted.values.flatten.toSeq.distinct
     val frame =
       if (dirs.isEmpty) {
+        val emptySchema =
+          if (withFilePos)
+            StructType(schema.fields :+
+              org.apache.spark.sql.types.StructField(
+                PosFileCol, org.apache.spark.sql.types.StringType) :+
+              org.apache.spark.sql.types.StructField(
+                PosIdxCol, org.apache.spark.sql.types.LongType))
+          else schema
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema)
+          spark.sparkContext.emptyRDD[Row], emptySchema)
       } else {
         // Data dirs are grouped by their parent uuid dir so hive partition
         // discovery (basePath) restores the partition column.
         meta.partition match {
           case None =>
-            spark.read.schema(schema)
-              .parquet(dirs.map(d => s"$root/$d"): _*)
+            addPos(spark.read.schema(schema)
+              .parquet(dirs.map(d => s"$root/$d"): _*))
           case Some(p) =>
             val byBase = dirs.groupBy(d => d.split("/").take(2).mkString("/"))
             // explicit declared schema on every group: files predating a
@@ -476,12 +557,12 @@ final class WarehouseTable(val root: String) {
             // its declared type, and column order follows the schema —
             // no per-column existence probing needed
             val parts = byBase.map { case (base, subdirs) =>
-              spark.read.schema(schema)
+              addPos(spark.read.schema(schema)
                 .option("basePath", s"$root/$base")
-                .parquet(subdirs.map(d => s"$root/$d"): _*)
+                .parquet(subdirs.map(d => s"$root/$d"): _*))
             }.toSeq
             val unioned = parts.reduce(_ unionByName _)
-            unioned.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+            unioned.select(outFields.map(col): _*)
         }
       }
     if (withTombstone)
@@ -593,7 +674,7 @@ final class WarehouseTable(val root: String) {
     val merged = (old.base.keySet ++ added.keySet).map { k =>
       k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
     }.toMap
-    commit(cur, Manifest(merged, old.deltas, old.stats ++ stats))
+    commit(cur, Manifest(merged, old.deltas, old.stats ++ stats, old.posDeletes))
   }
 
   /** Overwrite — `mode == 'overwrite'` (read.py:234-236). */
@@ -683,7 +764,8 @@ final class WarehouseTable(val root: String) {
       coalesce(deleteWhere.getOrElse(lit(false)), lit(false)))
     val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
     val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
-    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added), old.stats ++ stats))
+    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added),
+      old.stats ++ stats, old.posDeletes))
     // compaction policy: read amplification grows linearly with delta
     // count (every read unions base + all deltas and re-arbitrates), so
     // once it crosses the table's threshold the deltas fold back into the
@@ -723,11 +805,67 @@ final class WarehouseTable(val root: String) {
       .withColumn(TombstoneCol, lit(true))
     val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
     val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
-    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added), old.stats ++ stats))
+    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added),
+      old.stats ++ stats, old.posDeletes))
     val threshold = meta.properties.get("compact.delta.threshold")
       .map(_.toInt).getOrElse(8)
     if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
       compact(spark)
+  }
+
+  /** MOR POSITION DELETE — Iceberg v2's second delete flavor: erase the
+    * rows matching `cond` by naming their PHYSICAL positions
+    * (data-file path + row ordinal, Spark's `_metadata` identity), written
+    * as an O(matching-rows) sidecar under `posdel/` — no key columns
+    * needed (the equality-delete path requires merge keys; predicates
+    * like "quality < 0.1" or "lang = 'xx'" have none), no target rewrite,
+    * no compaction first. The predicate is evaluated against the CURRENT
+    * RESOLVED view (post-arbitration, post earlier position deletes), so
+    * it deletes exactly what a reader sees matching.
+    *
+    * Semantics mirror equality tombstones: erasing the arbitration winner
+    * removes the key (an older shadowed version does NOT resurrect); a
+    * LATER upsert of the key resurrects it; [[compact]] and every full
+    * COW rewrite fold the erasures physically and clear the sidecars.
+    * Time travel composes — the sidecar list is per-snapshot, so reads
+    * AS OF a pre-delete snapshot still see the rows. Position deletes do
+    * not surface in [[changesSince]] (same limitation Iceberg's
+    * incremental scan documents) — run equality deletes when the change
+    * feed must carry deletions.
+    *
+    * Returns the number of rows deleted (0 ⇒ no commit).
+    */
+  def deleteWhereMor(spark: SparkSession, cond: Column): Long = {
+    val meta = readMeta()
+    // write.delete.mode is the Iceberg property that governs DELETEs
+    // specifically (read.py:208-216 sets all three together for MOR)
+    require(meta.properties.get("write.delete.mode").contains("merge-on-read"),
+      "position deletes are a merge-on-read operation; COW tables use deleteRows")
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val rel = s"posdel/${UUID.randomUUID()}"
+    readResolved(spark, None, Nil, None, keepPos = true)
+      .filter(cond)
+      .select(col(PosFileCol), col(PosIdxCol))
+      .write.parquet(s"$root/$rel")
+    // row count from the freshly written footers — metadata-only scan
+    val n = spark.read.parquet(s"$root/$rel").count()
+    if (n == 0L) {
+      val walk = Files.walk(rootPath.resolve(rel))
+      try { import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      } finally walk.close()
+    } else {
+      commit(cur, old.copy(posDeletes = old.posDeletes :+ rel))
+      // sidecars amplify every read by one anti join, same way deltas
+      // amplify arbitration — the same table threshold folds them back
+      val threshold = meta.properties.get("compact.delta.threshold")
+        .map(_.toInt).getOrElse(8)
+      if (threshold > 0 &&
+          readManifest(currentSnapshotId).posDeletes.size >= threshold)
+        compact(spark)
+    }
+    n
   }
 
   /** Min/max range filters of the source's key columns (one tiny agg on
@@ -882,20 +1020,26 @@ final class WarehouseTable(val root: String) {
               val merged = upsert(target, src)
               val (rewritten, stats) = dbg("write")(writeDataDir(merged, meta))
               val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
+              // pos-deletes carry: untouched partitions' erasures stay
+              // live; refs into rewritten dirs are inert (the dirs left
+              // the manifest) and are cleared at the next full rewrite
               dbg("commit")(commit(cur,
-                Manifest(untouched ++ rewritten, Nil, old.stats ++ stats).pruneStats))
+                Manifest(untouched ++ rewritten, Nil, old.stats ++ stats,
+                  old.posDeletes).pruneStats))
           }
       }
     } finally src.unpersist()
   }
 
-  /** Fold MOR deltas into the base (compaction): one full arbitrated read,
-    * one partitioned rewrite, deltas cleared.
+  /** Fold MOR deltas AND position-delete sidecars into the base
+    * (compaction): one full arbitrated read, one partitioned rewrite,
+    * deltas and sidecars cleared.
     */
   def compact(spark: SparkSession): Unit = {
     val meta = readMeta()
     val cur = currentSnapshotId
-    if (readManifest(cur).deltas.nonEmpty) {
+    val m = readManifest(cur)
+    if (m.deltas.nonEmpty || m.posDeletes.nonEmpty) {
       val full = read(spark)
       val (entries, stats) = writeDataDir(full, meta)
       commit(cur, Manifest(entries, Nil, stats))
@@ -919,7 +1063,8 @@ final class WarehouseTable(val root: String) {
       val slice = read(spark, Some(crowded.toSeq))
       val (rewritten, stats) = writeDataDir(slice, meta)
       val untouched = old.base.view.filterKeys(k => !crowded.contains(k)).toMap
-      commit(cur, Manifest(untouched ++ rewritten, Nil, old.stats ++ stats).pruneStats)
+      commit(cur, Manifest(untouched ++ rewritten, Nil, old.stats ++ stats,
+        old.posDeletes).pruneStats)
     }
   }
 
@@ -1045,7 +1190,7 @@ final class WarehouseTable(val root: String) {
     val merged = (basePruned.keySet ++ added.keySet).map { k =>
       k -> (basePruned.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
     }.toMap
-    commit(cur, Manifest(merged, old.deltas, statsPruned ++ stats))
+    commit(cur, Manifest(merged, old.deltas, statsPruned ++ stats, old.posDeletes))
   }
 
   // ---- bloom file-skipping index ----------------------------------------
@@ -1398,13 +1543,21 @@ final class WarehouseTable(val root: String) {
     }.unzip
     val toRewrite = rewrite.toMap.filter(_._2.nonEmpty)
     if (toRewrite.nonEmpty) {
-      val slice = readParts(spark, meta, toRewrite)
+      // rewritten dirs get NEW file identities, so any position delete
+      // against the old files must be applied NOW or its rows resurrect
+      val raw = readParts(spark, meta, toRewrite,
+        withFilePos = old.posDeletes.nonEmpty)
+      val slice =
+        if (old.posDeletes.isEmpty) raw
+        else raw.join(posDeleteFrame(spark, old),
+          Seq(PosFileCol, PosIdxCol), "left_anti").drop(PosFileCol, PosIdxCol)
       val (entries, stats) = writeDataDir(transform(slice), meta)
       val carried = carry.toMap
       val newBase = (carried.keySet ++ entries.keySet).map { k =>
         k -> (carried.getOrElse(k, Nil) ++ entries.getOrElse(k, Nil))
       }.toMap.filter(_._2.nonEmpty)
-      commit(cur, Manifest(newBase, Nil, old.stats ++ stats).pruneStats)
+      commit(cur,
+        Manifest(newBase, Nil, old.stats ++ stats, old.posDeletes).pruneStats)
     }
   }
 
@@ -1518,7 +1671,7 @@ final class WarehouseTable(val root: String) {
     val newDeltas = old.deltas
       .map(d => d.copy(data = d.data.view.filterKeys(!keys.contains(_)).toMap))
       .filter(_.data.nonEmpty)
-    commit(cur, Manifest(newBase, newDeltas, old.stats).pruneStats)
+    commit(cur, Manifest(newBase, newDeltas, old.stats, old.posDeletes).pruneStats)
     removed
   }
 
@@ -1570,12 +1723,26 @@ final class WarehouseTable(val root: String) {
       id < cur - keepLast + 1 && id != cur && !tagged.contains(id))
     if (expired.nonEmpty) {
       val liveFragments = kept.flatMap(snapFragmentPaths(_).values).toSet
-      val liveDataRoots = kept.flatMap { id =>
-        val m = readManifest(id)
+      val keptManifests = kept.map(readManifest(_))
+      val liveDataRoots = keptManifests.flatMap { m =>
         (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten))
           .map(_.split("/").take(2).mkString("/"))
       }.toSet
+      val livePosDel = keptManifests.flatMap(_.posDeletes).toSet
       expired.foreach(id => Files.deleteIfExists(snapPath(id)))
+      val posDir = rootPath.resolve("posdel")
+      if (Files.isDirectory(posDir)) {
+        val l = Files.list(posDir)
+        val dead =
+          try l.iterator().asScala.toList
+            .filterNot(p => livePosDel.contains(s"posdel/${p.getFileName}"))
+          finally l.close()
+        dead.foreach { d =>
+          val walk = Files.walk(d)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          finally walk.close()
+        }
+      }
       val mfDir = rootPath.resolve("manifests")
       if (Files.isDirectory(mfDir)) {
         val l = Files.list(mfDir)

@@ -310,6 +310,36 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.dml")
   }
 
+  test("DELETE FROM a merge-on-read table writes position deletes — no data rewrite") {
+    val wh = warehouse
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.sql(
+      """CREATE TABLE graft.db.pdel (k INT, v STRING)
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+        |  'write.delete.mode'='merge-on-read',
+        |  'write.update.mode'='merge-on-read',
+        |  'compact.delta.threshold'='0')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.pdel VALUES (1,'keep'),(2,'drop'),(3,'keep'),(4,'drop')")
+    import scala.jdk.CollectionConverters._
+    def dataFiles: Set[String] = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$wh/db/pdel/data"))
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally walk.close()
+    }
+    val before = dataFiles
+    spark.sql("DELETE FROM graft.db.pdel WHERE v = 'drop'")
+    assert(spark.sql("SELECT k FROM graft.db.pdel ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // the delete wrote a sidecar, not a rewrite: data files are untouched
+    assert(dataFiles == before)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$wh/db/pdel/posdel")))
+    spark.sql("DROP TABLE graft.db.pdel")
+  }
+
   test("VERSION AS OF time-travels to an older snapshot; expiry removes it") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tt (k INT, v STRING)")

@@ -2001,4 +2001,71 @@ class StreamingIngestSpec extends SparkSpec {
     assert(windowed(31L) == "organic") // click 350 s before > 30 s window
     assert(windowed(11L) == "3" && windowed(13L) == "3")
   }
+
+  test("streaming forgetter cascades per micro-batch; audit receipts sum; replayed ids delete nothing") {
+    import spark.implicits._
+    import graft.pipeline.Forget
+    val root = tmpDir("sforget")
+    val docs = (1L to 40L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    val corpus = WarehouseTable(s"$root/corpus")
+    corpus.create(docs.schema, None, WarehouseTable.tableProperties("COW", "snappy"))
+    corpus.append(docs)
+    // band-index-like derived artifact: 3 rows per doc, keyed (doc_id, band)
+    val bands = docs.select(col("doc_id"),
+      explode(array(lit(0), lit(1), lit(2))).as("band"))
+    val idx = WarehouseTable(s"$root/idx")
+    idx.create(bands.schema, None, Map.empty)
+    idx.append(bands)
+    val mor = WarehouseTable(s"$root/mor")
+    mor.create(docs.schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
+    mor.append(docs)
+    val targets = Seq(
+      Forget.Target(corpus, "doc_id"),
+      Forget.Target(idx, "doc_id", keys = Seq("doc_id", "band")),
+      Forget.Target(mor, "doc_id"))
+    val landing = tmpDir("sforget_land")
+    val auditDir = tmpDir("sforget_audit")
+    val ckpt = tmpDir("sforget_ckpt")
+    def writeReq(name: String, ids: Seq[Long]): Unit = {
+      val stage = tmpDir(s"sforget_stage_$name") + "/f"
+      ids.toDF("the_id").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$landing/$name.parquet"))
+    }
+    writeReq("r0", Seq(3L, 7L))
+    writeReq("r1", Seq(7L, 11L, 999L)) // 7 already gone, 999 never existed
+    val reqSchema = StructType(Seq(StructField("the_id", LongType)))
+    def run(): Unit = {
+      val q = StreamingIngest.startForgetter(
+        spark, landing, reqSchema, "parquet", Map.empty,
+        idCol = "the_id", targets = targets,
+        auditDir = auditDir, checkpointDir = ckpt, maxFilesPerTrigger = 1)
+      q.awaitTermination(180000)
+      ()
+    }
+    run()
+    val expect = (1L to 40L).filterNot(Set(3L, 7L, 11L)).toSeq
+    assert(corpus.read(spark).select("doc_id").as[Long]
+      .collect().sorted.toSeq == expect)
+    assert(idx.read(spark).count() == expect.size * 3L)
+    assert(mor.read(spark).select("doc_id").as[Long]
+      .collect().sorted.toSeq == expect)
+    // audit receipts: one row per (micro-batch, table); totals = deletions
+    val audit = spark.read.parquet(s"$auditDir/batch=*")
+    assert(audit.count() == 6L) // 2 micro-batches × 3 targets
+    val sums = audit.groupBy("table_root").agg(sum("rows_deleted").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(sums(corpus.root) == 3L)
+    assert(sums(idx.root) == 9L)
+    assert(sums(mor.root) == 3L)
+    // a later request repeating forgotten ids deletes nothing further
+    writeReq("r2", Seq(3L, 11L))
+    run()
+    assert(corpus.read(spark).count() == expect.size.toLong)
+    val sums2 = spark.read.parquet(s"$auditDir/batch=*")
+      .groupBy("table_root").agg(sum("rows_deleted").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(sums2(corpus.root) == 3L && sums2(idx.root) == 9L)
+  }
 }

@@ -259,6 +259,55 @@ class WarehouseTableSpec extends SparkSpec {
     }
   }
 
+  test("MOR position delete: predicate erase without key columns; winner semantics, compaction folds, time travel") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh_posdel"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.append(df((1, "a", "CA"), (2, "bad", "NY"), (3, "bad", "CA"), (4, "d", "NY")))
+    val preDelete = t.currentSnapshotId
+    // delete by VALUE predicate — no key columns involved anywhere
+    assert(t.deleteWhereMor(spark, col("v") === "bad") == 2)
+    def ks = t.read(spark).collect().map(_.getInt(0)).toSet
+    assert(ks == Set(1, 4))
+    // the erased rows never surface in the incremental feed either
+    assert(t.addedSince(spark, 0L).collect().map(_.getInt(0)).toSet == Set(1, 4))
+    // time travel: the pre-delete snapshot still sees all rows
+    assert(t.read(spark, asOf = Some(preDelete)).count() == 4)
+    // a zero-match predicate commits nothing
+    val sBefore = t.currentSnapshotId
+    assert(t.deleteWhereMor(spark, col("v") === "nope") == 0)
+    assert(t.currentSnapshotId == sBefore)
+    // erasing the ARBITRATION WINNER removes the key — the older base
+    // version it shadowed does not resurrect
+    t.merge(spark, df((1, "newer", "CA")), Seq("k", "state"))
+    assert(t.deleteWhereMor(spark, col("v") === "newer") == 1)
+    assert(ks == Set(4))
+    // a LATER upsert of the key resurrects it, same as equality tombstones
+    t.merge(spark, df((1, "back", "CA")), Seq("k", "state"))
+    assert(ks == Set(1, 4))
+    // compaction folds the erasures physically and clears the sidecars
+    t.compact(spark)
+    assert(ks == Set(1, 4))
+    // a fresh sidecar cycle after compaction stays exact
+    assert(t.deleteWhereMor(spark, col("k") === 4) == 1)
+    assert(ks == Set(1))
+    // expiry reclaims sidecars no kept snapshot references
+    t.compact(spark)
+    t.expireSnapshots(keepLast = 1)
+    val posDir = java.nio.file.Paths.get(t.root, "posdel")
+    assert(!java.nio.file.Files.isDirectory(posDir) ||
+      !java.nio.file.Files.list(posDir).findAny().isPresent)
+    assert(ks == Set(1))
+    // COW tables route predicate deletes through deleteRows instead
+    val c = WarehouseTable(tmpDir("wh_posdel_cow"))
+    c.create(schema, None, Map.empty)
+    intercept[IllegalArgumentException] {
+      c.deleteWhereMor(spark, col("k") === 1)
+    }
+  }
+
   test("addedSince: append-only exact, windowed by asOf; MOR upserts surface, tombstones don't") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("inc"))
