@@ -35,7 +35,15 @@ object Bench {
     indexBuild.foreach { case (name, sec) =>
       System.err.println(f"[bench] index build $name%-24s $sec%8.2f s")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q106_...,q51_... restricts the sweep — the
+    // fast loop for re-measuring a single query after a plan change
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names.contains(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       // rows via an untimed count (also per-query warmup). Timed runs
       // materialize through the noop SINK, not count(): under count()
       // Catalyst prunes everything that can't change cardinality — q45's

@@ -170,6 +170,11 @@ object SparkEntry {
         "w_start", "w_end", Seq("win_id"), table, bucketWidth = 2 * HalfWin)
       R.indexCommit(s, wins.filter(col("win_id") > cut), table)
       R.indexCommit(s, wins.filter(col("win_id") > cut), table) // replay
+      // fold the commits' MOR deltas before the measured probes: delta
+      // compaction is amortized maintenance (index_build cost), and the
+      // per-arrival probe should read the folded base it would see in
+      // steady state, not re-arbitrate the build's own delta history
+      table.compact(s)
     }
     table
   }
@@ -203,6 +208,7 @@ object SparkEntry {
         bucketWidth = 1800000000L)
       R.indexCommit(s, stored.filter(col("b_user") > cut), table)
       R.indexCommit(s, stored.filter(col("b_user") > cut), table) // replay
+      table.compact(s) // fold build deltas out of the measured probe path
     }
     table
   }
@@ -234,6 +240,7 @@ object SparkEntry {
         .withColumn("en", col("en") + 86400000000L), table)
       R.countIndexCommit(s, late, table)
       R.countIndexCommit(s, late, table) // replay
+      table.compact(s) // fold build deltas out of the measured probe path
     }
     table
   }
@@ -278,13 +285,16 @@ object SparkEntry {
       val corp = docs.select(col("doc_id").cast("long").as("doc_id"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
         col("text"))
+      // MOR: the timed gate MERGES arrivals into this table — COW would
+      // full-rewrite the unpartitioned corpus per commit (corpus-bound)
       corpT.create(corp.schema,
-        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+        properties = graft.table.WarehouseTable.tableProperties("MOR", "snappy"))
       corpT.append(corp)
       val sh = TextDedup.shingled(docs, "doc_id", "text", 3)
       val pairs = TextDedup.verifyPairs(TextDedup.minHashCandidates(sh), sh, 0.5)
       Dedup.componentsCommit(s, docs.select(col("doc_id").as("id")),
         pairs.select(col("d1"), col("d2")), clusT)
+      clusT.compact(s) // fold the seed commit's delta (build-time work)
     }
     (idxT, corpT, clusT)
   }
@@ -1978,21 +1988,28 @@ object SparkEntry {
     // cluster table must equal exact components over corpus ∪ arrivals.
     // Re-runs replay the same batch — every commit is idempotent.
     "q106_incremental_components" -> ((s, dir) => {
+      def tt[A](label: String)(f: => A): A =
+        if (sys.env.contains("GRAFT_Q106_DEBUG")) {
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(f"[q106] $label%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          r
+        } else f
       val (idxT, corpT, clusT) = q106Fixture(s, dir)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val arrivals = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
-      val storePairs = TextDedup.minhashLookupAtRest(s, arrivals,
+      val storePairs = tt("lookup")(TextDedup.minhashLookupAtRest(s, arrivals,
         corpT.read(s).select(col("doc_id"), col("text")),
-        "doc_id", "text", idxT, threshold = 0.5)
+        "doc_id", "text", idxT, threshold = 0.5).localCheckpoint())
       val arrSh = TextDedup.shingled(arrivals, "doc_id", "text", 3)
-      val arrPairs = TextDedup.verifyPairs(
-        TextDedup.minHashCandidates(arrSh), arrSh, 0.5)
+      val arrPairs = tt("arrPairs")(TextDedup.verifyPairs(
+        TextDedup.minHashCandidates(arrSh), arrSh, 0.5).localCheckpoint())
       val fresh = storePairs.select(col("d1"), col("d2"))
         .unionByName(arrPairs.select(col("d1"), col("d2"))).distinct()
-      TextDedup.minhashIndexCommit(s, arrivals, "doc_id", "text", idxT, corpT)
-      Dedup.componentsCommit(s, arrivals.select(col("doc_id").as("id")),
-        fresh, clusT)
+      tt("idxCommit")(
+        TextDedup.minhashIndexCommit(s, arrivals, "doc_id", "text", idxT, corpT))
+      tt("ccCommit")(Dedup.componentsCommit(
+        s, arrivals.select(col("doc_id").as("id")), fresh, clusT))
       clusT.read(s).select(col("id").as("doc_id"), col("cluster"))
     }),
 
@@ -2772,6 +2789,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("sum_len"),
           sum(col("doc_id")).cast("long").as("sum_ids"))
+    }),
+
+    // PATH ANALYSIS, transition form: (prev type → next type) step counts
+    // over each user's time-ordered events + exact ppm transition
+    // probability — the Markov matrix behind "where do users go next".
+    // One user-keyed window, then a |types|²-domain count.
+    "q151_event_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.EventAnalytics.transitions(
+        ev, "user_id", "event_type", "ts_us", "event_id")
+    }),
+
+    // PATH ANALYSIS, prefix form: each user's first-3 event types as an
+    // ordered path string, counted across users.
+    "q152_user_paths" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.EventAnalytics.userPaths(
+        ev, "user_id", "event_type", "ts_us", "event_id", k = 3)
     }),
 
     // Composition: hopping windows × KMV — approximate distinct users
@@ -3558,6 +3597,40 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM visible GROUP BY source""".stripMargin,
+
+    // exact ppm probabilities: integer // on both engines, never native /
+    "q151_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events
+        |), o AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY tus, event_id) AS prev_type
+        |  FROM e
+        |)
+        |SELECT prev_type, event_type AS next_type,
+        |  count(*) AS n,
+        |  CAST(count(*) * 1000000
+        |       // sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_e6
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q152_user_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id) AS rk
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin,
 
     // the q73 KMV spelling under the q130 window explode
     "q146_window_distinct" ->

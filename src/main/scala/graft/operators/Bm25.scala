@@ -134,9 +134,15 @@ object Bm25 {
       compression: String = "snappy"): Unit = {
     val m = fit(docs, idCol, textCol)
     val idx = indexRows(m, partBuckets, normBuckets)
+    // MOR + no stats: a commit batch's terms scatter over every tb
+    // partition (COW would rewrite the whole index per batch; MOR deltas
+    // are O(batch), threshold compaction folds). tb is a function of the
+    // term and the merge key is (term, doc_id), so a key tuple lives in
+    // ONE partition — pruned arbitration exact. Probes prune by tb only.
     table.create(idx.schema, partition = Some("tb"),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) ++
         Map(
+          "stats.mode" -> "none",
           "bm25.partBuckets" -> partBuckets.toString,
           "bm25.normBuckets" -> normBuckets.toString))
     table.append(idx)

@@ -321,9 +321,14 @@ object Dedup {
         .unionByName(newPairs.select(col("d2").as("id")))
         .distinct()
       val assignment = connectedComponents(ids, newPairs)
+      // MOR: the cluster table is doc-count-sized and unpartitioned, so a
+      // COW merge is a full-table rewrite per arrival batch — corpus-bound,
+      // the one cost this commit's touched-component pruning exists to
+      // avoid. MOR keeps the write O(changed assignments); reads arbitrate
+      // and the delta threshold folds periodically.
       table.create(assignment.schema,
         properties =
-          graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy"))
       table.merge(spark, assignment, Seq("id"))
     } else {
       val stored = table.read(spark).select(col("id"), col("cluster"))

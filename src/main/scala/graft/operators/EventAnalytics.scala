@@ -136,4 +136,69 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
+
+  /** PATH ANALYSIS, transition form — the Markov view of user behavior:
+    * count each (previous event type → next event type) step over every
+    * user's time-ordered event sequence, with the per-prev transition
+    * probability in EXACT parts-per-million (`(n · 10^6) div Σn` — a ring
+    * op both engines compute identically; no engine-native division).
+    * Ordering ties break on `tieCol`, the house (time, id) rule.
+    *
+    * Scale: one user-keyed window (single exchange + in-partition sort —
+    * co-partitioned with every other user-keyed op here) feeding a
+    * (prev, next) count whose domain is |types|², map-side combinable;
+    * the probability window runs on that tiny aggregate, not the events.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      timeCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("p_e6", expr("(n * 1000000) div __tot"))
+      .drop("__tot")
+  }
+
+  /** PATH ANALYSIS, prefix form: each user's first `k` event types joined
+    * into an ordered path string ("view>click>purchase"), counted across
+    * users — the "what do people actually do first" report. The path is
+    * rebuilt deterministically from (rank, type) structs via `array_sort`
+    * (collect order is partition-dependent; the sort pins it), so the
+    * result is partitioning-invariant.
+    *
+    * Scale: rank is the same single user-keyed window as [[transitions]],
+    * the `rk <= k` cut drops all but k rows per user BEFORE the group-by,
+    * and the final count groups by path — distinct-paths-sized, tiny.
+    */
+  def userPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      timeCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 64, s"k=$k out of range [1, 64]")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    events
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rk"), col(typeCol).as("t")))),
+          x => x("t")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

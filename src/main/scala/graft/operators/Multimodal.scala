@@ -414,9 +414,15 @@ object Multimodal {
       hashes.select(col("id").as("doc_id"), col("phash").as("fp")), maxHamming)
       .withColumn("pb",
         (col("blk") * partBuckets + pmod(col("bv"), lit(partBuckets))).cast("int"))
+    // MOR + no stats, same shape as the minhash index: a batch's blocks
+    // scatter over every pb partition, so COW merges are index-bound while
+    // MOR deltas are batch-bound. Contract (as documented on the commit):
+    // an id's hash is immutable, so rows never move partitions while live
+    // and partition-pruned arbitration is exact. Probes prune by pb only.
     table.create(idx.schema, partition = Some("pb"),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) ++
         Map(
+          "stats.mode" -> "none",
           "phash.maxHamming" -> maxHamming.toString,
           "phash.partBuckets" -> partBuckets.toString))
     table.append(idx)

@@ -160,8 +160,12 @@ object ProductQuantizer {
       compression: String = "snappy"): Unit = {
     val encoded = corpus.select(col("id"), col("bucket"),
       codeExpr(col("vec"), cb).as("code"))
+    // MOR + no stats — same reasoning and immutable-vector contract as
+    // [[SimilaritySearch.ivfIndexAtRest]]: batch-bound commits, exact
+    // bucket-pruned arbitration, probes never consult min/max stats.
     table.create(encoded.schema, partition = Some("bucket"),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression))
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) +
+        ("stats.mode" -> "none"))
     table.append(encoded)
   }
 

@@ -69,9 +69,18 @@ object RangeIndex {
     require(partBuckets >= 1 && partBuckets <= 4096,
       s"partBuckets=$partBuckets out of range [1, 4096]")
     val idx = withCells(intervals, startCol, endCol, bucketWidth, partBuckets)
+    // MOR + no stats: commit batches scatter cells over every pcell
+    // partition, so a COW merge would rewrite the whole index per batch;
+    // MOR deltas keep commits O(batch) (threshold compaction folds them).
+    // The merge key includes the cell, and pcell is a function of the
+    // cell, so a key tuple lives in exactly ONE partition — pruned MOR
+    // arbitration is exact by construction. Reads prune by partition
+    // value only, never by min/max stats ('stats.mode=none' skips the
+    // per-commit footer harvest).
     table.create(idx.schema, partition = Some(PartCol),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) ++
         Map(
+          "stats.mode" -> "none",
           "range.bucketWidth" -> bucketWidth.toString,
           "range.partBuckets" -> partBuckets.toString,
           "range.startCol" -> startCol,
@@ -232,9 +241,14 @@ object RangeIndex {
     require(partBuckets >= 1 && partBuckets <= 4096,
       s"partBuckets=$partBuckets out of range [1, 4096]")
     val eps = endpoints(intervals, startCol, endCol, bucketWidth, partBuckets)
+    // MOR + no stats, same reasoning as the cell index: endpoints scatter
+    // over pcell partitions, the merge key contains pcell (one partition
+    // per key tuple — pruned arbitration exact), and probes prune by
+    // partition value only.
     table.create(eps.schema, partition = Some(PartCol),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) ++
         Map(
+          "stats.mode" -> "none",
           "range.kind" -> "endpoint",
           "range.bucketWidth" -> bucketWidth.toString,
           "range.partBuckets" -> partBuckets.toString,

@@ -339,8 +339,15 @@ object SimilaritySearch {
       corpus: DataFrame, // id, vec, bucket
       table: graft.table.WarehouseTable,
       compression: String = "snappy"): Unit = {
+    // MOR + no stats: an arrival batch's vectors land across many (often
+    // all) buckets, so a COW merge rewrites bucket-sized partitions per
+    // commit; MOR deltas keep ivfIndexCommit O(batch). Contract: an id's
+    // vector is immutable (the quantizer bucket is a function of it), so
+    // rows never move partitions while live and the bucket-pruned probe's
+    // arbitration is exact. Probes prune by bucket partition only.
     table.create(corpus.schema, partition = Some("bucket"),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression))
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) +
+        ("stats.mode" -> "none"))
     table.append(corpus)
   }
 

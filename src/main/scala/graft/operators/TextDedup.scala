@@ -1060,10 +1060,23 @@ object TextDedup {
         (col("band") * partBuckets + pmod(col("bh"), lit(partBuckets))).cast("int"))
     // the banding parameters ARE the index format: persist them in the
     // table so a lookup under different parameters fails loudly instead
-    // of silently joining hashes computed under a different banding
+    // of silently joining hashes computed under a different banding.
+    // MERGE-ON-READ, deliberately: a commit batch's band hashes scatter
+    // over EVERY pb partition (pb mixes the band id), so a COW merge
+    // would rewrite the whole index per batch — corpus-bound, the exact
+    // cost the at-rest design exists to avoid. MOR makes each commit an
+    // O(batch) delta append; reads arbitrate (newest (doc_id, band)
+    // wins, tombstoned hashes drop) and the delta threshold folds the
+    // index back periodically — amortized maintenance off the ingest
+    // path, Iceberg's own trade. Contract note: a (doc_id, band) row
+    // never MOVES partition while live (hashes are deterministic in the
+    // text and dedup corpora are immutable-by-id), so partition-pruned
+    // arbitration is exact; even a hypothetical stale hash only ever
+    // ADDS a candidate, which the exact-Jaccard verify rejects.
     table.create(idx.schema, partition = Some("pb"),
-      properties = graft.table.WarehouseTable.tableProperties("COW", compression) ++
+      properties = graft.table.WarehouseTable.tableProperties("MOR", compression) ++
         Map(
+          "stats.mode" -> "none", // probes prune by pb partition, never stats
           "minhash.bands" -> bands.toString,
           "minhash.rows" -> rows.toString,
           "minhash.shingleN" -> shingleN.toString,
@@ -1181,9 +1194,13 @@ object TextDedup {
       col(idCol).cast("long").as("doc_id"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
       col(textCol).as("text"))
+    // MOR for the same reason as the index: the corpus table is
+    // unpartitioned (keyed by doc_id), so a COW merge is a FULL-TABLE
+    // rewrite per batch; a MOR delta is O(batch), folded by the
+    // compaction threshold
     if (!corpusTable.exists)
       corpusTable.create(corp.schema,
-        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+        properties = graft.table.WarehouseTable.tableProperties("MOR", "snappy"))
     corpusTable.merge(spark, corp, Seq("doc_id"))
   }
 

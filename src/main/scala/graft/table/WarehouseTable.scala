@@ -642,7 +642,15 @@ final class WarehouseTable(val root: String) {
           }.toMap
         finally listing.close()
     }
-    (entries, TableStats.collect(root, entries.values.flatten.toSeq))
+    // 'stats.mode=none' (Iceberg's write.metadata.metrics.default=none):
+    // index tables whose reads prune ONLY by partition value (minhash
+    // bands, range cells — the probe key IS the partition) never consult
+    // min/max stats, so harvesting them is a pure per-commit footer-read
+    // tax that grows with partition count. Opt out per table.
+    val stats =
+      if (meta.properties.get("stats.mode").contains("none")) Map.empty[String, TableStats.DirStats]
+      else TableStats.collect(root, entries.values.flatten.toSeq)
+    (entries, stats)
   }
 
   private def compressionCodec(meta: Meta): String =

@@ -121,4 +121,39 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.hoppingWindows(ev, "t", "event_type", "value", 25L, 10L)
     }
   }
+
+  test("transitions: per-user ordered bigrams, exact ppm probabilities, tie by id") {
+    val ev = Seq(
+      // u1: view > click > purchase
+      (1L, "view", 10L, 100L), (1L, "click", 20L, 101L), (1L, "purchase", 30L, 102L),
+      // u2: view > view > click; same-instant events order by event_id
+      (2L, "view", 5L, 200L), (2L, "view", 5L, 201L), (2L, "click", 9L, 202L),
+      // u3: a single event contributes no transition
+      (3L, "view", 1L, 300L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+    val out = EventAnalytics.transitions(ev, "user_id", "event_type", "t", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    // from view: view>click ×2, view>view ×1 → ppm 666666 / 333333 (floor)
+    assert(out == Set(
+      ("view", "click", 2L, 666666L),
+      ("view", "view", 1L, 333333L),
+      ("click", "purchase", 1L, 1000000L)))
+  }
+
+  test("userPaths: first-k ordered prefix per user, partitioning-invariant") {
+    val ev = Seq(
+      (1L, "view", 10L, 100L), (1L, "click", 20L, 101L),
+      (1L, "purchase", 30L, 102L), (1L, "view", 40L, 103L), // 4th cut at k=3
+      (2L, "view", 5L, 200L), (2L, "click", 9L, 201L), (2L, "purchase", 11L, 202L),
+      (3L, "view", 1L, 300L) // short path: just "view"
+    ).toDF("user_id", "event_type", "t", "event_id")
+    val out = EventAnalytics.userPaths(ev, "user_id", "event_type", "t", "event_id", 3)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("view>click>purchase", 2L), ("view", 1L)))
+    // repartitioning cannot change the collected path order
+    val shuffled = EventAnalytics.userPaths(
+      ev.repartition(7), "user_id", "event_type", "t", "event_id", 3)
+      .as[(String, Long)].collect().toSet
+    assert(shuffled == out)
+  }
 }
