@@ -2803,6 +2803,20 @@ object SparkEntry {
         ev, "user_id", "event_type", "ts_us", "event_id")
     }),
 
+    // Containment decontamination: the %9 docs are the "benchmark";
+    // each is planted verbatim inside a longer synthetic train doc
+    // (preamble + text), so containment = exactly 1e6 for the plants
+    // while Jaccard would stay low — the graded contamination signal
+    // q42's exact 13-gram rule complements. Reference side broadcasts.
+    "q153_containment_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 9 === 0)
+      val corpus = docs.filter(col("doc_id") % 9 =!= 0)
+        .unionByName(ref.select((col("doc_id") + PlantOffset).as("doc_id"),
+          concat(lit("quality assurance preamble "), col("text")).as("text")))
+      TextDedup.containmentAgainst(corpus, ref, "doc_id", "text")
+    }),
+
     // PATH ANALYSIS, prefix form: each user's first-3 event types as an
     // ordered path string, counted across users.
     "q152_user_paths" -> ((s, dir) => {
@@ -3616,6 +3630,55 @@ object SparkEntry {
         |    AS p_e6
         |FROM o WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    // same trigram spelling as the q11 oracle; containment from the
+    // reference side in exact integer ppm (// on both engines)
+    "q153_containment_decon" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + $PlantOffset,
+        |    'quality assurance preamble ' || text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), ref AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0
+        |), ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |  FROM corpus
+        |), ctris AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |      END) AS t
+        |  FROM ctoks
+        |), cex AS (
+        |  SELECT doc_id, unnest(t) AS tri FROM ctris
+        |), rtoks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |  FROM ref
+        |), rtris AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |      END) AS t
+        |  FROM rtoks
+        |), rex AS (
+        |  SELECT doc_id AS ref_id, unnest(t) AS tri, len(t) AS n_r FROM rtris
+        |), inter AS (
+        |  SELECT c.doc_id, r.ref_id,
+        |    CAST(any_value(r.n_r) AS BIGINT) AS n_r,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM cex c JOIN rex r ON c.tri = r.tri
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT doc_id, inter * 1000000 // n_r AS cont_e6 FROM inter
+        |)
+        |SELECT doc_id,
+        |  CAST(max(cont_e6) AS BIGINT) AS max_cont_e6,
+        |  CAST(sum(CASE WHEN cont_e6 >= 800000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_refs_hit,
+        |  max(cont_e6) >= 800000 AS flagged
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q152_user_paths" ->
       """WITH e AS (

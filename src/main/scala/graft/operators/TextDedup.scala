@@ -1204,6 +1204,49 @@ object TextDedup {
     corpusTable.merge(spark, corp, Seq("doc_id"))
   }
 
+  /** Asymmetric CONTAINMENT decontamination — the graded companion to the
+    * exact-13-gram rule (q42): score each corpus doc by the largest
+    * fraction of a REFERENCE doc's shingles it contains,
+    * `cont(c, r) = |sh(c) ∩ sh(r)| / |sh(r)|`, in exact parts-per-million
+    * (`inter·10^6 div n_r` — a ring op, cross-engine exact). This is the
+    * contamination shape n-gram matching misses gradually and Jaccard
+    * misses structurally: a short benchmark item embedded in a long
+    * training doc has near-zero Jaccard (the union is dominated by the
+    * training doc) but containment ≈ 1 measured from the reference side.
+    *
+    * Output: one row per corpus doc sharing ≥1 shingle with any
+    * reference (hit-bound, not corpus-bound), with the max containment,
+    * the number of references at/above the threshold, and the flag.
+    *
+    * Scale: the reference side is an EVAL SUITE by contract —
+    * benchmark-sized, orders of magnitude smaller than the corpus — so
+    * it broadcasts and the corpus side never shuffles: one map-side
+    * shingle pass, a broadcast hash join on the shingle, and a
+    * doc-keyed aggregation. Decontaminating 100 TB against a benchmark
+    * battery is exactly one pass over the corpus.
+    */
+  def containmentAgainst(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3,
+      tauE6: Long = 800000L): DataFrame = {
+    require(tauE6 >= 0L && tauE6 <= 1000000L, s"tauE6=$tauE6 not in [0, 1e6]")
+    val c = shingled(docs, idCol, textCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("tri"))
+    val r = shingled(reference, idCol, textCol, shingleN)
+      .select(col("doc_id").as("ref_id"), col("n_sh").cast("long").as("n_r"),
+        explode(col("sh")).as("tri"))
+    val inter = c.join(broadcast(r), Seq("tri"))
+      .groupBy(col("doc_id"), col("ref_id"), col("n_r"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_e6", expr("(inter * 1000000) div n_r"))
+    inter.groupBy(col("doc_id"))
+      .agg(max(col("cont_e6")).as("max_cont_e6"),
+        sum(when(col("cont_e6") >= tauE6, 1L).otherwise(0L)).as("n_refs_hit"))
+      .withColumn("flagged", col("max_cont_e6") >= tauE6)
+  }
+
   /** Corpus-level duplicated-n-gram report — the diagnostic that decides
     * whether substring dedup (q52) is worth running and what its gram
     * length should be: the `topK` n-grams appearing in ≥2 documents,

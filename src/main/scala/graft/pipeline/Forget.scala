@@ -57,4 +57,33 @@ object Forget {
       t.table.root -> n
     }.toMap
   }
+
+  /** PREDICATE-based forget — the cascade for deletion requests that
+    * arrive as a condition rather than an id list ("everything from
+    * source X", "all docs matching this PII pattern"): no key columns
+    * are needed anywhere. Merge-on-read targets take an
+    * O(matching-rows) position-delete sidecar
+    * ([[graft.table.WarehouseTable.deleteWhereMor]]); copy-on-write
+    * targets take the stats-pruned dir-level rewrite
+    * ([[graft.table.WarehouseTable.deleteRows]]). Returns the same
+    * per-table deleted-row audit receipt as [[forget]]; replaying the
+    * same predicate deletes nothing further (the rows are gone, the
+    * condition matches nothing).
+    */
+  def forgetWhere(
+      spark: SparkSession,
+      cond: org.apache.spark.sql.Column,
+      tables: Seq[graft.table.WarehouseTable]): Map[String, Long] =
+    tables.map { t =>
+      val n =
+        if (t.properties.get("write.delete.mode").contains("merge-on-read"))
+          t.deleteWhereMor(spark, cond)
+        else {
+          val matched =
+            t.read(spark).filter(coalesce(cond, lit(false))).count()
+          if (matched > 0) t.deleteRows(spark, cond)
+          matched
+        }
+      t.root -> n
+    }.toMap
 }

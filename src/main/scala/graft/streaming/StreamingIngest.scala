@@ -2277,4 +2277,79 @@ object StreamingIngest {
           }
       }
   }
+
+  /** Ordered-attribution state: settled newest click + watermark-held
+    * events.
+    */
+  final case class AttrBuf(
+      newest: Option[NewestClick], pending: Seq[AttrEvent])
+
+  /** EXACT out-of-order last-touch attribution — [[attributionStream]]'s
+    * watermark-buffered twin, closing its documented divergence class the
+    * same way [[funnelStreamOrdered]] closes the funnel's: events buffer
+    * in state until the watermark passes them, then fold in
+    * (time, clicks-first, id) order, so every emitted purchase carries
+    * the credit the batch rule assigns under ANY arrival order the
+    * watermark admits. Emission is watermark-delayed (a purchase emits
+    * once no admissible earlier click can exist), never wrong.
+    *
+    * State: one settled NewestClick + the user's events inside the
+    * watermark horizon; event-time timeouts (earliest held event, or the
+    * settled click's window expiry) drain both without new input. With a
+    * finite `attributionWindowMs`, expiring the settled click once
+    * `click.t + window ≤ watermark` is lossless — every future-settled
+    * purchase is strictly newer than the watermark, hence outside the
+    * window — and idle users' state reaches zero. Without a window the
+    * newest click is retained per user (exact unwindowed attribution,
+    * O(users) — the same trade the eager stage documents).
+    */
+  def attributionStreamOrdered(
+      events: Dataset[AttrEvent],
+      watermark: String,
+      attributionWindowMs: Option[Long] = None): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    attributionWindowMs.foreach(w => require(w > 0, "window must be positive"))
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[AttrEvent], state: GroupState[AttrBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(AttrBuf(None, Nil))
+          val all = buf.pending ++ it
+          val (ready, hold) = all.partition(_.ts.getTime <= wm)
+          var newest = buf.newest
+          val out = Seq.newBuilder[AttributedPurchase]
+          ready.sortBy(e => (e.ts.getTime, if (e.is_click) 0 else 1, e.event_id))
+            .foreach { e =>
+              val t = e.ts.getTime
+              if (e.is_click) {
+                if (newest.forall(c =>
+                    c.t < t || (c.t == t && c.click_id < e.event_id)))
+                  newest = Some(NewestClick(t, e.event_id, e.channel))
+              } else {
+                val credit = newest.filter(c =>
+                  attributionWindowMs.forall(w => t - c.t <= w))
+                out += AttributedPurchase(uid, e.event_id,
+                  credit.map(_.channel.toString).getOrElse("organic"), e.value)
+              }
+            }
+          // lossless expiry: a held/future purchase is > wm, so a click
+          // with t + w ≤ wm is outside its window no matter what settles
+          attributionWindowMs.foreach { w =>
+            if (newest.exists(_.t + w <= wm)) newest = None
+          }
+          if (hold.isEmpty && newest.isEmpty) state.remove()
+          else {
+            state.update(AttrBuf(newest, hold))
+            // all candidates provably > wm (held by the partition rule;
+            // expiry by the filter)
+            val wakes = hold.map(_.ts.getTime) ++
+              attributionWindowMs.flatMap(w => newest.map(_.t + w)).filter(_ > wm)
+            if (wakes.nonEmpty) state.setTimeoutTimestamp(wakes.min)
+          }
+          out.result().iterator
+      }
+  }
 }

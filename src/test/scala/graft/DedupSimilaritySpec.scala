@@ -995,4 +995,27 @@ class DedupSimilaritySpec extends SparkSpec {
     val d18 = out.find(_._1 == 18L).get
     assert(d18._4 == 8500L && !d18._5)
   }
+
+  test("containmentAgainst: embedded reference flags at 1e6, partial graded, disjoint absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")) // 4 trigrams
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds the reference verbatim: all 4 ref trigrams present -> 1e6
+      (1L, "intro words here alpha beta gamma delta epsilon zeta outro"),
+      // shares exactly 1 of the 4 ref trigrams -> 250000, below tau
+      (2L, "alpha beta gamma something else entirely different now"),
+      // no shared trigram -> absent from the output
+      (3L, "completely unrelated text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val byId = TextDedup.containmentAgainst(corpus, ref, "doc_id", "text")
+      .select("doc_id", "max_cont_e6", "n_refs_hit", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId(1L) == ((1000000L, 1L, true)))
+    assert(byId(2L) == ((250000L, 0L, false)))
+    assert(!byId.contains(3L))
+  }
 }

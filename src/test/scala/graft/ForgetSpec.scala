@@ -48,4 +48,34 @@ class ForgetSpec extends SparkSpec {
     assert(again.values.forall(_ == 0L))
     assert(corpus.read(spark).count() == expect.size.toLong)
   }
+
+  test("forgetWhere: predicate cascade — position deletes on MOR, dir rewrite on COW, replay no-op") {
+    val root = tmpDir("forgetw")
+    val docs = (1L to 30L).map(i =>
+      (i, s"text-$i", if (i % 3 == 0) "bad-src" else "good-src"))
+      .toDF("doc_id", "text", "source")
+    val cow = WarehouseTable(s"$root/cow")
+    cow.create(docs.schema, None, WarehouseTable.tableProperties("COW", "snappy"))
+    cow.append(docs)
+    val mor = WarehouseTable(s"$root/mor")
+    mor.create(docs.schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
+    mor.append(docs)
+    // "forget everything from bad-src" — no key columns anywhere
+    val report = Forget.forgetWhere(
+      spark, col("source") === "bad-src", Seq(cow, mor))
+    assert(report(cow.root) == 10L)
+    assert(report(mor.root) == 10L)
+    val expect = (1L to 30L).filterNot(_ % 3 == 0).toSeq
+    assert(cow.read(spark).select("doc_id").as[Long]
+      .collect().sorted.toSeq == expect)
+    assert(mor.read(spark).select("doc_id").as[Long]
+      .collect().sorted.toSeq == expect)
+    // the MOR path wrote a sidecar, not a rewrite
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(mor.root, "posdel")))
+    // replay: the predicate matches nothing now
+    val again = Forget.forgetWhere(
+      spark, col("source") === "bad-src", Seq(cow, mor))
+    assert(again.values.forall(_ == 0L))
+  }
 }

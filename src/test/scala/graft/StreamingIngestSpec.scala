@@ -2068,4 +2068,58 @@ class StreamingIngestSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sums2(corpus.root) == 3L && sums2(idx.root) == 9L)
   }
+
+  test("ordered attribution equals the batch last-touch rule under shuffled cross-batch arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{AttrEvent, AttributedPurchase}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // 6 users × deterministic pseudo-random clicks/purchases over
+    // [1, 500] s incl. same-instant click/purchase and click/click ties
+    val rnd = new scala.util.Random(7)
+    var nextId = 100L
+    val evs = (1L to 6L).flatMap { u =>
+      (0 until 10).map { _ =>
+        nextId += 1
+        val sec = rnd.nextInt(500).toLong + 1
+        if (rnd.nextBoolean())
+          AttrEvent(u, nextId, is_click = true, rnd.nextInt(3).toLong, 0.0, ts(sec))
+        else
+          AttrEvent(u, nextId, is_click = false, 0L, 1.0, ts(sec))
+      }
+    }
+    val shuffled = rnd.shuffle(evs)
+    val batches = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val input = MemoryStream[AttrEvent]
+    val q = StreamingIngest.attributionStreamOrdered(
+        input.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("oattr_out")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    // flush: sentinel pushes the watermark past every real event
+    input.addData(AttrEvent(-1L, 0L, is_click = true, 0L, 0.0, ts(500 + 3 * 3600)))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamed = spark.table("oattr_out").as[AttributedPurchase].collect()
+      .filter(_.user_id >= 0).map(p => p.event_id -> p.channel).toMap
+    q.stop()
+    // batch reference: per user, fold in (t, clicks-first, id) order
+    val expected = evs.groupBy(_.user_id).flatMap { case (_, es) =>
+      var newest: Option[(Long, Long, Long)] = None // (t, id, channel)
+      es.sortBy(e => (e.ts.getTime, if (e.is_click) 0 else 1, e.event_id))
+        .flatMap { e =>
+          if (e.is_click) {
+            val t = e.ts.getTime
+            if (newest.forall(c => c._1 < t || (c._1 == t && c._2 < e.event_id)))
+              newest = Some((t, e.event_id, e.channel))
+            None
+          } else Some(e.event_id ->
+            newest.map(_._3.toString).getOrElse("organic"))
+        }
+    }
+    assert(streamed == expected)
+    // every purchase emitted exactly once (Append mode, watermark-final)
+    assert(streamed.size == evs.count(!_.is_click))
+  }
 }
