@@ -2803,6 +2803,16 @@ object SparkEntry {
         ev, "user_id", "event_type", "ts_us", "event_id")
     }),
 
+    // Source-balanced interleave: every prefix of the training order
+    // carries each source as evenly as arithmetic allows; the global
+    // position is computed per row from (source, rank, counts) — no
+    // global sort anywhere. Oracle recomputes it as a literal
+    // row_number over (rank, source), proving the closed form.
+    "q154_source_interleave" -> ((s, dir) =>
+      graft.operators.Sampling.interleaveBySource(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source")),
+
     // Containment decontamination: the %9 docs are the "benchmark";
     // each is planted verbatim inside a longer synthetic train doc
     // (preamble + text), so containment = exactly 1e6 for the plants
@@ -3630,6 +3640,22 @@ object SparkEntry {
         |    AS p_e6
         |FROM o WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    // the closed-form position must equal the literal global row_number
+    // over (rank, source) — DuckDB affords the sort, the engine doesn't
+    "q154_source_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 2, 16),
+        |        doc_id) AS BIGINT) AS src_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, src_rank,
+        |  CAST(row_number() OVER (ORDER BY src_rank, source) - 1 AS BIGINT)
+        |    AS gpos
+        |FROM r""".stripMargin,
 
     // same trigram spelling as the q11 oracle; containment from the
     // reference side in exact integer ppm (// on both engines)

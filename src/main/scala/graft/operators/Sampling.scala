@@ -119,6 +119,44 @@ object Sampling {
       .drop("okey", "bucket", "rn", "offset", "n")
   }
 
+  /** SOURCE-BALANCED training order (mixture interleave): rank each doc
+    * within its source by the [[trainingOrder]] md5 order, then place
+    * source `s`'s rank-`r` doc at the global position a fair round-robin
+    * over sources produces — WITHOUT any global sort. With per-source
+    * counts `c_s'` and 0-based rank `r0`:
+    * {{{ gpos(s, r0) = Σ_s' min(c_s', r0)  +  |{s' < s : c_s' > r0}| }}}
+    * (rows of every source with a smaller rank precede; same-rank rows
+    * of lexicographically earlier sources precede). Every prefix of the
+    * order then carries each source as evenly as arithmetic allows —
+    * the curriculum property mixture training wants (q46's global
+    * shuffle randomizes; this one BALANCES) — and a doc's position is a
+    * pure function of (source, rank, counts): engine-reproducible,
+    * partition-invariant, no zipWithIndex, no sort. The counts table is
+    * |sources|-sized (planning-bounded driver collect); the only
+    * distributed work is [[stableRank]]'s two-level rank.
+    */
+  def interleaveBySource(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      bucketChars: Int = 2): DataFrame = {
+    val ranked = stableRank(
+      df.select(col(idCol), col(srcCol)), Seq(srcCol), idCol, bucketChars)
+    // |sources|-bounded: mixture source lists are enumerable by contract
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val r0 = col("pos") - lit(1L)
+    // own source contributes min(c_s, r0) = r0 and never the +1 term,
+    // so summing over ALL sources folds the own-prefix count in
+    val gpos = counts.map { case (s2, c) =>
+      least(lit(c), r0) +
+        when(lit(s2) < col(srcCol) && lit(c) > r0, lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ranked.select(col(idCol), col(srcCol),
+      col("pos").cast("long").as("src_rank"),
+      gpos.cast("long").as("gpos"))
+  }
+
   /** C4-style per-key document cap: keep at most `maxPerKey` rows per
     * key, chosen by the deterministic md5 order (not arrival order — a
     * re-partitioned rerun keeps the SAME rows). The classic use is

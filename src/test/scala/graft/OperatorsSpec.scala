@@ -1645,4 +1645,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4) == ((5L, 0, 0, 0, 0, "none", false)))
     assert(out(5) == ((6L, 0, 0, 0, 6, "greek", false)))
   }
+
+  test("interleaveBySource: closed-form position equals the global sort; prefixes balanced; partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 61L).map(i =>
+      (i, Seq("a", "b", "c")((i % 7 % 3).toInt))) // uneven source counts
+      .toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(docs, "doc_id", "source")
+      .as[(Long, String, Long, Long)].collect()
+    // gpos is a permutation of [0, n)
+    assert(out.map(_._4).sorted.toSeq == (0L until 61L).toSeq)
+    // the closed form equals the literal row_number over (rank, source)
+    val expected = out.sortBy(r => (r._3, r._2)).zipWithIndex
+      .map { case (r, i) => r._1 -> i.toLong }.toMap
+    assert(out.forall(r => expected(r._1) == r._4))
+    // balanced prefix: while every source is still alive (rank < min
+    // count), the first 3k positions hold exactly k docs of each source
+    val kMin = out.groupBy(_._2).map(_._2.size).min.toLong
+    val prefix = out.filter(_._4 < 3L * kMin)
+    assert(prefix.groupBy(_._2).forall(_._2.size.toLong == kMin))
+    // repartitioning cannot move anyone
+    val shuffled = Sampling.interleaveBySource(
+        docs.repartition(7), "doc_id", "source")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(out.forall(r => shuffled(r._1) == r._4))
+  }
 }

@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     "q95_ccnet_buckets",    // 1-row LM totals (q53 inside)
     "q98_rrf_fusion",       // broadcast query vector × corpus (q14 inside)
     "q99_hard_negatives",   // broadcast query set × corpus (q14's plan)
-    "q101_mmr_select")      // 1-row query vector + limit-bounded N² sims
+    "q101_mmr_select",      // 1-row query vector + limit-bounded N² sims
+    "q153_containment_decon") // broadcast reference shingles (eval-suite-
+                              // sized by contract; filter over corpus scan)
 
   /** Rule-3 boundedness: does this logical subtree force bounded
     * cardinality on its own? (Aggregates are bounded by their grouping
