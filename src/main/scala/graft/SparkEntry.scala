@@ -2803,6 +2803,37 @@ object SparkEntry {
         ev, "user_id", "event_type", "ts_us", "event_id")
     }),
 
+    // CDC CHANGE FEED: one MOR merge lands updates (text+' v2'),
+    // deletes (every %8 doc tombstoned via deleteWhere) and inserts
+    // (planted new ids) in a single batch; changesSince(snap) must
+    // surface EXACTLY that batch with insert/delete labels, resolved
+    // from the manifest diff before any file opens — the read a
+    // downstream mirror replays verbatim.
+    "q155_change_feed" -> ((s, dir) => {
+      val wh = scratchPath("q155", dir) + "/feed_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema, None,
+        graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+          ("compact.delta.threshold" -> "0"))
+      table.append(docs)
+      val snap = table.currentSnapshotId
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0, lit("DEAD"))
+            .otherwise(concat(col("text"), lit(" v2"))))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + PlantOffset).as("doc_id"),
+            col("text"), col("lang")))
+      table.merge(s, batch, Seq("doc_id"),
+        deleteWhere = Some(col("text") === "DEAD"))
+      table.changesSince(s, snap)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("_change_type"))
+    }),
+
     // Source-balanced interleave: every prefix of the training order
     // carries each source as evenly as arithmetic allows; the global
     // position is computed per row from (source, rank, counts) — no
@@ -3640,6 +3671,23 @@ object SparkEntry {
         |    AS p_e6
         |FROM o WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    // the feed IS the batch, labeled: tombstoned rows read 'delete'
+    "q155_change_feed" ->
+      s"""WITH batch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 0 THEN 'DEAD'
+        |         ELSE text || ' v2' END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + $PlantOffset, text, lang
+        |  FROM documents WHERE doc_id % 4 = 1
+        |)
+        |SELECT doc_id, md5(text) AS text_md5, lang,
+        |  CASE WHEN text = 'DEAD' THEN 'delete' ELSE 'insert' END
+        |    AS _change_type
+        |FROM batch""".stripMargin,
 
     // the closed-form position must equal the literal global row_number
     // over (rank, source) — DuckDB affords the sort, the engine doesn't
