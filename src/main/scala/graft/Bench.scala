@@ -39,6 +39,14 @@ object Bench {
     // fast loop for re-measuring a single query after a plan change
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd or stale name must fail loudly, not yield an
+    // empty-but-successful-looking sweep
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names.contains(q._1))
       case None => SparkEntry.queries
@@ -92,7 +100,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val builds = indexBuild.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"index_build":$builds,"runs_per_query":$runsPerQuery,"shuffle_partitions":$shuffle,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"index_build":$builds,"runs_per_query":$runsPerQuery,"shuffle_partitions":$shuffle,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture truncates the stdout tail, which leaves
+    // cross-round per-query comparison partial — ALSO persist the full
+    // results map to a file beside the log (overridable for sweeps)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -2834,6 +2834,101 @@ object SparkEntry {
           col("lang"), col("_change_type"))
     }),
 
+    // CDC MIRROR under position deletes — the round-10 gap closed and
+    // proven end-to-end: a mixed history (MOR merge with updates +
+    // equality tombstones + inserts, then a PREDICATE position-delete —
+    // the forgetWhere RTBF path — then a revival merge) replays through
+    // changesSince(snap0) into a keyed mirror (latest _change_ordinal
+    // wins, insert beats delete at equal ordinal, deletes drop the key).
+    // The mirror must equal the table's resolved view, which the oracle
+    // recomputes independently — impossible unless the feed carries the
+    // posdel erasures as labeled deletes.
+    "q156_cdc_mirror_posdel" -> ((s, dir) => {
+      val wh = scratchPath("q156", dir) + "/mirror_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema, Some("lang"),
+        graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+          ("compact.delta.threshold" -> "0"))
+      table.append(docs)
+      val snap0 = table.currentSnapshotId
+      // ordinal snap0+1: updates (%4=0 → ' v2'), tombstones (%8=0),
+      // planted inserts (%4=1 + offset)
+      val batch1 = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0, lit("DEAD"))
+            .otherwise(concat(col("text"), lit(" v2"))))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + PlantOffset).as("doc_id"),
+            col("text"), col("lang")))
+      table.merge(s, batch1, Seq("doc_id"),
+        deleteWhere = Some(col("text") === "DEAD"))
+      // ordinal snap0+2: predicate RTBF — position-delete every 'de' row
+      // (erases base rows, a delta winner, and planted rows alike)
+      table.deleteWhereMor(s, col("lang") === "de")
+      // ordinal snap0+3: revive a third of the forgotten keys
+      table.merge(s,
+        docs.filter(col("lang") === "de" && col("doc_id") % 3 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev]"))),
+        Seq("doc_id"))
+      // keyed mirror: snapshot at snap0 + the feed, applied by ordinal
+      val mirror0 = table.read(s, asOf = Some(snap0))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_change_ordinal", lit(snap0))
+      val applied = Dedup.latestByKey(
+        mirror0.unionByName(table.changesSince(s, snap0))
+          .withColumn("__ord2",
+            expr("_change_ordinal * 2 + IF(_change_type = 'insert', 1, 0)")),
+        Seq("doc_id"), orderDesc = "__ord2")
+        .filter(col("_change_type") =!= "delete")
+      applied.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"))
+    }),
+
+    // Catalog-SQL DML lifecycle, oracle-gated (round-10 VERDICT #6):
+    // standalone UPDATE and DELETE FROM through spark.sql on BOTH delete
+    // modes — the COW table takes stats-pruned dir rewrites, the MOR
+    // table routes DELETE through an O(match) position-delete sidecar —
+    // and both must land the exact same visible rows, which the oracle
+    // recomputes relationally.
+    "q157_sql_update_delete" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q157_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.table.WarehouseTable(s"$wh/db/docs_cow").drop()
+      graft.table.WarehouseTable(s"$wh/db/docs_mor").drop()
+      s.conf.set("spark.sql.catalog.graft_q157", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q157.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("q157_docs")
+      Seq(
+        "docs_cow" -> "",
+        "docs_mor" -> ("""TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |  'write.delete.mode'='merge-on-read',
+          |  'write.update.mode'='merge-on-read',
+          |  'compact.delta.threshold'='0')""".stripMargin)
+      ).foreach { case (name, props) =>
+        s.sql(
+          s"""CREATE TABLE graft_q157.db.$name (
+             |  doc_id BIGINT, text STRING, n_chars BIGINT, lang STRING
+             |) PARTITIONED BY (lang) $props""".stripMargin)
+        s.sql(s"INSERT INTO graft_q157.db.$name SELECT * FROM q157_docs")
+        s.sql(s"UPDATE graft_q157.db.$name SET text = concat(text, ' [u]') " +
+          "WHERE n_chars % 7 = 0")
+        s.sql(s"DELETE FROM graft_q157.db.$name " +
+          "WHERE lang = 'fr' OR doc_id % 11 = 0")
+      }
+      s.sql(
+        """SELECT 'cow' AS mode, doc_id, md5(text) AS text_md5, n_chars, lang
+          |FROM graft_q157.db.docs_cow
+          |UNION ALL
+          |SELECT 'mor' AS mode, doc_id, md5(text) AS text_md5, n_chars, lang
+          |FROM graft_q157.db.docs_mor""".stripMargin)
+    }),
+
     // Source-balanced interleave: every prefix of the training order
     // carries each source as evenly as arithmetic allows; the global
     // position is computed per row from (source, rank, counts) — no
@@ -3688,6 +3783,39 @@ object SparkEntry {
         |  CASE WHEN text = 'DEAD' THEN 'delete' ELSE 'insert' END
         |    AS _change_type
         |FROM batch""".stripMargin,
+
+    // the mirror must equal the final resolved view: batch-1 updates minus
+    // tombstones, plants, every 'de' row position-deleted, %3 'de' keys
+    // revived from ORIGINAL text — each branch below is one feed ordinal
+    "q156_cdc_mirror_posdel" ->
+      s"""SELECT doc_id, md5(text) AS text_md5, lang FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents
+        |  WHERE lang <> 'de' AND NOT (doc_id % 4 = 0 AND doc_id % 8 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + $PlantOffset, text, lang FROM documents
+        |  WHERE doc_id % 4 = 1 AND lang <> 'de'
+        |  UNION ALL
+        |  SELECT doc_id, text || ' [rev]', lang FROM documents
+        |  WHERE lang = 'de' AND doc_id % 3 = 0
+        |) q""".stripMargin,
+
+    // both delete modes must land the identical relational answer
+    "q157_sql_update_delete" ->
+      """WITH final AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars % 7 = 0 THEN text || ' [u]' ELSE text END AS text,
+        |    n_chars, lang
+        |  FROM documents
+        |  WHERE NOT (lang = 'fr' OR doc_id % 11 = 0)
+        |)
+        |SELECT 'cow' AS mode, doc_id, md5(text) AS text_md5, n_chars, lang
+        |FROM final
+        |UNION ALL
+        |SELECT 'mor' AS mode, doc_id, md5(text) AS text_md5, n_chars, lang
+        |FROM final""".stripMargin,
 
     // the closed-form position must equal the literal global row_number
     // over (rank, source) — DuckDB affords the sort, the engine doesn't
@@ -4920,9 +5048,9 @@ object SparkEntry {
         |  CAST(sum(n_seg_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN rn = 1 THEN n_seg_tokens ELSE 0 END) AS BIGINT)
         |    AS n_kept_tokens,
-        |  floor(CAST(sum(CASE WHEN rn = 1 THEN n_seg_tokens ELSE 0 END)
-        |      AS DOUBLE) / sum(n_seg_tokens) * 10000 + 0.5) / 10000
-        |    AS kept_frac
+        |  CAST((sum(CASE WHEN rn = 1 THEN n_seg_tokens ELSE 0 END) * 10000
+        |        + sum(n_seg_tokens) // 2) // sum(n_seg_tokens) AS BIGINT)
+        |    AS kept_frac_e4
         |FROM ranked GROUP BY doc_id""".stripMargin,
 
     // the normalizer sum z8 is an EXACT BIGINT (1e-8 fixed-point n^T), so

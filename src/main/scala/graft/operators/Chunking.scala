@@ -249,7 +249,10 @@ object Chunking {
         sum(col("n_seg_tokens")).as("n_tokens"),
         sum(when(col("kept"), col("n_seg_tokens")).otherwise(0L))
           .as("n_kept_tokens"))
-      .withColumn("kept_frac",
-        floor(col("n_kept_tokens").cast("double") / col("n_tokens")
-          * 10000.0 + 0.5) / 10000.0)
+      // kept fraction in 1e-4 fixed point, computed entirely in the
+      // integer ring (round-half-up = +n/2 before the div) — the engine's
+      // cross-engine arithmetic rule: no double ever enters, so every
+      // engine that can divide integers reproduces the value bit-exactly
+      .withColumn("kept_frac_e4",
+        expr("(n_kept_tokens * 10000 + n_tokens div 2) div n_tokens"))
 }

@@ -69,21 +69,28 @@ object Forget {
     * per-table deleted-row audit receipt as [[forget]]; replaying the
     * same predicate deletes nothing further (the rows are gone, the
     * condition matches nothing).
+    *
+    * Change-feed completeness: the MOR path's position deletes ARE
+    * carried by [[graft.table.WarehouseTable.changesSince]] as labeled
+    * `delete` events (resolved from the sidecars), so a downstream CDC
+    * mirror replaying the feed drops the forgotten rows too — predicate
+    * RTBF does not silently diverge the mirror. The COW path's rewrite
+    * keeps the usual COW feed caveat (removals silent, rewritten dirs
+    * re-emitted as inserts): run MOR targets when mirrors must track
+    * deletions.
     */
   def forgetWhere(
       spark: SparkSession,
       cond: org.apache.spark.sql.Column,
       tables: Seq[graft.table.WarehouseTable]): Map[String, Long] =
     tables.map { t =>
+      // both delete paths return the removed-row count themselves, so the
+      // predicate is evaluated exactly once per table — no separate
+      // count pass whose answer could drift from the rows actually removed
       val n =
         if (t.properties.get("write.delete.mode").contains("merge-on-read"))
           t.deleteWhereMor(spark, cond)
-        else {
-          val matched =
-            t.read(spark).filter(coalesce(cond, lit(false))).count()
-          if (matched > 0) t.deleteRows(spark, cond)
-          matched
-        }
+        else t.deleteRows(spark, cond)
       t.root -> n
     }.toMap
 }

@@ -1818,18 +1818,21 @@ object StreamingIngest {
     * [[funnelStreamOrdered]]). State is O(steps) longs per INCOMPLETE
     * user: a user that reaches the last step is emitted and their state
     * REMOVED — the store is bounded by users still inside the funnel,
-    * not by every user ever seen. Consequence of the expiry (documented,
-    * deliberate): events for an already-completed user start a fresh
-    * funnel pass — the "conversion cycles" reading. Callers needing
-    * every-user-forever retention pass `expireCompleted = false` and
-    * own the store growth.
+    * not by every user ever seen. Consequence of the expiry (opt-in):
+    * events for an already-completed user start a fresh funnel pass —
+    * the "conversion cycles" reading — and an Update-mode sink keyed by
+    * user sees `reached` REGRESS (3 → 1). That is a semantic change a
+    * caller must choose, so the default is `expireCompleted = false`
+    * (terminal state retained forever, original API behavior, store
+    * grows with users ever seen); pass `true` to opt into the bounded
+    * store + conversion-cycle semantics.
     *
     * Emits each touched user's progress every batch (Update semantics).
     */
   def funnelStream(
       events: Dataset[FunnelEvent],
       nSteps: Int,
-      expireCompleted: Boolean = true): Dataset[FunnelProgress] = {
+      expireCompleted: Boolean = false): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(nSteps >= 1, "need at least one step")
     events
@@ -1992,10 +1995,17 @@ object StreamingIngest {
     * set semi-joins each target and the merge-delete rewrites only the
     * partitions holding doomed rows (COW) or lands equality tombstones
     * (MOR), the cascade's own contract. Replay safety is the cascade's
-    * idempotence: a checkpoint replay re-deletes nothing and OVERWRITES
-    * its own receipt with zeros — receipts are per-execution records and
-    * the audit total is the SUM across batch dirs, which at-least-once
-    * delivery cannot inflate (absent ids match nothing).
+    * idempotence: a checkpoint replay re-deletes nothing, so its receipt
+    * rows carry zeros. Receipts are per-EXECUTION records written with
+    * `append` under a fresh `exec_id` — a crash after the cascade but
+    * before the checkpoint commit leaves the real receipt in place and
+    * the replay adds a zero row beside it, so the audit can neither
+    * inflate (absent ids match nothing) NOR under-report (nothing is
+    * overwritten). The audit total per table is therefore
+    * `sum over batch_id of max(rows_deleted)` within each
+    * (batch_id, table_root) — max picks the execution that actually
+    * deleted; at-most one execution per batch can have (the rows were
+    * gone for every later replay).
     */
   def startForgetter(
       spark: SparkSession,
@@ -2024,8 +2034,112 @@ object StreamingIngest {
         import spark.implicits._
         counts.toSeq.toDF("table_root", "rows_deleted")
           .withColumn("batch_id", lit(batchId))
+          .withColumn("exec_id", lit(java.util.UUID.randomUUID().toString))
           .coalesce(1) // receipt rows: one per target table
-          .write.mode("overwrite").parquet(s"$auditDir/batch=$batchId")
+          .write.mode("append").parquet(s"$auditDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** STREAMING CDC MIRROR (40th stage) — the CONSUMER side of
+    * [[graft.table.WarehouseTable.changesSince]]: tail a source
+    * warehouse table's commit log (its `snaps/` dir is the wake signal,
+    * one tiny JSON file per commit — at `maxFilesPerTrigger = 1` the
+    * history applies COMMIT BY COMMIT) and apply each window's change
+    * feed to a mirror table keyed on `keys`. The feed collapses per key
+    * to the latest `_change_ordinal` (insert beats delete at equal
+    * ordinal); winners labeled `insert` UPSERT into the mirror (keyed
+    * merge), winners labeled `delete` land keyed merge-deletes. Because
+    * [[graft.table.WarehouseTable.changesSince]] carries position-delete
+    * erasures, the mirror tracks predicate RTBF
+    * ([[graft.pipeline.Forget.forgetWhere]]) too — the flow that used to
+    * silently diverge CDC consumers.
+    *
+    * Exactness: after draining, mirror ≡ the source's resolved view at
+    * the applied snapshot, for any history of appends / MOR upserts /
+    * equality deletes / position deletes. (A COW source keeps the
+    * documented re-emit caveat — its rewrites arrive as inserts of the
+    * surviving rows and removals are silent; run a MOR source when the
+    * mirror must be tight.) Replay-safe: the applied-through cursor
+    * (`_cdc_applied` inside the mirror root) advances only AFTER the
+    * window's merges commit; a crash between apply and checkpoint
+    * replays a window whose keyed apply is idempotent — re-upserting
+    * identical rows and re-deleting absent keys both land arbitration
+    * no-ops. Deleting a key the mirror never held (an insert+delete
+    * collapsed inside one window) is equally a no-op: the tombstone
+    * wins arbitration over nothing.
+    *
+    * Scale: per-trigger cost is CHANGE-bound — the feed reads fresh dirs
+    * plus posdel-touched files only, and the keyed apply merges only the
+    * window's keys (O(batch) MOR deltas on the mirror); neither side is
+    * ever rescanned.
+    */
+  def startCdcMirror(
+      spark: SparkSession,
+      source: graft.table.WarehouseTable,
+      mirror: graft.table.WarehouseTable,
+      keys: Seq[String],
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    if (!mirror.exists)
+      mirror.create(source.read(spark).schema, source.partitionColumn,
+        graft.table.WarehouseTable.tableProperties("MOR", "snappy"))
+    val cursorPath = java.nio.file.Paths.get(mirror.root, "_cdc_applied")
+    def readCursor(): Long =
+      if (java.nio.file.Files.exists(cursorPath))
+        new String(java.nio.file.Files.readAllBytes(cursorPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    def writeCursor(v: Long): Unit = {
+      val tmp = java.nio.file.Paths.get(mirror.root, "_cdc_applied.tmp")
+      java.nio.file.Files.write(tmp,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, cursorPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(s"${source.root}/snaps")
+      // file identity must be captured AT THE SOURCE — `_metadata` only
+      // resolves against the file-source relation, and foreachBatch hands
+      // over a plain LogicalRDD
+      .select(col("_metadata.file_path").as("__snap_path"))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // apply-through target = newest snapshot NAMED IN THIS BATCH, so
+        // the commit granularity is the trigger's, not "whatever is
+        // current by now". Driver-side collect bounded by
+        // maxFilesPerTrigger file paths.
+        val ids = batch.select(col("__snap_path")).distinct()
+          .collect().map(_.getString(0)).flatMap { p =>
+            val n = p.substring(p.lastIndexOf('/') + 1)
+            if (n.startsWith("snap-") && n.endsWith(".json"))
+              Some(n.stripPrefix("snap-").stripSuffix(".json").toLong)
+            else None
+          }
+        val from = readCursor()
+        if (ids.nonEmpty && ids.max > from) {
+          val target = ids.max
+          val feed = source.changesSince(spark, from, asOf = Some(target))
+            .withColumn("__ord2", expr(
+              "_change_ordinal * 2 + IF(_change_type = 'insert', 1, 0)"))
+          val winners = graft.operators.Dedup
+            .latestByKey(feed, keys, orderDesc = "__ord2")
+            .localCheckpoint() // pin: both merges below consume it
+          val ups = winners.filter(col("_change_type") =!= "delete")
+            .drop("_change_type", "_change_ordinal", "__ord2")
+          if (!ups.isEmpty) mirror.merge(spark, ups, keys)
+          val dels = winners.filter(col("_change_type") === "delete")
+            .drop("_change_type", "_change_ordinal", "__ord2")
+          if (!dels.isEmpty)
+            mirror.merge(spark, dels, keys, deleteWhere = Some(lit(true)))
+          writeCursor(target)
+        }
         ()
       }
       .start()

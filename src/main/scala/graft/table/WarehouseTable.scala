@@ -401,7 +401,15 @@ final class WarehouseTable(val root: String) {
               withFilePos = withPos)
               .withColumn("__seq", lit(d.seq)))
         val unioned = frames.reduce(_ unionByName _)
-        Dedup.latestByKey(unioned, keys, orderDesc = "__seq")
+        // equal-__seq duplicates (a key appended twice into a MOR base)
+        // must arbitrate DETERMINISTICALLY whenever physical positions are
+        // in play: position deletes record the winner's (file, pos), and a
+        // different winner on a later read would resurrect a deleted key.
+        // (file, pos) desc is total over physical rows, so the same row
+        // wins on every read — including the delete-time read itself.
+        val tiebreak = if (withPos) Seq(PosFileCol, PosIdxCol) else Nil
+        Dedup.latestByKey(unioned, keys, orderDesc = "__seq",
+            tiebreakDesc = tiebreak)
           .filter(!col(TombstoneCol))
           .drop("__seq", TombstoneCol)
       }
@@ -446,30 +454,137 @@ final class WarehouseTable(val root: String) {
       .filter(!col(TombstoneCol))
       .drop(TombstoneCol)
 
-  /** Change FEED with deletes — [[addedSince]]'s MOR-complete sibling:
-    * every row that joined the table after `sinceSnapId`, labeled
-    * `_change_type` `insert` (append / COW content / MOR upsert) or
-    * `delete` (a MOR tombstone — the key columns carry the deleted key;
-    * equality-delete tombstones surface NULL in non-key columns). This
-    * is the CDC read a downstream mirror applies verbatim: inserts
-    * upsert, deletes delete, replaying a window is idempotent under a
-    * keyed apply. The COW caveat is [[addedSince]]'s: a COW rewrite
-    * re-emits its touched partitions as inserts and its deletes are
-    * silent — run MOR when the feed must carry deletions (which is why
-    * MOR exists).
+  /** Change FEED with deletes — [[addedSince]]'s CDC-complete sibling:
+    * every change committed after `sinceSnapId` (exclusive, up to
+    * `asOf`), walked ONE COMMIT AT A TIME, labeled `_change_type`
+    * `insert` (append / COW content / MOR upsert) or `delete` (a MOR
+    * equality tombstone — key columns carry the deleted key, non-key
+    * columns NULL — or a POSITION-DELETE erasure, which carries the full
+    * erased row) and stamped `_change_ordinal` = the snapshot id that
+    * committed it (Iceberg's `_change_ordinal` idea: the commit order a
+    * mirror must respect). A downstream mirror applies events per key in
+    * ordinal order — latest ordinal wins, and at equal ordinal an insert
+    * beats a delete (a merge that revives a key it also tombstoned
+    * cannot happen in one delta, so ties only arise across key-disjoint
+    * events) — and lands exactly the table's resolved view at `asOf`.
+    *
+    * Position deletes ARE carried (unlike Iceberg's incremental scan,
+    * which documents them away): each `posdel/` sidecar committed in the
+    * window is resolved back to the rows it erased. The sidecar names
+    * immutable data files, so the erased rows are re-read from EXACTLY
+    * the files the sidecar touches and semi-joined against its
+    * (file, pos) set — an O(files-touched-by-the-delete) read, never a
+    * table scan. This is what keeps a CDC mirror convergent under
+    * predicate RTBF: [[graft.pipeline.Forget.forgetWhere]] routes MOR
+    * tables through [[deleteWhereMor]], and the feed now carries those
+    * erasures as labeled delete rows.
+    *
+    * COW caveat (unchanged): a COW rewrite or [[compact]] re-emits its
+    * touched partitions as inserts and its removals are silent — run MOR
+    * when the feed must be tight. Cost: a metadata manifest-diff per
+    * window commit; data reads touch only fresh dirs and
+    * posdel-referenced files.
     */
   def changesSince(
       spark: SparkSession,
       sinceSnapId: Long,
-      asOf: Option[Long] = None): DataFrame =
-    freshRows(spark, sinceSnapId, asOf)
-      .withColumn("_change_type",
-        when(col(TombstoneCol), lit("delete")).otherwise(lit("insert")))
-      .drop(TombstoneCol)
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StringType, LongType}
+    val meta = readMeta()
+    val to = asOf.getOrElse(currentSnapshotId)
+    require(Files.exists(snapPath(sinceSnapId)),
+      s"snapshot $sinceSnapId does not exist (expired or never created)")
+    var seenDirs: Set[String] = {
+      val m = readManifest(sinceSnapId)
+      (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)).toSet
+    }
+    var seenPos: Set[String] = readManifest(sinceSnapId).posDeletes.toSet
+    val frames = Seq.newBuilder[DataFrame]
+    var id = sinceSnapId + 1
+    while (id <= to) {
+      require(Files.exists(snapPath(id)),
+        s"snapshot $id expired — the incremental window since $sinceSnapId " +
+          "is no longer replayable commit-by-commit")
+      val m = readManifest(id)
+      def fresh(x: Map[String, List[String]]): Seq[(String, List[String])] =
+        x.view.mapValues(_.filterNot(seenDirs)).filter(_._2.nonEmpty).toSeq
+      val freshDirs: Map[String, List[String]] =
+        (fresh(m.base) ++ m.deltas.flatMap(d => fresh(d.data)))
+          .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+      if (freshDirs.nonEmpty)
+        frames += readParts(spark, meta, freshDirs, withTombstone = true)
+          .withColumn("_change_type",
+            when(col(TombstoneCol), lit("delete")).otherwise(lit("insert")))
+          .drop(TombstoneCol)
+          .withColumn("_change_ordinal", lit(id))
+      val newPos = m.posDeletes.filterNot(seenPos)
+      if (newPos.nonEmpty)
+        frames += erasedRows(spark, meta, newPos)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_change_ordinal", lit(id))
+      seenDirs ++= m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)
+      seenPos ++= m.posDeletes
+      id += 1
+    }
+    frames.result() match {
+      case Nil =>
+        val schema = org.apache.spark.sql.types.StructType(
+          meta.schema.fields :+
+            StructField("_change_type", StringType) :+
+            StructField("_change_ordinal", LongType, nullable = false))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case fs => fs.reduce(_ unionByName _)
+    }
+  }
+
+  /** The full rows a batch of position-delete sidecars erased, re-read
+    * from the immutable data files the sidecars name. Driver-side
+    * collect: the DISTINCT FILE LIST of the delete batch — bounded by
+    * the files the deletion touched (the same order as the sidecar's own
+    * size), never the table's file count.
+    */
+  private def erasedRows(
+      spark: SparkSession,
+      meta: Meta,
+      sidecars: Seq[String]): DataFrame = {
+    val posDf = posDeleteFrame(spark, Manifest(Map.empty, Nil,
+      posDeletes = sidecars.toList))
+    val files = posDf.select(PosFileCol).distinct()
+      .collect().map(_.getString(0))
+    def withPos(df: DataFrame): DataFrame =
+      df.withColumn(PosFileCol, col("_metadata.file_path"))
+        .withColumn(PosIdxCol, col("_metadata.row_index"))
+    // erased rows can live in MOR delta files, which physically carry the
+    // tombstone marker — an explicit schema without it ignores the extra
+    // column (a sidecar never names a tombstone row: the delete predicate
+    // ran on the resolved, tombstone-filtered view)
+    val raw = meta.partition match {
+      case None =>
+        withPos(spark.read.schema(meta.schema).parquet(files.toIndexedSeq: _*))
+      case Some(_) =>
+        // partition values live in dir names, restored via basePath — the
+        // same two-segment grouping readParts uses (data/<uuid>/<p>=<v>)
+        val relDirs = files.map { f =>
+          val p = new java.net.URI(f).getPath
+          f -> p.stripPrefix(rootPath.toAbsolutePath.toString).stripPrefix("/")
+        }
+        val byBase = relDirs.groupBy(_._2.split("/").take(2).mkString("/"))
+        val outFields =
+          meta.schema.fieldNames.toIndexedSeq :+ PosFileCol :+ PosIdxCol
+        byBase.map { case (base, group) =>
+          withPos(spark.read.schema(meta.schema)
+            .option("basePath", s"$root/$base")
+            .parquet(group.map(_._1).toIndexedSeq: _*))
+        }.reduce(_ unionByName _).select(outFields.map(col): _*)
+    }
+    raw.join(posDf, Seq(PosFileCol, PosIdxCol), "left_semi")
+      .drop(PosFileCol, PosIdxCol)
+  }
 
   /** Rows of data dirs present at `asOf` but not at `sinceSnapId`, with
-    * the tombstone marker surfaced — the manifest-diff core shared by
-    * [[addedSince]] and [[changesSince]].
+    * the tombstone marker surfaced — the one-shot manifest-diff behind
+    * [[addedSince]] ([[changesSince]] walks the window commit-by-commit
+    * instead, because its events need ordinals).
     */
   private def freshRows(
       spark: SparkSession,
@@ -492,9 +607,10 @@ final class WarehouseTable(val root: String) {
     val raw = readParts(spark, meta, wanted, withTombstone = true,
       withFilePos = afterM.posDeletes.nonEmpty)
     // a fresh row already position-deleted by `asOf` never became visible
-    // there — suppress it. (Erasures of PRE-`since` rows do not emit a
-    // delete event: the documented position-delete change-feed limitation;
-    // use equality deletes when the feed must carry deletions.)
+    // there — suppress it. (addedSince answers "what rows ARRIVED and
+    // still stand"; erasures of pre-`since` rows are not its question.
+    // The labeled-delete form, including position-delete erasures, is
+    // changesSince.)
     if (afterM.posDeletes.isEmpty) raw
     else raw.join(posDeleteFrame(spark, afterM),
       Seq(PosFileCol, PosIdxCol), "left_anti").drop(PosFileCol, PosIdxCol)
@@ -836,10 +952,11 @@ final class WarehouseTable(val root: String) {
     * LATER upsert of the key resurrects it; [[compact]] and every full
     * COW rewrite fold the erasures physically and clear the sidecars.
     * Time travel composes — the sidecar list is per-snapshot, so reads
-    * AS OF a pre-delete snapshot still see the rows. Position deletes do
-    * not surface in [[changesSince]] (same limitation Iceberg's
-    * incremental scan documents) — run equality deletes when the change
-    * feed must carry deletions.
+    * AS OF a pre-delete snapshot still see the rows. [[changesSince]]
+    * CARRIES these erasures (it resolves each window sidecar back to the
+    * rows it erased and emits them labeled `delete`) — a CDC mirror
+    * replaying the feed stays convergent, unlike Iceberg's incremental
+    * scan which documents position deletes away.
     *
     * Returns the number of rows deleted (0 ⇒ no commit).
     */
@@ -1488,12 +1605,15 @@ final class WarehouseTable(val root: String) {
     * and rewritten, every other dir carries into the new snapshot by
     * reference. A partition-predicate delete therefore touches exactly the
     * matching partitions (and writes nothing back when all their rows go).
+    * Returns the number of rows removed (pre/post footer counts of the
+    * rewritten dirs — the single audit number RTBF receipts use; a
+    * conservative-prune no-op commits nothing and returns 0).
     */
   def deleteRows(
       spark: SparkSession,
       cond: Column,
-      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Unit =
-    rewriteRows(spark, pruneFilters) { slice =>
+      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Long =
+    rewriteRows(spark, pruneFilters, countRemoved = true) { slice =>
       slice.filter(!coalesce(cond, lit(false)))
     }
 
@@ -1526,8 +1646,9 @@ final class WarehouseTable(val root: String) {
     */
   private def rewriteRows(
       spark: SparkSession,
-      pruneFilters: Seq[org.apache.spark.sql.sources.Filter])(
-      transform: DataFrame => DataFrame): Unit = {
+      pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
+      countRemoved: Boolean = false)(
+      transform: DataFrame => DataFrame): Long = {
     val meta = readMeta()
     // MOR deltas fold first: dir surgery below assumes COW semantics
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
@@ -1550,7 +1671,8 @@ final class WarehouseTable(val root: String) {
       }
     }.unzip
     val toRewrite = rewrite.toMap.filter(_._2.nonEmpty)
-    if (toRewrite.nonEmpty) {
+    if (toRewrite.isEmpty) 0L
+    else {
       // rewritten dirs get NEW file identities, so any position delete
       // against the old files must be applied NOW or its rows resurrect
       val raw = readParts(spark, meta, toRewrite,
@@ -1559,13 +1681,36 @@ final class WarehouseTable(val root: String) {
         if (old.posDeletes.isEmpty) raw
         else raw.join(posDeleteFrame(spark, old),
           Seq(PosFileCol, PosIdxCol), "left_anti").drop(PosFileCol, PosIdxCol)
+      // removed-row audit (DELETE asks for it, UPDATE never changes the
+      // count): `before` is one predicate-free extra scan over only the
+      // stats-pruned dirs; `after` is a parquet footer count of the
+      // freshly written files — no second predicate evaluation anywhere
+      val before = if (countRemoved) slice.count() else 0L
       val (entries, stats) = writeDataDir(transform(slice), meta)
-      val carried = carry.toMap
-      val newBase = (carried.keySet ++ entries.keySet).map { k =>
-        k -> (carried.getOrElse(k, Nil) ++ entries.getOrElse(k, Nil))
-      }.toMap.filter(_._2.nonEmpty)
-      commit(cur,
-        Manifest(newBase, Nil, old.stats ++ stats, old.posDeletes).pruneStats)
+      val newDirs = entries.values.flatten.toSeq
+      val after =
+        if (!countRemoved) 0L
+        else if (newDirs.isEmpty) 0L
+        else spark.read.parquet(newDirs.map(d => s"$root/$d"): _*).count()
+      if (countRemoved && before == after) {
+        // nothing actually removed (stats pruning was conservative):
+        // drop the rewritten twins instead of committing a churn snapshot
+        newDirs.foreach { d =>
+          val walk = Files.walk(rootPath.resolve(d))
+          try { import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          } finally walk.close()
+        }
+        0L
+      } else {
+        val carried = carry.toMap
+        val newBase = (carried.keySet ++ entries.keySet).map { k =>
+          k -> (carried.getOrElse(k, Nil) ++ entries.getOrElse(k, Nil))
+        }.toMap.filter(_._2.nonEmpty)
+        commit(cur,
+          Manifest(newBase, Nil, old.stats ++ stats, old.posDeletes).pruneStats)
+        before - after
+      }
     }
   }
 

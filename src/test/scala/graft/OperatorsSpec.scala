@@ -364,13 +364,13 @@ class OperatorsSpec extends SparkSpec {
     val out = Chunking.cdcChunkDedup(docs, "doc_id", "text")
       .orderBy("doc_id")
       .select("doc_id", "n_chunks", "n_kept_chunks", "n_tokens",
-        "n_kept_tokens", "kept_frac")
-      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+        "n_kept_tokens", "kept_frac_e4")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     val d1 = out(0); val d2 = out(1); val d3 = out(2)
     // first occurrence wins everything; the exact copy keeps nothing
-    assert(d1._3 == d1._2 && d1._6 == 1.0 && d1._4 == 80L && d1._5 == 80L)
-    assert(d2._3 == d2._2 && d2._6 == 1.0)
-    assert(d3._3 == 0L && d3._5 == 0L && d3._6 == 0.0 && d3._2 == d1._2)
+    assert(d1._3 == d1._2 && d1._6 == 10000L && d1._4 == 80L && d1._5 == 80L)
+    assert(d2._3 == d2._2 && d2._6 == 10000L)
+    assert(d3._3 == 0L && d3._5 == 0L && d3._6 == 0L && d3._2 == d1._2)
   }
 
   test("temperatureSample: exact cut arithmetic, md5 membership, undersized stratum kept whole") {

@@ -562,14 +562,14 @@ class StreamingIngestSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.select(concat_ws("|", col("doc_id"), col("n_chunks"),
         col("n_kept_chunks"), col("n_tokens"), col("n_kept_tokens"),
-        col("kept_frac"))).as[String].collect().toSet
+        col("kept_frac_e4"))).as[String].collect().toSet
     val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
     val batch = rows(SparkEntry.queries("q59_cdc_chunk_dedup")(
       spark, "/root/testdata/sf0.001"))
     assert(streamed == batch)
     // re-crawl copies keep nothing (their chunks' first occurrences are
     // the originals'), and replay is a no-op
-    assert(streamed.exists(s => s.startsWith("10000000") && s.endsWith("0.0")))
+    assert(streamed.exists(s => s.startsWith("10000000") && s.endsWith("|0")))
     val before = spark.read.parquet(s"$outDir/batch=*").count()
     run()
     assert(spark.read.parquet(s"$outDir/batch=*").count() == before)
@@ -2051,11 +2051,18 @@ class StreamingIngestSpec extends SparkSpec {
     assert(idx.read(spark).count() == expect.size * 3L)
     assert(mor.read(spark).select("doc_id").as[Long]
       .collect().sorted.toSeq == expect)
-    // audit receipts: one row per (micro-batch, table); totals = deletions
+    // audit receipts: one row per (micro-batch, table, execution); the
+    // documented aggregation is max per (batch_id, table_root) — replay
+    // executions append zero rows beside the real one — then sum
+    def auditSums(): Map[String, Long] =
+      spark.read.parquet(s"$auditDir/batch=*")
+        .groupBy("batch_id", "table_root")
+        .agg(max("rows_deleted").as("d"))
+        .groupBy("table_root").agg(sum("d").as("n"))
+        .as[(String, Long)].collect().toMap
     val audit = spark.read.parquet(s"$auditDir/batch=*")
-    assert(audit.count() == 6L) // 2 micro-batches × 3 targets
-    val sums = audit.groupBy("table_root").agg(sum("rows_deleted").as("n"))
-      .as[(String, Long)].collect().toMap
+    assert(audit.count() == 6L) // 2 micro-batches × 3 targets, 1 exec each
+    val sums = auditSums()
     assert(sums(corpus.root) == 3L)
     assert(sums(idx.root) == 9L)
     assert(sums(mor.root) == 3L)
@@ -2063,10 +2070,15 @@ class StreamingIngestSpec extends SparkSpec {
     writeReq("r2", Seq(3L, 11L))
     run()
     assert(corpus.read(spark).count() == expect.size.toLong)
-    val sums2 = spark.read.parquet(s"$auditDir/batch=*")
-      .groupBy("table_root").agg(sum("rows_deleted").as("n"))
-      .as[(String, Long)].collect().toMap
+    val sums2 = auditSums()
     assert(sums2(corpus.root) == 3L && sums2(idx.root) == 9L)
+    // crash-replay shape: a duplicate receipt for batch 0 with zeros (what
+    // a post-cascade/pre-checkpoint crash leaves) must not change totals
+    Seq((corpus.root, 0L, 0L, "replay"), (idx.root, 0L, 0L, "replay"),
+        (mor.root, 0L, 0L, "replay"))
+      .toDF("table_root", "rows_deleted", "batch_id", "exec_id")
+      .write.mode("append").parquet(s"$auditDir/batch=0")
+    assert(auditSums() == sums2)
   }
 
   test("ordered attribution equals the batch last-touch rule under shuffled cross-batch arrivals") {
@@ -2121,5 +2133,58 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == expected)
     // every purchase emitted exactly once (Append mode, watermark-final)
     assert(streamed.size == evs.count(!_.is_click))
+  }
+
+  test("CDC mirror stage: append/upsert/equality-delete/position-delete history converges; restart applies only new commits") {
+    import spark.implicits._
+    val srcRoot = tmpDir("cdcm_src") + "/t"
+    val mirRoot = tmpDir("cdcm_mir") + "/t"
+    val ckpt = tmpDir("cdcm_ckpt")
+    val src = WarehouseTable(srcRoot)
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang")
+    src.create(docs().schema, Some("lang"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    // commit 1: base rows
+    src.append(docs((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "en"),
+      (4L, "d", "de"), (5L, "e", "fr")))
+    // commit 2: upsert 1 (delta winner), insert 6
+    src.merge(spark, docs((1L, "a2", "en"), (6L, "f", "fr")), Seq("doc_id"))
+    // commit 3: equality-tombstone 5
+    src.merge(spark, docs((5L, "DEAD", "fr")), Seq("doc_id"),
+      deleteWhere = Some(col("text") === "DEAD"))
+    // commit 4: predicate RTBF — position-deletes both 'de' rows
+    assert(src.deleteWhereMor(spark, col("lang") === "de") == 2L)
+    // commit 5: revive 4 after its erasure
+    src.merge(spark, docs((4L, "d2", "en")), Seq("doc_id"))
+    val mirror = WarehouseTable(mirRoot)
+    def run(): Unit = {
+      val q = StreamingIngest.startCdcMirror(
+        spark, src, mirror, Seq("doc_id"), ckpt)
+      q.awaitTermination(180000)
+      ()
+    }
+    def view(t: WarehouseTable): Set[(Long, String, String)] =
+      t.read(spark).select("doc_id", "text", "lang")
+        .as[(Long, String, String)].collect().toSet
+    run()
+    assert(view(mirror) == Set((1L, "a2", "en"), (3L, "c", "en"),
+      (4L, "d2", "en"), (6L, "f", "fr")))
+    assert(view(mirror) == view(src))
+    val cursor1 = new String(Files.readAllBytes(
+      Paths.get(mirRoot, "_cdc_applied")), StandardCharsets.UTF_8).trim.toLong
+    assert(cursor1 == src.currentSnapshotId)
+    // drained restart with no new commits: nothing to apply, cursor holds
+    run()
+    assert(view(mirror) == view(src))
+    // more history: another predicate erasure + an append, applied by a
+    // RESTARTED stage (checkpoint + cursor pick up mid-stream)
+    assert(src.deleteWhereMor(spark, col("doc_id") % 3 === 0) == 2L)
+    src.append(docs((7L, "g", "en")))
+    run()
+    assert(view(mirror) == view(src))
+    assert(view(mirror) == Set((1L, "a2", "en"), (4L, "d2", "en"),
+      (7L, "g", "en")))
   }
 }

@@ -359,6 +359,44 @@ class WarehouseTableSpec extends SparkSpec {
     assert(applied == now)
   }
 
+  test("changesSince carries position-delete erasures; ordinal-ordered mirror apply converges") {
+    import org.apache.spark.sql.functions.col
+    val m = WarehouseTable(tmpDir("feed_pos"))
+    m.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    m.append(df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "TX"), (4, "d", "NY")))
+    val s1 = m.currentSnapshotId
+    // commit 1: upsert 2 (so its winner lives in a DELTA file) + insert 5
+    m.merge(spark, df((2, "b2", "NY"), (5, "e", "CA")), Seq("k"))
+    // commit 2: predicate position-delete erases NY rows — base row 4 AND
+    // the delta winner of 2 (the fresh-row case that used to diverge)
+    assert(m.deleteWhereMor(spark, col("state") === "NY") == 2)
+    // commit 3: revive 4 — insert after delete, higher ordinal must win
+    m.merge(spark, df((4, "d2", "TX")), Seq("k"))
+    val feed = m.changesSince(spark, s1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3), r.getLong(4)))
+    // erasures surface as labeled deletes CARRYING the erased row, at the
+    // sidecar's commit ordinal
+    assert(feed.toSet.contains((4, "d", "delete", s1 + 2)))
+    assert(feed.toSet.contains((2, "b2", "delete", s1 + 2)))
+    // keyed mirror apply in ordinal order (insert upserts, delete deletes)
+    val applied = feed.sortBy(e => (e._4, e._3 == "insert"))
+      .foldLeft(Map(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d")) {
+        case (acc, (k, _, "delete", _)) => acc - k
+        case (acc, (k, v, _, _)) => acc.updated(k, v)
+      }
+    val now = m.read(spark).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(now == Map(1 -> "a", 3 -> "c", 5 -> "e", 4 -> "d2"))
+    assert(applied == now)
+    // partition column restored on erased rows (they carry the full row)
+    val delStates = m.changesSince(spark, s1)
+      .filter(col("_change_type") === "delete")
+      .collect().map(_.getString(2)).toSet
+    assert(delStates == Set("NY"))
+  }
+
   test("clusterBase: range-disjoint dirs make stats pruning selective; contents unchanged") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("clust"))
