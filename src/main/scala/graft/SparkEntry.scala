@@ -278,6 +278,12 @@ object SparkEntry {
     val idxT = graft.table.WarehouseTable(root + "/mh_idx")
     val corpT = graft.table.WarehouseTable(root + "/corpus_t")
     val clusT = graft.table.WarehouseTable(root + "/clusters")
+    // bench replays of the gate land logically-idempotent MOR deltas in
+    // this shared fixture, so run 2+ used to measure a drifted store
+    // (lookup 3.1 → 7.5 s over 5 back-to-back replays). Every reuse now
+    // ROLLS BACK to the recorded build snapshots first — a metadata-only
+    // pointer move, microseconds inside the timed region — so each run
+    // replays the identical cold ingest.
     if (atRestBuilt.add(root)) {
       idxT.drop(); corpT.drop(); clusT.drop()
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -295,9 +301,19 @@ object SparkEntry {
       Dedup.componentsCommit(s, docs.select(col("doc_id").as("id")),
         pairs.select(col("d1"), col("d2")), clusT)
       clusT.compact(s) // fold the seed commit's delta (build-time work)
+      q106BuildSnaps(root) = (idxT.currentSnapshotId,
+        corpT.currentSnapshotId, clusT.currentSnapshotId)
+    } else q106BuildSnaps.get(root).foreach { case (si, sc, sk) =>
+      idxT.rollback(si); corpT.rollback(sc); clusT.rollback(sk)
     }
     (idxT, corpT, clusT)
   }
+
+  /** Post-build snapshot ids of the q106 fixture tables, the rollback
+    * target every replayed gate run restores before its timed work.
+    */
+  private val q106BuildSnaps =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long)]
 
   /** q134's bloom-indexed content-hash table: documents keyed by a
     * per-doc fingerprint, landed as FOUR append dirs (so no dir's

@@ -472,28 +472,57 @@ object SimilaritySearch {
   def semanticDedup(
       corpus: DataFrame, // id, vec
       cents: DataFrame,  // bucket, cvec
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      cellCap: Int = 2048): DataFrame = {
     val assigned = probeBuckets(
       corpus.select(col("id").as("qid"), col("vec").as("qvec")),
       cents, nprobe = 1)
       .select(col("qid").as("id"), col("qvec").as("vec"),
         col("bucket").as("cluster"))
-    dedupCells(assigned, threshold)
+    dedupCells(assigned, threshold, cellCap)
   }
 
   /** The within-cell half of SemDeDup, shared by the label-means and the
     * learned-codebook variants: per-cell exact-cosine pairs (Σ|cell|² —
     * the paper's design point) → O(log n) components → keep-one reps.
+    *
+    * SKEW BOUND: a naive cell self-join puts |cell|² work in ONE task
+    * the moment one cell runs hot — fatal at corpus scale. Pairs are
+    * instead generated by a TRIANGLE BLOCK JOIN: each cell splits into
+    * `ceil(|cell| / cellCap)` id-hash blocks and every unordered block
+    * pair (lo ≤ hi) meets in its own join group, so no task ever holds
+    * more than ~2·cellCap vectors — while the PAIR SET, and therefore
+    * the answer, is EXACTLY the naive one (same-block pairs halve by id
+    * order; cross-block pairs meet exactly once — the lower block is
+    * always the left side — canonicalized by least/greatest). Per-row
+    * replication is |cell|/cellCap: the Σ|cell|² comparisons merely
+    * spread evenly; nothing is approximated or dropped. Unskewed cells
+    * (|cell| ≤ cellCap) degenerate to single-element explodes — the
+    * original one-shuffle plan plus a bounded per-cell-count broadcast.
     */
   private def dedupCells(
       assigned: DataFrame, // id, vec, cluster
-      threshold: Double): DataFrame = {
-    val right = assigned.select(
-      col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
-    val pairs = assigned.join(right, Seq("cluster"))
-      .filter(col("id") < col("id_b") &&
-        CosineSim(col("vec"), col("vec_b")) >= lit(threshold))
-      .select(col("id").as("d1"), col("id_b").as("d2"))
+      threshold: Double,
+      cellCap: Int = 2048): DataFrame = {
+    // block counts per cell: bounded by the cell count (≤ nlist rows)
+    val blocks = assigned.groupBy(col("cluster"))
+      .agg(ceil(count(lit(1)).cast("double") / cellCap).cast("int").as("__nb"))
+    val rows = assigned.join(broadcast(blocks), Seq("cluster"))
+      .withColumn("__b",
+        pmod(xxhash64(col("id")), col("__nb").cast("long")).cast("int"))
+    val left = rows
+      .withColumn("__hi", explode(expr("sequence(__b, __nb - 1)")))
+      .select(col("cluster"), col("__b").as("__lo"), col("__hi"),
+        col("id"), col("vec"))
+    val right = rows
+      .withColumn("__lo", explode(expr("sequence(0, __b)")))
+      .select(col("cluster"), col("__lo"), col("__b").as("__hi"),
+        col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = left.join(right, Seq("cluster", "__lo", "__hi"))
+      .filter(col("__lo") =!= col("__hi") || col("id") < col("id_b"))
+      .filter(CosineSim(col("vec"), col("vec_b")) >= lit(threshold))
+      .select(least(col("id"), col("id_b")).as("d1"),
+        greatest(col("id"), col("id_b")).as("d2"))
     val reps = Dedup.connectedComponents(
       assigned.select(col("id")), pairs.select(col("d1"), col("d2")))
       .select(col("id"), col("cluster").as("rep"))
@@ -559,12 +588,13 @@ object SimilaritySearch {
       trainOn: DataFrame, // id, vec — what the codebook is fit on
       k: Int,
       iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      cellCap: Int = 2048): DataFrame = {
     val cb = KMeans.fit(trainOn, "id", "vec", k, iters)
     val assigned = corpus.select(col("id"), col("vec"),
       KMeans.nearest(KMeans.quantize(col("vec")), cb)
         .getField("cid").as("cluster"))
-    dedupCells(assigned, threshold)
+    dedupCells(assigned, threshold, cellCap)
   }
 
   /** Embedding-space OUTLIER detection — the quality filter SemDeDup's

@@ -1795,6 +1795,27 @@ final class WarehouseTable(val root: String) {
     ids.reverse.find(commitTime(_) <= tsMillis)
   }
 
+  /** ROLLBACK to an existing earlier snapshot — Iceberg's
+    * `rollback_to_snapshot`: the current pointer moves BACK to `snapId`
+    * and the now-orphaned later snapshot files are removed so the next
+    * commit can reclaim their ids (commits are CREATE_NEW-guarded
+    * against exactly those files). Data dirs and posdel sidecars the
+    * orphaned commits wrote stay on disk as unreferenced garbage —
+    * [[expireSnapshots]]/vacuum territory, same as Iceberg. Metadata
+    * only: no data is read or written, so rolling back a replayed
+    * ingest is O(commits undone) filesystem ops.
+    */
+  def rollback(snapId: Long): Unit = {
+    val cur = currentSnapshotId
+    require(snapId <= cur, s"cannot roll forward to $snapId (current $cur)")
+    if (snapId < cur) {
+      require(Files.exists(snapPath(snapId)),
+        s"snapshot $snapId does not exist (expired or never created)")
+      atomicWriteCurrent(snapId)
+      ((snapId + 1) to cur).foreach(i => Files.deleteIfExists(snapPath(i)))
+    }
+  }
+
   /** Expire old snapshots and physically remove everything only they
     * reference: snapshot files, manifest fragments, and whole data dirs.
     * Keeps the newest `keepLast` snapshots (the current one always

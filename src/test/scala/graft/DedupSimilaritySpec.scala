@@ -781,6 +781,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dups == (0L until 25L).map(i => (i + 1000000L, i)).toSet)
   }
 
+  test("semanticDedup skew bound: a dominant cell splits into hash blocks, answer identical to the unblocked plan") {
+    // ONE cell holds the entire corpus (single-centroid codebook — the
+    // hot-cell worst case): 150 orthogonal sources + 150 exact-scaled
+    // copies, so every duplicate pair must be found even though the
+    // id-hash blocking (cellCap = 16 → 19 blocks of ~16 rows) scatters
+    // almost every pair across two different blocks
+    val dim = 150
+    val sources = (0 until dim).map { i =>
+      val v = Array.fill(dim)(0f); v(i) = 1f + i * 0.01f; (i.toLong, v)
+    }
+    val copies = sources.map { case (i, v) =>
+      (i + 1000L, v.map(_ * 2f))
+    }
+    val corpus = (sources ++ copies).toDF("id", "vec")
+    val cents = SimilaritySearch.centroids(
+      Seq((0, Array.fill(dim)(1f))).toDF("bucket", "vec"), "bucket")
+    def run(cap: Int): Set[(Long, Int, Long, Boolean)] =
+      SimilaritySearch.semanticDedup(corpus, cents, threshold = 0.95,
+          cellCap = cap)
+        .select("id", "cluster", "rep", "is_dup")
+        .as[(Long, Int, Long, Boolean)].collect().toSet
+    val blocked = run(16)
+    // every copy collapses onto its source; sources represent themselves
+    assert(blocked == (0 until dim).flatMap { i =>
+      Seq((i.toLong, 0, i.toLong, false), (i + 1000L, 0, i.toLong, true))
+    }.toSet)
+    // the blocked plan IS the naive plan's answer, pair for pair
+    assert(blocked == run(1 << 20))
+  }
+
   test("dupSpanCoverage: overlapping shared spans union-counted, short docs zero") {
     val common = (1 to 9).map(i => s"c$i").mkString(" ") // 9 tokens, 2 8-grams
     val docs = Seq(

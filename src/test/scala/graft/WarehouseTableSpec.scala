@@ -359,6 +359,32 @@ class WarehouseTableSpec extends SparkSpec {
     assert(applied == now)
   }
 
+  test("rollback restores an earlier snapshot; replayed commits reclaim the freed ids") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("rb"))
+    t.create(schema, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val s1 = t.currentSnapshotId
+    // a replayed-ingest shape: merge + position delete on top of s1
+    t.merge(spark, df((3, "c", "TX"), (1, "a2", "CA")), Seq("k"))
+    t.deleteWhereMor(spark, col("k") === 2)
+    assert(t.currentSnapshotId == s1 + 2)
+    t.rollback(s1)
+    assert(t.currentSnapshotId == s1)
+    assert(t.read(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a"), (2, "b")))
+    // the freed ids are reusable: the same replay commits cleanly again
+    t.merge(spark, df((3, "c", "TX"), (1, "a2", "CA")), Seq("k"))
+    assert(t.currentSnapshotId == s1 + 1)
+    assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // rolling forward is refused; rolling back to the current id is a no-op
+    intercept[IllegalArgumentException] { t.rollback(s1 + 5) }
+    t.rollback(t.currentSnapshotId)
+    assert(t.currentSnapshotId == s1 + 1)
+  }
+
   test("changesSince carries position-delete erasures; ordinal-ordered mirror apply converges") {
     import org.apache.spark.sql.functions.col
     val m = WarehouseTable(tmpDir("feed_pos"))
