@@ -2945,6 +2945,37 @@ object SparkEntry {
           |FROM graft_q157.db.docs_mor""".stripMargin)
     }),
 
+    // SNAPSHOT ROLLBACK lifecycle, oracle-gated: an abandoned timeline
+    // (append + predicate delete) rolls back to the first snapshot —
+    // metadata-only pointer move, Iceberg's rollback_to_snapshot — and a
+    // DIFFERENT second half commits onto the reclaimed ids. The final
+    // view must carry the surviving timeline only, while AS OF the
+    // rollback target still reads the original first half: rollback
+    // must neither leak the abandoned commits nor break time travel.
+    "q158_snapshot_rollback" -> ((s, dir) => {
+      val wh = scratchPath("q158", dir) + "/docs_t"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") % 2 === 0))
+      val snapA = table.currentSnapshotId
+      // abandoned timeline: the odd half + a predicate delete
+      table.append(docs.filter(col("doc_id") % 2 === 1))
+      table.deleteRows(s, col("doc_id") % 13 === 0)
+      table.rollback(snapA)
+      // surviving timeline: the odd half re-landed with different content
+      table.append(docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", concat(col("text"), lit(" [alt]"))))
+      table.read(s).withColumn("view", lit("final"))
+        .unionByName(
+          table.read(s, asOf = Some(snapA)).withColumn("view", lit("asof")))
+        .select(col("view"), col("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"))
+    }),
+
     // Source-balanced interleave: every prefix of the training order
     // carries each source as evenly as arithmetic allows; the global
     // position is computed per row from (source, rank, counts) — no
@@ -3832,6 +3863,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'mor' AS mode, doc_id, md5(text) AS text_md5, n_chars, lang
         |FROM final""".stripMargin,
+
+    // the abandoned timeline (odd half + %13 delete) must leave no trace;
+    // AS OF the rollback target reads the even half unchanged
+    "q158_snapshot_rollback" ->
+      """SELECT 'final' AS view, doc_id,
+        |  md5(CASE WHEN doc_id % 2 = 1 THEN text || ' [alt]' ELSE text END)
+        |    AS text_md5,
+        |  lang
+        |FROM documents
+        |UNION ALL
+        |SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
     // the closed-form position must equal the literal global row_number
     // over (rank, source) — DuckDB affords the sort, the engine doesn't
