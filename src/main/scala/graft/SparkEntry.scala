@@ -2976,6 +2976,200 @@ object SparkEntry {
           md5(col("text")).as("text_md5"), col("lang"))
     }),
 
+    // FULL COLUMN-DDL LIFECYCLE, oracle-gated and ALL metadata-only: the
+    // table starts (doc_id, text, lang, source, n_chars INT); after the
+    // first append it WIDENs n_chars to BIGINT, RENAMEs lang->language,
+    // DROPs source, ADDs quality — then appends a second epoch. The read
+    // must reconcile files of BOTH epochs per column: widen promotes the
+    // INT files, rename coalesces the prior physical name, drop never
+    // scans the old bytes, add reads NULL where files predate it. At
+    // 100 TB this is the whole point of metadata DDL — none of the four
+    // touched a data file.
+    "q166_schema_lifecycle" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val wh = scratchPath("q166", dir) + "/docs_ddl"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+      val initial = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", IntegerType)))
+      table.create(initial,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
+      table.widenColumn("n_chars", LongType)
+      table.renameColumn("lang", "language")
+      table.dropColumn("source")
+      table.addColumn("quality", LongType)
+      table.append(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"),
+          col("lang").as("language"), col("n_chars"),
+          expr("n_chars div 100").as("quality")))
+      table.read(s).select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("language"), col("n_chars"), col("quality"))
+    }),
+
+    // SALTED TWO-PHASE AGGREGATION, oracle-gated: one hot key (here the
+    // 3-value l_returnflag — maximal skew) spreads over 16 salt buckets
+    // in the partial phase, so no reducer owns more than ~1/16 of a key;
+    // the final phase re-combines per key. Result ≡ the plain GROUP BY.
+    "q163_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      graft.operators.SkewTools.saltedSumCount(li, Seq("l_returnflag"), "qty", 16)
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"), col("n"))
+    }),
+
+    // SALTED BROADCAST-REPLICATED JOIN, oracle-gated: the fact side is
+    // NEVER shuffled (the dim replicates saltBuckets ways and broadcasts)
+    // and no task sees more than ~1/8 of a hot key's fact rows. Result ≡
+    // the plain equi-join; the aggregation on top proves row multiplicity
+    // survived the salting exactly.
+    "q164_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.SkewTools.saltedBroadcastJoin(li, dim, "l_suppkey", 8)
+        .groupBy(col("s_name"))
+        .agg(sum(col("qty")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ORPHAN-FILE GC, oracle-gated: a rollback abandons a timeline whose
+    // data dirs remain on disk as unreferenced garbage (q158 documents
+    // this as vacuum's territory — this is the vacuum). The gate rolls
+    // back, GCs, then keeps committing: the final view, time travel to
+    // the rollback target, and a post-GC append must all be exact — an
+    // over-eager GC that touched any LIVE dir (the carried even half is
+    // referenced by every snapshot) corrupts all three.
+    "q162_orphan_gc" -> ((s, dir) => {
+      val wh = scratchPath("q162", dir) + "/docs_gc"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") % 2 === 0))
+      val snapA = table.currentSnapshotId
+      // abandoned timeline -> orphaned data dirs after rollback
+      table.append(docs.filter(col("doc_id") % 2 === 1))
+      table.deleteRows(s, col("doc_id") % 11 === 0)
+      table.rollback(snapA)
+      table.removeOrphanFiles()
+      table.append(docs.filter(col("doc_id") % 2 === 1))
+      table.read(s).withColumn("view", lit("final"))
+        .unionByName(
+          table.read(s, asOf = Some(snapA)).withColumn("view", lit("asof")))
+        .select(col("view"), col("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"))
+    }),
+
+    // TRIANGLE COUNTS over the doc link graph (same derived edges as
+    // q133's PageRank): degree-ordered node-iterator — wedges enumerate
+    // only around each edge's (degree,id)-min endpoint, so wedge volume
+    // is m^1.5-bounded and a power-law hub costs nothing. Exact integer
+    // counts; the oracle replays the identical orientation.
+    "q161_triangle_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst")))
+      graft.operators.GraphRank.triangleCounts(
+        edges, "src", "dst", docs, "doc_id")
+        .select(col("node").as("doc_id"), col("n_triangles"))
+    }),
+
+    // EDGE EMBEDDEDNESS over the same link graph: per-edge common
+    // neighbors (= triangles through the edge) and integer Jaccard —
+    // the sparsification/strong-tie signal; same m^1.5 wedge bound.
+    "q165_edge_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst")))
+      graft.operators.GraphRank.edgeJaccard(edges, "src", "dst")
+    }),
+
+    // PARTITION-SPEC EVOLUTION lifecycle, oracle-gated: the table re-keys
+    // from `lang` to `source` with ZERO data movement (Iceberg's REPLACE
+    // PARTITION FIELD) — at 100 TB the layout change must not cost a
+    // corpus rewrite. Three views prove the read semantics: `pruned` is a
+    // point read on the NEW spec over the MIXED layout (new-spec dirs
+    // prune by manifest key; legacy dirs are swept in — their layout says
+    // nothing about `source` — and row-filtered), captured lazily BEFORE
+    // the merge (COW keeps the dirs); `full` reads after a COW merge that
+    // both updates keys living in legacy dirs and migrates every swept-in
+    // legacy dir to the current spec with no ghost copies; `asof` time
+    // travel to the pre-evolution snapshot is untouched by all of it.
+    "q159_partition_evolution" -> ((s, dir) => {
+      val wh = scratchPath("q159", dir) + "/docs_evo"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      table.create(docs.schema, partition = Some("lang"),
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") % 2 === 0))
+      val snapA = table.currentSnapshotId
+      table.evolvePartition("source")
+      table.append(docs.filter(col("doc_id") % 2 === 1))
+      val out = (df: DataFrame, view: String) => df
+        .withColumn("view", lit(view))
+        .select(col("view"), col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+      val pruned = out(
+        table.read(s, partitions = Some(Seq("src1")),
+            dataFilters = Seq(org.apache.spark.sql.sources.EqualTo("source", "src1")))
+          .filter(col("source") === "src1"), "pruned")
+      table.merge(s,
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L), Seq("doc_id"))
+      pruned
+        .unionByName(out(table.read(s), "full"))
+        .unionByName(out(table.read(s, asOf = Some(snapA)), "asof"))
+    }),
+
+    // SNAPSHOT EXPIRY + VACUUM lifecycle, oracle-gated: history (append,
+    // tag, append, COW predicate delete) then `expireSnapshots(keepLast=1)`
+    // — which PHYSICALLY deletes every data dir, manifest fragment, and
+    // snapshot file only expired snapshots reference. The gate proves the
+    // two reads that must survive the purge: the current view (its dirs
+    // are live by definition — but the COW delete carried most of them
+    // from older snapshots, so over-eager vacuum would corrupt it) and
+    // the TAGGED release (pinned through expiry; its dirs stay alive even
+    // though its snapshot is outside the keepLast window). Reading an
+    // expired untagged snapshot throws — spec-asserted, not oracle-able.
+    "q160_snapshot_expiry" -> ((s, dir) => {
+      val wh = scratchPath("q160", dir) + "/docs_exp"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema, partition = Some("lang"),
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") % 2 === 0))
+      table.tagSnapshot("release")
+      table.append(docs.filter(col("doc_id") % 2 === 1))
+      table.deleteRows(s, col("doc_id") % 13 === 0)
+      table.expireSnapshots(keepLast = 1)
+      table.read(s).withColumn("view", lit("final"))
+        .unionByName(
+          table.readTag(s, "release").withColumn("view", lit("tag")))
+        .select(col("view"), col("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"))
+    }),
+
     // Source-balanced interleave: every prefix of the training order
     // carries each source as evenly as arithmetic allows; the global
     // position is computed per row from (source, rank, counts) — no
@@ -3874,6 +4068,149 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // widen/rename/drop/add reconcile per epoch: even rows predate the
+    // DDL (INT n_chars under 'lang', no quality), odd rows follow it
+    "q166_schema_lifecycle" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang AS language,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 ELSE NULL END
+        |    AS quality
+        |FROM documents""".stripMargin,
+
+    // salting must be invisible in the result: plain GROUP BY
+    "q163_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // salted replicated join ≡ the plain equi-join, multiplicity exact
+    "q164_salted_join" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // the abandoned timeline (odd half + %11 delete) is gone AND its
+    // bytes GC'd; the surviving timeline re-lands the odd half intact
+    "q162_orphan_gc" ->
+      """SELECT 'final' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents
+        |UNION ALL
+        |SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // identical degree-ordered orientation: (deg, id)-min endpoint is
+    // the wedge center, legs ordered by id, closure against the
+    // canonical (u < v) simple edge set
+    "q161_triangle_counts" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+        |), und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY 1
+        |), o AS (
+        |  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.v ELSE und.u END AS b
+        |  FROM und
+        |  JOIN deg du ON du.node = und.u
+        |  JOIN deg dv ON dv.node = und.v
+        |), tri AS (
+        |  SELECT o1.a AS a, o1.b AS x, o2.b AS y
+        |  FROM o o1
+        |  JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b
+        |  JOIN und ON und.u = o1.b AND und.v = o2.b
+        |), members AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT x AS node FROM tri
+        |  UNION ALL SELECT y AS node FROM tri
+        |), cnt AS (
+        |  SELECT node, count(*) AS c FROM members GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
+        |FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id""".stripMargin,
+
+    // per-edge triangle credit re-canonicalized by id; union = du+dv-2-common
+    "q165_edge_jaccard" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+        |), und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY 1
+        |), o AS (
+        |  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.v ELSE und.u END AS b
+        |  FROM und
+        |  JOIN deg du ON du.node = und.u
+        |  JOIN deg dv ON dv.node = und.v
+        |), tri AS (
+        |  SELECT o1.a AS a, o1.b AS x, o2.b AS y
+        |  FROM o o1
+        |  JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b
+        |  JOIN und ON und.u = o1.b AND und.v = o2.b
+        |), credits AS (
+        |  SELECT u, v, count(*) AS common FROM (
+        |    SELECT least(a, x) AS u, greatest(a, x) AS v FROM tri
+        |    UNION ALL SELECT least(a, y), greatest(a, y) FROM tri
+        |    UNION ALL SELECT x, y FROM tri)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT und.u, und.v,
+        |  CAST(coalesce(c.common, 0) AS BIGINT) AS common,
+        |  CAST(du.d + dv.d - 2 - coalesce(c.common, 0) AS BIGINT) AS union_size,
+        |  CAST(CASE WHEN du.d + dv.d - 2 - coalesce(c.common, 0) > 0
+        |       THEN (coalesce(c.common, 0) * 10000)
+        |            // (du.d + dv.d - 2 - coalesce(c.common, 0))
+        |       ELSE 0 END AS BIGINT) AS jaccard_e4
+        |FROM und
+        |LEFT JOIN credits c ON c.u = und.u AND c.v = und.v
+        |JOIN deg du ON du.node = und.u
+        |JOIN deg dv ON dv.node = und.v""".stripMargin,
+
+    // final = post-delete view (expiry must not touch live-referenced
+    // dirs); tag = the pinned pre-delete even half (expiry must not
+    // vacuum dirs a tagged snapshot still references)
+    "q160_snapshot_expiry" ->
+      """SELECT 'final' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 13 <> 0
+        |UNION ALL
+        |SELECT 'tag' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // pruned = pre-merge table WHERE source='src1' (both halves — the
+    // legacy lang-keyed dirs must not be lost to the new-spec pruning);
+    // full = post-merge table; asof = the pre-evolution even half
+    "q159_partition_evolution" ->
+      """SELECT 'pruned' AS view, doc_id, md5(text) AS text_md5,
+        |       lang, source, n_chars
+        |FROM documents WHERE source = 'src1'
+        |UNION ALL
+        |SELECT 'full' AS view, doc_id, md5(text) AS text_md5, lang, source,
+        |       CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |         AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'asof' AS view, doc_id, md5(text) AS text_md5,
+        |       lang, source, n_chars
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
     // the closed-form position must equal the literal global row_number

@@ -91,6 +91,133 @@ object GraphRank {
     * window sort; label frame `localCheckpoint`ed per round (the same
     * lineage discipline as [[pageRank]]).
     */
+  /** TRIANGLE COUNTS per node — the graph-clustering signal (closed-wedge
+    * density) corpus curators use to find tightly cross-linked content
+    * farms vs organically referenced pages. Exact integers; oracle-gated.
+    *
+    * The algorithm is the DEGREE-ORDERED NODE-ITERATOR (the MapReduce
+    * classic): orient every undirected edge from its (degree, id)-smaller
+    * endpoint to the larger, enumerate wedges only around each edge's
+    * LOW endpoint, and close them against the edge set. Orientation is
+    * what makes this the 100 TB form: a node's oriented out-degree is
+    * O(√m) regardless of its raw degree (a celebrity node with 10⁸
+    * followers enumerates no wedge pairs at all unless both endpoints
+    * out-rank it), so total wedge volume is bounded by m^1.5 instead of
+    * Σ deg² — the naive form dies on the first power-law hub. Every
+    * triangle materializes exactly once (center = its (degree,id)-min
+    * vertex; the other two ordered by id).
+    *
+    * Plan shape: two node-keyed joins to attach degrees, ONE self-join on
+    * the low endpoint (the wedge fan-out), one equi-join against the
+    * canonical edge set (closure), one explode + count. No windows, no
+    * driver-side anything; the oriented edge list is `localCheckpoint`ed
+    * once since three operators reuse it.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      nodeCol: String): DataFrame = {
+    // canonical simple undirected edges: self-loops dropped, endpoints
+    // ordered by id, parallel edges collapsed (a triangle is a property
+    // of the simple graph)
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient low (degree, id) -> high: total order, so exactly one
+    // direction per edge and out-degree is O(sqrt m)
+    val lowIsU = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowIsU, col("u")).otherwise(col("v")).as("a"),
+        when(lowIsU, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    // wedges around each center a, leg pair ordered by id so the closure
+    // probe matches the canonical (u < v) edge key exactly once
+    val wedges = oriented.select(col("a"), col("b").as("x"))
+      .join(oriented.select(col("a"), col("b").as("y")), "a")
+      .filter(col("x") < col("y"))
+    val tri = wedges.join(und,
+      wedges("x") === und("u") && wedges("y") === und("v"))
+      .select(col("a"), col("x"), col("y"))
+    // each triangle credits all three corners
+    val members = tri.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    nodes.select(col(nodeCol).as("node"))
+      .join(members, Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), lit(0L)).as("n_triangles"))
+  }
+
+  /** EDGE EMBEDDEDNESS — per-edge common-neighbor and Jaccard scores,
+    * the graph-sparsification signal (keep edges whose endpoints share
+    * neighborhood, drop incidental ones) and the standard strong-tie
+    * detector. For an edge (u,v): `common` = |N(u)∩N(v)| = the number of
+    * triangles THROUGH the edge, `union_size` = |N(u)∪N(v)\{u,v}| =
+    * deg(u)+deg(v)−2−common, `jaccard_e4` = common·10⁴ div union_size
+    * (0 when the union is empty) — integers end to end.
+    *
+    * Same m^1.5 machinery as [[triangleCounts]]: common-neighbor counts
+    * for ALL pairs would be Σdeg² (hub-explosive and output-explosive),
+    * but restricted to pairs that ARE edges, every common neighbor shows
+    * up in exactly one degree-ordered triangle, so the wedge bound
+    * carries over unchanged.
+    */
+  def edgeJaccard(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val lowIsU = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowIsU, col("u")).otherwise(col("v")).as("a"),
+        when(lowIsU, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    val tri = oriented.select(col("a"), col("b").as("x"))
+      .join(oriented.select(col("a"), col("b").as("y")), "a")
+      .filter(col("x") < col("y"))
+      .join(und, col("x") === col("u") && col("y") === col("v"))
+      .select(col("a"), col("x"), col("y"))
+    // each triangle credits its three edges, re-canonicalized by id
+    // (the center ordering is by (degree, id), not id)
+    val credits = tri.select(explode(array(
+        struct(least(col("a"), col("x")).as("u"), greatest(col("a"), col("x")).as("v")),
+        struct(least(col("a"), col("y")).as("u"), greatest(col("a"), col("y")).as("v")),
+        struct(col("x").as("u"), col("y").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    und
+      .join(credits, Seq("u", "v"), "left")
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (col("du") + col("dv") - lit(2) - coalesce(col("common"), lit(0L)))
+          .as("union_size"))
+      .withColumn("jaccard_e4",
+        when(col("union_size") > 0,
+          expr("(common * 10000) div union_size")).otherwise(lit(0L)))
+  }
+
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,

@@ -185,9 +185,24 @@ final class WarehouseTable(val root: String) {
     val j = JsonMethods.parse(readString(snapPath(id)))
     (j \ "parts") match {
       case JObject(parts) => // v3 split format
-        val wanted = parts.filter { case (pv, _) =>
-          onlyParts.forall(_.contains(pv))
+        // Evolved tables: fragments whose key carries legacy-spec dirs
+        // are loaded regardless of the requested values (the per-dir
+        // prune in readResolved decides what to plan). A pre-evolution
+        // snapshot has no "legacy" field → its keys belong to an older
+        // spec, so a pruned read loads everything. Never-evolved tables
+        // (history empty) keep the plain key-membership fast path.
+        val keep: String => Boolean = onlyParts match {
+          case None => _ => true
+          case Some(w) =>
+            if (partitionHistory(readMeta()).isEmpty) w.contains _
+            else (j \ "legacy") match {
+              case JArray(ls) =>
+                val leg = ls.map(_.extract[String]).toSet
+                pv => w.contains(pv) || leg.contains(pv)
+              case _ => _ => true
+            }
         }
+        val wanted = parts.filter { case (pv, _) => keep(pv) }
         val frags = wanted.map { case (pv, pathJ) =>
           val fj = JsonMethods.parse(readString(rootPath.resolve(pathJ.extract[String])))
           val dirs = (fj \ "dirs").extract[List[String]]
@@ -260,12 +275,33 @@ final class WarehouseTable(val root: String) {
         }
       pv -> (JString(path): JValue)
     }
+    // Evolved tables stamp the snapshot with its LEGACY partition keys —
+    // the fragment keys holding ≥1 dir written under a prior spec. A
+    // partition-pruned read must still open those fragments (their dirs
+    // are planned regardless of the requested values), and the key set
+    // is only knowable here, where the full manifest is in hand. Tables
+    // that never evolved skip the field entirely — and a pruned read of
+    // a PRE-evolution snapshot (no field) conservatively opens all
+    // fragments rather than trust keys of an unknown spec.
+    val legacyField: List[(String, JValue)] = {
+      val meta = readMeta()
+      if (partitionHistory(meta).isEmpty) Nil
+      else {
+        val notCurrent = (d: String) => !dirUnderSpec(meta.partition)(d)
+        val keys =
+          m.base.collect { case (pv, dirs) if dirs.exists(notCurrent) => pv } ++
+          m.deltas.flatMap(_.data.collect {
+            case (pv, dirs) if dirs.exists(notCurrent) => pv })
+        List("legacy" -> JArray(keys.toList.distinct.map(JString(_))))
+      }
+    }
     val snap = JObject(
-      "parts" -> JObject(parts.toList),
-      "ts" -> JLong(System.currentTimeMillis()), // commit time, for AS OF
-      "deltas" -> JArray(m.deltas.map(d => JObject(
-        "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))),
-      "posdel" -> JArray(m.posDeletes.map(JString(_))))
+      ("parts" -> (JObject(parts.toList): JValue)) ::
+      ("ts" -> (JLong(System.currentTimeMillis()): JValue)) :: // commit time, for AS OF
+      ("deltas" -> (JArray(m.deltas.map(d => JObject(
+        "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))): JValue)) ::
+      ("posdel" -> (JArray(m.posDeletes.map(JString(_))): JValue)) ::
+      legacyField)
     val bytes = JsonMethods.compact(JsonMethods.render(snap))
       .getBytes(StandardCharsets.UTF_8)
     val p = snapPath(id)
@@ -369,11 +405,24 @@ final class WarehouseTable(val root: String) {
     val bloomPs = bloomParams(meta)
     val bloomCache =
       scala.collection.mutable.Map.empty[(String, String), Option[Array[Long]]]
+    val evolved = partitionHistory(meta).nonEmpty
     def prune(m: Map[String, List[String]]): Map[String, List[String]] = {
       val byPartition = partitions match {
         case Some(vals) =>
           val keys = vals.map(String.valueOf).toSet
-          m.view.filterKeys(keys.contains).toMap
+          if (!evolved) m.view.filterKeys(keys.contains).toMap
+          else {
+            // mixed-spec layout: a dir written under the CURRENT spec
+            // prunes by its manifest key; a legacy-spec dir is always
+            // planned — its layout says nothing about the new column
+            // (stats pruning below still skips it when the caller's
+            // dataFilters bound the new column, since that column was
+            // ordinary data when the legacy dir was written)
+            m.view.map { case (k, dirs) =>
+              k -> (if (keys.contains(k)) dirs
+                    else dirs.filterNot(dirUnderSpec(meta.partition)))
+            }.filter(_._2.nonEmpty).toMap
+          }
         case None => m
       }
       if (statFilters.isEmpty) byPartition
@@ -557,10 +606,16 @@ final class WarehouseTable(val root: String) {
     // erased rows can live in MOR delta files, which physically carry the
     // tombstone marker — an explicit schema without it ignores the extra
     // column (a sidecar never names a tombstone row: the delete predicate
-    // ran on the resolved, tombstone-filtered view)
-    val raw = meta.partition match {
+    // ran on the resolved, tombstone-filtered view). Renamed columns read
+    // through the same prior-name coalesce as readParts (the erased file
+    // may predate a rename).
+    val renames = renameMap(meta)
+    val readSchema = physicalSchema(meta.schema, renames)
+    val outCols =
+      logicalCols(meta.schema, renames) :+ col(PosFileCol) :+ col(PosIdxCol)
+    val raw = (meta.partition match {
       case None =>
-        withPos(spark.read.schema(meta.schema).parquet(files.toIndexedSeq: _*))
+        withPos(spark.read.schema(readSchema).parquet(files.toIndexedSeq: _*))
       case Some(_) =>
         // partition values live in dir names, restored via basePath — the
         // same two-segment grouping readParts uses (data/<uuid>/<p>=<v>)
@@ -569,14 +624,12 @@ final class WarehouseTable(val root: String) {
           f -> p.stripPrefix(rootPath.toAbsolutePath.toString).stripPrefix("/")
         }
         val byBase = relDirs.groupBy(_._2.split("/").take(2).mkString("/"))
-        val outFields =
-          meta.schema.fieldNames.toIndexedSeq :+ PosFileCol :+ PosIdxCol
         byBase.map { case (base, group) =>
-          withPos(spark.read.schema(meta.schema)
+          withPos(spark.read.schema(readSchema)
             .option("basePath", s"$root/$base")
             .parquet(group.map(_._1).toIndexedSeq: _*))
-        }.reduce(_ unionByName _).select(outFields.map(col): _*)
-    }
+        }.reduce(_ unionByName _)
+    }).select(outCols: _*)
     raw.join(posDf, Seq(PosFileCol, PosIdxCol), "left_semi")
       .drop(PosFileCol, PosIdxCol)
   }
@@ -627,12 +680,20 @@ final class WarehouseTable(val root: String) {
       wanted: Map[String, List[String]],
       withTombstone: Boolean = false,
       withFilePos: Boolean = false): DataFrame = {
-    val schema =
+    val declared =
       if (withTombstone)
         StructType(meta.schema.fields :+
           org.apache.spark.sql.types.StructField(
             TombstoneCol, org.apache.spark.sql.types.BooleanType))
       else meta.schema
+    // column-rename support (Iceberg's field-id indirection, name-based):
+    // files written before a rename carry the column under its PRIOR
+    // physical name, so the scan schema declares current + all prior
+    // names (absent ones read NULL) and one coalesce restores the
+    // logical column. Un-renamed tables: renames is empty, schema and
+    // projection collapse to the declared fields exactly as before.
+    val renames = renameMap(meta)
+    val schema = physicalSchema(declared, renames)
     // position identity must be captured AT THE SCAN (the `_metadata`
     // pseudo-column resolves only against a file-source relation, not
     // through a projection), so each per-dir read surfaces it immediately
@@ -641,9 +702,11 @@ final class WarehouseTable(val root: String) {
         df.withColumn(PosFileCol, col("_metadata.file_path"))
           .withColumn(PosIdxCol, col("_metadata.row_index"))
       else df
-    val outFields =
-      if (withFilePos) schema.fieldNames.toIndexedSeq :+ PosFileCol :+ PosIdxCol
-      else schema.fieldNames.toIndexedSeq
+    val outCols: Seq[Column] = {
+      val logical = logicalCols(declared, renames)
+      if (withFilePos) logical :+ col(PosFileCol) :+ col(PosIdxCol)
+      else logical
+    }
     val dirs = wanted.values.flatten.toSeq.distinct
     val frame =
       if (dirs.isEmpty) {
@@ -677,14 +740,49 @@ final class WarehouseTable(val root: String) {
                 .option("basePath", s"$root/$base")
                 .parquet(subdirs.map(d => s"$root/$d"): _*))
             }.toSeq
-            val unioned = parts.reduce(_ unionByName _)
-            unioned.select(outFields.map(col): _*)
+            parts.reduce(_ unionByName _)
         }
       }
+    val projected = frame.select(outCols: _*)
     if (withTombstone)
-      frame.withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
-    else frame
+      projected.withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
+    else projected
   }
+
+  /** logical name -> its prior physical names, newest first (set by
+    * [[renameColumn]]; empty for tables never renamed).
+    */
+  private def renameMap(meta: Meta): Map[String, Seq[String]] =
+    meta.properties.collect {
+      case (k, v) if k.startsWith("rename.") && v.nonEmpty =>
+        k.stripPrefix("rename.") -> v.split(",").toSeq
+    }
+
+  /** The scan schema: declared fields plus, per renamed field, its prior
+    * physical names at the same (current) type — Spark's parquet reader
+    * fills absent columns with NULL and widens present ones, so files of
+    * any rename/widen epoch read under this one schema.
+    */
+  private def physicalSchema(
+      declared: StructType, renames: Map[String, Seq[String]]): StructType =
+    if (renames.isEmpty) declared
+    else StructType(declared.fields.flatMap { f =>
+      f +: renames.getOrElse(f.name, Seq.empty).map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType, nullable = true))
+        .toArray
+    })
+
+  /** One column per declared field; renamed fields coalesce current-name
+    * over prior physical names (exactly one is non-null per file epoch).
+    */
+  private def logicalCols(
+      declared: StructType, renames: Map[String, Seq[String]]): Seq[Column] =
+    declared.fields.toIndexedSeq.map { f =>
+      renames.get(f.name) match {
+        case Some(ps) => coalesce((f.name +: ps).map(col): _*).as(f.name)
+        case None     => col(f.name)
+      }
+    }
 
   /** Merge keys recorded for MOR arbitration (set on first MOR merge). */
   private def mergeKeys(meta: Meta): Option[Seq[String]] =
@@ -1144,12 +1242,30 @@ final class WarehouseTable(val root: String) {
               val target = read(spark, Some(affected.toSeq))
               val merged = upsert(target, src)
               val (rewritten, stats) = dbg("write")(writeDataDir(merged, meta))
-              val untouched = old.base.view.filterKeys(k => !affected.contains(k)).toMap
+              // On an evolved table the pruned target read sweeps in EVERY
+              // legacy-spec dir (they can't prune by the current spec), so
+              // their rows are all re-landed in `rewritten` — carrying the
+              // legacy dirs forward would duplicate them. A COW merge on a
+              // mixed-spec table therefore also migrates it to the current
+              // spec, paying the legacy rewrite once.
+              val untouched = old.base.view
+                .filterKeys(k => !affected.contains(k))
+                .mapValues(dirs =>
+                  if (partitionHistory(meta).isEmpty) dirs
+                  else dirs.filter(dirUnderSpec(meta.partition)))
+                .filter(_._2.nonEmpty).toMap
+              // concatenate per key, never replace: a migrated legacy
+              // row's current-spec value may collide with an untouched
+              // key (impossible un-evolved — every src partition value
+              // lands in `affected`)
+              val newBase = (untouched.keySet ++ rewritten.keySet).map { k =>
+                k -> (untouched.getOrElse(k, Nil) ++ rewritten.getOrElse(k, Nil))
+              }.toMap
               // pos-deletes carry: untouched partitions' erasures stay
               // live; refs into rewritten dirs are inert (the dirs left
               // the manifest) and are cleared at the next full rewrite
               dbg("commit")(commit(cur,
-                Manifest(untouched ++ rewritten, Nil, old.stats ++ stats,
+                Manifest(newBase, Nil, old.stats ++ stats,
                   old.posDeletes).pruneStats))
           }
       }
@@ -1180,6 +1296,11 @@ final class WarehouseTable(val root: String) {
     */
   def compactBase(spark: SparkSession, maxDirsPerPartition: Int = 8): Unit = {
     val meta = readMeta()
+    // a partition-keyed partial rewrite is ill-defined over a mixed-spec
+    // layout (a pruned read of the crowded keys would also sweep in every
+    // legacy dir, duplicating the untouched keys' rows on commit)
+    require(partitionHistory(meta).isEmpty,
+      "compactBase on an evolved table: run rewriteToCurrentSpec first")
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
     val cur = currentSnapshotId
     val old = readManifest(cur)
@@ -1724,6 +1845,9 @@ final class WarehouseTable(val root: String) {
     val meta = readMeta()
     require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists")
+    require(!droppedCols(meta).exists(_.equalsIgnoreCase(name)) &&
+        !renameMap(meta).values.flatten.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a retired name whose bytes may survive in old files")
     val newSchema = StructType(meta.schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     writeMeta(meta.copy(schemaDdl = newSchema.toDDL))
@@ -1756,6 +1880,76 @@ final class WarehouseTable(val root: String) {
       if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f))
     writeMeta(meta.copy(schemaDdl = newSchema.toDDL))
   }
+
+  /** Schema evolution: RENAME a column, metadata-only — Iceberg resolves
+    * renames by field id; this engine resolves them by recording the
+    * prior PHYSICAL names (`rename.<current>` property, newest first)
+    * and coalescing at scan (see [[readParts]]). Chained renames extend
+    * the list. Columns whose name carries layout or identity meaning —
+    * the partition spec (current or prior), merge keys, the frozen
+    * cluster column — are refused: their name is baked into dir paths,
+    * delta files, or persisted cuts, and a metadata rename would orphan
+    * it. Stats/bloom sidecars keyed by the old name go conservatively
+    * inert (they can no longer prune, never wrongly).
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val meta = readMeta()
+    require(meta.schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists")
+    val renames = renameMap(meta)
+    require(!renames.values.flatten.exists(_.equalsIgnoreCase(newName)) &&
+        !droppedCols(meta).exists(_.equalsIgnoreCase(newName)),
+      s"'$newName' is a retired name whose bytes may survive in old files")
+    require(!meta.partition.contains(oldName) &&
+        !partitionHistory(meta).contains(oldName),
+      "cannot rename a partition column (current or prior spec) - its name is in dir paths")
+    require(!mergeKeys(meta).exists(_.contains(oldName)),
+      "cannot rename a merge key")
+    require(!meta.properties.get("cluster.col").contains(oldName),
+      "cannot rename the frozen cluster column")
+    val priors = oldName +: renames.getOrElse(oldName, Seq.empty)
+    val newSchema = StructType(meta.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    writeMeta(meta.copy(
+      schemaDdl = newSchema.toDDL,
+      properties = meta.properties - s"rename.$oldName" +
+        (s"rename.$newName" -> priors.mkString(","))))
+  }
+
+  /** Schema evolution: DROP a column, metadata-only — the declared
+    * schema shrinks and every read path scans through an explicit
+    * schema, so old files' bytes for the column are simply never read
+    * (Iceberg drop-column semantics; the bytes are reclaimed as files
+    * rewrite naturally). Same identity guards as [[renameColumn]].
+    */
+  def dropColumn(name: String): Unit = {
+    val meta = readMeta()
+    require(meta.schema.fieldNames.contains(name), s"no such column: $name")
+    require(meta.schema.fields.length > 1, "cannot drop the last column")
+    require(!meta.partition.contains(name) &&
+        !partitionHistory(meta).contains(name),
+      "cannot drop a partition column (current or prior spec)")
+    require(!mergeKeys(meta).exists(_.contains(name)),
+      "cannot drop a merge key")
+    require(!meta.properties.get("cluster.col").contains(name),
+      "cannot drop the frozen cluster column")
+    val newSchema = StructType(meta.schema.fields.filterNot(_.name == name))
+    // the dropped name (and any prior physical names that still hold its
+    // bytes) is retired FOREVER: re-adding it would resurrect old files'
+    // bytes through the explicit-schema scan (Iceberg prevents this with
+    // field ids; this engine prevents it by refusing the name)
+    val retired = (droppedCols(meta) ++ (name +: renameMap(meta)
+      .getOrElse(name, Seq.empty))).distinct
+    writeMeta(meta.copy(
+      schemaDdl = newSchema.toDDL,
+      properties = meta.properties - s"rename.$name" +
+        ("dropped.cols" -> retired.mkString(","))))
+  }
+
+  private def droppedCols(meta: Meta): Seq[String] =
+    meta.properties.get("dropped.cols").filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
 
   /** Update table properties (set wins, null/absent keys unchanged). */
   def setProperties(props: Map[String, String]): Unit = {
@@ -1816,6 +2010,146 @@ final class WarehouseTable(val root: String) {
     }
   }
 
+  /** Prior partition specs, oldest first (empty segment = unpartitioned);
+    * the CURRENT spec is `Meta.partition` and is not listed here. Empty
+    * for a table whose spec never changed — every fast path keys off
+    * that emptiness, so un-evolved tables pay nothing for this feature.
+    */
+  private def partitionHistory(meta: Meta): Seq[String] =
+    meta.properties.get("partition.history")
+      .map(_.split(",", -1).toSeq).getOrElse(Nil)
+
+  /** Does `dir`'s hive path place it under the CURRENT spec? The data
+    * layout is self-describing — `data/<uuid>/<col>=<value>` — so the
+    * spec a dir was written under is readable from its path alone, with
+    * no per-file metadata. (An unpartitioned-spec dir is `data/<uuid>`
+    * with files directly inside: ≤ 2 segments.)
+    */
+  private def dirUnderSpec(spec: Option[String])(dir: String): Boolean = {
+    val segs = dir.split("/")
+    spec match {
+      case None    => segs.length <= 2
+      case Some(c) => segs.length > 2 && segs(2).startsWith(c + "=")
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION — Iceberg's signature no-rewrite layout
+    * change (`ALTER TABLE ... REPLACE PARTITION FIELD`): the table's
+    * partition column changes for FUTURE writes while every existing
+    * data file stays exactly where it is. At 100 TB this is the whole
+    * point — re-keying a landing table from `lang` to `source` must not
+    * cost a corpus rewrite.
+    *
+    * Read semantics afterwards: dirs written under the current spec
+    * prune by manifest partition value as always; legacy-spec dirs are
+    * always planned (their layout says nothing about the new column) but
+    * still prune by their per-dir min/max STATS on the new column — the
+    * new partition column was an ordinary data column when they were
+    * written, so footer stats for it exist. Old snapshots time-travel
+    * unchanged. The one-time metadata cost is a single re-commit that
+    * stamps the legacy partition-key set into the snapshot (fragment
+    * pruning must know which fragment keys carry legacy dirs without
+    * opening them).
+    *
+    * Spec drop (partitioned → unpartitioned) is rejected: legacy hive
+    * dirs would need per-dir basePath treatment the unpartitioned read
+    * branch doesn't do; [[rewriteToCurrentSpec]] is the migration path.
+    */
+  def evolvePartition(newCol: String): Unit = {
+    val meta = readMeta()
+    require(meta.schema.fieldNames.contains(newCol),
+      s"partition column '$newCol' not in schema ${meta.schema.fieldNames.mkString(",")}")
+    require(!meta.partition.contains(newCol),
+      s"'$newCol' is already the partition spec")
+    val hist = partitionHistory(meta) :+ meta.partition.getOrElse("")
+    writeMeta(meta.copy(
+      partition = Some(newCol),
+      properties = meta.properties + ("partition.history" -> hist.mkString(","))))
+    // re-commit the unchanged manifest so the new snapshot records its
+    // legacy key set under the NEW spec (fragment files are all reused —
+    // this writes one snapshot json, no data)
+    val cur = currentSnapshotId
+    commit(cur, readManifest(cur))
+  }
+
+  /** Physically migrate every legacy-spec dir to the current spec — one
+    * full read + partitioned rewrite (Iceberg's `rewrite_data_files`
+    * after an evolution). The explicit, pay-once exit from mixed-spec
+    * layout; until it runs, reads stay correct but legacy dirs prune
+    * only by stats. No-op when the layout is already uniform.
+    */
+  def rewriteToCurrentSpec(spark: SparkSession): Unit = {
+    val meta = readMeta()
+    val cur = currentSnapshotId
+    val m = readManifest(cur)
+    val allDirs = m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)
+    if (m.deltas.nonEmpty || m.posDeletes.nonEmpty ||
+        !allDirs.forall(dirUnderSpec(meta.partition))) {
+      val full = read(spark)
+      val (entries, stats) = writeDataDir(full, meta)
+      commit(cur, Manifest(entries, Nil, stats))
+    }
+  }
+
+  /** ORPHAN-FILE GC — Iceberg's `remove_orphan_files`: physically delete
+    * every data dir, posdel dir, and manifest fragment referenced by NO
+    * existing snapshot. Orphans are the debris of [[rollback]] (the
+    * abandoned timeline's writes), of crashed commits (dirs written, the
+    * CREATE_NEW snapshot race lost), and of [[rewriteRows]]' discarded
+    * no-op twins on older layouts. [[expireSnapshots]] can't touch them —
+    * it reclaims only what EXPIRED snapshots referenced, and runs only
+    * when something expires. Metadata-bounded: one manifest walk over all
+    * live snapshots builds the live set, one directory listing diffs it;
+    * no data is read. Returns the number of dirs/files removed.
+    */
+  def removeOrphanFiles(): Int = {
+    import scala.jdk.CollectionConverters._
+    val snapDir = rootPath.resolve("snaps")
+    val ids = {
+      val l = Files.list(snapDir)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toLong
+        }.toList
+      finally l.close()
+    }
+    val liveFragments = ids.flatMap(snapFragmentPaths(_).values).toSet
+    val manifests = ids.map(readManifest(_))
+    val liveDataRoots = manifests.flatMap { m =>
+      (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten))
+        .map(_.split("/").take(2).mkString("/"))
+    }.toSet
+    val livePosDel = manifests.flatMap(_.posDeletes).toSet
+    var removed = 0
+    def sweepDirs(sub: String, live: Set[String]): Unit = {
+      val d = rootPath.resolve(sub)
+      if (Files.isDirectory(d)) {
+        val l = Files.list(d)
+        val dead =
+          try l.iterator().asScala.toList
+            .filterNot(p => live.contains(s"$sub/${p.getFileName}"))
+          finally l.close()
+        dead.foreach { p =>
+          val walk = Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          finally walk.close()
+          removed += 1
+        }
+      }
+    }
+    sweepDirs("data", liveDataRoots)
+    sweepDirs("posdel", livePosDel)
+    val mfDir = rootPath.resolve("manifests")
+    if (Files.isDirectory(mfDir)) {
+      val l = Files.list(mfDir)
+      try l.iterator().asScala.toList
+        .filterNot(p => liveFragments.contains(s"manifests/${p.getFileName}"))
+        .foreach { p => Files.deleteIfExists(p); removed += 1 }
+      finally l.close()
+    }
+    removed
+  }
+
   /** Expire old snapshots and physically remove everything only they
     * reference: snapshot files, manifest fragments, and whole data dirs.
     * Keeps the newest `keepLast` snapshots (the current one always
@@ -1837,6 +2171,13 @@ final class WarehouseTable(val root: String) {
     val meta = readMeta()
     require(meta.partition.nonEmpty,
       "dropPartitions needs a partitioned table")
+    // metadata TTL is only exact when EVERY matching row lives under a
+    // dir keyed by the dropped value — legacy-spec dirs aren't (Iceberg
+    // likewise refuses a metadata delete that doesn't align to file
+    // boundaries); deleteRows/forgetWhere is the row-exact path
+    require(partitionHistory(meta).isEmpty,
+      "dropPartitions on an evolved table: legacy dirs are not keyed by " +
+        "the current spec — use deleteRows or rewriteToCurrentSpec first")
     val keys = values.map(String.valueOf).toSet
     val cur = currentSnapshotId
     val old = readManifest(cur)

@@ -69,6 +69,46 @@ class GraphRankSpec extends SparkSpec {
       Map(1L -> Some("en"), 2L -> None, 3L -> None, 4L -> None))
   }
 
+  test("triangleCounts: hand-checked, once per triangle, hub-safe orientation, parallel/self edges ignored") {
+    def tc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+      GraphRank.triangleCounts(
+        edges.toDF("src", "dst"), "src", "dst", nodes.toDF("node"), "node")
+        .as[(Long, Long)].collect().toMap
+    // K3 plus a pendant: each triangle corner counts 1, pendant 0
+    val k3 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(tc(k3, Seq(1L, 2L, 3L, 4L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // K4 has 4 triangles; every vertex sits in 3 of them
+    val k4 = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    assert(tc(k4, (1L to 4L).toSeq) == (1L to 4L).map(_ -> 3L).toMap)
+    // direction, duplication, and self-loops don't change the simple graph
+    val noisy = k3 ++ k3.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
+    assert(tc(noisy, Seq(1L, 2L, 3L, 4L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // star = zero triangles regardless of hub degree (and the hub's
+    // oriented out-degree is 0 by the (degree, id) order — no wedge blowup)
+    val star = (2L to 30L).map(i => (1L, i))
+    assert(tc(star, (1L to 30L).toSeq).values.sum == 0L)
+    // star + one rim edge = exactly one triangle through the hub
+    val rim = tc(star :+ (2L, 3L), (1L to 30L).toSeq)
+    assert(rim(1L) == 1L && rim(2L) == 1L && rim(3L) == 1L && rim(4L) == 0L)
+  }
+
+  test("edgeJaccard: hand-checked common/union/jaccard per edge") {
+    // K3 {1,2,3} + pendant 3-4: deg = (2,2,3,1)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val r = GraphRank.edgeJaccard(g.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(r((1L, 2L)) == ((1L, 1L, 10000L))) // N∩={3}, N∪={3}
+    assert(r((2L, 3L)) == ((1L, 2L, 5000L)))  // N∩={1}, N∪={1,4}
+    assert(r((1L, 3L)) == ((1L, 2L, 5000L)))
+    assert(r((3L, 4L)) == ((0L, 2L, 0L)))     // pendant: nothing shared
+    assert(r.size == 4)
+  }
+
   test("cycle conserves mass under exact arithmetic") {
     // 1->2->1: symmetric two-cycle; both nodes keep rank = base +
     // (prev*85)//100 and stay equal every iteration

@@ -385,6 +385,80 @@ class WarehouseTableSpec extends SparkSpec {
     assert(t.currentSnapshotId == s1 + 1)
   }
 
+  test("renameColumn/dropColumn: metadata-only, both file epochs reconcile, retired names refused") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("ddl"))
+    t.create(schema, Some("state"), Map.empty) // (k, v, state) part by state
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val filesBefore = t.read(spark).inputFiles.toSet
+    t.renameColumn("v", "val")
+    assert(t.read(spark).inputFiles.toSet == filesBefore) // metadata-only
+    t.append(df((3, "c", "CA")).withColumnRenamed("v", "val"))
+    // old epoch ('v' files) and new epoch ('val' files) both read as 'val'
+    assert(t.read(spark).select("k", "val").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // chained rename keeps every prior physical name readable
+    t.renameColumn("val", "value")
+    assert(t.read(spark).select("k", "value").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // retired names are refused everywhere (zombie-byte protection)
+    intercept[IllegalArgumentException] { t.renameColumn("value", "v") }
+    intercept[IllegalArgumentException] {
+      t.addColumn("val", org.apache.spark.sql.types.StringType)
+    }
+    // identity guards
+    intercept[IllegalArgumentException] { t.renameColumn("state", "st") }
+    intercept[IllegalArgumentException] { t.dropColumn("state") }
+    // drop: schema shrinks, old bytes unread, name retired for good
+    t.dropColumn("value")
+    assert(t.read(spark).schema.fieldNames.toSeq == Seq("k", "state"))
+    assert(t.read(spark).count() == 3)
+    intercept[IllegalArgumentException] {
+      t.addColumn("value", org.apache.spark.sql.types.StringType)
+    }
+    // rename interacts with position deletes: erased-row resolution
+    // coalesces prior names too (MOR + posdel on a renamed table)
+    val m = WarehouseTable(tmpDir("ddl_mor"))
+    m.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy") +
+      ("compact.delta.threshold" -> "1000"))
+    m.merge(spark, df((1, "a", "CA"), (2, "b", "NY")), Seq("k"))
+    m.renameColumn("v", "val")
+    assert(m.deleteWhereMor(spark, col("val") === "a") == 1)
+    assert(m.read(spark).select("k").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("removeOrphanFiles reclaims rollback debris, never touches live dirs, no-ops when healthy") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("gc")
+    val t = WarehouseTable(root)
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val s1 = t.currentSnapshotId
+    def dataRoots: Set[String] = {
+      val l = Files.list(Paths.get(root, "data"))
+      try l.iterator().asScala.map(_.getFileName.toString).toSet
+      finally l.close()
+    }
+    // a healthy table GCs nothing
+    assert(t.removeOrphanFiles() == 0)
+    val liveBefore = dataRoots
+    // abandoned timeline: two commits, then rollback -> their dirs orphan
+    t.append(df((3, "c", "TX")))
+    t.append(df((4, "d", "WA")))
+    assert(dataRoots.size == liveBefore.size + 2)
+    t.rollback(s1)
+    assert(t.removeOrphanFiles() > 0)
+    assert(dataRoots == liveBefore) // debris gone, live dirs untouched
+    assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // the table keeps working after GC (ids reclaimed, reads exact)
+    t.append(df((5, "e", "OR")))
+    assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 2, 5))
+    assert(t.removeOrphanFiles() == 0)
+  }
+
   test("changesSince carries position-delete erasures; ordinal-ordered mirror apply converges") {
     import org.apache.spark.sql.functions.col
     val m = WarehouseTable(tmpDir("feed_pos"))
@@ -664,6 +738,56 @@ class WarehouseTableSpec extends SparkSpec {
     val plain = WarehouseTable(tmpDir("tags_plain"))
     plain.create(StructType(Seq(StructField("x", IntegerType))), None, Map.empty)
     intercept[IllegalArgumentException] { plain.dropPartitions(Seq("a")) }
+  }
+
+  test("partition-spec evolution: metadata-only, mixed-spec reads exact, merge migrates, guards hold") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = WarehouseTable(tmpDir("evo"))
+    t.create(schema, Some("state"), Map.empty)
+    t.append(df((1, "x", "CA"), (2, "y", "NY"), (3, "x", "CA")))
+    val snapA = t.currentSnapshotId
+    val filesBefore = t.read(spark).inputFiles.toSet
+    // evolution is metadata-only: same data files afterwards
+    t.evolvePartition("v")
+    assert(t.partitionColumn.contains("v"))
+    assert(t.read(spark).inputFiles.toSet == filesBefore)
+    t.append(df((4, "x", "TX"), (5, "z", "WA")))
+    // full read sees both specs' rows
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // pruned read on the NEW spec: new-spec dirs prune by key, legacy
+    // dirs are always planned (k 1,2,3) — exactly the swept-in superset
+    val pruned = t.read(spark, Some(Seq("x"))).collect().map(_.getInt(0)).sorted.toSeq
+    assert(pruned == Seq(1, 2, 3, 4))
+    assert(!pruned.contains(5)) // new-spec dir v=z DID prune
+    // time travel across the evolution is untouched
+    assert(t.read(spark, asOf = Some(snapA)).collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3))
+    // COW merge on the mixed layout: updates a key living in a legacy dir,
+    // migrates the swept-in legacy dirs, and leaves no ghost copy
+    t.merge(spark, df((2, "y2", "NY"), (6, "w", "OR")), Seq("k"))
+    val merged = t.read(spark)
+    assert(merged.count() == 6)
+    assert(merged.filter(col("k") === 2).collect().map(_.getString(1)).toSeq == Seq("y2"))
+    // partial-rewrite maintenance refuses on an evolved table
+    intercept[IllegalArgumentException] { t.dropPartitions(Seq("x")) }
+    intercept[IllegalArgumentException] { t.compactBase(spark) }
+    // explicit migration: uniform layout afterwards, contents unchanged,
+    // and new-spec pruning is now exact (nothing legacy to sweep in)
+    t.rewriteToCurrentSpec(spark)
+    assert(t.read(spark).count() == 6)
+    assert(t.read(spark, Some(Seq("x"))).collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 3, 4))
+    // None -> Some evolution: legacy unpartitioned dirs keep reading
+    val u = WarehouseTable(tmpDir("evo_u"))
+    u.create(schema, None, Map.empty)
+    u.append(df((1, "a", "CA"), (2, "b", "NY")))
+    u.evolvePartition("state")
+    u.append(df((3, "c", "CA")))
+    assert(u.read(spark).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(u.read(spark, Some(Seq("CA"))).collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3)) // legacy dirs swept in, new CA dir kept
+    // spec drop is rejected; re-evolving to the same col is rejected
+    intercept[IllegalArgumentException] { u.evolvePartition("state") }
   }
 
   test("bloom index: equality probes skip dirs stats cannot; no false negatives; incremental refresh") {
