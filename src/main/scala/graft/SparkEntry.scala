@@ -2976,6 +2976,16 @@ object SparkEntry {
           md5(col("text")).as("text_md5"), col("lang"))
     }),
 
+    // ROBUST DAILY-COUNT ANOMALIES (median/MAD, exact integers): the
+    // corpus collapses to (type, day) counts in one map-side-combinable
+    // aggregation; the odd trailing window makes both medians exact
+    // elements — no interpolation, so the oracle replays bit-identical.
+    "q167_count_anomalies" -> ((s, dir) => {
+      graft.operators.EventAnalytics.dailyCountAnomalies(
+        t(s, dir, "events"), "event_type", "ts",
+        windowDays = 7, thresholdE2 = 350)
+    }),
+
     // FULL COLUMN-DDL LIFECYCLE, oracle-gated and ALL metadata-only: the
     // table starts (doc_id, text, lang, source, n_chars INT); after the
     // first append it WIDENs n_chars to BIGINT, RENAMEs lang->language,
@@ -4069,6 +4079,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // trailing-7-observed-days window via rank self-join; exact medians
+    // of odd windows (DuckDB's median interpolates only on even counts)
+    "q167_count_anomalies" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day, n,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |           AS rn
+        |  FROM counts
+        |), w AS (
+        |  SELECT a.event_type, a.day, a.n, a.rn,
+        |         CAST(median(b.n) AS BIGINT) AS med
+        |  FROM r a JOIN r b
+        |    ON b.event_type = a.event_type AND b.rn BETWEEN a.rn - 6 AND a.rn
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) = 7
+        |)
+        |SELECT w.event_type, w.day, w.n, w.med,
+        |  CAST(median(abs(b.n - w.med)) AS BIGINT) AS mad,
+        |  (abs(w.n - w.med) * 100 >
+        |     350 * CAST(median(abs(b.n - w.med)) AS BIGINT)) AS is_anomaly
+        |FROM w JOIN r b
+        |  ON b.event_type = w.event_type AND b.rn BETWEEN w.rn - 6 AND w.rn
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // widen/rename/drop/add reconcile per epoch: even rows predate the
     // DDL (INT n_chars under 'lang', no quality), odd rows follow it

@@ -201,4 +201,68 @@ object EventAnalytics {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** ROBUST ANOMALY DETECTION over per-type daily event counts — the
+    * ops question downstream of an event landing table ("which days
+    * spiked?"), answered with median/MAD instead of mean/stddev so one
+    * outlier can't mask itself by inflating its own baseline. EXACT
+    * integers throughout: `windowDays` must be ODD, so the median of the
+    * trailing window (this day + the `windowDays-1` most recent observed
+    * days per type) is an element of it, and the MAD (median of absolute
+    * deviations) likewise — no interpolation, bit-identical across
+    * engines. A day is anomalous when `|n − med| · 100 > thresholdE2 ·
+    * MAD` (thresholdE2 = 350 ⇒ 3.5 MADs); a zero MAD (≥ half the window
+    * identical) flags ANY deviation — the natural limit of the rule.
+    * Incomplete leading windows are skipped, not padded.
+    *
+    * Scale shape: the raw event table collapses FIRST through one
+    * map-side-combinable aggregation to (type, day) — domain-bounded
+    * output (|types|·|days| rows), so the per-type ordered window that
+    * follows runs on the aggregate, never the corpus; its frame holds
+    * `windowDays` longs. The hottest event type costs |days| rows.
+    */
+  def dailyCountAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      tsNanosCol: String,
+      windowDays: Int = 7,
+      thresholdE2: Long = 350): DataFrame = {
+    require(thresholdE2 >= 0, "thresholdE2 must be non-negative")
+    val nanosPerDay = 86400L * 1000 * 1000 * 1000
+    val counts = events
+      .groupBy(col(typeCol),
+        expr(s"$tsNanosCol div $nanosPerDay").as("day"))
+      .agg(count(lit(1)).as("n"))
+    anomaliesFromCounts(counts, typeCol, "day", "n", windowDays, thresholdE2)
+  }
+
+  /** The window half of [[dailyCountAnomalies]], over an ALREADY
+    * AGGREGATED (type, day, n) table — the form the streaming stage
+    * reuses against its incrementally-maintained rollup.
+    */
+  def anomaliesFromCounts(
+      counts: DataFrame,
+      typeCol: String,
+      dayCol: String,
+      nCol: String,
+      windowDays: Int,
+      thresholdE2: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays % 2 == 1 && windowDays >= 3 && windowDays <= 365,
+      s"windowDays=$windowDays must be odd, in [3, 365]")
+    val mid = (windowDays + 1) / 2 // element_at is 1-based
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(dayCol))
+      .rowsBetween(-(windowDays - 1), 0)
+    counts
+      .withColumn("win", collect_list(col(nCol)).over(w))
+      .filter(size(col("win")) === windowDays)
+      .withColumn("med",
+        element_at(sort_array(col("win")), mid))
+      .withColumn("mad",
+        element_at(sort_array(transform(col("win"),
+          x => abs(x - col("med")))), mid))
+      .select(col(typeCol), col(dayCol), col(nCol), col("med"), col("mad"),
+        (abs(col(nCol) - col("med")) * lit(100L) >
+          lit(thresholdE2) * col("mad")).as("is_anomaly"))
+  }
 }

@@ -129,7 +129,11 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** ALTER TABLE: ADD COLUMN (metadata-only schema evolution — old files
-    * surface NULL for the new column) and SET/UNSET TBLPROPERTIES.
+    * surface NULL for the new column), RENAME COLUMN / DROP COLUMN
+    * (metadata-only via prior-physical-name coalesce / schema shrink,
+    * with the identity-column and retired-name guards enforced in
+    * [[graft.table.WarehouseTable]]), ALTER COLUMN TYPE (widening), and
+    * SET/UNSET TBLPROPERTIES.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val wt = warehouseTable(ident)
@@ -147,6 +151,14 @@ class GraftCatalog extends TableCatalog {
         require(upd.fieldNames.length == 1,
           "only top-level ALTER COLUMN TYPE is supported")
         wt.widenColumn(upd.fieldNames.head, upd.newDataType)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "only top-level RENAME COLUMN is supported")
+        wt.renameColumn(rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "only top-level DROP COLUMN is supported")
+        wt.dropColumn(del.fieldNames.head)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")

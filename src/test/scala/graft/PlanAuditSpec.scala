@@ -63,8 +63,13 @@ class PlanAuditSpec extends SparkSpec {
     "q98_rrf_fusion",       // broadcast query vector × corpus (q14 inside)
     "q99_hard_negatives",   // broadcast query set × corpus (q14's plan)
     "q101_mmr_select",      // 1-row query vector + limit-bounded N² sims
-    "q153_containment_decon") // broadcast reference shingles (eval-suite-
+    "q153_containment_decon", // broadcast reference shingles (eval-suite-
                               // sized by contract; filter over corpus scan)
+    "q164_salted_join")       // saltedBroadcastJoin's dim side is
+                              // broadcast-sized BY THE OPERATOR'S CONTRACT
+                              // (a small dimension replicated ×salt); the
+                              // fact side never shuffles — that asymmetry
+                              // is the operator
 
   /** Rule-3 boundedness: does this logical subtree force bounded
     * cardinality on its own? (Aggregates are bounded by their grouping

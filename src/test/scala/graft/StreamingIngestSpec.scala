@@ -1227,6 +1227,55 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("streaming anomaly monitor: rollup-fed verdicts equal the batch detector; restart never double-counts") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val day = 86400L * 1000 * 1000 * 1000
+    // file 0: days 1-7 steady (5/day); file 1: day-8 spike of 50 PLUS a
+    // late arrival for day 7 (the re-derive-from-rollup case: day 7's
+    // count changes after its verdict already landed)
+    val f0 = (1 to 7).flatMap(d => Seq.fill(5)(("A", d * day + 1)))
+    val f1 = Seq.fill(50)(("A", 8 * day + 1)) ++ Seq(("A", 7 * day + 2))
+    val landing = tmpDir("anom_land")
+    Seq(f0 -> "f0", f1 -> "f1").foreach { case (rows, nm) =>
+      val stage = tmpDir(s"anom_stage_$nm") + "/files"
+      rows.toDF("event_type", "ts").coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles.filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(
+          f.toPath, java.nio.file.Paths.get(s"$landing/$nm.parquet")))
+    }
+    val counts = graft.table.WarehouseTable(tmpDir("anom_counts") + "/t")
+    val verdictDir = tmpDir("anom_out")
+    val ckpt = tmpDir("anom_ckpt")
+    val ev = f0.toDF("event_type", "ts")
+    val q = StreamingIngest.startAnomalyMonitor(
+      spark, landing, ev.schema, "parquet", Map.empty,
+      "event_type", "ts", counts, verdictDir, ckpt,
+      windowDays = 7, thresholdE2 = 350, maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    def verdicts: Map[(String, Long), (Long, Long, Long, Boolean)] =
+      spark.read.parquet(verdictDir)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    // stream verdicts ≡ the batch detector over everything landed
+    val all = (f0 ++ f1).toDF("event_type", "ts")
+    val direct = EventAnalytics.dailyCountAnomalies(all, "event_type", "ts", 7, 350)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    assert(verdicts == direct)
+    // the late day-7 arrival re-derived day 7's verdict: n=6 now
+    assert(verdicts(("A", 7L))._1 == 6L)
+    assert(verdicts(("A", 8L))._4) // the spike flags
+    // restart on the same checkpoint: no new files -> rollup unchanged,
+    // verdicts identical (batch-marker idempotence)
+    val q2 = StreamingIngest.startAnomalyMonitor(
+      spark, landing, ev.schema, "parquet", Map.empty,
+      "event_type", "ts", counts, verdictDir, ckpt,
+      windowDays = 7, thresholdE2 = 350, maxFilesPerTrigger = 1)
+    q2.awaitTermination(60000)
+    assert(verdicts == direct)
+  }
+
   test("streaming contracts gate: clean/quarantine split equals the batch tag; tags travel with quarantined rows") {
     import spark.implicits._
     import graft.operators.Contracts
