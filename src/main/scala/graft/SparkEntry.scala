@@ -2903,6 +2903,49 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // COW change feed with removals, oracle-gated: the q156 contract on
+    // the OTHER delete mode. A keyed COW table takes a merge (updates +
+    // inserts, partition rewrites), a predicate deleteRows (dir-level
+    // rewrite — removals used to be silent in the feed), and a
+    // dropPartitions TTL (pure metadata removal); changesSince emits the
+    // removed-not-relanded rows of every rewrite as labeled deletes, so
+    // the keyed mirror replay converges on COW exactly as on MOR.
+    "q168_cdc_mirror_cow" -> ((s, dir) => {
+      val wh = scratchPath("q168", dir) + "/mirror_cow"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema, Some("lang"),
+        graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      // keyed from the start: the initial load is a merge so merge.keys
+      // are recorded and the feed can diff rewrites by identity
+      table.merge(s, docs, Seq("doc_id"))
+      val snap0 = table.currentSnapshotId
+      // ordinal +1: COW merge — updates (%4=0 -> ' v2') + planted inserts
+      table.merge(s,
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .unionByName(docs.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + PlantOffset).as("doc_id"),
+              col("text"), col("lang"))), Seq("doc_id"))
+      // ordinal +2: predicate RTBF on COW — dir-level rewrite
+      table.deleteRows(s, col("doc_id") % 7 === 0)
+      // ordinal +3: TTL — drop the 'de' partition, metadata-only
+      table.dropPartitions(Seq("de"))
+      val mirror0 = table.read(s, asOf = Some(snap0))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_change_ordinal", lit(snap0))
+      val applied = Dedup.latestByKey(
+        mirror0.unionByName(table.changesSince(s, snap0))
+          .withColumn("__ord2",
+            expr("_change_ordinal * 2 + IF(_change_type = 'insert', 1, 0)")),
+        Seq("doc_id"), orderDesc = "__ord2")
+        .filter(col("_change_type") =!= "delete")
+      applied.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"))
+    }),
+
     // Catalog-SQL DML lifecycle, oracle-gated (round-10 VERDICT #6):
     // standalone UPDATE and DELETE FROM through spark.sql on BOTH delete
     // modes — the COW table takes stats-pruned dir rewrites, the MOR
@@ -4052,6 +4095,20 @@ object SparkEntry {
         |  SELECT doc_id, text || ' [rev]', lang FROM documents
         |  WHERE lang = 'de' AND doc_id % 3 = 0
         |) q""".stripMargin,
+
+    // the keyed COW mirror: merge upserts applied, predicate-deleted and
+    // TTL-dropped keys ABSENT (the feed carried their removals)
+    "q168_cdc_mirror_cow" ->
+      s"""SELECT doc_id, md5(text) AS text_md5, lang FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $PlantOffset AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 4 = 1
+        |) q
+        |WHERE doc_id % 7 <> 0 AND lang <> 'de'""".stripMargin,
 
     // both delete modes must land the identical relational answer
     "q157_sql_update_delete" ->

@@ -528,11 +528,18 @@ final class WarehouseTable(val root: String) {
     * tables through [[deleteWhereMor]], and the feed now carries those
     * erasures as labeled delete rows.
     *
-    * COW caveat (unchanged): a COW rewrite or [[compact]] re-emits its
-    * touched partitions as inserts and its removals are silent — run MOR
-    * when the feed must be tight. Cost: a metadata manifest-diff per
-    * window commit; data reads touch only fresh dirs and
-    * posdel-referenced files.
+    * COW removals ARE carried for KEYED tables (merge keys recorded): a
+    * commit that drops base dirs — rewriteRows' DELETE/UPDATE, a COW
+    * merge's partition rewrite, overwrite, dropPartitions — emits every
+    * removed-dir row whose key did not re-land in the same commit as a
+    * labeled delete, so COW predicate RTBF keeps mirrors convergent too.
+    * MAINTENANCE commits (delta/posdel folds — resolution-invariant) are
+    * skipped. Remaining caveat: KEYLESS COW tables only — a rewrite
+    * re-emits content and its removals stay silent (no identity to diff
+    * on). Cost: a metadata manifest-diff per window commit; data reads
+    * touch only fresh dirs, posdel-referenced files, and — for COW
+    * rewrite commits — the removed+re-landed dirs the rewrite itself
+    * already paid for.
     */
   def changesSince(
       spark: SparkSession,
@@ -548,6 +555,7 @@ final class WarehouseTable(val root: String) {
       (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)).toSet
     }
     var seenPos: Set[String] = readManifest(sinceSnapId).posDeletes.toSet
+    var prevM = readManifest(sinceSnapId)
     val frames = Seq.newBuilder[DataFrame]
     var id = sinceSnapId + 1
     while (id <= to) {
@@ -571,8 +579,53 @@ final class WarehouseTable(val root: String) {
         frames += erasedRows(spark, meta, newPos)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_change_ordinal", lit(id))
+      // COW removals: a commit that DROPS base dirs (rewriteRows, COW
+      // merge, overwrite, dropPartitions) deletes every removed-dir row
+      // whose key did not re-land in the same commit — emit those as
+      // labeled deletes so a keyed mirror stays convergent under COW
+      // predicate RTBF too, not just MOR's. Skipped for MAINTENANCE
+      // commits (delta folds / posdel folds: resolution-invariant by
+      // construction, and their removed tombstoned keys were already
+      // emitted when the tombstone landed) and for KEYLESS tables (no
+      // identity to diff on — the documented keyless caveat). Cost is
+      // O(removed + re-landed dirs of that commit) — the rewrite itself
+      // already paid that.
+      val prevAll = (prevM.base.values.flatten ++
+        prevM.deltas.flatMap(_.data.values.flatten)).toSet
+      val curAll = (m.base.values.flatten ++
+        m.deltas.flatMap(_.data.values.flatten)).toSet
+      val removed = prevAll -- curAll
+      val prevDelta = prevM.deltas.flatMap(_.data.values.flatten).toSet
+      val maintenance = removed.exists(prevDelta) ||
+        prevM.posDeletes.exists(p => !m.posDeletes.contains(p))
+      if (removed.nonEmpty && !maintenance)
+        mergeKeys(meta).foreach { keys =>
+          // rows already position-deleted before this commit were
+          // emitted as deletes when their sidecar landed — filter them
+          val withPos = prevM.posDeletes.nonEmpty
+          val removedRaw = readParts(spark, meta,
+              Map(NoPart -> removed.toList),
+              withTombstone = true, withFilePos = withPos)
+            .filter(!col(TombstoneCol)).drop(TombstoneCol)
+          val removedRows =
+            if (!withPos) removedRaw
+            else removedRaw.join(posDeleteFrame(spark, prevM),
+              Seq(PosFileCol, PosIdxCol), "left_anti")
+              .drop(PosFileCol, PosIdxCol)
+          val gone =
+            if (freshDirs.isEmpty) removedRows
+            else removedRows.join(
+              readParts(spark, meta, freshDirs, withTombstone = true)
+                .filter(!col(TombstoneCol))
+                .select(keys.map(col): _*),
+              keys, "left_anti")
+          frames += gone
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_ordinal", lit(id))
+        }
       seenDirs ++= m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)
       seenPos ++= m.posDeletes
+      prevM = m
       id += 1
     }
     frames.result() match {
@@ -1193,6 +1246,10 @@ final class WarehouseTable(val root: String) {
       alignSource: Boolean,
       srcPartsFn: (DataFrame, String) => Option[Set[String]],
       upsert: (DataFrame, DataFrame) => DataFrame): Unit = {
+    // COW merges record their keys too: inert for reads (arbitration
+    // only runs over deltas), but [[changesSince]] needs the identity to
+    // diff a rewrite commit's removed dirs against its re-landed rows
+    recordMergeKeys(meta, keys)
     // a COW merge over leftover deltas (table switched modes) folds first
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
     val cur = currentSnapshotId

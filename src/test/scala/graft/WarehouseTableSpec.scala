@@ -497,6 +497,60 @@ class WarehouseTableSpec extends SparkSpec {
     assert(delStates == Set("NY"))
   }
 
+  test("changesSince on COW: rewrite removals emit keyed deletes; folds and keyless tables stay silent") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("feed_cow"))
+    t.create(schema, Some("state"), WarehouseTable.tableProperties("COW", "snappy"))
+    t.merge(spark, df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "CA")), Seq("k"))
+    val s1 = t.currentSnapshotId
+    // COW merge: k=2 updated (partition rewrite) — no false deletes
+    t.merge(spark, df((2, "b2", "NY"), (4, "d", "WA")), Seq("k"))
+    // predicate delete: dir rewrite, k=1 removed
+    t.deleteRows(spark, col("k") === 1)
+    // TTL: the NY partition dropped wholesale (metadata-only removal)
+    t.dropPartitions(Seq("NY"))
+    val feed = t.changesSince(spark, s1).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Int]("k"),
+        r.getAs[Long]("_change_ordinal")))
+    val dels = feed.filter(_._1 == "delete").map(e => (e._2, e._3)).toSet
+    assert(dels == Set((1, s1 + 2), (2, s1 + 3)))
+    // no false delete for the updated key at the merge ordinal
+    assert(!feed.exists(e => e._1 == "delete" && e._3 == s1 + 1))
+    // mirror apply converges to the final view
+    val mirror0 = t.read(spark, asOf = Some(s1))
+      .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+      .withColumn("_change_ordinal", org.apache.spark.sql.functions.lit(s1))
+    val applied = graft.operators.Dedup.latestByKey(
+      mirror0.unionByName(t.changesSince(spark, s1))
+        .withColumn("__ord2", org.apache.spark.sql.functions.expr(
+          "_change_ordinal * 2 + IF(_change_type = 'insert', 1, 0)")),
+      Seq("k"), orderDesc = "__ord2")
+      .filter(col("_change_type") =!= "delete")
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(applied == t.read(spark).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet)
+    // a MOR delta fold is maintenance: resolution-invariant, so it may
+    // re-emit content as inserts (the documented superset) but must
+    // NEVER manufacture deletes out of the folded-away shadowed rows
+    val m = WarehouseTable(tmpDir("feed_fold"))
+    m.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy") +
+      ("compact.delta.threshold" -> "1000"))
+    m.merge(spark, df((1, "a", "CA")), Seq("k"))
+    m.merge(spark, df((1, "a2", "CA")), Seq("k"))
+    val preFold = m.currentSnapshotId
+    m.compact(spark)
+    assert(!m.changesSince(spark, preFold).collect()
+      .exists(_.getAs[String]("_change_type") == "delete"))
+    // keyless COW: removals stay silent (documented caveat), no throw
+    val u = WarehouseTable(tmpDir("feed_keyless"))
+    u.create(schema, None, WarehouseTable.tableProperties("COW", "snappy"))
+    u.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val us = u.currentSnapshotId
+    u.deleteRows(spark, col("k") === 1)
+    assert(!u.changesSince(spark, us).collect()
+      .exists(_.getAs[String]("_change_type") == "delete"))
+  }
+
   test("clusterBase: range-disjoint dirs make stats pruning selective; contents unchanged") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("clust"))
