@@ -595,9 +595,14 @@ final class WarehouseTable(val root: String) {
       val curAll = (m.base.values.flatten ++
         m.deltas.flatMap(_.data.values.flatten)).toSet
       val removed = prevAll -- curAll
+      // maintenance ⇔ the commit folded DELTA dirs away (compact):
+      // their tombstone-shadowed keys' deletes were already emitted when
+      // each tombstone landed, and the fold re-lands everything else —
+      // diffing would only re-manufacture those deletes. A posdel-ONLY
+      // fold needs no special case: the posdel filter below excludes the
+      // already-erased rows, so its diff is exactly empty.
       val prevDelta = prevM.deltas.flatMap(_.data.values.flatten).toSet
-      val maintenance = removed.exists(prevDelta) ||
-        prevM.posDeletes.exists(p => !m.posDeletes.contains(p))
+      val maintenance = removed.exists(prevDelta)
       if (removed.nonEmpty && !maintenance)
         mergeKeys(meta).foreach { keys =>
           // rows already position-deleted before this commit were
