@@ -3153,6 +3153,21 @@ object SparkEntry {
       graft.operators.GraphRank.edgeJaccard(edges, "src", "dst")
     }),
 
+    // K-CORE membership after 4 synchronous peel rounds (k=2) on the
+    // same link graph — the density filter before trusting link signals;
+    // fixed rounds make the fixpoint engine-replayable (q133's
+    // discipline), and the oracle unrolls the identical peels.
+    "q169_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        .unionByName(docs
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst")))
+      graft.operators.GraphRank.kCorePeel(
+        edges, "src", "dst", docs, "doc_id", k = 2, rounds = 4)
+        .select(col("node").as("doc_id"), col("in_core"), col("core_deg"))
+    }),
+
     // PARTITION-SPEC EVOLUTION lifecycle, oracle-gated: the table re-keys
     // from `lang` to `source` with ZERO data movement (Iceberg's REPLACE
     // PARTITION FIELD) — at 100 TB the layout change must not cost a
@@ -4196,6 +4211,43 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+
+    // the same 4 synchronous peels, unrolled; survivors keep their
+    // within-subgraph degree
+    "q169_kcore" -> {
+      val peels = (1 to 4).map { i =>
+        s"""a$i AS (
+           |  SELECT x AS node FROM sym
+           |  JOIN a${i - 1} ax ON ax.node = sym.x
+           |  JOIN a${i - 1} ay ON ay.node = sym.y
+           |  GROUP BY 1 HAVING count(*) >= 2
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+        |), und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst
+        |), sym AS (
+        |  SELECT u AS x, v AS y FROM und
+        |  UNION ALL
+        |  SELECT v AS x, u AS y FROM und
+        |), a0 AS (
+        |  SELECT doc_id AS node FROM documents
+        |), $peels, fd AS (
+        |  SELECT x, count(*) AS d FROM sym
+        |  JOIN a4 ax ON ax.node = sym.x
+        |  JOIN a4 ay ON ay.node = sym.y
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, (a4.node IS NOT NULL) AS in_core,
+        |  CAST(coalesce(fd.d, 0) AS BIGINT) AS core_deg
+        |FROM documents d
+        |LEFT JOIN a4 ON a4.node = d.doc_id
+        |LEFT JOIN fd ON fd.x = d.doc_id""".stripMargin
+    },
 
     // identical degree-ordered orientation: (deg, id)-min endpoint is
     // the wedge center, legs ordered by id, closure against the

@@ -218,6 +218,64 @@ object GraphRank {
           expr("(common * 10000) div union_size")).otherwise(lit(0L)))
   }
 
+  /** K-CORE membership after `rounds` SYNCHRONOUS peel rounds — the
+    * density filter graph curators run before trusting link signals
+    * (a k-core survivor has ≥ k neighbors that themselves survive:
+    * spam farms pointing at a page from throwaway nodes peel away).
+    * Each round drops every node whose degree WITHIN the surviving
+    * subgraph is < k; the fixed round count makes the fixpoint
+    * engine-replayable (the oracle unrolls the same rounds), exactly
+    * the [[pageRank]] discipline — on graphs where peeling converges
+    * within `rounds` this IS the k-core; otherwise it is the documented
+    * R-round peel, a superset of the core.
+    *
+    * Scale shape per round: two node-keyed LEFT SEMI joins (the alive
+    * set is node-sized) + one map-side-combinable degree count — no
+    * windows, no driver state; the alive frame is `localCheckpoint`ed
+    * per round to cut the iterative lineage.
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      nodeCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k=$k out of range")
+    require(rounds >= 1 && rounds <= 100, s"rounds=$rounds out of range")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // both directions once: degree(v) = rows with x = v
+    val sym = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint()
+    var alive = nodes.select(col(nodeCol).as("node"))
+    for (_ <- 1 to rounds) {
+      alive = sym
+        .join(alive.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+        .join(alive.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("x").as("node"))
+        .localCheckpoint()
+    }
+    // final degree within the surviving subgraph (0 for peeled nodes)
+    val finalDeg = sym
+      .join(alive.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+      .join(alive.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    nodes.select(col(nodeCol).as("node"))
+      .join(alive.withColumn("in_core", lit(true)), Seq("node"), "left")
+      .join(finalDeg.withColumnRenamed("x", "node"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("d"), lit(0L)).as("core_deg"))
+  }
+
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,

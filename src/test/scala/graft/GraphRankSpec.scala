@@ -109,6 +109,30 @@ class GraphRankSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("kCorePeel: cascade peels hand-checked; core survives; rounds bound the cascade depth") {
+    def kc(edges: Seq[(Long, Long)], nodes: Seq[Long], k: Int, rounds: Int) =
+      GraphRank.kCorePeel(
+        edges.toDF("src", "dst"), "src", "dst", nodes.toDF("node"), "node",
+        k, rounds)
+        .as[(Long, Boolean, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    // triangle {1,2,3} + chain 3-4-5: the chain peels in CASCADE (5 falls
+    // round 1, 4 only after 5 is gone), the triangle is the 2-core
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val n = (1L to 5L).toSeq
+    val full = kc(g, n, 2, 3)
+    assert(full(1L) == ((true, 2L)) && full(2L) == ((true, 2L)))
+    assert(full(3L) == ((true, 2L))) // degree WITHIN the core: 4 is gone
+    assert(full(4L) == ((false, 0L)) && full(5L) == ((false, 0L)))
+    // bounded rounds: after ONE round only 5 has peeled, 4 still stands
+    // (synchronous semantics — 4 counted 3 and 5 as neighbors that round)
+    val one = kc(g, n, 2, 1)
+    assert(one(5L)._1 == false && one(4L)._1 == true)
+    // k=1 drops only isolated nodes
+    val k1 = kc(g, n :+ 9L, 1, 2)
+    assert(k1(9L) == ((false, 0L)) && k1(5L)._1 == true)
+  }
+
   test("cycle conserves mass under exact arithmetic") {
     // 1->2->1: symmetric two-cycle; both nodes keep rank = base +
     // (prev*85)//100 and stay equal every iteration
