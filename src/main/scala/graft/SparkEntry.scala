@@ -3116,7 +3116,10 @@ object SparkEntry {
       table.append(docs.filter(col("doc_id") % 2 === 1))
       table.deleteRows(s, col("doc_id") % 11 === 0)
       table.rollback(snapA)
-      table.removeOrphanFiles()
+      // olderThanMs = 0: the gate IS the single-writer maintenance
+      // window (no concurrent committer can race it); production runs
+      // keep the default 3-day in-flight-commit grace
+      table.removeOrphanFiles(olderThanMs = 0)
       table.append(docs.filter(col("doc_id") % 2 === 1))
       table.read(s).withColumn("view", lit("final"))
         .unionByName(

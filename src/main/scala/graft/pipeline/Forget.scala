@@ -72,12 +72,13 @@ object Forget {
     *
     * Change-feed completeness: the MOR path's position deletes ARE
     * carried by [[graft.table.WarehouseTable.changesSince]] as labeled
-    * `delete` events (resolved from the sidecars), so a downstream CDC
-    * mirror replaying the feed drops the forgotten rows too — predicate
-    * RTBF does not silently diverge the mirror. The COW path's rewrite
-    * keeps the usual COW feed caveat (removals silent, rewritten dirs
-    * re-emitted as inserts): run MOR targets when mirrors must track
-    * deletions.
+    * `delete` events (resolved from the sidecars), and the COW path's
+    * rewrite removals are diffed per keyed commit and carried too — so a
+    * downstream CDC mirror replaying the feed drops the forgotten rows
+    * on BOTH delete modes. The only remaining caveat is a KEYLESS COW
+    * table (no row identity to diff a rewrite on); a mirror started with
+    * [[graft.streaming.StreamingIngest.startCdcMirror]] stamps its keys
+    * on the source, so mirrored tables are never keyless.
     */
   def forgetWhere(
       spark: SparkSession,

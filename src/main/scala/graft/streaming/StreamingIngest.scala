@@ -2058,10 +2058,15 @@ object StreamingIngest {
     *
     * Exactness: after draining, mirror ≡ the source's resolved view at
     * the applied snapshot, for any history of appends / MOR upserts /
-    * equality deletes / position deletes. (A COW source keeps the
-    * documented re-emit caveat — its rewrites arrive as inserts of the
-    * surviving rows and removals are silent; run a MOR source when the
-    * mirror must be tight.) Replay-safe: the applied-through cursor
+    * equality deletes / position deletes / KEYED COW rewrites (the feed
+    * diffs each rewrite commit's removals against its re-landed keys).
+    * The mirror cannot be started on a keyless source: `keys` is stamped
+    * onto the SOURCE table at start ([[graft.table.WarehouseTable
+    * .ensureMergeKeys]]) so a COW source that was never key-merged still
+    * gets its removals diffed — the silent-divergence hole a keyless COW
+    * source used to leave open. A source already keyed DIFFERENTLY
+    * refuses loudly (one table, one row identity). Replay-safe: the
+    * applied-through cursor
     * (`_cdc_applied` inside the mirror root) advances only AFTER the
     * window's merges commit; a crash between apply and checkpoint
     * replays a window whose keyed apply is idempotent — re-upserting
@@ -2085,20 +2090,52 @@ object StreamingIngest {
     if (!mirror.exists)
       mirror.create(source.read(spark).schema, source.partitionColumn,
         graft.table.WarehouseTable.tableProperties("MOR", "snappy"))
+    // stamp the mirror's keys as the SOURCE's row identity before the
+    // first trigger: the feed's COW-removal diff runs only on keyed
+    // tables, so a keyless COW source would silently drop removals from
+    // every window. Throws if the source is already keyed differently.
+    source.ensureMergeKeys(keys)
     val cursorPath = java.nio.file.Paths.get(mirror.root, "_cdc_applied")
+    // cursor = "<lineage>@<snapId>": snapshot ids are only monotone
+    // within one source lineage (a rollback reuses abandoned ids), so a
+    // persisted cursor from a pre-rollback timeline must FAIL LOUDLY
+    // instead of treating the new timeline as continuous. Legacy cursors
+    // without a lineage prefix resume only on a never-rolled-back source.
     def readCursor(): Long =
-      if (java.nio.file.Files.exists(cursorPath))
-        new String(java.nio.file.Files.readAllBytes(cursorPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      else 0L
+      if (!java.nio.file.Files.exists(cursorPath)) 0L
+      else {
+        val raw = new String(java.nio.file.Files.readAllBytes(cursorPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val (lin, id) = raw.split("@") match {
+          case Array(l, i) => (l, i.toLong)
+          case _ => ("root", raw.toLong)
+        }
+        val cur = source.lineageId
+        if (lin != cur)
+          throw new IllegalStateException(
+            s"CDC mirror at ${mirror.root} applied through snapshot $id of " +
+              s"source lineage $lin, but the source at ${source.root} is now " +
+              s"on lineage $cur (a rollback rewrote its timeline and snapshot " +
+              "ids were reused) — the mirror no longer corresponds to any " +
+              "source state. Drop the mirror table, its _cdc_applied cursor " +
+              "and the stream checkpoint, then restart to re-seed.")
+        id
+      }
     def writeCursor(v: Long): Unit = {
       val tmp = java.nio.file.Paths.get(mirror.root, "_cdc_applied.tmp")
       java.nio.file.Files.write(tmp,
-        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"${source.lineageId}@$v"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmp, cursorPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // the lineage check must run AT START, not only per batch: a
+    // post-rollback commit reuses a snapshot id, so its snap file PATH is
+    // one the stream checkpoint already saw — no trigger would ever fire
+    // to run the per-batch check, and the stalled mirror would silently
+    // stay on the abandoned timeline.
+    readCursor()
     val stream = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(s"${source.root}/snaps")
@@ -2152,7 +2189,14 @@ object StreamingIngest {
     * checkpoint-replayed batch is a per-key NO-OP and counts can never
     * double), then re-derives every verdict from the rollup with
     * [[graft.operators.EventAnalytics.anomaliesFromCounts]] and
-    * overwrites the verdict table. Re-deriving (not patching) is the
+    * overwrites the verdict table — a [[graft.table.WarehouseTable]] at
+    * `verdictDir`, NOT a bare parquet dir, because `mode("overwrite")`
+    * deletes-then-writes: an external reader (or a crash mid-write)
+    * would see an empty or partial verdict set until the next trigger.
+    * The warehouse overwrite lands a new snapshot and flips the pointer
+    * atomically, so readers always see one complete verdict generation
+    * (read it with `WarehouseTable(verdictDir).read`).
+    * Re-deriving (not patching) is the
     * point: a late event that lands in an OLD day shifts that day's count
     * and can flip verdicts in every window containing it — incremental
     * verdict patching would have to track exactly that dependency set,
@@ -2195,10 +2239,15 @@ object StreamingIngest {
         graft.operators.IncrementalRollup.commit(
           spark, arrivals, Seq(typeCol, "day"), Map("n" -> "sum"),
           countsTable, batchId)
-        graft.operators.EventAnalytics.anomaliesFromCounts(
-            graft.operators.IncrementalRollup.read(spark, countsTable),
-            typeCol, "day", "n", windowDays, thresholdE2)
-          .write.mode("overwrite").parquet(verdictDir)
+        val verdicts = graft.operators.EventAnalytics.anomaliesFromCounts(
+          graft.operators.IncrementalRollup.read(spark, countsTable),
+          typeCol, "day", "n", windowDays, thresholdE2)
+        val vt = graft.table.WarehouseTable(verdictDir)
+        if (!vt.exists)
+          vt.create(verdicts.schema,
+            properties = graft.table.WarehouseTable
+              .tableProperties("COW", "snappy"))
+        vt.overwrite(verdicts)
         ()
       }
       .start()

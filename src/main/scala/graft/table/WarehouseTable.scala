@@ -253,7 +253,8 @@ final class WarehouseTable(val root: String) {
     * commits (fragments carry uuid names and cannot collide).
     */
   private def writeSnapshot(
-      id: Long, m: Manifest, prevId: Option[Long], createNew: Boolean): Unit = {
+      id: Long, m: Manifest, prevId: Option[Long], createNew: Boolean,
+      kind: String = "data"): Unit = {
     val prevPaths = prevId.map(snapFragmentPaths).getOrElse(Map.empty)
     val prev = prevId
       .filter(_ => prevPaths.nonEmpty)
@@ -298,6 +299,14 @@ final class WarehouseTable(val root: String) {
     val snap = JObject(
       ("parts" -> (JObject(parts.toList): JValue)) ::
       ("ts" -> (JLong(System.currentTimeMillis()): JValue)) :: // commit time, for AS OF
+      // commit kind, stamped by the WRITER: "maintenance" marks
+      // resolution-invariant rewrites (delta/posdel folds, compaction,
+      // re-clustering, spec migration) whose removed dirs' live rows all
+      // re-land in the same commit — [[changesSince]] skips their removal
+      // diff EXACTLY (the old delta-dir heuristic misclassified a
+      // dropPartitions that swept MOR deltas as maintenance, silently
+      // dropping its deletes from the feed). "data" is everything else.
+      ("kind" -> (JString(kind): JValue)) ::
       ("deltas" -> (JArray(m.deltas.map(d => JObject(
         "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))): JValue)) ::
       ("posdel" -> (JArray(m.posDeletes.map(JString(_))): JValue)) ::
@@ -316,8 +325,18 @@ final class WarehouseTable(val root: String) {
     writeSnapshot(id, m, None, createNew = false)
 
   /** CREATE_NEW write — fails if a racing commit already claimed this id. */
-  private def writeManifestNew(id: Long, m: Manifest): Unit =
-    writeSnapshot(id, m, Some(id - 1), createNew = true)
+  private def writeManifestNew(id: Long, m: Manifest, kind: String): Unit =
+    writeSnapshot(id, m, Some(id - 1), createNew = true, kind)
+
+  /** A snapshot's writer-stamped commit kind (None for snapshots written
+    * before the field existed — readers fall back to the legacy
+    * delta-removal heuristic for those).
+    */
+  private def snapKind(id: Long): Option[String] =
+    JsonMethods.parse(readString(snapPath(id))) \ "kind" match {
+      case JString(k) => Some(k)
+      case _ => None
+    }
 
   private def atomicWriteCurrent(id: Long): Unit = {
     val tmp = rootPath.resolve(s"_current.tmp.${UUID.randomUUID()}")
@@ -529,14 +548,17 @@ final class WarehouseTable(val root: String) {
     * erasures as labeled delete rows.
     *
     * COW removals ARE carried for KEYED tables (merge keys recorded): a
-    * commit that drops base dirs — rewriteRows' DELETE/UPDATE, a COW
-    * merge's partition rewrite, overwrite, dropPartitions — emits every
+    * commit that drops dirs — rewriteRows' DELETE/UPDATE, a COW merge's
+    * partition rewrite, overwrite, dropPartitions (including a MOR
+    * partition's delta slices, arbitrated before diffing) — emits every
     * removed-dir row whose key did not re-land in the same commit as a
     * labeled delete, so COW predicate RTBF keeps mirrors convergent too.
-    * MAINTENANCE commits (delta/posdel folds — resolution-invariant) are
-    * skipped. Remaining caveat: KEYLESS COW tables only — a rewrite
-    * re-emits content and its removals stay silent (no identity to diff
-    * on). Cost: a metadata manifest-diff per window commit; data reads
+    * MAINTENANCE commits (writer-stamped: delta/posdel folds, compaction,
+    * re-clustering, spec migration — all resolution-invariant) are
+    * skipped exactly. Remaining caveat: KEYLESS COW tables only — a
+    * rewrite re-emits content and its removals stay silent (no identity
+    * to diff on); [[ensureMergeKeys]] closes this for CDC consumers.
+    * Cost: a metadata manifest-diff per window commit; data reads
     * touch only fresh dirs, posdel-referenced files, and — for COW
     * rewrite commits — the removed+re-landed dirs the rewrite itself
     * already paid for.
@@ -579,13 +601,13 @@ final class WarehouseTable(val root: String) {
         frames += erasedRows(spark, meta, newPos)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_change_ordinal", lit(id))
-      // COW removals: a commit that DROPS base dirs (rewriteRows, COW
-      // merge, overwrite, dropPartitions) deletes every removed-dir row
-      // whose key did not re-land in the same commit — emit those as
-      // labeled deletes so a keyed mirror stays convergent under COW
-      // predicate RTBF too, not just MOR's. Skipped for MAINTENANCE
-      // commits (delta folds / posdel folds: resolution-invariant by
-      // construction, and their removed tombstoned keys were already
+      // COW removals: a commit that DROPS dirs (rewriteRows, COW merge,
+      // overwrite, dropPartitions) deletes every removed-dir row whose
+      // key did not re-land in the same commit — emit those as labeled
+      // deletes so a keyed mirror stays convergent under COW predicate
+      // RTBF too, not just MOR's. Skipped for MAINTENANCE commits (delta
+      // / posdel folds, compaction, re-clustering: resolution-invariant
+      // by construction, and their removed tombstoned keys were already
       // emitted when the tombstone landed) and for KEYLESS tables (no
       // identity to diff on — the documented keyless caveat). Cost is
       // O(removed + re-landed dirs of that commit) — the rewrite itself
@@ -595,25 +617,52 @@ final class WarehouseTable(val root: String) {
       val curAll = (m.base.values.flatten ++
         m.deltas.flatMap(_.data.values.flatten)).toSet
       val removed = prevAll -- curAll
-      // maintenance ⇔ the commit folded DELTA dirs away (compact):
-      // their tombstone-shadowed keys' deletes were already emitted when
-      // each tombstone landed, and the fold re-lands everything else —
-      // diffing would only re-manufacture those deletes. A posdel-ONLY
-      // fold needs no special case: the posdel filter below excludes the
-      // already-erased rows, so its diff is exactly empty.
-      val prevDelta = prevM.deltas.flatMap(_.data.values.flatten).toSet
-      val maintenance = removed.exists(prevDelta)
+      // maintenance is the WRITER's explicit stamp (snapKind) — a
+      // heuristic can't tell a compact (delta dirs fold away, rows
+      // re-land) from a dropPartitions that sweeps a partition's delta
+      // dirs (rows are GONE and must be emitted). Legacy snapshots
+      // without the stamp fall back to the old delta-removal heuristic.
+      val maintenance = snapKind(id) match {
+        case Some(k) => k == "maintenance"
+        case None =>
+          val prevDelta = prevM.deltas.flatMap(_.data.values.flatten).toSet
+          removed.exists(prevDelta)
+      }
       if (removed.nonEmpty && !maintenance)
         mergeKeys(meta).foreach { keys =>
+          // removed dirs may span MOR generations (dropPartitions on a
+          // MOR table removes a partition's base AND delta slices;
+          // overwrite drops deltas too) — arbitrate among the removed
+          // dirs first exactly like a read would: newest delta sequence
+          // per key wins, (file, pos) desc breaks equal-seq ties, and a
+          // winning tombstone means the key's delete was already emitted
+          // when the tombstone landed. A pure-COW removal (base dirs
+          // only) skips the arbitration entirely.
+          val withPos = prevM.posDeletes.nonEmpty
+          val removedBase = prevM.base.values.flatten.filter(removed).toList
+          val removedDeltas = prevM.deltas
+            .map(d => d.seq -> d.data.values.flatten.filter(removed).toList)
+            .filter(_._2.nonEmpty)
+          val needArb = removedDeltas.nonEmpty
+          val usePos = withPos || needArb
+          def gen(dirs: List[String], seq: Long): DataFrame =
+            readParts(spark, meta, Map(NoPart -> dirs),
+              withTombstone = true, withFilePos = usePos)
+              .withColumn("__seq", lit(seq))
+          val gens =
+            (if (removedBase.nonEmpty) List(gen(removedBase, 0L)) else Nil) ++
+              removedDeltas.map { case (seq, dirs) => gen(dirs, seq) }
+          val unioned = gens.reduce(_ unionByName _)
+          val arbitrated =
+            if (!needArb) unioned
+            else Dedup.latestByKey(unioned, keys, orderDesc = "__seq",
+              tiebreakDesc = Seq(PosFileCol, PosIdxCol))
+          val removedRaw = arbitrated
+            .filter(!col(TombstoneCol)).drop(TombstoneCol, "__seq")
           // rows already position-deleted before this commit were
           // emitted as deletes when their sidecar landed — filter them
-          val withPos = prevM.posDeletes.nonEmpty
-          val removedRaw = readParts(spark, meta,
-              Map(NoPart -> removed.toList),
-              withTombstone = true, withFilePos = withPos)
-            .filter(!col(TombstoneCol)).drop(TombstoneCol)
           val removedRows =
-            if (!withPos) removedRaw
+            if (!withPos) removedRaw.drop(PosFileCol, PosIdxCol)
             else removedRaw.join(posDeleteFrame(spark, prevM),
               Seq(PosFileCol, PosIdxCol), "left_anti")
               .drop(PosFileCol, PosIdxCol)
@@ -846,11 +895,39 @@ final class WarehouseTable(val root: String) {
   private def mergeKeys(meta: Meta): Option[Seq[String]] =
     meta.properties.get("merge.keys").filter(_.nonEmpty).map(_.split(",").toSeq)
 
+  /** The recorded merge-key set, if any (the `merge.keys` property). */
+  def recordedMergeKeys: Option[Seq[String]] = mergeKeys(readMeta())
+
+  /** Stamp `keys` as the table's row identity WITHOUT merging — what a
+    * CDC consumer calls on a COW source before tailing its change feed:
+    * [[changesSince]] can only diff a rewrite commit's removals against
+    * its re-landed rows when it knows the key columns, and a mirror that
+    * tailed a keyless COW table would silently drop every removal.
+    *
+    * SINGLE-KEYSET INVARIANT (a spec'd table contract, not an accident):
+    * one table has ONE row identity for its whole history. Every keyed
+    * operation — MOR merges, equality deletes, COW merges, this call —
+    * must use the same key set; a different set throws with both sets
+    * named. The feed diffs EVERY commit in a window with the one recorded
+    * set, so per-commit key history would make older windows' deletes
+    * depend on which keyset was live at each commit — a table whose
+    * identity changed mid-history should be re-created, not re-keyed.
+    */
+  def ensureMergeKeys(keys: Seq[String]): Unit = {
+    val meta = readMeta()
+    val missing = keys.filterNot(meta.schema.fieldNames.contains)
+    require(keys.nonEmpty && missing.isEmpty,
+      s"merge keys must be non-empty schema columns; unknown: ${missing.mkString(", ")}")
+    recordMergeKeys(meta, keys)
+  }
+
   private def recordMergeKeys(meta: Meta, keys: Seq[String]): Unit = {
     mergeKeys(meta) match {
       case Some(existing) =>
         require(existing == keys,
-          s"MOR merge keys mismatch: table has $existing, merge used $keys")
+          s"merge keys mismatch: table identity is $existing, this operation " +
+            s"used $keys — one table has one row identity for its whole " +
+            "history (re-create the table to change it)")
       case None =>
         val props = meta.properties + ("merge.keys" -> keys.mkString(","))
         val j = JObject(
@@ -1345,7 +1422,7 @@ final class WarehouseTable(val root: String) {
     if (m.deltas.nonEmpty || m.posDeletes.nonEmpty) {
       val full = read(spark)
       val (entries, stats) = writeDataDir(full, meta)
-      commit(cur, Manifest(entries, Nil, stats))
+      commit(cur, Manifest(entries, Nil, stats), maintenance = true)
     }
   }
 
@@ -1372,7 +1449,7 @@ final class WarehouseTable(val root: String) {
       val (rewritten, stats) = writeDataDir(slice, meta)
       val untouched = old.base.view.filterKeys(k => !crowded.contains(k)).toMap
       commit(cur, Manifest(untouched ++ rewritten, Nil, old.stats ++ stats,
-        old.posDeletes).pruneStats)
+        old.posDeletes).pruneStats, maintenance = true)
     }
   }
 
@@ -1778,7 +1855,8 @@ final class WarehouseTable(val root: String) {
       slice: DataFrame,
       bucket: Column): Unit = {
     val (entries, stats) = writeBucketedDirs(meta, slice, bucket)
-    commit(parent, Manifest(entries, Nil, stats).pruneStats)
+    // re-clustering re-lands every live row — resolution-invariant
+    commit(parent, Manifest(entries, Nil, stats).pruneStats, maintenance = true)
   }
 
   /** DELETE FROM: remove rows matching `cond`. Dir-level surgery, not a
@@ -2069,8 +2147,27 @@ final class WarehouseTable(val root: String) {
         s"snapshot $snapId does not exist (expired or never created)")
       atomicWriteCurrent(snapId)
       ((snapId + 1) to cur).foreach(i => Files.deleteIfExists(snapPath(i)))
+      // the abandoned ids become reclaimable, so post-rollback commits
+      // REUSE them — a persisted incremental cursor (a CDC mirror's
+      // applied-through marker) would silently treat the new timeline as
+      // continuous with the old one. Bumping the lineage id makes every
+      // such cursor fail LOUDLY instead (the Iceberg random-snapshot-id
+      // argument, paid once per rollback instead of per commit).
+      writeString(lineagePath, UUID.randomUUID().toString)
     }
   }
+
+  private def lineagePath: Path = rootPath.resolve("_lineage")
+
+  /** Identifies the table's commit TIMELINE: constant ("root") until the
+    * first [[rollback]], then a fresh uuid per rollback. Snapshot ids are
+    * only monotone WITHIN one lineage — any consumer that persists a
+    * snapshot-id cursor across process restarts must persist the lineage
+    * beside it and refuse to resume on a mismatch (see
+    * [[graft.streaming.StreamingIngest.startCdcMirror]]).
+    */
+  def lineageId: String =
+    if (Files.exists(lineagePath)) readString(lineagePath).trim else "root"
 
   /** Prior partition specs, oldest first (empty segment = unpartitioned);
     * the CURRENT spec is `Meta.partition` and is not listed here. Empty
@@ -2149,7 +2246,7 @@ final class WarehouseTable(val root: String) {
         !allDirs.forall(dirUnderSpec(meta.partition))) {
       val full = read(spark)
       val (entries, stats) = writeDataDir(full, meta)
-      commit(cur, Manifest(entries, Nil, stats))
+      commit(cur, Manifest(entries, Nil, stats), maintenance = true)
     }
   }
 
@@ -2163,8 +2260,19 @@ final class WarehouseTable(val root: String) {
     * when something expires. Metadata-bounded: one manifest walk over all
     * live snapshots builds the live set, one directory listing diffs it;
     * no data is read. Returns the number of dirs/files removed.
+    *
+    * `olderThanMs` is the SAFETY WINDOW (Iceberg's `older_than`, default
+    * 3 days there and here): an unreferenced path YOUNGER than the cutoff
+    * is indistinguishable from a commit in flight — dirs written by
+    * [[writeDataDir]] whose CREATE_NEW snapshot hasn't landed yet — so GC
+    * racing a live writer would delete its data. Only paths last modified
+    * more than `olderThanMs` ago are eligible; pass 0 ONLY when no writer
+    * can be active (single-writer maintenance windows, tests).
     */
-  def removeOrphanFiles(): Int = {
+  def removeOrphanFiles(olderThanMs: Long = 3L * 24 * 3600 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     import scala.jdk.CollectionConverters._
     val snapDir = rootPath.resolve("snaps")
     val ids = {
@@ -2190,6 +2298,7 @@ final class WarehouseTable(val root: String) {
         val dead =
           try l.iterator().asScala.toList
             .filterNot(p => live.contains(s"$sub/${p.getFileName}"))
+            .filter(oldEnough)
           finally l.close()
         dead.foreach { p =>
           val walk = Files.walk(p)
@@ -2206,6 +2315,7 @@ final class WarehouseTable(val root: String) {
       val l = Files.list(mfDir)
       try l.iterator().asScala.toList
         .filterNot(p => liveFragments.contains(s"manifests/${p.getFileName}"))
+        .filter(oldEnough)
         .foreach { p => Files.deleteIfExists(p); removed += 1 }
       finally l.close()
     }
@@ -2377,13 +2487,15 @@ final class WarehouseTable(val root: String) {
     * still the supported mode; this turns races into errors, not data
     * loss).
     */
-  private def commit(expectedCurrent: Long, manifest: Manifest): Unit = {
+  private def commit(
+      expectedCurrent: Long, manifest: Manifest,
+      maintenance: Boolean = false): Unit = {
     val actual = currentSnapshotId
     if (actual != expectedCurrent)
       throw new java.util.ConcurrentModificationException(
         s"snapshot advanced from $expectedCurrent to $actual during write; retry")
     val next = expectedCurrent + 1
-    writeManifestNew(next, manifest)
+    writeManifestNew(next, manifest, if (maintenance) "maintenance" else "data")
     atomicWriteCurrent(next)
   }
 

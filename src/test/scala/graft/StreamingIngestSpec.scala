@@ -1254,7 +1254,7 @@ class StreamingIngestSpec extends SparkSpec {
       windowDays = 7, thresholdE2 = 350, maxFilesPerTrigger = 1)
     q.awaitTermination(120000)
     def verdicts: Map[(String, Long), (Long, Long, Long, Boolean)] =
-      spark.read.parquet(verdictDir)
+      graft.table.WarehouseTable(verdictDir).read(spark)
         .as[(String, Long, Long, Long, Long, Boolean)].collect()
         .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
     // stream verdicts ≡ the batch detector over everything landed
@@ -2221,9 +2221,10 @@ class StreamingIngestSpec extends SparkSpec {
     assert(view(mirror) == Set((1L, "a2", "en"), (3L, "c", "en"),
       (4L, "d2", "en"), (6L, "f", "fr")))
     assert(view(mirror) == view(src))
-    val cursor1 = new String(Files.readAllBytes(
-      Paths.get(mirRoot, "_cdc_applied")), StandardCharsets.UTF_8).trim.toLong
-    assert(cursor1 == src.currentSnapshotId)
+    val cursorRaw = new String(Files.readAllBytes(
+      Paths.get(mirRoot, "_cdc_applied")), StandardCharsets.UTF_8).trim
+    // cursor carries the source lineage beside the applied snapshot id
+    assert(cursorRaw == s"${src.lineageId}@${src.currentSnapshotId}")
     // drained restart with no new commits: nothing to apply, cursor holds
     run()
     assert(view(mirror) == view(src))
@@ -2235,5 +2236,75 @@ class StreamingIngestSpec extends SparkSpec {
     assert(view(mirror) == view(src))
     assert(view(mirror) == Set((1L, "a2", "en"), (4L, "d2", "en"),
       (7L, "g", "en")))
+  }
+
+  test("CDC mirror on a keyless COW source: keys stamped at start, rewrite removals converge the mirror") {
+    import spark.implicits._
+    val src = WarehouseTable(tmpDir("cdck_src") + "/t")
+    val mirror = WarehouseTable(tmpDir("cdck_mir") + "/t")
+    val ckpt = tmpDir("cdck_ckpt")
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // a plain COW landing table that was NEVER key-merged — the shape
+    // that used to silently drop removals from any mirror
+    src.create(docs().schema, None,
+      WarehouseTable.tableProperties("COW", "snappy"))
+    src.append(docs((1L, "a"), (2L, "b"), (3L, "c")))
+    def run(): Unit = {
+      val q = StreamingIngest.startCdcMirror(
+        spark, src, mirror, Seq("doc_id"), ckpt)
+      q.awaitTermination(180000)
+      ()
+    }
+    run()
+    // the mirror start stamped the row identity onto the SOURCE
+    assert(src.recordedMergeKeys.contains(Seq("doc_id")))
+    def view(t: WarehouseTable): Set[(Long, String)] =
+      t.read(spark).select("doc_id", "text")
+        .as[(Long, String)].collect().toSet
+    assert(view(mirror) == view(src))
+    // COW predicate RTBF: a dir rewrite removes doc 2 — the feed must
+    // carry it and the restarted mirror must drop it too
+    assert(src.deleteRows(spark, col("doc_id") === 2L) == 1L)
+    src.append(docs((4L, "d")))
+    run()
+    assert(view(mirror) == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    assert(view(mirror) == view(src))
+    // a source already keyed DIFFERENTLY refuses at start (one table,
+    // one row identity — never a silently mis-keyed mirror)
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.startCdcMirror(
+        spark, src, mirror, Seq("text"), tmpDir("cdck_ckpt2"))
+    }
+    assert(err.getMessage.contains("identity"))
+  }
+
+  test("CDC mirror refuses a cursor from a pre-rollback source lineage instead of silently diverging") {
+    import spark.implicits._
+    val src = WarehouseTable(tmpDir("cdcl_src") + "/t")
+    val mirror = WarehouseTable(tmpDir("cdcl_mir") + "/t")
+    val ckpt = tmpDir("cdcl_ckpt")
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    src.create(docs().schema, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    src.append(docs((1L, "a")))
+    val s1 = src.currentSnapshotId
+    src.merge(spark, docs((2L, "b")), Seq("doc_id"))
+    val q = StreamingIngest.startCdcMirror(
+      spark, src, mirror, Seq("doc_id"), ckpt)
+    q.awaitTermination(180000)
+    assert(mirror.read(spark).count() == 2)
+    // the source's timeline is rewritten: rollback reclaims snapshot ids,
+    // so the mirror's applied-through cursor points into a DELETED
+    // history — new commits reuse the same ids with different content
+    src.rollback(s1)
+    src.merge(spark, docs((3L, "c")), Seq("doc_id"))
+    // the reused snap path would never re-fire the file source, so the
+    // refusal must come AT START — before any trigger could (not) run
+    val err = intercept[IllegalStateException] {
+      StreamingIngest.startCdcMirror(
+        spark, src, mirror, Seq("doc_id"), ckpt)
+    }
+    assert(err.getMessage.contains("lineage"))
   }
 }

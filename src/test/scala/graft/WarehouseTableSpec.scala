@@ -443,20 +443,27 @@ class WarehouseTableSpec extends SparkSpec {
       finally l.close()
     }
     // a healthy table GCs nothing
-    assert(t.removeOrphanFiles() == 0)
+    assert(t.removeOrphanFiles(olderThanMs = 0) == 0)
     val liveBefore = dataRoots
     // abandoned timeline: two commits, then rollback -> their dirs orphan
     t.append(df((3, "c", "TX")))
     t.append(df((4, "d", "WA")))
     assert(dataRoots.size == liveBefore.size + 2)
+    val s1Lineage = t.lineageId
     t.rollback(s1)
-    assert(t.removeOrphanFiles() > 0)
-    assert(dataRoots == liveBefore) // debris gone, live dirs untouched
+    assert(t.lineageId != s1Lineage) // rollback rewrote the timeline
+    // the DEFAULT grace window shields freshly-written unreferenced paths
+    // (indistinguishable from a commit in flight) — nothing is deleted
+    assert(t.removeOrphanFiles() == 0)
+    assert(dataRoots.size == liveBefore.size + 2)
+    // explicit no-writer window: debris goes, live dirs untouched
+    assert(t.removeOrphanFiles(olderThanMs = 0) > 0)
+    assert(dataRoots == liveBefore)
     assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 2))
     // the table keeps working after GC (ids reclaimed, reads exact)
     t.append(df((5, "e", "OR")))
     assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 2, 5))
-    assert(t.removeOrphanFiles() == 0)
+    assert(t.removeOrphanFiles(olderThanMs = 0) == 0)
   }
 
   test("changesSince carries position-delete erasures; ordinal-ordered mirror apply converges") {
@@ -548,6 +555,52 @@ class WarehouseTableSpec extends SparkSpec {
     val us = u.currentSnapshotId
     u.deleteRows(spark, col("k") === 1)
     assert(!u.changesSince(spark, us).collect()
+      .exists(_.getAs[String]("_change_type") == "delete"))
+    // ...until a row identity is stamped (what startCdcMirror does at
+    // start): the SAME window re-read now diffs the rewrite commit and
+    // the removal flows — no mirrored table can stay keyless
+    u.ensureMergeKeys(Seq("k"))
+    val lateDels = u.changesSince(spark, us).collect()
+      .filter(_.getAs[String]("_change_type") == "delete")
+      .map(_.getAs[Int]("k")).toSet
+    assert(lateDels == Set(1))
+    // stamping a DIFFERENT identity afterwards refuses
+    intercept[IllegalArgumentException](u.ensureMergeKeys(Seq("v")))
+    intercept[IllegalArgumentException](u.ensureMergeKeys(Seq("nope")))
+  }
+
+  test("changesSince: dropPartitions sweeping MOR deltas feeds arbitrated deletes; compact stays maintenance") {
+    import org.apache.spark.sql.functions.col
+    // deltas never fold (threshold 0): the dropped partition's live rows
+    // exist ONLY in delta dirs — the exact shape the old delta-removal
+    // heuristic misclassified as maintenance, silently dropping deletes
+    val t = WarehouseTable(tmpDir("feed_dropmor"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.merge(spark, df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "NY")), Seq("k"))
+    t.merge(spark, df((2, "b2", "NY")), Seq("k")) // stale generation for k=2
+    val s0 = t.currentSnapshotId
+    // equality-tombstone k=3: its delete is emitted AT THIS ordinal
+    t.merge(spark, df((3, "DEAD", "NY")), Seq("k"),
+      deleteWhere = Some(col("v") === "DEAD"))
+    val sTomb = t.currentSnapshotId
+    assert(t.dropPartitions(Seq("NY")) == 1)
+    val sDrop = t.currentSnapshotId
+    val feed = t.changesSince(spark, s0).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Int]("k"),
+        r.getAs[String]("v"), r.getAs[Long]("_change_ordinal")))
+    val dels = feed.filter(_._1 == "delete")
+    // k=3's delete came from the tombstone commit, NOT the drop; k=2's
+    // delete comes from the drop, exactly once, carrying the LATEST
+    // arbitrated version (b2) — the stale (k=2, b) generation never leaks
+    assert(dels.map(d => (d._2, d._4)).toSet == Set((3, sTomb), (2, sDrop)))
+    assert(dels.filter(_._2 == 2).map(_._3).toSeq == Seq("b2"))
+    // untouched-partition key never appears as a delete
+    assert(!dels.exists(_._2 == 1))
+    // a real fold on the surviving data is maintenance: no deletes
+    t.compact(spark)
+    assert(!t.changesSince(spark, sDrop).collect()
       .exists(_.getAs[String]("_change_type") == "delete"))
   }
 
