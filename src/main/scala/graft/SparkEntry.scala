@@ -99,10 +99,21 @@ object SparkEntry {
       .select(col("vec_id").as("id"), col("embedding").as("vec"),
         col("label").as("bucket"))
 
+  /** Every PQ fit trains on a bounded deterministic sample of the corpus
+    * ([[graft.operators.ProductQuantizer.trainSample]], `id % p == 0`
+    * with `p = ceil(n/256)`) — the index BUILD stays linear while the
+    * codebook quality is sample-stable; the oracle replays the identical
+    * rule from the same corpus count. 256 bites already at sf0.01
+    * (n=490 → p=2), so the correctness gate exercises the sampled path.
+    */
+  private val PqTrainCap = 256L
+
   private def q77Cb(s: SparkSession, dir: String): graft.operators.ProductQuantizer.Codebooks =
     pqCbCache.computeIfAbsent(dir, _ =>
       graft.operators.ProductQuantizer.fit(
-        q77Corpus(s, dir), "id", "vec", dim = 64, m = 4, k = 8, iters = 2))
+        graft.operators.ProductQuantizer.trainSample(
+          q77Corpus(s, dir), "id", PqTrainCap),
+        "id", "vec", dim = 64, m = 4, k = 8, iters = 2))
 
   private def q77Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q77", dir)
@@ -115,18 +126,34 @@ object SparkEntry {
     table
   }
 
+  /** The q69 corpus's pHashes, decoded ONCE per (JVM, sfDir) and persisted
+    * as a tiny (id, phash) parquet: q82's index build consumes hashes, not
+    * images — re-decoding the corpus a second time made that build 32×
+    * per 10× data (each downstream action re-ran the lazy decode), while
+    * the hash frame is 16 bytes/image and reads back for free. q69's own
+    * TIMED query still decodes live: the decode IS that operator.
+    */
+  private def q69Hashes(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q69h", dir)
+    if (atRestBuilt.add(path)) {
+      graft.operators.Multimodal.imagePHashes(q69Images(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** q82's at-rest image-hash index: pHashes of the ORIGINAL images
     * (everything below [[PlantOffset]] in the q69 fixture corpus),
-    * pigeonhole-block-partitioned. Build-once per (JVM, sfDir).
+    * pigeonhole-block-partitioned. Build-once per (JVM, sfDir), from the
+    * [[q69Hashes]] frame — no second image decode.
     */
   private def q82Index(s: SparkSession, dir: String): graft.table.WarehouseTable = {
     val wh = scratchPath("q82", dir)
     val table = graft.table.WarehouseTable(wh)
     if (atRestBuilt.add(wh)) {
       table.drop()
-      val corpus = q69Images(s, dir).filter(_.id < PlantOffset)
       graft.operators.Multimodal.phashIndexAtRest(
-        graft.operators.Multimodal.imagePHashes(corpus), table)
+        q69Hashes(s, dir).filter(col("id") < PlantOffset), table)
     }
     table
   }
@@ -1692,7 +1719,8 @@ object SparkEntry {
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cb = graft.operators.ProductQuantizer.fit(
-        corpus, "id", "vec", dim = 64, m = 4, k = 8, iters = 2)
+        graft.operators.ProductQuantizer.trainSample(corpus, "id", PqTrainCap),
+        "id", "vec", dim = 64, m = 4, k = 8, iters = 2)
       val codes = graft.operators.ProductQuantizer.encode(corpus, "id", "vec", cb)
       graft.operators.ProductQuantizer.adcTopK(qs, codes, cb, k = 5)
     }),
@@ -2946,6 +2974,54 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // CHANGE FEED ACROSS AN ALTER RENAME, consumed by the REAL stage-40
+    // mirror (round-11 VERDICT #8): commits 1-2 write files under the
+    // physical name 'lang', the column is renamed to 'language'
+    // (metadata-only), commits 3-4 (a merge and a predicate deleteRows
+    // whose removal diff re-reads PRE-rename dirs) land under the new
+    // name. startCdcMirror then drains the whole history commit-by-
+    // commit: every feed window reads old-epoch files through the
+    // prior-name coalesce, and the mirror must converge on the CURRENT
+    // logical names. The oracle recomputes the final state relationally
+    // on the renamed view.
+    "q170_cdc_rename_window" -> ((s, dir) => {
+      val base = scratchPath("q170", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      val mirror = graft.table.WarehouseTable(base + "/mirror")
+      src.drop(); mirror.drop()
+      val ckpt = java.nio.file.Paths.get(base, "ckpt")
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+        } finally walk.close()
+      }
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      src.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      // commits 1-2: pre-rename epoch (files carry physical 'lang')
+      src.merge(s, docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
+      src.merge(s,
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2"))),
+        Seq("doc_id"))
+      src.renameColumn("lang", "language") // metadata-only, inside the window
+      // commits 3-4: post-rename epoch — the deleteRows removal diff
+      // re-reads commit-1 dirs (old physical name) through the coalesce
+      src.merge(s,
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumnRenamed("lang", "language"), Seq("doc_id"))
+      src.deleteRows(s, col("doc_id") % 7 === 0)
+      val q = graft.streaming.StreamingIngest.startCdcMirror(
+        s, src, mirror, Seq("doc_id"), ckpt.toString)
+      q.awaitTermination(600000)
+      mirror.read(s).select(col("doc_id"),
+        md5(col("text")).as("text_md5"), col("language"))
+    }),
+
     // Catalog-SQL DML lifecycle, oracle-gated (round-10 VERDICT #6):
     // standalone UPDATE and DELETE FROM through spark.sql on BOTH delete
     // modes — the COW table takes stats-pruned dir rewrites, the MOR
@@ -4127,6 +4203,18 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 4 = 1
         |) q
         |WHERE doc_id % 7 <> 0 AND lang <> 'de'""".stripMargin,
+
+    // the mirror's view on the renamed logical names: merge upserts
+    // applied across both epochs, %7 predicate-deleted keys absent
+    "q170_cdc_rename_window" ->
+      s"""SELECT doc_id, md5(text) AS text_md5, lang AS language FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+        |) q WHERE doc_id % 7 <> 0""".stripMargin,
 
     // both delete modes must land the identical relational answer
     "q157_sql_update_delete" ->
@@ -7481,8 +7569,10 @@ object SparkEntry {
 
   /** The shared q75/q77 CTE chain: quantized subvectors, per-subspace
     * Lloyd (the kmeansOracle chain with subspace `s` as an extra key
-    * throughout), and the PQ encoding — ending with `enc` (id, s, cid)
-    * and the final codebook `c<iters>`.
+    * throughout) trained on the bounded `id % p == 0` sample
+    * (`p = ceil(n/$PqTrainCap)` — the [[PqTrainCap]] rule, replayed here
+    * from the corpus count), and the PQ encoding of the FULL corpus —
+    * ending with `enc` (id, s, cid) and the final codebook `c<iters>`.
     */
   private lazy val pqChainCtes: String = {
     val (m, dsub, k, iters) = (pqM, pqDsub, pqK, pqIters)
@@ -7492,7 +7582,7 @@ object SparkEntry {
          |    SELECT q.id, q.s, q.sv, c.cid,
          |      row_number() OVER (PARTITION BY q.id, q.s
          |        ORDER BY ${pqSqd("q.sv", "c.cvec")} ASC, c.cid ASC) AS r
-         |    FROM sub q JOIN $cents c ON c.s = q.s
+         |    FROM train q JOIN $cents c ON c.s = q.s
          |  ) WHERE r = 1
          |)""".stripMargin
     def updateCte(assigned: String, prev: String, next: String): String =
@@ -7522,11 +7612,17 @@ object SparkEntry {
        |), qsub AS (
        |  SELECT id, s, qv[s*$dsub+1 : s*$dsub+$dsub] AS sv
        |  FROM qv, unnest(range(0, $m)) AS t(s) WHERE id < 10
+       |), pr AS (
+       |  SELECT (count(*) + ${PqTrainCap - 1}) // $PqTrainCap AS p
+       |  FROM qv WHERE id >= 10
+       |), train AS (
+       |  SELECT * FROM sub WHERE id % (SELECT p FROM pr) = 0
        |), c0 AS (
        |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS INT) AS cid,
        |    sv AS cvec
-       |  FROM sub
-       |  WHERE id IN (SELECT id FROM qv WHERE id >= 10 ORDER BY id LIMIT $k)
+       |  FROM train
+       |  WHERE id IN (SELECT id FROM (SELECT DISTINCT id FROM train)
+       |               ORDER BY id LIMIT $k)
        |),
        |$steps,
        |enc AS (
