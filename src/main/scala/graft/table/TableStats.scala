@@ -58,6 +58,31 @@ object TableStats {
     }.toMap
   }
 
+  /** (files, rows, bytes) per dir — parquet FOOTER record counts plus fs
+    * metadata, no data pages read: the material for an Iceberg-style
+    * `partitions` metadata table. Cost: one footer open per file, the
+    * same bill [[collect]] pays.
+    */
+  def dirFootprint(root: String, relDirs: Seq[String]): Map[String, (Long, Long, Long)] = {
+    val conf = new Configuration()
+    relDirs.map { rel =>
+      val dir = Paths.get(root, rel)
+      if (!Files.isDirectory(dir)) rel -> ((0L, 0L, 0L))
+      else {
+        val listing = Files.list(dir)
+        val files =
+          try listing.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+          finally listing.close()
+        val rows = files.map { f =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+          try reader.getRecordCount finally reader.close()
+        }.sum
+        rel -> ((files.size.toLong, rows, files.map(Files.size(_)).sum))
+      }
+    }.toMap
+  }
+
   private def fileStats(conf: Configuration, file: Path): Map[String, (JValue, JValue)] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))

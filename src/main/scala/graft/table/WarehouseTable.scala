@@ -702,11 +702,24 @@ final class WarehouseTable(val root: String) {
   private def erasedRows(
       spark: SparkSession,
       meta: Meta,
-      sidecars: Seq[String]): DataFrame = {
+      sidecars: Seq[String],
+      onlyDirs: Option[Set[String]] = None): DataFrame = {
     val posDf = posDeleteFrame(spark, Manifest(Map.empty, Nil,
       posDeletes = sidecars.toList))
+    // optional dir restriction (diffSnapshots: only erasures of rows that
+    // were VISIBLE at `from` count — a sidecar may also name rows of dirs
+    // that arrived after it)
+    def dirOf(f: String): Set[String] = {
+      val rel = new java.net.URI(f).getPath
+        .stripPrefix(rootPath.toAbsolutePath.toString).stripPrefix("/")
+      val segs = rel.split("/")
+      Set(segs.take(2).mkString("/"), segs.take(3).mkString("/"))
+    }
     val files = posDf.select(PosFileCol).distinct()
       .collect().map(_.getString(0))
+      .filter(f => onlyDirs.forall(ds => dirOf(f).exists(ds.contains)))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     def withPos(df: DataFrame): DataFrame =
       df.withColumn(PosFileCol, col("_metadata.file_path"))
         .withColumn(PosIdxCol, col("_metadata.row_index"))
@@ -2389,6 +2402,123 @@ final class WarehouseTable(val root: String) {
     val id = tags.getOrElse(name,
       throw new IllegalArgumentException(s"no tag named '$name'"))
     read(spark, asOf = Some(id))
+  }
+
+  /** KEYED SNAPSHOT DIFF — "what changed between release v1.0 and v1.1",
+    * the question every corpus-versioning pipeline asks of its tagged
+    * snapshots, answered WITHOUT reading either corpus: data dirs are
+    * immutable and content-addressed, so a dir PRESENT IN BOTH manifests
+    * is byte-identical and its keys cannot differ — only the symmetric
+    * dir difference is ever read (plus the rows position-delete sidecars
+    * new in the window erased from shared dirs). At 100 TB a
+    * release-to-release diff costs O(changed bytes), not O(corpus).
+    *
+    * Emits `diff_type` = `added` (key visible at `to` only), `removed`
+    * (visible at `from` only), `changed` (both, different non-key
+    * payload — an erase + re-append of the key lands here); keys whose
+    * rows re-landed byte-identical are suppressed. Non-key columns carry
+    * the `to` version for added/changed and the `from` version for
+    * removed. Requires a row identity ([[ensureMergeKeys]] or any keyed
+    * merge) and DELTA-FREE snapshots on both ends (MOR arbitration is
+    * per-read; [[compact]] first) — position deletes are fine on either
+    * side.
+    */
+  def diffSnapshots(
+      spark: SparkSession,
+      fromId: Long,
+      toId: Long,
+      keys: Seq[String]): DataFrame = {
+    val meta = readMeta()
+    require(keys.nonEmpty && keys.forall(meta.schema.fieldNames.contains),
+      s"diff keys must be schema columns, got ${keys.mkString(",")}")
+    Seq(fromId, toId).foreach(id => require(Files.exists(snapPath(id)),
+      s"snapshot $id does not exist (expired or never created)"))
+    val mA = readManifest(fromId)
+    val mB = readManifest(toId)
+    require(mA.deltas.isEmpty && mB.deltas.isEmpty,
+      "diffSnapshots needs delta-free snapshots (MOR deltas arbitrate " +
+        "per read) — compact() before tagging releases")
+    val dirsA = mA.base.values.flatten.toSet
+    val dirsB = mB.base.values.flatten.toSet
+    val onlyA = (dirsA -- dirsB).toList
+    val onlyB = (dirsB -- dirsA).toList
+    // rows visible at a snapshot within a dir set: tombstone-free reads
+    // (no deltas by contract) minus that snapshot's position-deletes
+    def visible(dirs: List[String], m: Manifest): DataFrame = {
+      val withPos = m.posDeletes.nonEmpty
+      val raw = readParts(spark, meta, Map(NoPart -> dirs),
+        withFilePos = withPos)
+      if (!withPos) raw
+      else raw.join(posDeleteFrame(spark, m), Seq(PosFileCol, PosIdxCol),
+        "left_anti").drop(PosFileCol, PosIdxCol)
+    }
+    // the A side additionally carries rows of SHARED dirs that sidecars
+    // new in the window erased — visible at `from`, gone at `to`, yet in
+    // dirs the manifest diff alone would never open
+    val newPos = mB.posDeletes.filterNot(mA.posDeletes.toSet)
+    val aSide = {
+      val fromOnly = visible(onlyA, mA)
+      if (newPos.isEmpty) fromOnly
+      else fromOnly.unionByName(
+        erasedRows(spark, meta, newPos, onlyDirs = Some(dirsA & dirsB)))
+    }
+    val bSide = visible(onlyB, mB)
+    val nonKeys = meta.schema.fieldNames.toSeq.filterNot(keys.contains)
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select((keys.map(col) :+
+        struct(nonKeys.map(col): _*).as(as)): _*)
+    val j = packed(aSide, "__a").join(packed(bSide, "__b"), keys, "full_outer")
+    val diffType =
+      when(col("__a").isNull, lit("added"))
+        .when(col("__b").isNull, lit("removed"))
+        .otherwise(lit("changed"))
+    j.filter(col("__a").isNull || col("__b").isNull ||
+        !(col("__a") <=> col("__b"))) // identical re-lands are not changes
+      .withColumn("diff_type", diffType)
+      .select((col("diff_type") +: keys.map(col)) ++ nonKeys.map(c =>
+        when(col("diff_type") === "removed", col("__a").getField(c))
+          .otherwise(col("__b").getField(c)).as(c)): _*)
+  }
+
+  /** PARTITIONS METADATA TABLE — Iceberg's `SELECT * FROM t.partitions`:
+    * one row per partition value of the (or an `asOf`) snapshot with its
+    * dir/file/row/byte footprint, computed from MANIFESTS + PARQUET
+    * FOOTERS + filesystem metadata only — no data pages read, no
+    * distributed job (the answer is manifest-sized; shipping it through
+    * executors would cost more than computing it). Row counts are
+    * PHYSICAL, exactly like Iceberg's `record_count`: MOR delta rows
+    * count as written and position-deleted rows are not subtracted —
+    * the sidecar row count rides in `n_pos_deletes` at table grain
+    * (sidecars name files, not partitions). Unpartitioned tables emit
+    * one row with partition = null.
+    */
+  def partitionsMeta(
+      spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = readManifest(asOf.getOrElse(currentSnapshotId))
+    val byPart: Map[String, List[String]] =
+      (m.base.toSeq ++ m.deltas.flatMap(_.data.toSeq))
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+    val foot = TableStats.dirFootprint(root,
+      byPart.values.flatten.toSeq.distinct)
+    val posRows =
+      if (m.posDeletes.isEmpty) 0L
+      else TableStats.dirFootprint(root, m.posDeletes).values.map(_._2).sum
+    val rows = byPart.toSeq.map { case (pv, dirs) =>
+      val fs = dirs.map(d => foot.getOrElse(d, (0L, 0L, 0L)))
+      Row(if (pv == NoPart) null else pv,
+        dirs.size.toLong, fs.map(_._1).sum, fs.map(_._2).sum,
+        fs.map(_._3).sum, posRows)
+    }
+    val schema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("n_dirs", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_pos_deletes", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   def expireSnapshots(keepLast: Int = 5): Unit = {

@@ -569,6 +569,57 @@ class WarehouseTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](u.ensureMergeKeys(Seq("nope")))
   }
 
+  test("diffSnapshots: added/removed/changed between tags; identical re-lands suppressed; deltas refuse") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("reldiff"))
+    t.create(schema, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.ensureMergeKeys(Seq("k"))
+    t.append(df((1, "a", "CA"), (2, "b", "NY"), (3, "c", "TX"), (4, "d", "WA")))
+    t.tagSnapshot("v1")
+    // v1.1: add 5; forget 2; update 3 (posdel erase + re-append);
+    // re-land 4 byte-identical (an overwrite-style churn) — NOT a change
+    t.append(df((5, "e", "OR")))
+    assert(t.deleteWhereMor(spark, col("k") === 2) == 1)
+    assert(t.deleteWhereMor(spark, col("k") === 3) == 1)
+    assert(t.deleteWhereMor(spark, col("k") === 4) == 1)
+    t.append(df((3, "c2", "TX"), (4, "d", "WA")))
+    t.tagSnapshot("v2")
+    val d = t.diffSnapshots(spark, t.tags("v1"), t.tags("v2"), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(d == Set(("added", 5, "e"), ("removed", 2, "b"), ("changed", 3, "c2")))
+    // changed rows carry the `to` payload, removed the `from` payload ✓ above
+    // a delta-bearing snapshot refuses (arbitration is per-read)
+    t.merge(spark, df((6, "f", "CA")), Seq("k"))
+    val err = intercept[IllegalArgumentException] {
+      t.diffSnapshots(spark, t.tags("v1"), t.currentSnapshotId, Seq("k"))
+    }
+    assert(err.getMessage.contains("delta-free"))
+  }
+
+  test("partitionsMeta: physical per-partition footprint from footers; MOR deltas and posdels counted") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("pmeta"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.append(df((1, "a", "CA"), (2, "b", "CA"), (3, "c", "NY")))
+    t.merge(spark, df((2, "b2", "CA")), Seq("k")) // delta row: physical +1
+    assert(t.deleteWhereMor(spark, col("k") === 3) == 1) // posdel: NOT subtracted
+    val rows = t.partitionsMeta(spark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(rows("CA") == ((2L, 3L, 1L))) // base dir + delta dir, 2+1 physical rows
+    assert(rows("NY") == ((1L, 1L, 1L))) // posdel'd row still counted physically
+    // unpartitioned: one row with a null partition
+    val u = WarehouseTable(tmpDir("pmeta_u"))
+    u.create(schema, None, Map.empty)
+    u.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val ur = u.partitionsMeta(spark).collect()
+    assert(ur.length == 1 && ur.head.isNullAt(0) && ur.head.getLong(3) == 2L)
+  }
+
   test("changesSince: dropPartitions sweeping MOR deltas feeds arbitrated deletes; compact stays maintenance") {
     import org.apache.spark.sql.functions.col
     // deltas never fold (threshold 0): the dropped partition's live rows
