@@ -3022,6 +3022,76 @@ object SparkEntry {
         md5(col("text")).as("text_md5"), col("language"))
     }),
 
+    // WRITE-AUDIT-PUBLISH lifecycle, oracle-gated: a bad batch stages as
+    // a real (audit-readable) snapshot that main readers never see, the
+    // audit rejects it, a good batch stages and publishes — one pointer
+    // move, no data rewritten. Iceberg's spark.wap pattern as a
+    // first-class table operation.
+    "q174_wap_publish" -> ((s, dir) => {
+      val wh = scratchPath("q174", dir) + "/docs_wap"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      table.append(docs.filter(col("doc_id") % 2 === 0))
+      val mainBefore = table.currentSnapshotId
+      // stage a corrupted batch; the AUDIT (a read of the staged state)
+      // rejects it; main never advanced
+      val bad = table.stageAppend(docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", lit("CORRUPT")))
+      require(table.read(s, asOf = Some(bad))
+        .filter(col("text") === "CORRUPT").count() > 0, "audit must see staged rows")
+      require(table.currentSnapshotId == mainBefore, "stage must not publish")
+      table.discardStaged(bad)
+      // stage the clean batch; audit passes; publish = pointer move
+      val good = table.stageAppend(docs.filter(col("doc_id") % 2 === 1))
+      require(table.read(s, asOf = Some(good))
+        .filter(col("text") === "CORRUPT").isEmpty, "audit must pass")
+      table.publishStaged(good)
+      table.read(s).select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"))
+    }),
+
+    // INCREMENTAL AGGREGATE VIEW (42nd stage): per-lang (count, sum)
+    // maintained from the source's GROSS change feed — updates contribute
+    // exactly their difference, unchanged re-landed rows cancel to zero,
+    // predicate RTBF and a TTL partition drop subtract through, and the
+    // zeroed 'de' group drops out of the read. The view is never rebuilt
+    // from the corpus; the oracle recomputes it relationally.
+    "q173_incremental_agg_view" -> ((s, dir) => {
+      val base = scratchPath("q173", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      val view = graft.table.WarehouseTable(base + "/view")
+      src.drop(); view.drop()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(base + "/view_agg_applied"))
+      val ckpt = java.nio.file.Paths.get(base, "ckpt")
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+        } finally walk.close()
+      }
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      src.create(docs.schema, Some("lang"),
+        graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      src.merge(s, docs, Seq("doc_id"))
+      src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
+      src.deleteRows(s, col("doc_id") % 7 === 0)
+      src.dropPartitions(Seq("de"))
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString)
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(col("lang"), col("n"), col("sum_n_chars"))
+    }),
+
     // KEYED SNAPSHOT DIFF between two tagged releases: dirs are immutable
     // and content-addressed, so only the manifests' symmetric dir
     // difference is read (plus sidecar-named erasures in shared dirs) —
@@ -4270,6 +4340,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
         |) q WHERE doc_id % 7 <> 0""".stripMargin,
+
+    // only the published timeline is ever visible: the discarded staged
+    // batch leaves no trace, the published one is the full corpus
+    "q174_wap_publish" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
+
+    // the incrementally-maintained view must equal the plain GROUP BY
+    // over the source's final state
+    "q173_incremental_agg_view" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN n_chars + 7
+        |            ELSE n_chars END) AS BIGINT) AS sum_n_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 0 AND lang <> 'de'
+        |GROUP BY 1""".stripMargin,
 
     // the diff is pure set algebra over the two release definitions
     "q171_snapshot_diff" ->

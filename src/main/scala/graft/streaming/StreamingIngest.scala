@@ -2253,6 +2253,127 @@ object StreamingIngest {
       .start()
   }
 
+  /** 42nd stage: INCREMENTAL AGGREGATE VIEW — a per-group (count, sums)
+    * table maintained EXACTLY from a keyed COW source's change feed,
+    * never by rescanning the source: the classic materialized-view
+    * maintenance every recurring report query wants at 100 TB, now
+    * DELETE-AWARE (predicate RTBF, TTL partition drops, and overwrites
+    * all flow through; `IncrementalRollup` alone is append-only).
+    *
+    * Mechanics: each trigger drains the source's commit log like
+    * [[startCdcMirror]], reads the window's GROSS feed
+    * ([[graft.table.WarehouseTable.changesSince]] with
+    * `netRemovals = false`) and folds SIGNED contributions — insert
+    * rows +1/+v, delete rows −1/−v — into an [[graft.operators
+    * .IncrementalRollup]] table keyed by `groupKeys`. Gross is the
+    * load-bearing choice: a partition rewrite re-lands its unchanged
+    * rows, which contribute (−old, +new) = 0, and an UPDATE contributes
+    * exactly the difference — no row identity, no anti-join, no rescan.
+    * SUM/COUNT only, the aggregates invertible under deletion (MIN/MAX
+    * would need a rescan on every delete — refuse, don't pretend).
+    *
+    * COW sources only: a MOR upsert appends the new version WITHOUT
+    * removing the old one's dir, so its gross feed cannot carry the
+    * subtraction — refused loudly at start. Exactly-once: the rollup's
+    * own per-row batch marker (batchId = the window's target snapshot)
+    * makes a checkpoint-replayed window a per-key no-op; the cursor
+    * (with source lineage, same rollback protection as the mirror)
+    * advances only after the fold commits.
+    *
+    * Read the view with [[readAggView]] — groups whose live count
+    * reached zero stay as (0, 0) marker rows in the rollup (the marker
+    * must survive for replay suppression) and are filtered there.
+    */
+  def startAggView(
+      spark: SparkSession,
+      source: graft.table.WarehouseTable,
+      view: graft.table.WarehouseTable,
+      groupKeys: Seq[String],
+      sumCols: Seq[String],
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    require(!source.properties.get("write.merge.mode").contains("merge-on-read"),
+      "startAggView needs a COW source: a MOR upsert never removes its " +
+        "old version's dir, so the gross change feed cannot carry the " +
+        "subtraction — compact to COW or mirror first")
+    // the cursor lives BESIDE the view root (the view table itself is
+    // created by the rollup's first commit, after the cursor's parent
+    // must already be writable)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(view.root).getParent)
+    val cursorPath = java.nio.file.Paths.get(view.root + "_agg_applied")
+    def readCursor(): Long =
+      if (!java.nio.file.Files.exists(cursorPath)) 0L
+      else {
+        val raw = new String(java.nio.file.Files.readAllBytes(cursorPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val (lin, id) = raw.split("@") match {
+          case Array(l, i) => (l, i.toLong)
+          case _ => ("root", raw.toLong)
+        }
+        val cur = source.lineageId
+        if (lin != cur)
+          throw new IllegalStateException(
+            s"aggregate view at ${view.root} applied through snapshot $id " +
+              s"of source lineage $lin, but the source is now on lineage " +
+              s"$cur (rollback rewrote its timeline) — drop the view, its " +
+              "_agg_applied cursor and the stream checkpoint to re-seed.")
+        id
+      }
+    def writeCursor(v: Long): Unit = {
+      val tmp = java.nio.file.Paths.get(view.root + "_agg_applied.tmp")
+      java.nio.file.Files.write(tmp,
+        s"${source.lineageId}@$v"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, cursorPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    readCursor() // lineage check at START (same reasoning as the mirror)
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(s"${source.root}/snaps")
+      .select(col("_metadata.file_path").as("__snap_path"))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col("__snap_path")).distinct()
+          .collect().map(_.getString(0)).flatMap { p =>
+            val n = p.substring(p.lastIndexOf('/') + 1)
+            if (n.startsWith("snap-") && n.endsWith(".json"))
+              Some(n.stripPrefix("snap-").stripSuffix(".json").toLong)
+            else None
+          } // bounded: maxFilesPerTrigger paths
+        val from = readCursor()
+        if (ids.nonEmpty && ids.max > from) {
+          val target = ids.max
+          val sign = when(col("_change_type") === "delete", lit(-1L))
+            .otherwise(lit(1L))
+          val contrib = source
+            .changesSince(spark, from, asOf = Some(target), netRemovals = false)
+            .select(groupKeys.map(col) ++
+              sumCols.map(c => (col(c).cast("long") * sign).as(s"sum_$c")) :+
+              sign.as("n"): _*)
+          graft.operators.IncrementalRollup.commit(spark, contrib,
+            groupKeys, sumCols.map(c => s"sum_$c" -> "sum").toMap + ("n" -> "sum"),
+            view, batchId = target)
+          writeCursor(target)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The aggregate view's user-facing read: per-group `n` (live count)
+    * and `sum_<col>` totals; zero-count marker rows filtered.
+    */
+  def readAggView(
+      spark: SparkSession, view: graft.table.WarehouseTable): DataFrame =
+    graft.operators.IncrementalRollup.read(spark, view)
+      .filter(col("n") =!= 0L)
+
   // ---- watermark-buffered ORDERED stateful stages --------------------------
   //
   // funnelStream / sessionizeStream fold each micro-batch eagerly, which is

@@ -60,6 +60,21 @@ final class WarehouseTable(val root: String) {
   private def metaPath: Path = rootPath.resolve("_meta.json")
   private def currentPath: Path = rootPath.resolve("_current")
   private def snapPath(id: Long): Path = rootPath.resolve(s"snaps/snap-$id.json")
+  /** Staged (write-audit-publish) snapshots live under a DIFFERENT name:
+    * commit-log tailers ([[graft.streaming.StreamingIngest.startCdcMirror]]
+    * and friends match `snap-*`) must never wake on unpublished data, and
+    * [[publishStaged]] is then a rename + pointer move.
+    */
+  private def stagedPath(id: Long): Path =
+    rootPath.resolve(s"snaps/staged-$id.json")
+  /** Read-side resolution: published name first, staged fallback — lets
+    * `read(asOf = stagedId)` audit a staged snapshot. Write sites use
+    * [[snapPath]]/[[stagedPath]] directly.
+    */
+  private def snapOrStaged(id: Long): Path = {
+    val p = snapPath(id)
+    if (Files.exists(p)) p else stagedPath(id)
+  }
 
   // ---- metadata ----------------------------------------------------------
 
@@ -182,7 +197,7 @@ final class WarehouseTable(val root: String) {
     * partition-pruned reads never open the other fragments.
     */
   private def readManifest(id: Long, onlyParts: Option[Set[String]] = None): Manifest = {
-    val j = JsonMethods.parse(readString(snapPath(id)))
+    val j = JsonMethods.parse(readString(snapOrStaged(id)))
     (j \ "parts") match {
       case JObject(parts) => // v3 split format
         // Evolved tables: fragments whose key carries legacy-spec dirs
@@ -239,7 +254,7 @@ final class WarehouseTable(val root: String) {
     * v1/v2 or snapshot 0).
     */
   private def snapFragmentPaths(id: Long): Map[String, String] = {
-    val p = snapPath(id)
+    val p = snapOrStaged(id)
     if (!Files.exists(p)) Map.empty
     else JsonMethods.parse(readString(p)) \ "parts" match {
       case JObject(parts) => parts.map { case (pv, v) => pv -> v.extract[String] }.toMap
@@ -254,7 +269,7 @@ final class WarehouseTable(val root: String) {
     */
   private def writeSnapshot(
       id: Long, m: Manifest, prevId: Option[Long], createNew: Boolean,
-      kind: String = "data"): Unit = {
+      kind: String = "data", staged: Boolean = false): Unit = {
     val prevPaths = prevId.map(snapFragmentPaths).getOrElse(Map.empty)
     val prev = prevId
       .filter(_ => prevPaths.nonEmpty)
@@ -313,7 +328,7 @@ final class WarehouseTable(val root: String) {
       legacyField)
     val bytes = JsonMethods.compact(JsonMethods.render(snap))
       .getBytes(StandardCharsets.UTF_8)
-    val p = snapPath(id)
+    val p = if (staged) stagedPath(id) else snapPath(id)
     Files.createDirectories(p.getParent)
     if (createNew)
       Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -401,7 +416,7 @@ final class WarehouseTable(val root: String) {
     // time travel: snapshots are immutable, so reading an older id is just
     // resolving its manifest instead of the current pointer
     val snapId = asOf.getOrElse(currentSnapshotId)
-    require(Files.exists(snapPath(snapId)),
+    require(Files.exists(snapOrStaged(snapId)),
       s"snapshot $snapId does not exist (expired or never created)")
     // partition-pruned reads load only the wanted fragments of a split
     // snapshot — the other partitions' file lists are never even parsed
@@ -563,10 +578,23 @@ final class WarehouseTable(val root: String) {
     * rewrite commits — the removed+re-landed dirs the rewrite itself
     * already paid for.
     */
+  /** `netRemovals = false` switches rewrite-commit removals from the
+    * KEYED NET form (removed rows whose key did not re-land — what a
+    * mirror applies) to the GROSS form: EVERY removed-dir row emits as a
+    * delete and every fresh-dir row as an insert, with no key anti-join
+    * at all. Gross is what incremental AGGREGATE maintenance needs — an
+    * unchanged row re-landed by a partition rewrite contributes
+    * (−old, +new) = 0, an update contributes the exact difference — and
+    * it needs no row identity. Only meaningful on COW tables (a MOR
+    * upsert never removes its old version's dir, so its gross feed
+    * cannot carry the subtraction); maintenance commits stay skipped
+    * (their gross window is identically zero — skipping saves the read).
+    */
   def changesSince(
       spark: SparkSession,
       sinceSnapId: Long,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      netRemovals: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StringType, LongType}
     val meta = readMeta()
     val to = asOf.getOrElse(currentSnapshotId)
@@ -628,8 +656,11 @@ final class WarehouseTable(val root: String) {
           val prevDelta = prevM.deltas.flatMap(_.data.values.flatten).toSet
           removed.exists(prevDelta)
       }
-      if (removed.nonEmpty && !maintenance)
-        mergeKeys(meta).foreach { keys =>
+      if (removed.nonEmpty && !maintenance) {
+        // the NET form needs a row identity to anti-join re-landed keys;
+        // the GROSS form is pure dir algebra and needs none
+        val keysOpt = if (netRemovals) mergeKeys(meta) else Some(Nil)
+        keysOpt.foreach { keys =>
           // removed dirs may span MOR generations (dropPartitions on a
           // MOR table removes a partition's base AND delta slices;
           // overwrite drops deltas too) — arbitrate among the removed
@@ -644,6 +675,10 @@ final class WarehouseTable(val root: String) {
             .map(d => d.seq -> d.data.values.flatten.filter(removed).toList)
             .filter(_._2.nonEmpty)
           val needArb = removedDeltas.nonEmpty
+          require(!needArb || keys.nonEmpty || mergeKeys(meta).nonEmpty,
+            "gross removal diff over MOR generations needs merge keys " +
+              "for arbitration — record them with ensureMergeKeys")
+          val arbKeys = if (keys.nonEmpty) keys else mergeKeys(meta).getOrElse(Nil)
           val usePos = withPos || needArb
           def gen(dirs: List[String], seq: Long): DataFrame =
             readParts(spark, meta, Map(NoPart -> dirs),
@@ -655,7 +690,7 @@ final class WarehouseTable(val root: String) {
           val unioned = gens.reduce(_ unionByName _)
           val arbitrated =
             if (!needArb) unioned
-            else Dedup.latestByKey(unioned, keys, orderDesc = "__seq",
+            else Dedup.latestByKey(unioned, arbKeys, orderDesc = "__seq",
               tiebreakDesc = Seq(PosFileCol, PosIdxCol))
           val removedRaw = arbitrated
             .filter(!col(TombstoneCol)).drop(TombstoneCol, "__seq")
@@ -667,7 +702,7 @@ final class WarehouseTable(val root: String) {
               Seq(PosFileCol, PosIdxCol), "left_anti")
               .drop(PosFileCol, PosIdxCol)
           val gone =
-            if (freshDirs.isEmpty) removedRows
+            if (!netRemovals || freshDirs.isEmpty) removedRows
             else removedRows.join(
               readParts(spark, meta, freshDirs, withTombstone = true)
                 .filter(!col(TombstoneCol))
@@ -677,6 +712,7 @@ final class WarehouseTable(val root: String) {
             .withColumn("_change_type", lit("delete"))
             .withColumn("_change_ordinal", lit(id))
         }
+      }
       seenDirs ++= m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)
       seenPos ++= m.posDeletes
       prevM = m
@@ -2296,8 +2332,12 @@ final class WarehouseTable(val root: String) {
         }.toList
       finally l.close()
     }
-    val liveFragments = ids.flatMap(snapFragmentPaths(_).values).toSet
-    val manifests = ids.map(readManifest(_))
+    // staged (unpublished) snapshots' references are LIVE — a pending
+    // audit's bytes must survive GC; a staged id shadowed by a published
+    // one can never publish and is dead debris
+    val withStaged = ids ++ stagedSnapshots.filterNot(ids.toSet)
+    val liveFragments = withStaged.flatMap(snapFragmentPaths(_).values).toSet
+    val manifests = withStaged.map(readManifest(_))
     val liveDataRoots = manifests.flatMap { m =>
       (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten))
         .map(_.split("/").take(2).mkString("/"))
@@ -2539,8 +2579,11 @@ final class WarehouseTable(val root: String) {
     val (expired, kept) = ids.partition(id =>
       id < cur - keepLast + 1 && id != cur && !tagged.contains(id))
     if (expired.nonEmpty) {
-      val liveFragments = kept.flatMap(snapFragmentPaths(_).values).toSet
-      val keptManifests = kept.map(readManifest(_))
+      // staged snapshots are never expired (they're newer than current by
+      // construction) and their references stay live
+      val keptAll = kept ++ stagedSnapshots.filterNot(kept.toSet)
+      val liveFragments = keptAll.flatMap(snapFragmentPaths(_).values).toSet
+      val keptManifests = keptAll.map(readManifest(_))
       val liveDataRoots = keptManifests.flatMap { m =>
         (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten))
           .map(_.split("/").take(2).mkString("/"))
@@ -2581,6 +2624,82 @@ final class WarehouseTable(val root: String) {
           finally walk.close()
         }
       }
+    }
+  }
+
+  // ---- write-audit-publish (staged commits) -------------------------------
+
+  /** WRITE-AUDIT-PUBLISH, stage 1 of Iceberg's `spark.wap` pattern: land
+    * `df` as a real snapshot WITHOUT advancing the reader pointer. The
+    * staged snapshot is invisible to [[read]] but fully time-travelable
+    * (`read(asOf = stagedId)`) — exactly what an audit job needs: run
+    * the quality gates against the WOULD-BE table state, then
+    * [[publishStaged]] (one atomic pointer move, no data touched) or
+    * [[discardStaged]] (the bytes become orphan-GC debris). Returns the
+    * staged snapshot id.
+    *
+    * The staged snapshot lives under `snaps/staged-<id>.json`, NOT the
+    * published name — commit-log tailers (the CDC mirror, the aggregate
+    * view) match `snap-*` and therefore never wake on unpublished data,
+    * and publish is a rename (CREATE-semantics move: a regular commit
+    * that claimed the id first makes the publish fail loudly) plus the
+    * pointer move. Orphan GC and snapshot expiry treat staged manifests'
+    * references as LIVE, so a pending audit's bytes survive maintenance;
+    * an abandoned stage must be [[discardStaged]]-ed to free them.
+    */
+  def stageAppend(df: DataFrame): Long = {
+    val meta = readMeta()
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val (added, stats) = writeDataDir(df, meta)
+    val merged = (old.base.keySet ++ added.keySet).map { k =>
+      k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
+    }.toMap
+    val next = cur + 1
+    writeSnapshot(next,
+      Manifest(merged, old.deltas, old.stats ++ stats, old.posDeletes),
+      prevId = Some(cur), createNew = true, kind = "data", staged = true)
+    next // pointer NOT advanced — that is the point
+  }
+
+  /** Publish a staged snapshot: rename to the published name (fails if a
+    * regular commit claimed the id meanwhile) + one atomic pointer move.
+    * Refuses when the table advanced since the stage — the staged
+    * manifest carried its parent's state BY VALUE, so fast-forwarding
+    * over interleaved commits would silently drop them.
+    */
+  def publishStaged(stagedId: Long): Unit = {
+    require(Files.exists(stagedPath(stagedId)),
+      s"staged snapshot $stagedId does not exist (discarded, published, " +
+        "or never staged)")
+    val cur = currentSnapshotId
+    require(cur == stagedId - 1,
+      s"staged snapshot $stagedId was built on parent ${stagedId - 1} but " +
+        s"the table is now at $cur — re-stage on the current state")
+    Files.move(stagedPath(stagedId), snapPath(stagedId))
+    atomicWriteCurrent(stagedId)
+  }
+
+  /** Drop a staged snapshot without publishing: the audit said no. The
+    * data dirs it alone referenced become [[removeOrphanFiles]] debris.
+    */
+  def discardStaged(stagedId: Long): Unit = {
+    Files.deleteIfExists(stagedPath(stagedId))
+    ()
+  }
+
+  /** Ids of pending staged snapshots (usually zero or one). */
+  def stagedSnapshots: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val d = rootPath.resolve("snaps")
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val l = Files.list(d)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("staged-") && s.endsWith(".json") =>
+          s.stripPrefix("staged-").stripSuffix(".json").toLong
+        }.toList.sorted
+      finally l.close()
     }
   }
 

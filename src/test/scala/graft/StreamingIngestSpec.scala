@@ -2278,6 +2278,56 @@ class StreamingIngestSpec extends SparkSpec {
     assert(err.getMessage.contains("identity"))
   }
 
+  test("incremental aggregate view: updates/deletes/drops fold exactly; restart is a no-op; MOR refuses") {
+    import spark.implicits._
+    val base = tmpDir("aggview")
+    val src = WarehouseTable(base + "/src")
+    val view = WarehouseTable(base + "/view")
+    val ckpt = base + "/ckpt"
+    def docs(rows: (Long, String, Long)*) = rows.toDF("doc_id", "lang", "n")
+    src.create(docs().schema, Some("lang"),
+      WarehouseTable.tableProperties("COW", "snappy"))
+    src.merge(spark, docs((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L),
+      (4L, "de", 7L), (5L, "fr", 100L)), Seq("doc_id"))
+    // update: en partition rewrite re-lands doc 1 UNCHANGED (gross-zero)
+    src.merge(spark, docs((2L, "en", 25L)), Seq("doc_id"))
+    // predicate delete + TTL drop
+    assert(src.deleteRows(spark, col("doc_id") === 5L) == 1L)
+    src.dropPartitions(Seq("de"))
+    def drain(): Unit = {
+      val q = StreamingIngest.startAggView(
+        spark, src, view, Seq("lang"), Seq("n"), ckpt)
+      q.awaitTermination(180000)
+      ()
+    }
+    def state(): Map[String, (Long, Long)] =
+      StreamingIngest.readAggView(spark, view)
+        .select("lang", "n", "sum_n").as[(String, Long, Long)]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    drain()
+    // en: docs 1+2 with 2 updated to 25; de zeroed out; fr deleted
+    assert(state() == Map("en" -> ((2L, 35L))))
+    // the zeroed groups remain as suppression markers in the rollup
+    assert(graft.operators.IncrementalRollup.read(spark, view).count() == 3)
+    // restart on the drained checkpoint: per-key batch markers make it a no-op
+    drain()
+    assert(state() == Map("en" -> ((2L, 35L))))
+    // more history picked up mid-stream by a fresh drain
+    src.merge(spark, docs((6L, "fr", 50L)), Seq("doc_id"))
+    drain()
+    assert(state() == Map("en" -> ((2L, 35L)), "fr" -> ((1L, 50L))))
+    // MOR sources refuse loudly — their gross feed cannot subtract
+    val mor = WarehouseTable(base + "/mor")
+    mor.create(docs().schema, None,
+      WarehouseTable.tableProperties("MOR", "snappy"))
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.startAggView(
+        spark, mor, WarehouseTable(base + "/v2"), Seq("lang"), Seq("n"),
+        base + "/ckpt2")
+    }
+    assert(err.getMessage.contains("COW source"))
+  }
+
   test("CDC mirror refuses a cursor from a pre-rollback source lineage instead of silently diverging") {
     import spark.implicits._
     val src = WarehouseTable(tmpDir("cdcl_src") + "/t")

@@ -569,6 +569,39 @@ class WarehouseTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](u.ensureMergeKeys(Seq("nope")))
   }
 
+  test("write-audit-publish: staged snapshots invisible to readers, feed and GC; publish races refuse") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wap"))
+    t.create(schema, None, WarehouseTable.tableProperties("COW", "snappy"))
+    t.append(df((1, "a", "CA"), (2, "b", "NY")))
+    val base = t.currentSnapshotId
+    val staged = t.stageAppend(df((3, "c", "TX")))
+    // invisible to main reads AND to the change feed's window walk
+    assert(t.currentSnapshotId == base)
+    assert(t.read(spark).count() == 2)
+    assert(t.changesSince(spark, base).count() == 0)
+    assert(t.stagedSnapshots == Seq(staged))
+    // audit-readable via time travel
+    assert(t.read(spark, asOf = Some(staged)).count() == 3)
+    // GC treats the pending stage's bytes as LIVE even with no grace
+    assert(t.removeOrphanFiles(olderThanMs = 0) == 0)
+    assert(t.read(spark, asOf = Some(staged)).count() == 3)
+    // an interleaved commit claims the id -> publish refuses loudly
+    t.append(df((4, "d", "WA")))
+    val err = intercept[IllegalArgumentException](t.publishStaged(staged))
+    assert(err.getMessage.contains("re-stage"))
+    t.discardStaged(staged)
+    assert(t.stagedSnapshots.isEmpty)
+    // discarded bytes are reclaimable now
+    assert(t.removeOrphanFiles(olderThanMs = 0) > 0)
+    // the clean path: stage on the current state, publish, one pointer move
+    val good = t.stageAppend(df((5, "e", "OR")))
+    t.publishStaged(good)
+    assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 2, 4, 5))
+    // and the published commit flows through the feed like any other
+    assert(t.changesSince(spark, base).filter(col("k") === 5).count() == 1)
+  }
+
   test("diffSnapshots: added/removed/changed between tags; identical re-lands suppressed; deltas refuse") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("reldiff"))
