@@ -3022,6 +3022,29 @@ object SparkEntry {
         md5(col("text")).as("text_md5"), col("language"))
     }),
 
+    // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
+    // corpus slices rebase through the optimistic CREATE_NEW-guarded
+    // commit — every batch lands exactly once with no coordination, the
+    // multi-writer ingest shape a landing table actually sees. The
+    // oracle is the corpus itself (set equality; commit order free).
+    "q175_concurrent_appends" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val wh = scratchPath("q175", dir) + "/docs_mw"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      Await.result(Future.sequence((0 until 8).map(i =>
+        Future(table.append(docs.filter(pmod(col("doc_id"), lit(8)) === i))))),
+        600.seconds)
+      table.read(s).select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"))
+    }),
+
     // WRITE-AUDIT-PUBLISH lifecycle, oracle-gated: a bad batch stages as
     // a real (audit-readable) snapshot that main readers never see, the
     // audit rejects it, a good batch stages and publishes — one pointer
@@ -4344,6 +4367,10 @@ object SparkEntry {
     // only the published timeline is ever visible: the discarded staged
     // batch leaves no trace, the published one is the full corpus
     "q174_wap_publish" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
+
+    // 8 racing disjoint appends must land the corpus exactly once each
+    "q175_concurrent_appends" ->
       """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
 
     // the incrementally-maintained view must equal the plain GROUP BY

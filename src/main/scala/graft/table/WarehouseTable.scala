@@ -1069,18 +1069,51 @@ final class WarehouseTable(val root: String) {
     df.select(cols: _*)
   }
 
+  /** Optimistic RETRY for rebasable commits — real multi-writer support
+    * for the append-shaped paths: their data dirs are written ONCE and
+    * are independent of the parent snapshot, so losing the CREATE_NEW
+    * race costs only re-deriving the manifest against the new current
+    * and re-committing — no data is rewritten (Iceberg's fast-append
+    * retry). `makeManifest(currentManifest)` must be a pure function of
+    * the parent manifest (add dirs / a delta / a sidecar). COW rewrites
+    * must NOT use this: their CONTENT depends on the parent state, so a
+    * lost race means re-reading data — they keep the loud
+    * single-writer-per-table contract instead of a silent wrong rebase.
+    */
+  private def commitRebasable(
+      makeManifest: Manifest => Manifest,
+      maxAttempts: Int = 5): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val cur = currentSnapshotId
+      try {
+        commit(cur, makeManifest(readManifest(cur)))
+        done = true
+      } catch {
+        case e @ (_: java.util.ConcurrentModificationException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          if (attempt >= maxAttempts) throw e
+          // linear backoff: contention here is other local committers
+          Thread.sleep(10L * attempt)
+      }
+    }
+  }
+
   /** Append — `mode == 'append'` (read.py:231-233). New snapshot = old
-    * manifest + new dirs per partition.
+    * manifest + new dirs per partition. Concurrent-writer safe: the new
+    * dirs rebase onto whatever snapshot is current at commit time.
     */
   def append(df: DataFrame): Unit = {
     val meta = readMeta()
-    val cur = currentSnapshotId
-    val old = readManifest(cur)
     val (added, stats) = writeDataDir(df, meta)
-    val merged = (old.base.keySet ++ added.keySet).map { k =>
-      k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
-    }.toMap
-    commit(cur, Manifest(merged, old.deltas, old.stats ++ stats, old.posDeletes))
+    commitRebasable { old =>
+      val merged = (old.base.keySet ++ added.keySet).map { k =>
+        k -> (old.base.getOrElse(k, Nil) ++ added.getOrElse(k, Nil))
+      }.toMap
+      Manifest(merged, old.deltas, old.stats ++ stats, old.posDeletes)
+    }
   }
 
   /** Overwrite — `mode == 'overwrite'` (read.py:234-236). */
@@ -1162,16 +1195,19 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta,
       deleteWhere: Option[Column] = None): Unit = {
     recordMergeKeys(meta, keys)
-    val cur = currentSnapshotId
-    val old = readManifest(cur)
     // tombstone flag rides along in the delta file: a delete is an O(batch)
-    // append exactly like an upsert, resolved at read/compaction time
+    // append exactly like an upsert, resolved at read/compaction time.
+    // Concurrent-writer safe: the delta rebases onto the snapshot current
+    // at commit time (its sequence number re-derives from that manifest —
+    // arbitration picks a total order between racing upserts).
     val src = source.withColumn(TombstoneCol,
       coalesce(deleteWhere.getOrElse(lit(false)), lit(false)))
     val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
-    val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
-    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added),
-      old.stats ++ stats, old.posDeletes))
+    commitRebasable { old =>
+      val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
+      Manifest(old.base, old.deltas :+ Delta(seq, added),
+        old.stats ++ stats, old.posDeletes)
+    }
     // compaction policy: read amplification grows linearly with delta
     // count (every read unions base + all deltas and re-arbitrates), so
     // once it crosses the table's threshold the deltas fold back into the
@@ -1205,14 +1241,14 @@ final class WarehouseTable(val root: String) {
     val missing = keys.filterNot(keyRows.columns.contains)
     require(missing.isEmpty, s"key columns absent from input: ${missing.mkString(", ")}")
     recordMergeKeys(meta, keys)
-    val cur = currentSnapshotId
-    val old = readManifest(cur)
     val src = keyRows.select(keys.map(col): _*).distinct()
       .withColumn(TombstoneCol, lit(true))
     val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
-    val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
-    commit(cur, Manifest(old.base, old.deltas :+ Delta(seq, added),
-      old.stats ++ stats, old.posDeletes))
+    commitRebasable { old =>
+      val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
+      Manifest(old.base, old.deltas :+ Delta(seq, added),
+        old.stats ++ stats, old.posDeletes)
+    }
     val threshold = meta.properties.get("compact.delta.threshold")
       .map(_.toInt).getOrElse(8)
     if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
@@ -1263,7 +1299,22 @@ final class WarehouseTable(val root: String) {
         walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
       } finally walk.close()
     } else {
-      commit(cur, old.copy(posDeletes = old.posDeletes :+ rel))
+      // concurrent-writer rebase with a FILE-IDENTITY guard: the sidecar
+      // names physical rows of the PLANNING snapshot's files, so it may
+      // rebase onto appends/deltas/sidecars (planned dirs all survive)
+      // but never silently onto a rewrite/compact that dropped any of
+      // them — the sidecar would go inert and the rows resurrect
+      val plannedDirs = (old.base.values.flatten ++
+        old.deltas.flatMap(_.data.values.flatten)).toSet
+      commitRebasable { now =>
+        val nowDirs = (now.base.values.flatten ++
+          now.deltas.flatMap(_.data.values.flatten)).toSet
+        if (!plannedDirs.subsetOf(nowDirs))
+          throw new IllegalStateException(
+            "a concurrent rewrite removed files this position-delete was " +
+              "planned against — re-run the delete on the current snapshot")
+        now.copy(posDeletes = now.posDeletes :+ rel)
+      }
       // sidecars amplify every read by one anti join, same way deltas
       // amplify arbitration — the same table threshold folds them back
       val threshold = meta.properties.get("compact.delta.threshold")

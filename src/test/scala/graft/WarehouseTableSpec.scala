@@ -569,6 +569,37 @@ class WarehouseTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](u.ensureMergeKeys(Seq("nope")))
   }
 
+  test("concurrent writers: racing appends, MOR upserts and a guarded posdel all rebase exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("multiw"))
+    t.create(schema, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    // 8 racing appends: every batch lands exactly once, ids stay dense
+    Await.result(Future.sequence((1 to 8).map(i =>
+      Future(t.append(df((i, s"v$i", "CA")))))), 180.seconds)
+    assert(t.read(spark).collect().map(_.getInt(0)).toSet == (1 to 8).toSet)
+    assert(t.currentSnapshotId == 8)
+    // 8 racing upserts of ONE key: arbitration picks a single total
+    // order — exactly one row survives, and it is one of the racers
+    Await.result(Future.sequence((1 to 8).map(i =>
+      Future(t.merge(spark, df((100, s"r$i", "CA")), Seq("k"))))), 180.seconds)
+    val winners = t.read(spark).filter(col("k") === 100)
+      .collect().map(_.getString(1))
+    assert(winners.length == 1 && winners.head.startsWith("r"))
+    assert(t.currentSnapshotId == 16)
+    // a position delete races an append: both land (the appended dirs
+    // survive, so the file-identity guard passes)
+    val fut = Future(t.append(df((200, "late", "CA"))))
+    assert(t.deleteWhereMor(spark, col("k") === 1) == 1)
+    Await.result(fut, 180.seconds)
+    val ks = t.read(spark).collect().map(_.getInt(0)).toSet
+    assert(!ks.contains(1) && ks.contains(200))
+  }
+
   test("write-audit-publish: staged snapshots invisible to readers, feed and GC; publish races refuse") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wap"))
