@@ -3022,6 +3022,40 @@ object SparkEntry {
         md5(col("text")).as("text_md5"), col("language"))
     }),
 
+    // SQL MAINTENANCE PROCEDURES, oracle-gated: the Iceberg-procedures
+    // surface — a MOR table takes a posdel DELETE, then CALL compact
+    // (fold), CALL expire_snapshots (history purge) and CALL
+    // remove_orphan_files (byte reclaim) run the whole maintenance
+    // runbook from plain SQL; the final view must be untouched by any of
+    // it. The oracle recomputes the relational answer.
+    "q176_sql_procedures" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q176_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.table.WarehouseTable(s"$wh/db/docs_p").drop()
+      s.conf.set("spark.sql.catalog.graft_q176", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q176.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .createOrReplaceTempView("q176_docs")
+      s.sql(
+        """CREATE TABLE graft_q176.db.docs_p (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |  'write.delete.mode'='merge-on-read',
+          |  'write.update.mode'='merge-on-read',
+          |  'compact.delta.threshold'='0')""".stripMargin)
+      s.sql("INSERT INTO graft_q176.db.docs_p SELECT * FROM q176_docs")
+      s.sql("DELETE FROM graft_q176.db.docs_p WHERE doc_id % 11 = 0")
+      s.sql("CALL graft_q176.system.compact('db.docs_p')")
+      s.sql("CALL graft_q176.system.expire_snapshots('db.docs_p', 1)")
+      s.sql("CALL graft_q176.system.remove_orphan_files('db.docs_p', 0)")
+      s.sql(
+        """SELECT doc_id, md5(text) AS text_md5, lang
+          |FROM graft_q176.db.docs_p""".stripMargin)
+    }),
+
     // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
     // corpus slices rebase through the optimistic CREATE_NEW-guarded
     // commit — every batch lands exactly once with no coordination, the
@@ -4372,6 +4406,11 @@ object SparkEntry {
     // 8 racing disjoint appends must land the corpus exactly once each
     "q175_concurrent_appends" ->
       """SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
+
+    // the full SQL maintenance runbook must leave the view untouched
+    "q176_sql_procedures" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
 
     // the incrementally-maintained view must equal the plain GROUP BY
     // over the source's final state

@@ -40,7 +40,8 @@ import graft.table.WarehouseTable
   * to snapshot n. `MERGE INTO` plans natively via [[GraftMergeStrategy]];
   * the literal reference file also runs through [[MergeSqlRunner]].
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -170,6 +171,34 @@ class GraftCatalog extends TableCatalog {
     val wt = warehouseTable(ident)
     if (wt.exists) { wt.drop(); true } else false
   }
+
+  // ---- stored procedures (CALL graft.system.<proc>(...)) ------------------
+  //
+  // The maintenance surface Iceberg ships as Spark procedures, re-owned:
+  // snapshot rollback, expiry, orphan GC, compaction, and WAP publish all
+  // addressable from PLAIN SQL — `CALL graft.system.rollback('db.t', 3)` —
+  // so an operations runbook needs no JVM code. Each returns a one-row
+  // summary through a LocalScan (driver-side literal; the answer is one
+  // number, shipping it through executors would cost more than computing
+  // it).
+
+  /** Resolve a procedure's 'db.tbl' string argument against this
+    * catalog's warehouse; fails loudly on a missing table.
+    */
+  private def resolveTable(qualified: String): WarehouseTable = {
+    val wt = WarehouseTable(s"$warehouse/${qualified.replace('.', '/')}")
+    require(wt.exists, s"no warehouse table '$qualified' under $warehouse")
+    wt
+  }
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got $ident")
+    GraftProcedures.load(ident.name(), resolveTable)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(Array("system"), _))
 
   /** RENAME TABLE: a directory move — snapshots/manifests/data all use
     * table-relative paths, so the layout is position-independent.
@@ -344,6 +373,89 @@ final class GraftV1Relation(
       case sources.EqualNullSafe(`p`, v) if v != null => Seq(v)
       case sources.In(`p`, vs) if !vs.contains(null) => vs.toSeq
     }
+}
+
+/** The maintenance procedures behind `CALL graft.system.<name>(...)`.
+  * Each is one [[graft.table.WarehouseTable]] operation plus a one-row
+  * summary; argument 0 is always the 'db.tbl' string resolved against the
+  * owning catalog's warehouse.
+  */
+object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  val names: Array[String] = Array(
+    "rollback", "expire_snapshots", "remove_orphan_files", "compact",
+    "publish_staged", "discard_staged")
+
+  private def param(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+
+  /** One-row (name BIGINT) result via LocalScan — a driver-side literal. */
+  private def summary(name: String, value: Long): java.util.Iterator[Scan] = {
+    val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(Array[Any](value)))
+      override def readSchema(): StructType =
+        new StructType().add(name, LongType, nullable = false)
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private def proc(
+      procName: String,
+      params: Seq[ProcedureParameter],
+      run: InternalRow => java.util.Iterator[Scan]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft.system.$procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft.system.$procName"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            run(input)
+        }
+    }
+
+  def load(
+      name: String,
+      resolve: String => WarehouseTable): UnboundProcedure = {
+    def tbl(in: InternalRow) = resolve(in.getUTF8String(0).toString)
+    name match {
+      case "rollback" => proc(name,
+        Seq(param("table", StringType), param("snapshot_id", LongType)),
+        { in => val t = tbl(in); t.rollback(in.getLong(1))
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "expire_snapshots" => proc(name,
+        Seq(param("table", StringType), param("keep_last", LongType)),
+        { in => val t = tbl(in); t.expireSnapshots(in.getLong(1).toInt)
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "remove_orphan_files" => proc(name,
+        Seq(param("table", StringType), param("older_than_ms", LongType)),
+        { in => val t = tbl(in)
+          summary("removed", t.removeOrphanFiles(in.getLong(1)).toLong) })
+      case "compact" => proc(name,
+        Seq(param("table", StringType)),
+        { in => val t = tbl(in)
+          t.compact(org.apache.spark.sql.SparkSession.active)
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "publish_staged" => proc(name,
+        Seq(param("table", StringType), param("snapshot_id", LongType)),
+        { in => val t = tbl(in); t.publishStaged(in.getLong(1))
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "discard_staged" => proc(name,
+        Seq(param("table", StringType), param("snapshot_id", LongType)),
+        { in => val t = tbl(in); t.discardStaged(in.getLong(1))
+          summary("current_snapshot", t.currentSnapshotId) })
+      case other =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq("system", other)) // closest loud analysis-time error
+    }
+  }
 }
 
 object GraftV1Relation {

@@ -425,4 +425,44 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(out == Seq((1, "a"), (2, "B"), (3, "c")))
   }
+
+  test("CALL graft.system.*: rollback, compact, expiry, orphan GC and WAP publish from plain SQL") {
+    import spark.implicits._
+    val wh = warehouse // force catalog registration
+    spark.sql(
+      """CREATE TABLE graft.db.mnt (k INT, v STRING, state STRING)
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+        |  'write.delete.mode'='merge-on-read',
+        |  'write.update.mode'='merge-on-read',
+        |  'compact.delta.threshold'='0')""".stripMargin)
+    val wt = graft.table.WarehouseTable(s"$wh/db/mnt")
+    spark.sql("INSERT INTO graft.db.mnt VALUES (1, 'a', 'CA'), (2, 'b', 'NY')")
+    val snap1 = wt.currentSnapshotId
+    // an abandoned half, rolled back from SQL
+    spark.sql("INSERT INTO graft.db.mnt VALUES (3, 'junk', 'TX')")
+    val r = spark.sql(s"CALL graft.system.rollback('db.mnt', $snap1)").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(snap1))
+    assert(spark.sql("SELECT k FROM graft.db.mnt").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+    // MOR delete -> posdel sidecar; compact folds it; expiry + GC reclaim
+    wt.merge(spark, Seq((2, "B2", "NY")).toDF("k", "v", "state"), Seq("k"))
+    assert(wt.deleteWhereMor(spark, org.apache.spark.sql.functions.col("k") === 1) == 1)
+    spark.sql("CALL graft.system.compact('db.mnt')")
+    spark.sql("CALL graft.system.expire_snapshots('db.mnt', 1)")
+    val removed = spark.sql(
+      "CALL graft.system.remove_orphan_files('db.mnt', 0)").head().getLong(0)
+    assert(removed >= 0) // rollback debris, if any, reclaimed
+    assert(spark.sql("SELECT k, v FROM graft.db.mnt").collect()
+      .map(r2 => (r2.getInt(0), r2.getString(1))).toSet == Set((2, "B2")))
+    // WAP: stage via the API, publish via SQL
+    val staged = wt.stageAppend(Seq((7, "g", "WA")).toDF("k", "v", "state"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.mnt").head().getLong(0) == 1)
+    spark.sql(s"CALL graft.system.publish_staged('db.mnt', $staged)")
+    assert(spark.sql("SELECT k FROM graft.db.mnt").collect()
+      .map(_.getInt(0)).toSet == Set(2, 7))
+    // the procedures are discoverable
+    assert(spark.sql("SHOW PROCEDURES IN graft.system").collect()
+      .exists(_.toString.contains("rollback")))
+    spark.sql("DROP TABLE graft.db.mnt")
+  }
 }
