@@ -2985,10 +2985,33 @@ object SparkEntry {
     // logical names. The oracle recomputes the final state relationally
     // on the renamed view.
     "q170_cdc_rename_window" -> ((s, dir) => {
+      // the SOURCE history (4 commits spanning the rename) is a fixture:
+      // built once per (JVM, sfDir), immutable afterwards — the TIMED
+      // part is the mirror drain, the operator under test (q106 rule)
       val base = scratchPath("q170", dir)
       val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        src.create(docs.schema,
+          properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+        // commits 1-2: pre-rename epoch (files carry physical 'lang')
+        src.merge(s, docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
+        src.merge(s,
+          docs.filter(col("doc_id") % 4 === 0)
+            .withColumn("text", concat(col("text"), lit(" v2"))),
+          Seq("doc_id"))
+        src.renameColumn("lang", "language") // metadata-only, inside the window
+        // commits 3-4: post-rename epoch — the deleteRows removal diff
+        // re-reads commit-1 dirs (old physical name) through the coalesce
+        src.merge(s,
+          docs.filter(col("doc_id") % 2 === 1)
+            .withColumnRenamed("lang", "language"), Seq("doc_id"))
+        src.deleteRows(s, col("doc_id") % 7 === 0)
+      }
       val mirror = graft.table.WarehouseTable(base + "/mirror")
-      src.drop(); mirror.drop()
+      mirror.drop()
       val ckpt = java.nio.file.Paths.get(base, "ckpt")
       if (java.nio.file.Files.exists(ckpt)) {
         val walk = java.nio.file.Files.walk(ckpt)
@@ -2998,23 +3021,6 @@ object SparkEntry {
             .foreach(java.nio.file.Files.deleteIfExists)
         } finally walk.close()
       }
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"))
-      src.create(docs.schema,
-        properties = graft.table.WarehouseTable.tableProperties("COW", "snappy"))
-      // commits 1-2: pre-rename epoch (files carry physical 'lang')
-      src.merge(s, docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
-      src.merge(s,
-        docs.filter(col("doc_id") % 4 === 0)
-          .withColumn("text", concat(col("text"), lit(" v2"))),
-        Seq("doc_id"))
-      src.renameColumn("lang", "language") // metadata-only, inside the window
-      // commits 3-4: post-rename epoch — the deleteRows removal diff
-      // re-reads commit-1 dirs (old physical name) through the coalesce
-      src.merge(s,
-        docs.filter(col("doc_id") % 2 === 1)
-          .withColumnRenamed("lang", "language"), Seq("doc_id"))
-      src.deleteRows(s, col("doc_id") % 7 === 0)
       val q = graft.streaming.StreamingIngest.startCdcMirror(
         s, src, mirror, Seq("doc_id"), ckpt.toString)
       q.awaitTermination(600000)
@@ -3118,10 +3124,24 @@ object SparkEntry {
     // zeroed 'de' group drops out of the read. The view is never rebuilt
     // from the corpus; the oracle recomputes it relationally.
     "q173_incremental_agg_view" -> ((s, dir) => {
+      // source history is a build-once fixture (q106 rule); the timed
+      // part is the gross-feed drain + rollup fold — the operator
       val base = scratchPath("q173", dir)
       val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        src.create(docs.schema, Some("lang"),
+          graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+        src.merge(s, docs, Seq("doc_id"))
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
+        src.deleteRows(s, col("doc_id") % 7 === 0)
+        src.dropPartitions(Seq("de"))
+      }
       val view = graft.table.WarehouseTable(base + "/view")
-      src.drop(); view.drop()
+      view.drop()
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(base + "/view_agg_applied"))
       val ckpt = java.nio.file.Paths.get(base, "ckpt")
@@ -3133,15 +3153,6 @@ object SparkEntry {
             .foreach(java.nio.file.Files.deleteIfExists)
         } finally walk.close()
       }
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      src.create(docs.schema, Some("lang"),
-        graft.table.WarehouseTable.tableProperties("COW", "snappy"))
-      src.merge(s, docs, Seq("doc_id"))
-      src.merge(s, docs.filter(col("doc_id") % 4 === 0)
-        .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
-      src.deleteRows(s, col("doc_id") % 7 === 0)
-      src.dropPartitions(Seq("de"))
       val q = graft.streaming.StreamingIngest.startAggView(
         s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString)
       q.awaitTermination(600000)
