@@ -1082,7 +1082,7 @@ final class WarehouseTable(val root: String) {
     */
   private def commitRebasable(
       makeManifest: Manifest => Manifest,
-      maxAttempts: Int = 5): Unit = {
+      maxAttempts: Int = 20): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -1095,8 +1095,13 @@ final class WarehouseTable(val root: String) {
         case e @ (_: java.util.ConcurrentModificationException |
                   _: java.nio.file.FileAlreadyExistsException) =>
           if (attempt >= maxAttempts) throw e
-          // linear backoff: contention here is other local committers
-          Thread.sleep(10L * attempt)
+          // jittered linear backoff: contention here is other LOCAL
+          // committers, and without jitter N lockstep racers can starve
+          // one writer through many rounds (seen as a flaky 8-way race
+          // under full-suite CPU load); retries stay cheap — manifest
+          // re-derivation only, never a data rewrite
+          Thread.sleep(5L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(20L))
       }
     }
   }
@@ -2804,9 +2809,19 @@ final class WarehouseTable(val root: String) {
   private def readString(p: Path): String =
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
 
+  /** Atomic in-place file write: content lands in a same-dir temp file
+    * and MOVES into place, so a concurrent reader sees either the old or
+    * the new content — never a truncated/empty file. Load-bearing for
+    * `_meta.json` under multi-writer commits (the first MOR merge writes
+    * `merge.keys` while its 7 racing siblings are mid-readMeta — a plain
+    * truncate-and-write hands them end-of-input).
+    */
   private def writeString(p: Path, s: String): Unit = {
     Files.createDirectories(p.getParent)
-    Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+    val tmp = p.resolveSibling(s"${p.getFileName}.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Hive dir-name unescaping: %XX sequences only. URLDecoder is NOT
