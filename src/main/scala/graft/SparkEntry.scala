@@ -100,11 +100,15 @@ object SparkEntry {
         col("label").as("bucket"))
 
   /** Every PQ fit trains on a bounded deterministic sample of the corpus
-    * ([[graft.operators.ProductQuantizer.trainSample]], `id % p == 0`
-    * with `p = ceil(n/256)`) — the index BUILD stays linear while the
-    * codebook quality is sample-stable; the oracle replays the identical
-    * rule from the same corpus count. 256 bites already at sf0.01
-    * (n=490 → p=2), so the correctness gate exercises the sampled path.
+    * ([[graft.operators.ProductQuantizer.trainSample]],
+    * `lehmer2(id) % p == 0` with `p = ceil(n/256)` and `lehmer2` the
+    * two-round Park–Miller hash `(id % M) * 48271 % M * 48271 % M`,
+    * `M = 2^31−1` — a bare `id % p` biases or empties on structured id
+    * spaces, and ONE round is still linear below the wraparound) — the index
+    * BUILD stays linear while the codebook quality is sample-stable;
+    * the oracle replays the identical integer arithmetic from the same
+    * corpus count. 256 bites already at sf0.01 (n=490 → p=2), so the
+    * correctness gate exercises the sampled path.
     */
   private val PqTrainCap = 256L
 
@@ -3160,6 +3164,66 @@ object SparkEntry {
         .select(col("lang"), col("n"), col("sum_n_chars"))
     }),
 
+    // INCREMENTAL AGGREGATE VIEW OVER A MOR SOURCE — q173's twin without
+    // compact-to-COW: upserts never remove their old version's dir, so
+    // the gross feed recovers each −old through the table's own keyed
+    // arbitration (read asOf pre-commit, key-semi-joined to the commit's
+    // delta keys). The history stresses every subtraction path: a
+    // double-updated key must subtract its LATEST prior version (not its
+    // base row), an equality delete contributes −old with the victim's
+    // payload (the tombstone row carries nulls), a later upsert
+    // resurrects deleted keys, a mid-history COMPACTION is writer-stamped
+    // maintenance and must contribute exactly nothing, and a position
+    // delete + partition drop subtract through like q173's. The view is
+    // never rebuilt from the corpus; the oracle replays the history
+    // relationally over the final state.
+    "q177_agg_view_mor" -> ((s, dir) => {
+      val base = scratchPath("q177", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        src.create(docs.schema, Some("lang"),
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+            ("compact.delta.threshold" -> "0"))
+        // composite (doc_id, lang) row identity: equality deletes on a
+        // partitioned MOR table must route by partition, and one table
+        // has ONE keyset for its whole history
+        src.merge(s, docs, Seq("doc_id", "lang"))
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id", "lang"))
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 9), Seq("doc_id", "lang"))
+        src.deleteKeysMor(s,
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id", "lang"),
+          Seq("doc_id", "lang"))
+        src.compact(s) // maintenance: the view must not see the re-land
+        src.merge(s, docs.filter(col("doc_id") % 5 === 2)
+          .withColumn("n_chars", col("n_chars") * 2), Seq("doc_id", "lang"))
+        src.deleteWhereMor(s, col("doc_id") % 11 === 3)
+        src.dropPartitions(Seq("de"))
+      }
+      val view = graft.table.WarehouseTable(base + "/view")
+      view.drop()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(base + "/view_agg_applied"))
+      val ckpt = java.nio.file.Paths.get(base, "ckpt")
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+        } finally walk.close()
+      }
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString)
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(col("lang"), col("n"), col("sum_n_chars"))
+    }),
+
     // KEYED SNAPSHOT DIFF between two tagged releases: dirs are immutable
     // and content-addressed, so only the manifests' symmetric dir
     // difference is read (plus sidecar-named erasures in shared dirs) —
@@ -3192,6 +3256,43 @@ object SparkEntry {
       table.diffSnapshots(s, table.tags("v1"), table.tags("v2"), Seq("doc_id"))
         .select(col("diff_type"), col("doc_id"),
           md5(col("text")).as("text_md5"), col("lang"))
+    }),
+
+    // SNAPSHOT DIFF ACROSS SCHEMA EVOLUTION — q171 where `from` PREDATES
+    // an ALTER RENAME and a DROP COLUMN: both sides resolve through the
+    // CURRENT schema (the renamed column coalesces its prior physical
+    // name out of pre-rename files; the dropped column simply isn't in
+    // the diff's universe), so a release diff keeps working after
+    // metadata DDL — no snapshot rewrite, no special evolved-diff path.
+    // Same set algebra as q171, output under the POST-RENAME name.
+    "q178_snapshot_diff_evolved" -> ((s, dir) => {
+      val wh = scratchPath("q178", dir) + "/docs_rel"
+      val table = graft.table.WarehouseTable(wh)
+      table.drop()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      table.create(docs.schema,
+        properties = graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+          ("compact.delta.threshold" -> "0"))
+      table.ensureMergeKeys(Seq("doc_id"))
+      table.append(docs)
+      table.tagSnapshot("v1")
+      table.renameColumn("lang", "language") // metadata-only, mid-window
+      table.dropColumn("source")             // pre-drop bytes never read back
+      table.append(docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + PlantOffset).as("doc_id"),
+          col("text"), col("lang").as("language")))
+      table.deleteWhereMor(s,
+        col("doc_id") % 7 === 0 && col("doc_id") < PlantOffset)
+      table.deleteWhereMor(s, col("doc_id") % 7 =!= 0 &&
+        col("doc_id") % 9 === 0 && col("doc_id") < PlantOffset)
+      table.append(docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 9 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("lang").as("language")))
+      table.tagSnapshot("v2")
+      table.diffSnapshots(s, table.tags("v1"), table.tags("v2"), Seq("doc_id"))
+        .select(col("diff_type"), col("doc_id"),
+          md5(col("text")).as("text_md5"), col("language"))
     }),
 
     // PARTITIONS METADATA TABLE (Iceberg's `t.partitions`): per-partition
@@ -4423,6 +4524,26 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, lang
         |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
 
+    // the MOR-maintained view must equal the plain GROUP BY over the
+    // replayed history's final state: %5=2 upsert wins last (and
+    // resurrects deleted %7 keys), else the second %4 update (+9, a
+    // REPLACE — not +16), else base; %7 equality-deleted unless
+    // resurrected; %11=3 position-deleted after all upserts; 'de'
+    // partition dropped; the mid-history compaction contributes nothing
+    "q177_agg_view_mor" ->
+      """WITH fin AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 5 = 2 THEN n_chars * 2
+        |         WHEN doc_id % 4 = 0 THEN n_chars + 9
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE (doc_id % 7 <> 0 OR doc_id % 5 = 2)
+        |    AND doc_id % 11 <> 3 AND lang <> 'de'
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM fin GROUP BY 1""".stripMargin,
+
     // the incrementally-maintained view must equal the plain GROUP BY
     // over the source's final state
     "q173_incremental_agg_view" ->
@@ -4432,6 +4553,19 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 7 <> 0 AND lang <> 'de'
         |GROUP BY 1""".stripMargin,
+
+    // same algebra as q171 under the post-rename column name; the
+    // dropped column never resurfaces
+    "q178_snapshot_diff_evolved" ->
+      s"""SELECT 'added' AS diff_type, doc_id + $PlantOffset AS doc_id,
+        |  md5(text) AS text_md5, lang AS language
+        |FROM documents WHERE doc_id % 5 = 1
+        |UNION ALL
+        |SELECT 'removed', doc_id, md5(text), lang
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'changed', doc_id, md5(text || ' v2'), lang
+        |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 9 = 0""".stripMargin,
 
     // the diff is pure set algebra over the two release definitions
     "q171_snapshot_diff" ->
@@ -7855,7 +7989,9 @@ object SparkEntry {
        |  SELECT (count(*) + ${PqTrainCap - 1}) // $PqTrainCap AS p
        |  FROM qv WHERE id >= 10
        |), train AS (
-       |  SELECT * FROM sub WHERE id % (SELECT p FROM pr) = 0
+       |  SELECT * FROM sub
+       |  WHERE ((((id % 2147483647) * 48271) % 2147483647) * 48271)
+       |          % 2147483647 % (SELECT p FROM pr) = 0
        |), c0 AS (
        |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS INT) AS cid,
        |    sv AS cvec

@@ -40,23 +40,65 @@ object ProductQuantizer {
       cents: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
       scale: Long)
 
+  /** TWO-round Lehmer hash of an id column:
+    * `h(id) = ((id mod M) · 48271 mod M) · 48271 mod M` with
+    * `M = 2^31 − 1` (Park–Miller's prime and multiplier). Two rounds, not
+    * one, because one round is LINEAR below the wraparound: for
+    * `id · 48271 < M` (ids under ~44k) `h = id · 48271` exactly, and
+    * since `48271 ≡ 1 (mod 10)` the low-digit structure of the id passes
+    * straight through — `ids ≡ 3 (mod 10)` would still empty the sample.
+    * After round one every nonzero value is ≥ 48271, so round two always
+    * wraps and genuinely mixes. Every intermediate fits a 64-bit
+    * integer for ANY input id — `(M−1) · 48271 < 2^47` — so the SQL
+    * oracle replays the identical arithmetic with plain BIGINT `%`/`*`
+    * and no overflow (a 2^32-domain Knuth hash would overflow BIGINT on
+    * snowflake-scale ids).
+    */
+  private val LehmerM = 2147483647L // 2^31 − 1, prime
+  private val LehmerA = 48271L
+  def idHash(idCol: Column): Column =
+    (idCol.cast("long") % LehmerM) * LehmerA % LehmerM * LehmerA % LehmerM
+
   /** Deterministic bounded TRAINING SAMPLE for codebook fitting — the
     * classical PQ practice (Jégou et al. train on a learning set, not
     * the corpus): codebook quality is sample-stable once each centroid
     * sees a few dozen vectors, while fitting on the corpus makes the
     * index BUILD super-linear (every Lloyd iteration scans everything —
     * measured 23× per 10× data before this). The rule is a pure integer
-    * function of the corpus count: keep ids with `id % p == 0` where
-    * `p = ceil(n / cap)` — systematic, replayable by the SQL oracle from
-    * the same two integers, and the whole corpus when `n <= cap`. The
-    * count itself is one column-pruned metadata-cheap scan; the fit that
-    * follows is O(cap · iters) instead of O(n · iters).
+    * function of the corpus count: keep ids with `hash(id) % p == 0`
+    * where `p = ceil(n / cap)` and `hash` is the Lehmer hash above —
+    * replayable by the SQL oracle from the same integers, and the whole
+    * corpus when `n <= cap`. Hashing first matters: a bare `id % p == 0`
+    * is a clean systematic sample only on dense sequential ids, while
+    * structured id spaces (all-even snowflake ids, per-shard ranges,
+    * ids ≡ c mod p) silently BIAS the codebook or empty the sample; the
+    * multiplicative hash scatters any such lattice across residues.
+    *
+    * Defense in depth: the realized sample size is counted (one more
+    * column-pruned scan, noise next to the `iters` training scans) and
+    * required within 4× of its expectation — a pathological id set that
+    * still aligns with the hash fails LOUDLY here instead of training a
+    * biased codebook. The fit that follows is O(cap · iters), not
+    * O(n · iters).
     */
   def trainSample(corpus: DataFrame, idCol: String, cap: Long): DataFrame = {
     require(cap >= 1, s"sample cap must be positive, got $cap")
     val n = corpus.count()
     val p = (n + cap - 1) / cap
-    if (p <= 1) corpus else corpus.filter(col(idCol) % p === 0)
+    if (p <= 1) corpus
+    else {
+      val sample = corpus.filter(idHash(col(idCol)) % p === 0)
+      val got = sample.count()
+      // expectation is n/p ∈ (cap/2, cap]; 4× slack on either side is
+      // unreachable by chance at cap ≥ 64 under a uniform hash (Chernoff),
+      // so tripping this means the id space correlates with the hash —
+      // resample with a different cap or pre-scramble the ids.
+      val expect = n / p
+      require(got >= expect / 4 && got <= expect * 4,
+        s"PQ training sample realized $got rows vs ~$expect expected " +
+          s"(n=$n, p=$p) — id space correlates with the sampling hash")
+      sample
+    }
   }
 
   /** Train one codebook per subspace over the corpus (m independent

@@ -2272,9 +2272,19 @@ object StreamingIngest {
     * SUM/COUNT only, the aggregates invertible under deletion (MIN/MAX
     * would need a rescan on every delete — refuse, don't pretend).
     *
-    * COW sources only: a MOR upsert appends the new version WITHOUT
-    * removing the old one's dir, so its gross feed cannot carry the
-    * subtraction — refused loudly at start. Exactly-once: the rollup's
+    * MOR sources work too: a MOR upsert appends the new version WITHOUT
+    * removing the old one's dir, so the gross feed recovers the
+    * subtraction through the table's own keyed arbitration — per
+    * delta-touched key it emits −(resolved pre-commit version) beside
+    * the +new (see [[graft.table.WarehouseTable.changesSince]]). That
+    * old-version read costs one resolved scan of the source per window
+    * commit (key-semi-joined, but not partition-prunable) — a COW
+    * source's gross feed stays O(changed bytes), so COW-or-mirror
+    * remains the hot-path recommendation; MOR support means the view is
+    * exact either way, with no forced compaction. Merge keys must be
+    * recorded on MOR sources (they are, by any MOR merge). Maintenance
+    * commits (compaction included) are skipped EXACTLY — their
+    * re-landed rows never reach the fold. Exactly-once: the rollup's
     * own per-row batch marker (batchId = the window's target snapshot)
     * makes a checkpoint-replayed window a per-key no-op; the cursor
     * (with source lineage, same rollback protection as the mirror)
@@ -2292,10 +2302,11 @@ object StreamingIngest {
       sumCols: Seq[String],
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    require(!source.properties.get("write.merge.mode").contains("merge-on-read"),
-      "startAggView needs a COW source: a MOR upsert never removes its " +
-        "old version's dir, so the gross change feed cannot carry the " +
-        "subtraction — compact to COW or mirror first")
+    require(!source.properties.get("write.merge.mode").contains("merge-on-read") ||
+        source.recordedMergeKeys.nonEmpty,
+      "startAggView over a MOR source needs its merge keys recorded " +
+        "(ensureMergeKeys / any MOR merge): the gross feed recovers each " +
+        "upsert's −old through keyed arbitration")
     // the cursor lives BESIDE the view root (the view table itself is
     // created by the rollup's first commit, after the cursor's parent
     // must already be writable)

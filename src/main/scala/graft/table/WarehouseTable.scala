@@ -196,8 +196,15 @@ final class WarehouseTable(val root: String) {
     * `onlyParts` restricts fragment loading to the named partitions —
     * partition-pruned reads never open the other fragments.
     */
-  private def readManifest(id: Long, onlyParts: Option[Set[String]] = None): Manifest = {
-    val j = JsonMethods.parse(readString(snapOrStaged(id)))
+  private def readManifest(id: Long, onlyParts: Option[Set[String]] = None): Manifest =
+    manifestFromJson(JsonMethods.parse(readString(snapOrStaged(id))), onlyParts)
+
+  /** Decode a parsed snapshot JSON — factored from [[readManifest]] so a
+    * caller that also needs snapshot-level fields (the commit `kind` in
+    * [[changesSince]]'s per-commit walk) parses the file ONCE instead of
+    * a second readString+parse per window commit.
+    */
+  private def manifestFromJson(j: JValue, onlyParts: Option[Set[String]] = None): Manifest = {
     (j \ "parts") match {
       case JObject(parts) => // v3 split format
         // Evolved tables: fragments whose key carries legacy-spec dirs
@@ -269,7 +276,8 @@ final class WarehouseTable(val root: String) {
     */
   private def writeSnapshot(
       id: Long, m: Manifest, prevId: Option[Long], createNew: Boolean,
-      kind: String = "data", staged: Boolean = false): Unit = {
+      kind: String = "data", staged: Boolean = false,
+      wapId: Option[String] = None): Unit = {
     val prevPaths = prevId.map(snapFragmentPaths).getOrElse(Map.empty)
     val prev = prevId
       .filter(_ => prevPaths.nonEmpty)
@@ -311,6 +319,16 @@ final class WarehouseTable(val root: String) {
         List("legacy" -> JArray(keys.toList.distinct.map(JString(_))))
       }
     }
+    // A staged snapshot records the TIMELINE it was built on: its parent
+    // state is carried BY VALUE, so a rollback (which bumps the lineage
+    // id and lets new commits reuse the abandoned ids) makes the stage
+    // unpublishable — without this stamp, publishStaged(N) after the new
+    // timeline re-reaches N−1 would atomically install a manifest built
+    // on pre-rollback state, silently dropping every new-timeline commit
+    // (the same snapshot-id-reuse hole lineage ids close for CDC cursors).
+    val stagedField: List[(String, JValue)] =
+      (if (staged) List("lineage" -> (JString(lineageId): JValue)) else Nil) ++
+        wapId.map(w => "wap-id" -> (JString(w): JValue)).toList
     val snap = JObject(
       ("parts" -> (JObject(parts.toList): JValue)) ::
       ("ts" -> (JLong(System.currentTimeMillis()): JValue)) :: // commit time, for AS OF
@@ -325,7 +343,7 @@ final class WarehouseTable(val root: String) {
       ("deltas" -> (JArray(m.deltas.map(d => JObject(
         "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))): JValue)) ::
       ("posdel" -> (JArray(m.posDeletes.map(JString(_))): JValue)) ::
-      legacyField)
+      (stagedField ++ legacyField))
     val bytes = JsonMethods.compact(JsonMethods.render(snap))
       .getBytes(StandardCharsets.UTF_8)
     val p = if (staged) stagedPath(id) else snapPath(id)
@@ -342,16 +360,6 @@ final class WarehouseTable(val root: String) {
   /** CREATE_NEW write — fails if a racing commit already claimed this id. */
   private def writeManifestNew(id: Long, m: Manifest, kind: String): Unit =
     writeSnapshot(id, m, Some(id - 1), createNew = true, kind)
-
-  /** A snapshot's writer-stamped commit kind (None for snapshots written
-    * before the field existed — readers fall back to the legacy
-    * delta-removal heuristic for those).
-    */
-  private def snapKind(id: Long): Option[String] =
-    JsonMethods.parse(readString(snapPath(id))) \ "kind" match {
-      case JString(k) => Some(k)
-      case _ => None
-    }
 
   private def atomicWriteCurrent(id: Long): Unit = {
     val tmp = rootPath.resolve(s"_current.tmp.${UUID.randomUUID()}")
@@ -612,18 +620,76 @@ final class WarehouseTable(val root: String) {
       require(Files.exists(snapPath(id)),
         s"snapshot $id expired — the incremental window since $sinceSnapId " +
           "is no longer replayable commit-by-commit")
-      val m = readManifest(id)
+      val snapJ = JsonMethods.parse(readString(snapPath(id)))
+      val m = manifestFromJson(snapJ)
+      val kindStamp: Option[String] = (snapJ \ "kind") match {
+        case JString(k) => Some(k)
+        case _ => None
+      }
+      // A writer-stamped MAINTENANCE commit (compact, posdel fold,
+      // re-cluster, spec migration) is resolution-invariant: its fresh
+      // dirs are the SAME visible rows re-landed. Emitting them would
+      // (a) double-count every re-landed row in the gross feed — a
+      // compaction on the source would silently corrupt an aggregate
+      // view — and (b) push a full-table no-op merge through a keyed
+      // mirror per compaction. Skip fresh emission exactly when the
+      // writer stamped the kind; unstamped legacy snapshots keep the
+      // conservative emit (a keyed mirror absorbs it; the gross feed
+      // did not exist before stamping did).
+      val stampedMaintenance = kindStamp.contains("maintenance")
       def fresh(x: Map[String, List[String]]): Seq[(String, List[String])] =
         x.view.mapValues(_.filterNot(seenDirs)).filter(_._2.nonEmpty).toSeq
       val freshDirs: Map[String, List[String]] =
-        (fresh(m.base) ++ m.deltas.flatMap(d => fresh(d.data)))
+        if (stampedMaintenance) Map.empty
+        else (fresh(m.base) ++ m.deltas.flatMap(d => fresh(d.data)))
           .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
-      if (freshDirs.nonEmpty)
-        frames += readParts(spark, meta, freshDirs, withTombstone = true)
-          .withColumn("_change_type",
-            when(col(TombstoneCol), lit("delete")).otherwise(lit("insert")))
-          .drop(TombstoneCol)
-          .withColumn("_change_ordinal", lit(id))
+      val freshDeltaDirs: Map[String, List[String]] =
+        if (stampedMaintenance || netRemovals) Map.empty
+        else m.deltas.flatMap(d => fresh(d.data))
+          .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+      if (freshDirs.nonEmpty) {
+        if (freshDeltaDirs.isEmpty)
+          frames += readParts(spark, meta, freshDirs, withTombstone = true)
+            .withColumn("_change_type",
+              when(col(TombstoneCol), lit("delete")).otherwise(lit("insert")))
+            .drop(TombstoneCol)
+            .withColumn("_change_ordinal", lit(id))
+        else {
+          // GROSS feed over a MOR commit's fresh DELTA rows: an upsert
+          // appends the new version without removing the old one's dir,
+          // so the subtraction the aggregate fold needs is not in any
+          // dir diff — recover it through the same keyed arbitration a
+          // read performs. Per delta-touched key: +new (non-tombstone
+          // fresh rows, below) and −old, where old is the key's RESOLVED
+          // pre-commit version (read asOf id−1, key-semi-joined to the
+          // commit's touched keys — arbitration across base, earlier
+          // deltas and posdels included, so a twice-upserted key
+          // subtracts its latest prior version, not its base row).
+          // Tombstone rows emit no payload of their own: an equality
+          // delete's contribution IS −old (the tombstone row's payload
+          // is whatever the deleter wrote, not the victim's values).
+          // Cost: one resolved scan of the source per commit, key-pruned
+          // only by the semi-join — change-bound on the fresh side but
+          // O(source) on the old-version side; a COW source's gross feed
+          // stays O(changed bytes). The honest price of exact MV
+          // maintenance over write-only upserts — Iceberg's changelog
+          // pays the same join to produce MOR pre-images.
+          val keys = mergeKeys(meta).getOrElse(throw new IllegalArgumentException(
+            "gross change feed over MOR deltas needs merge keys for " +
+              "old-version arbitration — record them with ensureMergeKeys"))
+          frames += readParts(spark, meta, freshDirs, withTombstone = true)
+            .filter(!col(TombstoneCol))
+            .drop(TombstoneCol)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_change_ordinal", lit(id))
+          val touched = readParts(spark, meta, freshDeltaDirs,
+            withTombstone = true).select(keys.map(col): _*).distinct()
+          frames += read(spark, asOf = Some(id - 1))
+            .join(touched, keys, "left_semi")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_ordinal", lit(id))
+        }
+      }
       val newPos = m.posDeletes.filterNot(seenPos)
       if (newPos.nonEmpty)
         frames += erasedRows(spark, meta, newPos)
@@ -645,12 +711,15 @@ final class WarehouseTable(val root: String) {
       val curAll = (m.base.values.flatten ++
         m.deltas.flatMap(_.data.values.flatten)).toSet
       val removed = prevAll -- curAll
-      // maintenance is the WRITER's explicit stamp (snapKind) — a
-      // heuristic can't tell a compact (delta dirs fold away, rows
-      // re-land) from a dropPartitions that sweeps a partition's delta
-      // dirs (rows are GONE and must be emitted). Legacy snapshots
-      // without the stamp fall back to the old delta-removal heuristic.
-      val maintenance = snapKind(id) match {
+      // maintenance is the WRITER's explicit stamp — a heuristic can't
+      // tell a compact (delta dirs fold away, rows re-land) from a
+      // dropPartitions that sweeps a partition's delta dirs (rows are
+      // GONE and must be emitted). Read from the snapshot JSON this
+      // iteration already parsed for the manifest — a second
+      // readString+parse per window commit doubled metadata cost on
+      // split-format snapshots. Legacy snapshots without the stamp fall
+      // back to the old delta-removal heuristic.
+      val maintenance = kindStamp match {
         case Some(k) => k == "maintenance"
         case None =>
           val prevDelta = prevM.deltas.flatMap(_.data.values.flatten).toSet
@@ -745,11 +814,24 @@ final class WarehouseTable(val root: String) {
     // optional dir restriction (diffSnapshots: only erasures of rows that
     // were VISIBLE at `from` count — a sidecar may also name rows of dirs
     // that arrived after it)
+    // Manifests name dirs relative to the table root (`data/<uuid>[/p]`);
+    // `_metadata.file_path` spells the root however Spark resolved it — a
+    // symlinked or otherwise non-canonical root (e.g. /tmp vs
+    // /private/tmp) makes a prefix strip silently fail, and the filter
+    // below would then drop EVERY sidecar file, losing removed/changed
+    // rows from diffSnapshots without an error. Anchor on the trailing
+    // `data/<uuid>` components instead: the layout is self-describing
+    // (partition segments are `col=value`, never a bare `data`, so the
+    // LAST `data` segment is the table's data root), and a path that
+    // carries no such component fails loudly rather than filtering to
+    // nothing.
     def dirOf(f: String): Set[String] = {
-      val rel = new java.net.URI(f).getPath
-        .stripPrefix(rootPath.toAbsolutePath.toString).stripPrefix("/")
-      val segs = rel.split("/")
-      Set(segs.take(2).mkString("/"), segs.take(3).mkString("/"))
+      val segs = new java.net.URI(f).getPath.split("/").filter(_.nonEmpty)
+      val i = segs.lastIndexOf("data")
+      require(i >= 0 && i < segs.length - 1,
+        s"position-delete file_path carries no data/<uuid> component: $f")
+      val rel = segs.drop(i)
+      Set(rel.take(2).mkString("/"), rel.take(3).mkString("/"))
     }
     val files = posDf.select(PosFileCol).distinct()
       .collect().map(_.getString(0))
@@ -971,13 +1053,38 @@ final class WarehouseTable(val root: String) {
   }
 
   private def recordMergeKeys(meta: Meta, keys: Seq[String]): Unit = {
+    def mismatch(existing: Seq[String]): Unit =
+      require(existing == keys,
+        s"merge keys mismatch: table identity is $existing, this operation " +
+          s"used $keys — one table has one row identity for its whole " +
+          "history (re-create the table to change it)")
     mergeKeys(meta) match {
-      case Some(existing) =>
-        require(existing == keys,
-          s"merge keys mismatch: table identity is $existing, this operation " +
-            s"used $keys — one table has one row identity for its whole " +
-            "history (re-create the table to change it)")
+      case Some(existing) => mismatch(existing)
       case None =>
+        // FIRST keyed operation: claim the keyset via an atomic
+        // create-if-absent on a dedicated file before touching
+        // _meta.json. Two racing first operations with different key
+        // sets would otherwise both observe None and both write —
+        // last-writer-wins, and the loser's already-committed delta
+        // carries the wrong row identity SILENTLY (atomic writeString
+        // fixes torn reads, not lost updates). The claim is a temp
+        // write + hard-link into place: link(2) atomically FAILS when
+        // the name exists (rename(2) would silently replace it, so a
+        // move is not a CAS), and the linked file carries its full
+        // content the instant the name appears — losers always read a
+        // complete keyset, re-verify, and fail loudly on a different
+        // set. _meta.json then mirrors the claim for the normal
+        // metadata read path — idempotent, since every writer that
+        // reaches it proved it carries THE keyset.
+        val claim = rootPath.resolve("_merge_keys")
+        val tmp = rootPath.resolve(s"_merge_keys.tmp.${UUID.randomUUID()}")
+        writeString(tmp, keys.mkString(","))
+        try Files.createLink(claim, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            mismatch(readString(claim).trim.split(",").toSeq)
+        }
+        finally Files.deleteIfExists(tmp)
         val props = meta.properties + ("merge.keys" -> keys.mkString(","))
         val j = JObject(
           "schema" -> JString(meta.schemaDdl),
@@ -2388,9 +2495,19 @@ final class WarehouseTable(val root: String) {
         }.toList
       finally l.close()
     }
-    // staged (unpublished) snapshots' references are LIVE — a pending
-    // audit's bytes must survive GC; a staged id shadowed by a published
-    // one can never publish and is dead debris
+    var removed = 0
+    // LIVE staged (unpublished) snapshots' references are pinned — a
+    // pending audit's bytes must survive GC. DEAD stages (shadowed by a
+    // published id, or staged on a rolled-back timeline) pin nothing:
+    // they can never publish, so treating their references as live would
+    // make pre-rollback debris immortal for as long as the forgotten
+    // stage sits on disk. Their jsons are themselves debris no other
+    // sweep touches — reclaim them here (same age guard as data: a
+    // too-young file might be a stage mid-write).
+    deadStagedSnapshots.map(stagedPath).filter(oldEnough).foreach { p =>
+      Files.deleteIfExists(p)
+      removed += 1
+    }
     val withStaged = ids ++ stagedSnapshots.filterNot(ids.toSet)
     val liveFragments = withStaged.flatMap(snapFragmentPaths(_).values).toSet
     val manifests = withStaged.map(readManifest(_))
@@ -2399,7 +2516,6 @@ final class WarehouseTable(val root: String) {
         .map(_.split("/").take(2).mkString("/"))
     }.toSet
     val livePosDel = manifests.flatMap(_.posDeletes).toSet
-    var removed = 0
     def sweepDirs(sub: String, live: Set[String]): Unit = {
       val d = rootPath.resolve(sub)
       if (Files.isDirectory(d)) {
@@ -2518,6 +2634,18 @@ final class WarehouseTable(val root: String) {
     * merge) and DELTA-FREE snapshots on both ends (MOR arbitration is
     * per-read; [[compact]] first) — position deletes are fine on either
     * side.
+    *
+    * SCHEMA EVOLUTION between `from` and `to` composes: both sides read
+    * through the CURRENT schema (renamed columns coalesce their prior
+    * physical names out of pre-rename files, exactly like any other
+    * read), so `keys` and the output always use CURRENT names. Dropped
+    * columns are not resurrected — a `removed` row's `from` payload
+    * carries the current columns only, and a row whose ONLY in-window
+    * change was in a since-dropped column reads identical on both sides
+    * and is suppressed (the current schema is the diff's universe — the
+    * same contract as reading either snapshot directly). Columns added
+    * in-window read as NULL from pre-add files, so an otherwise-unchanged
+    * row does not become `changed` by the ADD alone (NULL <=> NULL).
     */
   def diffSnapshots(
       spark: SparkSession,
@@ -2635,8 +2763,9 @@ final class WarehouseTable(val root: String) {
     val (expired, kept) = ids.partition(id =>
       id < cur - keepLast + 1 && id != cur && !tagged.contains(id))
     if (expired.nonEmpty) {
-      // staged snapshots are never expired (they're newer than current by
-      // construction) and their references stay live
+      // LIVE staged snapshots are never expired (they're newer than
+      // current by construction) and their references stay live; DEAD
+      // ones (shadowed / rolled-back-timeline) pin nothing
       val keptAll = kept ++ stagedSnapshots.filterNot(kept.toSet)
       val liveFragments = keptAll.flatMap(snapFragmentPaths(_).values).toSet
       val keptManifests = keptAll.map(readManifest(_))
@@ -2703,7 +2832,7 @@ final class WarehouseTable(val root: String) {
     * references as LIVE, so a pending audit's bytes survive maintenance;
     * an abandoned stage must be [[discardStaged]]-ed to free them.
     */
-  def stageAppend(df: DataFrame): Long = {
+  def stageAppend(df: DataFrame, wapId: Option[String] = None): Long = {
     val meta = readMeta()
     val cur = currentSnapshotId
     val old = readManifest(cur)
@@ -2714,20 +2843,58 @@ final class WarehouseTable(val root: String) {
     val next = cur + 1
     writeSnapshot(next,
       Manifest(merged, old.deltas, old.stats ++ stats, old.posDeletes),
-      prevId = Some(cur), createNew = true, kind = "data", staged = true)
+      prevId = Some(cur), createNew = true, kind = "data", staged = true,
+      wapId = wapId)
     next // pointer NOT advanced — that is the point
   }
 
-  /** Publish a staged snapshot: rename to the published name (fails if a
-    * regular commit claimed the id meanwhile) + one atomic pointer move.
-    * Refuses when the table advanced since the stage — the staged
+  /** The caller-supplied WAP id a staged snapshot was written under
+    * (Iceberg's `spark.wap.id` shape) — how a SQL session that staged a
+    * write through the session conf finds ITS stage among
+    * [[stagedSnapshots]] without threading the numeric id out-of-band.
+    */
+  def stagedWapId(sid: Long): Option[String] =
+    JsonMethods.parse(readString(stagedPath(sid))) \ "wap-id" match {
+      case JString(w) => Some(w)
+      case _ => None
+    }
+
+  /** The timeline a staged snapshot was built on ("root" for stages
+    * written before the stamp existed — same default as [[lineageId]],
+    * so never-rolled-back tables accept them and rolled-back tables
+    * refuse them, which is exactly the safe direction).
+    */
+  private def stagedLineage(sid: Long): String =
+    JsonMethods.parse(readString(stagedPath(sid))) \ "lineage" match {
+      case JString(l) => l
+      case _ => "root"
+    }
+
+  /** Publish a staged snapshot: rename to the published name + one atomic
+    * pointer move. Refuses — each with an actionable message — when
+    * (a) a regular commit claimed the id while the stage was pending
+    * (the stage is dead: its parent state was superseded),
+    * (b) the stage predates a [[rollback]] (its parent belongs to an
+    * abandoned timeline — publishing would atomically install
+    * pre-rollback state and silently drop the new timeline's commits), or
+    * (c) the table advanced past the stage's parent — the staged
     * manifest carried its parent's state BY VALUE, so fast-forwarding
-    * over interleaved commits would silently drop them.
+    * over interleaved commits would drop them.
     */
   def publishStaged(stagedId: Long): Unit = {
     require(Files.exists(stagedPath(stagedId)),
       s"staged snapshot $stagedId does not exist (discarded, published, " +
         "or never staged)")
+    require(!Files.exists(snapPath(stagedId)),
+      s"a regular commit claimed snapshot id $stagedId while the stage " +
+        "was pending — the staged snapshot is dead (its parent state was " +
+        s"superseded); discardStaged($stagedId) and re-stage on the " +
+        "current state")
+    val lin = stagedLineage(stagedId)
+    require(lin == lineageId,
+      s"staged snapshot $stagedId was built on timeline $lin but the " +
+        s"table was rolled back since (now on timeline $lineageId) — " +
+        "its parent state is abandoned; discardStaged and re-stage")
     val cur = currentSnapshotId
     require(cur == stagedId - 1,
       s"staged snapshot $stagedId was built on parent ${stagedId - 1} but " +
@@ -2744,8 +2911,8 @@ final class WarehouseTable(val root: String) {
     ()
   }
 
-  /** Ids of pending staged snapshots (usually zero or one). */
-  def stagedSnapshots: Seq[Long] = {
+  /** Every staged-*.json on disk, dead or alive. */
+  private def stagedIdsRaw: Seq[Long] = {
     import scala.jdk.CollectionConverters._
     val d = rootPath.resolve("snaps")
     if (!Files.isDirectory(d)) Nil
@@ -2758,6 +2925,28 @@ final class WarehouseTable(val root: String) {
       finally l.close()
     }
   }
+
+  /** Is a staged snapshot DEAD — unpublishable forever? Two ways to die:
+    * a regular commit claimed its id (shadowed), or a rollback abandoned
+    * the timeline it was built on. Dead stages stop pinning bytes (GC and
+    * expiry ignore their references) and their jsons are swept by
+    * [[removeOrphanFiles]].
+    */
+  private def stagedDead(sid: Long): Boolean =
+    Files.exists(snapPath(sid)) || stagedLineage(sid) != lineageId
+
+  /** Ids of LIVE pending staged snapshots (usually zero or one) — stages
+    * a commit raced to the id, or that a rollback orphaned, are excluded;
+    * [[deadStagedSnapshots]] reports those for maintenance visibility.
+    */
+  def stagedSnapshots: Seq[Long] = stagedIdsRaw.filterNot(stagedDead)
+
+  /** Unpublishable staged snapshots still on disk (shadowed by a regular
+    * commit, or staged on a rolled-back timeline) — debris awaiting
+    * [[removeOrphanFiles]], surfaced so a forgotten stage is visible
+    * instead of silently immortal.
+    */
+  def deadStagedSnapshots: Seq[Long] = stagedIdsRaw.filter(stagedDead)
 
   /** Dedup-then-merge, the full reference write path (mergeSQL.sql:14-43):
     * window top-1 per key by `orderDesc`, then upsert.

@@ -1048,4 +1048,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(2L) == ((250000L, 0L, false)))
     assert(!byId.contains(3L))
   }
+
+  test("PQ trainSample: hashed rule survives structured id spaces; aligned ids fail loudly") {
+    import graft.operators.ProductQuantizer
+    def corpusOf(ids: Seq[Long]) =
+      ids.map(id => (id, Array.tabulate(8)(j => ((id + j) % 13).toFloat)))
+        .toDF("id", "vec")
+
+    // all-even ids (snowflake-style): a bare `id % p == 0` with p=10 would
+    // keep every id ≡ 0 (mod 10) — here that happens to work, but with
+    // ids = 10i + 3 it keeps NOTHING. The hashed rule lands near n/p on both.
+    val even = corpusOf((0L until 1000L).map(_ * 2))
+    val sEven = ProductQuantizer.trainSample(even, "id", 100)
+    val gotEven = sEven.count()
+    assert(gotEven >= 25 && gotEven <= 400, s"even-id sample $gotEven")
+
+    // shard-range ids: 4 shards × 250 sequential ids, shard stride 10^9
+    val shards = corpusOf(for {
+      sh <- 0L until 4L; i <- 0L until 250L
+    } yield sh * 1000000000L + i)
+    val gotShards = ProductQuantizer.trainSample(shards, "id", 100).count()
+    assert(gotShards >= 25 && gotShards <= 400, s"shard-id sample $gotShards")
+
+    // ids ≡ 3 (mod p): the residue class the old systematic rule misses
+    // entirely (empty sample → downstream KMeans crash)
+    val offset = corpusOf((0L until 1000L).map(_ * 10 + 3))
+    val gotOffset = ProductQuantizer.trainSample(offset, "id", 100).count()
+    assert(gotOffset >= 25 && gotOffset <= 400, s"offset-id sample $gotOffset")
+
+    // the sampled frame still fits sane codebooks (k centroids per subspace)
+    val cb = ProductQuantizer.fit(
+      ProductQuantizer.trainSample(even, "id", 100),
+      "id", "vec", dim = 8, m = 2, k = 4, iters = 1)
+    assert(cb.cents.length == 2 && cb.cents.forall(_.length == 4))
+
+    // adversarial alignment: ids constructed so the two-round hash is
+    // NEVER ≡ 0 (mod p) — invert both rounds and plant only
+    // non-divisible residues. The realized-count guard must refuse
+    // LOUDLY instead of fitting on an empty sample.
+    val M = BigInt(2147483647L)
+    val inv2 = BigInt(48271L).modPow(M - 3, M) // 48271^(M-3) = (48271²)⁻¹
+    val aligned = corpusOf(
+      (1L to 1000L).map(h => h * 10 + 3) // residues ≡ 3 (mod 10)
+        .map(h => ((BigInt(h) * inv2) % M).toLong))
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.trainSample(aligned, "id", 100).count()
+    }
+    assert(e.getMessage.contains("correlates with the sampling hash"))
+    ()
+  }
 }

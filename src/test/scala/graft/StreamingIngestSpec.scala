@@ -2278,7 +2278,7 @@ class StreamingIngestSpec extends SparkSpec {
     assert(err.getMessage.contains("identity"))
   }
 
-  test("incremental aggregate view: updates/deletes/drops fold exactly; restart is a no-op; MOR refuses") {
+  test("incremental aggregate view: updates/deletes/drops fold exactly; restart is a no-op; keyed MOR twin matches") {
     import spark.implicits._
     val base = tmpDir("aggview")
     val src = WarehouseTable(base + "/src")
@@ -2316,7 +2316,8 @@ class StreamingIngestSpec extends SparkSpec {
     src.merge(spark, docs((6L, "fr", 50L)), Seq("doc_id"))
     drain()
     assert(state() == Map("en" -> ((2L, 35L)), "fr" -> ((1L, 50L))))
-    // MOR sources refuse loudly — their gross feed cannot subtract
+    // KEYLESS MOR sources refuse loudly — without merge keys the gross
+    // feed cannot arbitrate each upsert's −old
     val mor = WarehouseTable(base + "/mor")
     mor.create(docs().schema, None,
       WarehouseTable.tableProperties("MOR", "snappy"))
@@ -2325,7 +2326,29 @@ class StreamingIngestSpec extends SparkSpec {
         spark, mor, WarehouseTable(base + "/v2"), Seq("lang"), Seq("n"),
         base + "/ckpt2")
     }
-    assert(err.getMessage.contains("COW source"))
+    assert(err.getMessage.contains("merge keys"))
+    // a KEYED MOR twin replaying the COW source's history (upserts never
+    // remove the old version's dir; a compaction re-lands everything)
+    // must maintain the IDENTICAL view — no compact-to-COW required
+    mor.drop()
+    mor.create(docs().schema, Some("lang"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    mor.merge(spark, docs((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L),
+      (4L, "de", 7L), (5L, "fr", 100L)), Seq("doc_id", "lang"))
+    mor.merge(spark, docs((2L, "en", 25L)), Seq("doc_id", "lang"))
+    assert(mor.deleteWhereMor(spark, col("doc_id") === 5L) == 1L)
+    mor.dropPartitions(Seq("de"))
+    mor.compact(spark) // maintenance: must contribute nothing
+    mor.merge(spark, docs((6L, "fr", 50L)), Seq("doc_id", "lang"))
+    val morView = WarehouseTable(base + "/v2")
+    val q2 = StreamingIngest.startAggView(
+      spark, mor, morView, Seq("lang"), Seq("n"), base + "/ckpt2")
+    q2.awaitTermination(180000)
+    val morState = StreamingIngest.readAggView(spark, morView)
+      .select("lang", "n", "sum_n").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(morState == Map("en" -> ((2L, 35L)), "fr" -> ((1L, 50L))))
   }
 
   test("CDC mirror refuses a cursor from a pre-rollback source lineage instead of silently diverging") {

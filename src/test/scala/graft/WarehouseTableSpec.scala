@@ -633,6 +633,44 @@ class WarehouseTableSpec extends SparkSpec {
     assert(t.changesSince(spark, base).filter(col("k") === 5).count() == 1)
   }
 
+  test("staged snapshots die on rollback and on id races: publish refuses, GC reclaims the json") {
+    val t = WarehouseTable(tmpDir("wapdead"))
+    t.create(schema, None, WarehouseTable.tableProperties("COW", "snappy"))
+    t.append(df((1, "a", "CA")))
+    t.append(df((2, "b", "NY")))
+    val s1 = 1L
+
+    // the snapshot-id-reuse hole: stage on id 2, roll back to id 1, let
+    // new commits re-reach id 2 — cur == stagedId−1 again, but the staged
+    // manifest carries PRE-ROLLBACK state by value; publishing it would
+    // silently drop the new timeline's commits. The lineage stamp refuses.
+    val staged = t.stageAppend(df((3, "c", "TX")))
+    assert(staged == 3L)
+    t.rollback(s1)
+    t.append(df((9, "z", "WA"))) // reclaims id 2: cur == staged − 1 again
+    assert(t.currentSnapshotId == staged - 1)
+    val err = intercept[IllegalArgumentException](t.publishStaged(staged))
+    assert(err.getMessage.contains("rolled back"))
+    // the dead stage is reported, no longer listed as pending, pins no
+    // bytes, and its json itself is GC debris
+    assert(t.deadStagedSnapshots == Seq(staged))
+    assert(t.stagedSnapshots.isEmpty)
+    assert(t.removeOrphanFiles(olderThanMs = 0) > 0)
+    assert(t.deadStagedSnapshots.isEmpty)
+    assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 9))
+
+    // id race: a regular commit claims the staged id -> actionable
+    // refusal naming the race (not a raw filesystem error), json swept
+    val s2 = t.stageAppend(df((4, "d", "OR")))
+    t.append(df((5, "e", "CA")))
+    val err2 = intercept[IllegalArgumentException](t.publishStaged(s2))
+    assert(err2.getMessage.contains("regular commit claimed"))
+    assert(t.deadStagedSnapshots == Seq(s2) && t.stagedSnapshots.isEmpty)
+    assert(t.removeOrphanFiles(olderThanMs = 0) > 0)
+    val err3 = intercept[IllegalArgumentException](t.publishStaged(s2))
+    assert(err3.getMessage.contains("does not exist"))
+  }
+
   test("diffSnapshots: added/removed/changed between tags; identical re-lands suppressed; deltas refuse") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("reldiff"))
@@ -717,6 +755,52 @@ class WarehouseTableSpec extends SparkSpec {
     t.compact(spark)
     assert(!t.changesSince(spark, sDrop).collect()
       .exists(_.getAs[String]("_change_type") == "delete"))
+    // ... and its re-landed rows never surface either, in EITHER feed
+    // mode — a compaction's gross window is identically zero (emitting
+    // the re-land would double-count every row in an aggregate view)
+    assert(t.changesSince(spark, sDrop).isEmpty)
+    assert(t.changesSince(spark, sDrop, netRemovals = false).isEmpty)
+  }
+
+  test("gross feed over MOR: upserts emit −resolved-old beside +new; equality deletes carry the victim") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("feed_grossmor"))
+    t.create(schema, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.merge(spark, df((1, "a", "CA"), (2, "b", "NY")), Seq("k"))
+    val s0 = t.currentSnapshotId
+    t.merge(spark, df((1, "a2", "CA")), Seq("k")) // update k=1
+    val s1 = t.currentSnapshotId
+    t.merge(spark, df((1, "a3", "CA"), (3, "c", "TX")), Seq("k")) // again + new key
+    val s2 = t.currentSnapshotId
+    t.merge(spark, df((2, "DEAD", "NY")), Seq("k"),
+      deleteWhere = Some(col("v") === "DEAD")) // equality delete k=2
+    val s3 = t.currentSnapshotId
+    val feed = t.changesSince(spark, s0, netRemovals = false).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Int]("k"),
+        r.getAs[String]("v"), r.getAs[Long]("_change_ordinal")))
+    // per-commit signed pairs: the SECOND update subtracts the latest
+    // prior version (a2), never the base row; the delete's payload is
+    // the victim's resolved row (a2→a3 chain leaves k=2 at "b"), never
+    // the tombstone's own row ("DEAD")
+    assert(feed.toSet == Set(
+      ("insert", 1, "a2", s1), ("delete", 1, "a", s1),
+      ("insert", 1, "a3", s2), ("delete", 1, "a2", s2),
+      ("insert", 3, "c", s2),
+      ("delete", 2, "b", s3)))
+    // signed fold equals the state diff: net per key +latest −original
+    val signed = feed.groupBy(_._2).view.mapValues(_.map {
+      case ("insert", _, _, _) => 1L
+      case _ => -1L
+    }.sum).toMap
+    assert(signed == Map(1 -> 0L, 2 -> -1L, 3 -> 1L))
+    // the NET keyed form is untouched by the gross path: upsert commits
+    // emit fresh rows only (the mirror's merge does the subtraction)
+    val net = t.changesSince(spark, s0).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Int]("k"),
+        r.getAs[String]("v")))
+    assert(net.count(_._1 == "insert") == 3 && net.count(_._1 == "delete") == 1)
   }
 
   test("clusterBase: range-disjoint dirs make stats pruning selective; contents unchanged") {
