@@ -3032,12 +3032,20 @@ object SparkEntry {
         md5(col("text")).as("text_md5"), col("language"))
     }),
 
-    // SQL MAINTENANCE PROCEDURES, oracle-gated: the Iceberg-procedures
-    // surface — a MOR table takes a posdel DELETE, then CALL compact
-    // (fold), CALL expire_snapshots (history purge) and CALL
-    // remove_orphan_files (byte reclaim) run the whole maintenance
-    // runbook from plain SQL; the final view must be untouched by any of
-    // it. The oracle recomputes the relational answer.
+    // SQL MAINTENANCE + LIFECYCLE PROCEDURES, oracle-gated: the full
+    // Iceberg-procedures surface from PLAIN SQL, no engine API in the
+    // lifecycle. (1) WRITE-AUDIT-PUBLISH via the session conf: with
+    // spark.graft.wap.id set, INSERT INTO stages an invisible snapshot;
+    // CALL staged_changes resolves the WAP id to the snapshot id, the
+    // audit reads it with VERSION AS OF, and CALL publish_changes /
+    // discard_changes finish the lifecycle (a corrupt batch is staged,
+    // audited, and discarded without ever being readable). (2) A posdel
+    // DELETE, then CALL compact (fold). (3) Spec evolution: CALL
+    // evolve_partition (metadata-only re-spec) + rewrite_to_current_spec
+    // (the pay-once physical migration to lang-partitioned layout).
+    // (4) CALL expire_snapshots + remove_orphan_files reclaim history and
+    // bytes. The final view must be untouched by ALL of it; the oracle
+    // recomputes the relational answer.
     "q176_sql_procedures" -> ((s, dir) => {
       val wh = sys.props("java.io.tmpdir") + "/graft_q176_scratch/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -3048,17 +3056,44 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
         .createOrReplaceTempView("q176_docs")
+      // created UNPARTITIONED on purpose — evolve_partition +
+      // rewrite_to_current_spec migrate it to lang partitioning below
       s.sql(
         """CREATE TABLE graft_q176.db.docs_p (
           |  doc_id BIGINT, text STRING, lang STRING
-          |) PARTITIONED BY (lang)
-          |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |) TBLPROPERTIES ('write.merge.mode'='merge-on-read',
           |  'write.delete.mode'='merge-on-read',
           |  'write.update.mode'='merge-on-read',
           |  'compact.delta.threshold'='0')""".stripMargin)
-      s.sql("INSERT INTO graft_q176.db.docs_p SELECT * FROM q176_docs")
+      def one(sql: String): Long = s.sql(sql).collect()(0).getLong(0)
+      // -- WAP: stage the even half; invisible until publish_changes --
+      s.conf.set(graft.plans.GraftCatalog.WapIdConf, "wap-even")
+      s.sql("INSERT INTO graft_q176.db.docs_p SELECT * FROM q176_docs WHERE doc_id % 2 = 0")
+      s.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+      require(one("SELECT count(*) FROM graft_q176.db.docs_p") == 0L,
+        "staged INSERT must be invisible to main readers")
+      val evenSid = one(
+        "CALL graft_q176.system.staged_changes('db.docs_p', 'wap-even')")
+      require(one(s"SELECT count(*) FROM graft_q176.db.docs_p VERSION AS OF $evenSid") > 0L,
+        "audit must see the staged rows via time travel")
+      s.sql("CALL graft_q176.system.publish_changes('db.docs_p', 'wap-even')")
+      // -- WAP: a corrupt batch stages, fails its audit, is discarded --
+      s.conf.set(graft.plans.GraftCatalog.WapIdConf, "wap-odd-corrupt")
+      s.sql("INSERT INTO graft_q176.db.docs_p SELECT doc_id, 'CORRUPT' AS text, lang FROM q176_docs WHERE doc_id % 2 = 1")
+      s.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+      val badSid = one(
+        "CALL graft_q176.system.staged_changes('db.docs_p', 'wap-odd-corrupt')")
+      require(one(s"SELECT count(*) FROM graft_q176.db.docs_p VERSION AS OF $badSid WHERE text = 'CORRUPT'") > 0L,
+        "audit must observe the staged corruption")
+      require(one("SELECT count(*) FROM graft_q176.db.docs_p WHERE text = 'CORRUPT'") == 0L,
+        "main readers must never see the staged corruption")
+      s.sql("CALL graft_q176.system.discard_changes('db.docs_p', 'wap-odd-corrupt')")
+      // -- land the odd half for real, then the maintenance runbook --
+      s.sql("INSERT INTO graft_q176.db.docs_p SELECT * FROM q176_docs WHERE doc_id % 2 = 1")
       s.sql("DELETE FROM graft_q176.db.docs_p WHERE doc_id % 11 = 0")
       s.sql("CALL graft_q176.system.compact('db.docs_p')")
+      s.sql("CALL graft_q176.system.evolve_partition('db.docs_p', 'lang')")
+      s.sql("CALL graft_q176.system.rewrite_to_current_spec('db.docs_p')")
       s.sql("CALL graft_q176.system.expire_snapshots('db.docs_p', 1)")
       s.sql("CALL graft_q176.system.remove_orphan_files('db.docs_p', 0)")
       s.sql(

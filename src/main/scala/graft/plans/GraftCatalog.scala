@@ -40,6 +40,15 @@ import graft.table.WarehouseTable
   * to snapshot n. `MERGE INTO` plans natively via [[GraftMergeStrategy]];
   * the literal reference file also runs through [[MergeSqlRunner]].
   */
+object GraftCatalog {
+  /** Session conf that turns `INSERT INTO graft.db.t` into a STAGED
+    * (write-audit-publish) snapshot under the given WAP id — the graft
+    * spelling of Iceberg's `spark.wap.id`. Unset or empty = normal
+    * publishing inserts.
+    */
+  val WapIdConf = "spark.graft.wap.id"
+}
+
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -309,6 +318,15 @@ final class GraftDsv2Table(
       }
     }
 
+  /** Write path. When the session conf `spark.graft.wap.id` is set
+    * (Iceberg's `spark.wap.id` shape), an `INSERT INTO` STAGES its
+    * snapshot under that WAP id instead of publishing — readers never see
+    * it until `CALL graft.system.publish_changes(tbl, wap_id)` — which is
+    * the whole write-audit-publish lifecycle from plain SQL. Only
+    * append-shaped writes stage; an INSERT OVERWRITE under a WAP id
+    * refuses loudly (its destructive half can't be deferred by an
+    * append-shaped stage) rather than silently publishing.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -316,9 +334,20 @@ final class GraftDsv2Table(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
-              if (overwrite || overwriteFlag) wt.overwrite(data)
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              val wap = data.sparkSession.conf
+                .get(GraftCatalog.WapIdConf, "").trim
+              if (wap.nonEmpty) {
+                require(!(overwrite || overwriteFlag),
+                  s"INSERT OVERWRITE cannot stage under ${GraftCatalog.WapIdConf}" +
+                    s"='$wap' — WAP staging is append-shaped; unset the conf " +
+                    "to overwrite directly, or express the change as " +
+                    "DELETE + staged INSERT")
+                wt.stageAppend(data, Some(wap))
+              }
+              else if (overwrite || overwriteFlag) wt.overwrite(data)
               else wt.append(data)
+            }
           }
       }
     }
@@ -388,7 +417,9 @@ object GraftProcedures {
 
   val names: Array[String] = Array(
     "rollback", "expire_snapshots", "remove_orphan_files", "compact",
-    "publish_staged", "discard_staged")
+    "publish_staged", "discard_staged",
+    "staged_changes", "publish_changes", "discard_changes",
+    "evolve_partition", "rewrite_to_current_spec")
 
   private def param(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
 
@@ -450,6 +481,49 @@ object GraftProcedures {
       case "discard_staged" => proc(name,
         Seq(param("table", StringType), param("snapshot_id", LongType)),
         { in => val t = tbl(in); t.discardStaged(in.getLong(1))
+          summary("current_snapshot", t.currentSnapshotId) })
+      // The WAP-id trio: a SQL session that staged an INSERT through
+      // `spark.graft.wap.id` audits and resolves by the STRING it chose —
+      // it never saw a numeric snapshot id. `staged_changes` returns the
+      // id (for `VERSION AS OF` audit reads), the other two finish the
+      // lifecycle. All three refuse loudly on an unknown id.
+      case "staged_changes" => proc(name,
+        Seq(param("table", StringType), param("wap_id", StringType)),
+        { in => val t = tbl(in)
+          val w = in.getUTF8String(1).toString
+          summary("snapshot_id", t.stagedSnapshotFor(w).getOrElse(
+            throw new IllegalArgumentException(
+              s"no live staged snapshot carries WAP id '$w' — " +
+                "stage one with the spark.graft.wap.id session conf, " +
+                "or it was already published/discarded"))) })
+      case "publish_changes" => proc(name,
+        Seq(param("table", StringType), param("wap_id", StringType)),
+        { in => val t = tbl(in)
+          val w = in.getUTF8String(1).toString
+          t.publishStaged(t.stagedSnapshotFor(w).getOrElse(
+            throw new IllegalArgumentException(
+              s"no live staged snapshot carries WAP id '$w' — nothing to publish")))
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "discard_changes" => proc(name,
+        Seq(param("table", StringType), param("wap_id", StringType)),
+        { in => val t = tbl(in)
+          val w = in.getUTF8String(1).toString
+          t.discardStaged(t.stagedSnapshotFor(w).getOrElse(
+            throw new IllegalArgumentException(
+              s"no live staged snapshot carries WAP id '$w' — nothing to discard")))
+          summary("current_snapshot", t.currentSnapshotId) })
+      // Spec evolution from SQL (Iceberg spells this ALTER TABLE ... ADD
+      // PARTITION FIELD via parser extensions; a procedure needs none):
+      // metadata-only re-spec, then the pay-once physical migration.
+      case "evolve_partition" => proc(name,
+        Seq(param("table", StringType), param("column", StringType)),
+        { in => val t = tbl(in)
+          t.evolvePartition(in.getUTF8String(1).toString)
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "rewrite_to_current_spec" => proc(name,
+        Seq(param("table", StringType)),
+        { in => val t = tbl(in)
+          t.rewriteToCurrentSpec(org.apache.spark.sql.SparkSession.active)
           summary("current_snapshot", t.currentSnapshotId) })
       case other =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(

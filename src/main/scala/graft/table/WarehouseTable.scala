@@ -1188,8 +1188,15 @@ final class WarehouseTable(val root: String) {
     * single-writer-per-table contract instead of a silent wrong rebase.
     */
   private def commitRebasable(
-      makeManifest: Manifest => Manifest,
-      maxAttempts: Int = 20): Unit = {
+      makeManifest: Manifest => Manifest): Unit = {
+    // retry budget: worst case for W lockstep racers is W rounds (each
+    // round exactly one writer lands — measured in SCALING §10o), so the
+    // default must sit comfortably above any realistic writer count;
+    // retries are cheap (manifest re-derivation, never a data rewrite).
+    // Tables expecting extreme fan-in can raise it per table (the
+    // Iceberg `commit.retry.num-retries` knob).
+    val maxAttempts = readMeta().properties
+      .get("commit.retry.max-attempts").map(_.toInt).getOrElse(64)
     var attempt = 0
     var done = false
     while (!done) {
@@ -1198,6 +1205,8 @@ final class WarehouseTable(val root: String) {
       try {
         commit(cur, makeManifest(readManifest(cur)))
         done = true
+        if (WarehouseTable.recordRebase)
+          WarehouseTable.rebaseAttempts.add(attempt)
       } catch {
         case e @ (_: java.util.ConcurrentModificationException |
                   _: java.nio.file.FileAlreadyExistsException) =>
@@ -2835,6 +2844,24 @@ final class WarehouseTable(val root: String) {
   def stageAppend(df: DataFrame, wapId: Option[String] = None): Long = {
     val meta = readMeta()
     val cur = currentSnapshotId
+    // ONE live stage at a time: a staged snapshot carries its parent's
+    // state BY VALUE at id parent+1, so a second stage on the same parent
+    // would collide on the id — and could only ever publish after the
+    // first was discarded anyway. Refuse BEFORE writing data (no orphan
+    // debris from a doomed stage); the CREATE_NEW snapshot write below
+    // remains the race-proof backstop for two stages starting together.
+    if (Files.exists(stagedPath(cur + 1))) {
+      if (!stagedDead(cur + 1))
+        throw new IllegalStateException(
+          s"a staged snapshot already holds id ${cur + 1}" +
+            stagedWapId(cur + 1).fold("")(w => s" (WAP id '$w')") +
+            " — publish or discard it before staging another batch on " +
+            "this table state")
+      // a DEAD stage (rolled-back timeline) still occupies the name and
+      // would fail the CREATE_NEW write below — it is unpublishable
+      // debris, so sweep it and stage fresh
+      Files.deleteIfExists(stagedPath(cur + 1))
+    }
     val old = readManifest(cur)
     val (added, stats) = writeDataDir(df, meta)
     val merged = (old.base.keySet ++ added.keySet).map { k =>
@@ -2857,6 +2884,27 @@ final class WarehouseTable(val root: String) {
     JsonMethods.parse(readString(stagedPath(sid))) \ "wap-id" match {
       case JString(w) => Some(w)
       case _ => None
+    }
+
+  /** Resolve a WAP id to its LIVE staged snapshot — the lookup behind
+    * `CALL graft.system.publish_changes(tbl, wap_id)` (Iceberg's
+    * `publish_changes` shape): a SQL session that staged a write through
+    * the `spark.graft.wap.id` conf publishes by the STRING it chose, not
+    * a numeric id it never saw. Dead stages (shadowed / rolled-back
+    * timeline) are excluded — publishing one is always wrong, and the
+    * resolver refusing to see it gives the same actionable story as
+    * [[publishStaged]]. Two live stages under one WAP id is a caller
+    * bug (re-used id without publishing/discarding) and fails loudly
+    * rather than guessing.
+    */
+  def stagedSnapshotFor(wapId: String): Option[Long] =
+    stagedSnapshots.filter(stagedWapId(_).contains(wapId)) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"WAP id '$wapId' names ${many.size} live staged snapshots " +
+          s"(${many.mkString(", ")}) — publish or discard the earlier " +
+          "stage before re-using the id")
     }
 
   /** The timeline a staged snapshot was built on ("root" for stages
@@ -3023,6 +3071,27 @@ final class WarehouseTable(val root: String) {
 
 object WarehouseTable {
   def apply(root: String): WarehouseTable = new WarehouseTable(root)
+
+  /** Opt-in rebase-attempt recorder behind the contention harness
+    * (`graft.tools.ContentionBench`, SCALING §10o): when enabled, every
+    * [[commitRebasable]] records how many attempts its commit took, so
+    * the "jitter prevents starvation" claim is measured, not asserted.
+    * One volatile read per commit when off; measurement-only — no
+    * correctness path reads it.
+    */
+  @volatile private[table] var recordRebase = false
+  private[table] val rebaseAttempts =
+    new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  def rebaseRecording(on: Boolean): Unit = {
+    recordRebase = on
+    if (on) rebaseAttempts.clear()
+  }
+  def drainRebaseAttempts(): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val out = rebaseAttempts.iterator().asScala.map(_.intValue).toList
+    rebaseAttempts.clear()
+    out
+  }
 
   /** COW/MOR property sets as the reference composes them
     * (read.py:208-216).

@@ -465,4 +465,83 @@ class GraftCatalogSpec extends SparkSpec {
       .exists(_.toString.contains("rollback")))
     spark.sql("DROP TABLE graft.db.mnt")
   }
+
+  test("WAP from plain SQL: conf-staged INSERT, staged_changes audit, publish/discard by WAP id") {
+    val wh = warehouse // force catalog registration
+    spark.sql("CREATE TABLE graft.db.wap (k INT, v STRING)")
+    val wt = graft.table.WarehouseTable(s"$wh/db/wap")
+    spark.sql("INSERT INTO graft.db.wap VALUES (1, 'a')")
+    // conf set -> INSERT stages; main readers see nothing
+    spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-7")
+    try spark.sql("INSERT INTO graft.db.wap VALUES (2, 'b'), (3, 'c')")
+    finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap").head().getLong(0) == 1)
+    // the audit finds ITS stage by the WAP id and time-travels to it
+    val sid = spark.sql("CALL graft.system.staged_changes('db.wap', 'batch-7')")
+      .head().getLong(0)
+    assert(wt.stagedSnapshots.contains(sid))
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.wap VERSION AS OF $sid")
+      .head().getLong(0) == 3)
+    spark.sql("CALL graft.system.publish_changes('db.wap', 'batch-7')")
+    assert(spark.sql("SELECT k FROM graft.db.wap").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // published id is gone from the staged set; resolving it refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.publish_changes('db.wap', 'batch-7')").collect()
+    }
+    assert(e.getMessage.contains("batch-7"))
+    // a rejected batch discards by WAP id without ever being readable
+    spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-8")
+    try spark.sql("INSERT INTO graft.db.wap VALUES (99, 'CORRUPT')")
+    finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap WHERE v = 'CORRUPT'")
+      .head().getLong(0) == 0)
+    spark.sql("CALL graft.system.discard_changes('db.wap', 'batch-8')")
+    assert(wt.stagedSnapshots.isEmpty)
+    // INSERT OVERWRITE under a WAP id refuses: staging is append-shaped
+    spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-9")
+    try {
+      val ow = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.db.wap VALUES (0, 'x')")
+      }
+      assert(ow.getMessage.contains("append-shaped") ||
+        Option(ow.getCause).exists(_.getMessage.contains("append-shaped")))
+    } finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    // only ONE live stage per table state: a second staged INSERT refuses
+    // loudly (before writing any data) instead of colliding on the id
+    spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-10")
+    try {
+      spark.sql("INSERT INTO graft.db.wap VALUES (10, 'x')")
+      val dup = intercept[Exception] {
+        spark.sql("INSERT INTO graft.db.wap VALUES (11, 'y')")
+      }
+      assert(dup.getMessage.contains("publish or discard") ||
+        Option(dup.getCause).exists(_.getMessage.contains("publish or discard")))
+    } finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    spark.sql("CALL graft.system.publish_changes('db.wap', 'batch-10')")
+    assert(spark.sql("SELECT k FROM graft.db.wap").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2, 3, 10))
+    spark.sql("DROP TABLE graft.db.wap")
+  }
+
+  test("CALL evolve_partition + rewrite_to_current_spec: SQL spec evolution with pay-once migration") {
+    val wh = warehouse // force catalog registration
+    spark.sql("CREATE TABLE graft.db.evo (k INT, state STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.evo VALUES (1, 'CA'), (2, 'NY'), (3, 'CA')")
+    val wt = graft.table.WarehouseTable(s"$wh/db/evo")
+    assert(wt.partitionColumn.isEmpty)
+    spark.sql("CALL graft.system.evolve_partition('db.evo', 'state')")
+    assert(wt.partitionColumn.contains("state"))
+    // reads stay correct across the mixed-spec interval
+    assert(spark.sql("SELECT k FROM graft.db.evo WHERE state = 'CA'")
+      .collect().map(_.getInt(0)).toSet == Set(1, 3))
+    spark.sql("CALL graft.system.rewrite_to_current_spec('db.evo')")
+    // post-migration: same rows, and new data lands under the new spec
+    spark.sql("INSERT INTO graft.db.evo VALUES (4, 'NY')")
+    assert(spark.sql("SELECT k FROM graft.db.evo WHERE state = 'NY'")
+      .collect().map(_.getInt(0)).toSet == Set(2, 4))
+    assert(spark.sql("SELECT count(*) FROM graft.db.evo").head().getLong(0) == 4)
+    spark.sql("DROP TABLE graft.db.evo")
+  }
 }
