@@ -1338,8 +1338,28 @@ final class WarehouseTable(val root: String) {
     val threshold = meta.properties.get("compact.delta.threshold")
       .map(_.toInt).getOrElse(8)
     if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
-      compact(spark)
+      tryCompact(spark)
   }
+
+  /** Inline read-amplification maintenance after a delta/sidecar commit —
+    * BEST-EFFORT under concurrency. The triggering operation's own commit
+    * is already durable; compaction is a COW rewrite whose plain commit
+    * refuses to land if ANY writer advanced the snapshot meanwhile, and
+    * under racing MOR writers that refusal is the COMMON case (the
+    * 32-writer merge race in `tools/ContentionBench` hits it every run).
+    * It must not fail the writer's successful operation: a lost
+    * compaction round costs read amplification until the next quiet
+    * writer (or an explicit [[compact]] / `CALL graft.system.compact`)
+    * folds the deltas — never data. The folded dir a losing compactor
+    * already wrote becomes ordinary orphan-GC debris. Explicit compacts
+    * keep their loud single-writer contract.
+    */
+  private def tryCompact(spark: SparkSession): Unit =
+    try compact(spark)
+    catch {
+      case _: java.util.ConcurrentModificationException |
+           _: java.nio.file.FileAlreadyExistsException => ()
+    }
 
   /** MOR EQUALITY DELETE: drop every row matching one of the given key
     * tuples — an O(batch) delta append of keys + tombstone flag only
@@ -1373,7 +1393,7 @@ final class WarehouseTable(val root: String) {
     val threshold = meta.properties.get("compact.delta.threshold")
       .map(_.toInt).getOrElse(8)
     if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
-      compact(spark)
+      tryCompact(spark)
   }
 
   /** MOR POSITION DELETE — Iceberg v2's second delete flavor: erase the
@@ -1442,7 +1462,7 @@ final class WarehouseTable(val root: String) {
         .map(_.toInt).getOrElse(8)
       if (threshold > 0 &&
           readManifest(currentSnapshotId).posDeletes.size >= threshold)
-        compact(spark)
+        tryCompact(spark)
     }
     n
   }

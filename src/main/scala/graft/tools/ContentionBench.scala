@@ -50,10 +50,12 @@ object ContentionBench {
 
     graft.table.WarehouseTable.rebaseRecording(true)
     // one thread per writer: the race is between COMMITS, and each
-    // writer's data job parallelizes internally on the shared local[32]
+    // writer's data job parallelizes internally on the shared local[32].
+    // Daemon threads so the JVM exits when main does.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(
-        java.util.concurrent.Executors.newFixedThreadPool(writers))
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val t0 = System.nanoTime()
     Await.result(Future.sequence((0 until writers).map { i =>
       Future {
@@ -77,5 +79,6 @@ object ContentionBench {
       s""""mean_attempts":${f"${attempts.sum.toDouble / attempts.size}%.2f"},""" +
       s""""histogram":{${hist.map { case (a, n) => s""""$a":$n""" }.mkString(",")}}}""")
     spark.stop()
+    pool.shutdown()
   }
 }
