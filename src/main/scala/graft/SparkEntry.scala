@@ -3101,6 +3101,62 @@ object SparkEntry {
           |FROM graft_q176.db.docs_p""".stripMargin)
     }),
 
+    // METADATA TABLES FROM SQL — Iceberg's `SELECT * FROM db.t.partitions`
+    // shape, served when the suffix names no real table but the parent is
+    // one: .snapshots (commit log with writer-stamped kinds), .files
+    // (per-file footprint from footers), .tags, .staged (pending WAP
+    // audits with their WAP ids) are require-checked in-gate; the
+    // returned frame is the .partitions relation read by plain SQL, and
+    // the oracle recomputes its physical counts relationally (delete-free
+    // COW table, so physical ≡ logical). Everything is manifest/footer
+    // priced — no data pages, no distributed job.
+    "q179_sql_metadata_tables" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q179_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.table.WarehouseTable(s"$wh/db/docs_m").drop()
+      s.conf.set("spark.sql.catalog.graft_q179", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q179.warehouse", wh)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .createOrReplaceTempView("q179_docs")
+      s.sql(
+        """CREATE TABLE graft_q179.db.docs_m (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_q179.db.docs_m SELECT * FROM q179_docs")
+      s.sql(s"INSERT INTO graft_q179.db.docs_m SELECT doc_id + ${PlantOffset}L, text, lang FROM q179_docs WHERE doc_id % 3 = 0")
+      val wt = graft.table.WarehouseTable(s"$wh/db/docs_m")
+      wt.tagSnapshot("v1")
+      s.conf.set(graft.plans.GraftCatalog.WapIdConf, "audit-1")
+      try s.sql("INSERT INTO graft_q179.db.docs_m SELECT doc_id, text, lang FROM q179_docs WHERE doc_id % 2 = 0")
+      finally s.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+      def one(sql: String): Long = s.sql(sql).collect()(0).getLong(0)
+      // snapshots: the create commit (snap 0) + the 2 published inserts,
+      // all writer-stamped 'data'; the staged INSERT must NOT appear
+      require(one("SELECT count(*) FROM graft_q179.db.docs_m.snapshots WHERE kind = 'data'") == 3L,
+        "snapshots table must list create + the two published commits only")
+      require(one("SELECT snapshot_id FROM graft_q179.db.docs_m.snapshots WHERE is_current") == wt.currentSnapshotId,
+        "is_current must mark the pointer")
+      // files: footer row counts over data content ≡ the table's count
+      require(one("SELECT sum(n_rows) FROM graft_q179.db.docs_m.files WHERE content = 'data'") ==
+        one("SELECT count(*) FROM graft_q179.db.docs_m"),
+        "files table footer counts must equal the table count")
+      // tags: the engine-tagged release is SQL-visible
+      require(s.sql("SELECT tag, snapshot_id FROM graft_q179.db.docs_m.tags")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("v1", wt.tags("v1"))), "tags table must list v1")
+      // staged: the pending WAP audit is visible WITH its WAP id
+      require(s.sql("SELECT wap_id FROM graft_q179.db.docs_m.staged WHERE live")
+        .collect().map(_.getString(0)).toSeq == Seq("audit-1"),
+        "staged table must list the pending audit by WAP id")
+      s.sql("CALL graft_q179.system.discard_changes('db.docs_m', 'audit-1')")
+      require(one("SELECT count(*) FROM graft_q179.db.docs_m.staged") == 0L,
+        "discarded stage must leave the staged table")
+      s.sql(
+        """SELECT partition, n_dirs, n_rows
+          |FROM graft_q179.db.docs_m.partitions""".stripMargin)
+    }),
+
     // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
     // corpus slices rebase through the optimistic CREATE_NEW-guarded
     // commit — every batch lands exactly once with no coordination, the
@@ -4617,6 +4673,17 @@ object SparkEntry {
     // physical footprint ≡ the relational GROUP BY on a delete-free COW
     // table; the second append lands one extra dir only where %3 rows exist
     "q172_partitions_meta" ->
+      """SELECT lang AS partition,
+        |  CAST(1 + max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dirs,
+        |  CAST(count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rows
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // same physical-count algebra as q172 (delete-free COW: physical ≡
+    // logical), read through the SQL metadata relation; the discarded
+    // staged batch must leave no trace in the published counts
+    "q179_sql_metadata_tables" ->
       """SELECT lang AS partition,
         |  CAST(1 + max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_dirs,

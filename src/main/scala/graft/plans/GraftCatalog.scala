@@ -47,6 +47,12 @@ object GraftCatalog {
     * publishing inserts.
     */
   val WapIdConf = "spark.graft.wap.id"
+
+  /** Metadata-table suffixes served by `loadTable` when the path names no
+    * real table but its parent is one (`SELECT * FROM graft.db.t.files`).
+    */
+  val MetaTables: Set[String] =
+    Set("partitions", "snapshots", "files", "tags", "staged")
 }
 
 class GraftCatalog extends TableCatalog
@@ -86,9 +92,34 @@ class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val wt = warehouseTable(ident)
-    if (!wt.exists)
+    if (!wt.exists) {
+      // METADATA TABLES — Iceberg's `SELECT * FROM db.t.partitions`
+      // shape: the suffix resolves as one extra namespace level, so when
+      // no real table owns the path and the parent IS a table, serve the
+      // parent's metadata relation. An EXISTING real table at the path
+      // always wins (checked first above); consequently the suffixes are
+      // RESERVED names under a table — `CREATE TABLE db.t.partitions`
+      // refuses while `db.t` is a table (Spark's existence check sees the
+      // metadata relation), exactly Iceberg's reserved-name contract.
+      if (ident.namespace().nonEmpty &&
+          GraftCatalog.MetaTables.contains(ident.name())) {
+        val parent = WarehouseTable(
+          ident.namespace().mkString(s"$warehouse/", "/", ""))
+        if (parent.exists) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val df = ident.name() match {
+            case "partitions" => parent.partitionsMeta(spark)
+            case "snapshots"  => parent.snapshotsMeta(spark)
+            case "files"      => parent.filesMeta(spark)
+            case "tags"       => parent.tagsMeta(spark)
+            case "staged"     => parent.stagedMeta(spark)
+          }
+          return new GraftMetaTable(ident.toString, df)
+        }
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace().toSeq :+ ident.name())
+    }
     new GraftDsv2Table(ident.toString, wt)
   }
 
@@ -349,6 +380,39 @@ final class GraftDsv2Table(
               else wt.append(data)
             }
           }
+      }
+    }
+}
+
+/** Read-only DSv2 facade over a driver-computed metadata frame
+  * (`graft.db.t.partitions` / `.snapshots` / `.files` / `.tags` /
+  * `.staged`): the answer is manifest/footer-sized by construction, so
+  * the frame is built once at load and served with column pruning; no
+  * writes, no filters pushed (nothing to prune into).
+  */
+final class GraftMetaTable(ident: String, df: DataFrame)
+    extends Table with SupportsRead {
+  private val metaSchema: StructType = df.schema
+  override def name(): String = ident
+  override def schema(): StructType = metaSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = metaSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        private val want = required
+        override def readSchema(): StructType = want
+        override def toV1TableScan[T <: BaseRelation with sources.TableScan](
+            context: SQLContext): T =
+          new BaseRelation with sources.TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = want
+            override def buildScan(): RDD[Row] =
+              df.select(want.fieldNames.toIndexedSeq.map(col): _*).rdd
+          }.asInstanceOf[T]
       }
     }
 }

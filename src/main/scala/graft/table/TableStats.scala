@@ -83,6 +83,29 @@ object TableStats {
     }.toMap
   }
 
+  /** Per-FILE (dir, file, rows, bytes) — [[dirFootprint]] at file grain,
+    * for the `files` metadata table. Same footer-only bill.
+    */
+  def fileFootprint(root: String, relDirs: Seq[String]): Seq[(String, String, Long, Long)] = {
+    val conf = new Configuration()
+    relDirs.flatMap { rel =>
+      val dir = Paths.get(root, rel)
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val listing = Files.list(dir)
+        val files =
+          try listing.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+          finally listing.close()
+        files.map { f =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+          val rows = try reader.getRecordCount finally reader.close()
+          (rel, f.getFileName.toString, rows, Files.size(f))
+        }
+      }
+    }
+  }
+
   private def fileStats(conf: Configuration, file: Path): Map[String, (JValue, JValue)] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))

@@ -2774,6 +2774,107 @@ final class WarehouseTable(val root: String) {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** SNAPSHOTS METADATA TABLE — Iceberg's `SELECT * FROM t.snapshots`:
+    * one row per LIVE snapshot with its commit time, writer-stamped kind
+    * (`data`/`maintenance`; null for pre-stamp snapshots), current flag
+    * and the table's lineage. Metadata-only: one JSON parse per
+    * snapshot, one driver-local frame — history is expiry-bounded, so
+    * the answer is always small.
+    */
+  def snapshotsMeta(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val cur = currentSnapshotId
+    val lin = lineageId
+    val snapDir = rootPath.resolve("snaps")
+    val ids = {
+      val l = Files.list(snapDir)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toLong
+        }.toList.sorted
+      finally l.close()
+    }
+    val rows = ids.map { id =>
+      val j = JsonMethods.parse(readString(snapPath(id)))
+      val ts = j \ "ts" match {
+        case JLong(t) => t
+        case JInt(t) => t.toLong
+        case _ => Files.getLastModifiedTime(snapPath(id)).toMillis
+      }
+      val kind = j \ "kind" match { case JString(k) => k; case _ => null }
+      Row(id, ts, kind, id == cur, lin)
+    }
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("lineage", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** FILES METADATA TABLE — Iceberg's `t.files` at graft's dir grain:
+    * one row per parquet file of the (or an `asOf`) snapshot with its
+    * partition, dir, content kind (`data`/`delta`/`posdel`), footer row
+    * count and bytes. Footer + fs metadata only, no data pages.
+    */
+  def filesMeta(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = readManifest(asOf.getOrElse(currentSnapshotId))
+    def fileRows(byPart: Seq[(String, String)], content: String) = {
+      val dirToPart = byPart.groupBy(_._2).view.mapValues(_.head._1).toMap
+      TableStats.fileFootprint(root, byPart.map(_._2).distinct).map {
+        case (dir, file, rows, bytes) =>
+          val pv = dirToPart(dir)
+          Row(if (pv == NoPart) null else pv, dir, file, content, rows, bytes)
+      }
+    }
+    val base = fileRows(
+      m.base.toSeq.flatMap { case (pv, ds) => ds.map(pv -> _) }, "data")
+    val deltas = fileRows(
+      m.deltas.flatMap(_.data.toSeq).flatMap { case (pv, ds) => ds.map(pv -> _) },
+      "delta")
+    val pos = fileRows(m.posDeletes.map((NoPart, _)), "posdel")
+    val schema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("dir", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ deltas ++ pos, 1), schema)
+  }
+
+  /** TAGS METADATA TABLE — `t.tags`: (tag, snapshot_id). */
+  def tagsMeta(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = tags.toSeq.sortBy(_._1).map { case (n, id) => Row(n, id) }
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** STAGED METADATA TABLE — `t.staged`: pending and dead WAP stages,
+    * (snapshot_id, wap_id, live). The SQL-visible face of
+    * [[stagedSnapshots]] / [[deadStagedSnapshots]] — how an audit
+    * session lists what awaits publish and what GC will sweep.
+    */
+  def stagedMeta(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val live = stagedSnapshots.toSet
+    val rows = stagedIdsRaw.map { id =>
+      Row(id, stagedWapId(id).orNull, live.contains(id))
+    }
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("wap_id", StringType),
+      StructField("live", BooleanType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   def expireSnapshots(keepLast: Int = 5): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     import scala.jdk.CollectionConverters._

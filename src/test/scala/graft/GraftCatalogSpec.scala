@@ -524,6 +524,58 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.wap")
   }
 
+  test("metadata tables from SQL: snapshots/files/partitions/tags/staged; real tables shadow the suffix") {
+    val wh = warehouse // force catalog registration
+    spark.sql(
+      "CREATE TABLE graft.db.mt (k INT, v STRING, state STRING) PARTITIONED BY (state)")
+    spark.sql("INSERT INTO graft.db.mt VALUES (1, 'a', 'CA'), (2, 'b', 'NY')")
+    spark.sql("INSERT INTO graft.db.mt VALUES (3, 'c', 'CA')")
+    val wt = graft.table.WarehouseTable(s"$wh/db/mt")
+    wt.tagSnapshot("rel1")
+    // snapshots: create + 2 inserts, all 'data'; is_current on the pointer
+    val snaps = spark.sql(
+      "SELECT snapshot_id, kind, is_current FROM graft.db.mt.snapshots ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(snaps.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(snaps.forall(_._2 == "data") && snaps.count(_._3) == 1 &&
+      snaps.last._3)
+    // partitions + files agree with the data
+    assert(spark.sql(
+      "SELECT partition, n_rows FROM graft.db.mt.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("CA", 2L), ("NY", 1L)))
+    assert(spark.sql(
+      "SELECT sum(n_rows) FROM graft.db.mt.files WHERE content = 'data'")
+      .head().getLong(0) == 3L)
+    // tags + staged
+    assert(spark.sql("SELECT tag, snapshot_id FROM graft.db.mt.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("rel1", 2L)))
+    val sid = wt.stageAppend(
+      { import spark.implicits._
+        Seq((9, "z", "TX")).toDF("k", "v", "state") }, Some("wap-z"))
+    assert(spark.sql("SELECT snapshot_id, wap_id FROM graft.db.mt.staged WHERE live")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((sid, "wap-z")))
+    wt.discardStaged(sid)
+    // the suffixes are RESERVED under an existing table: CREATE at that
+    // name refuses (Spark sees the metadata relation as already-existing)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.mt.partitions (x INT)")
+    }
+    // ...but when the parent is NOT a table, the same name is an ordinary
+    // table path — no metadata routing without a table to describe
+    spark.sql("CREATE TABLE graft.db.plain.partitions (x INT)")
+    spark.sql("INSERT INTO graft.db.plain.partitions VALUES (42)")
+    assert(spark.sql("SELECT x FROM graft.db.plain.partitions").head().getInt(0) == 42)
+    spark.sql("DROP TABLE graft.db.plain.partitions")
+    // suffix on a nonexistent parent still errors as a missing table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.nope.partitions").collect()
+    }
+    spark.sql("DROP TABLE graft.db.mt")
+  }
+
   test("CALL evolve_partition + rewrite_to_current_spec: SQL spec evolution with pay-once migration") {
     val wh = warehouse // force catalog registration
     spark.sql("CREATE TABLE graft.db.evo (k INT, state STRING)")
