@@ -2276,12 +2276,13 @@ object StreamingIngest {
     * removing the old one's dir, so the gross feed recovers the
     * subtraction through the table's own keyed arbitration — per
     * delta-touched key it emits −(resolved pre-commit version) beside
-    * the +new (see [[graft.table.WarehouseTable.changesSince]]). That
-    * old-version read costs one resolved scan of the source per window
-    * commit (key-semi-joined, but not partition-prunable) — a COW
-    * source's gross feed stays O(changed bytes), so COW-or-mirror
-    * remains the hot-path recommendation; MOR support means the view is
-    * exact either way, with no forced compaction. Merge keys must be
+    * the +new (see [[graft.table.WarehouseTable.changesSince]]). When
+    * the partition column is itself a merge key (the usual layout — MOR
+    * equality deletes require it), that old-version read PRUNES to the
+    * commit's own touched partitions, making the subtraction
+    * partition-bound; otherwise it is one key-semi-joined resolved scan
+    * of the source per window commit. A COW source's gross feed stays
+    * O(changed bytes) either way. Merge keys must be
     * recorded on MOR sources (they are, by any MOR merge). Maintenance
     * commits (compaction included) are skipped EXACTLY — their
     * re-landed rows never reach the fold. Exactly-once: the rollup's

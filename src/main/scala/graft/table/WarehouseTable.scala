@@ -668,12 +668,18 @@ final class WarehouseTable(val root: String) {
           // Tombstone rows emit no payload of their own: an equality
           // delete's contribution IS −old (the tombstone row's payload
           // is whatever the deleter wrote, not the victim's values).
-          // Cost: one resolved scan of the source per commit, key-pruned
-          // only by the semi-join — change-bound on the fresh side but
-          // O(source) on the old-version side; a COW source's gross feed
-          // stays O(changed bytes). The honest price of exact MV
-          // maintenance over write-only upserts — Iceberg's changelog
-          // pays the same join to produce MOR pre-images.
+          // Cost: one resolved scan per commit, key-pruned by the
+          // semi-join — and PARTITION-PRUNED to the delta's own
+          // partition values whenever the partition column is itself a
+          // merge key (a key tuple then determines its partition, so a
+          // prior version of a touched key cannot live in any other
+          // partition — writes route rows by value). With that pruning
+          // the old-version side is O(touched partitions), not
+          // O(source); without partition-in-keys it stays the honest
+          // O(source) price of exact MV maintenance over write-only
+          // upserts — Iceberg's changelog pays the same join to produce
+          // MOR pre-images. A COW source's gross feed stays O(changed
+          // bytes) either way.
           val keys = mergeKeys(meta).getOrElse(throw new IllegalArgumentException(
             "gross change feed over MOR deltas needs merge keys for " +
               "old-version arbitration — record them with ensureMergeKeys"))
@@ -684,7 +690,13 @@ final class WarehouseTable(val root: String) {
             .withColumn("_change_ordinal", lit(id))
           val touched = readParts(spark, meta, freshDeltaDirs,
             withTombstone = true).select(keys.map(col): _*).distinct()
-          frames += read(spark, asOf = Some(id - 1))
+          // freshDeltaDirs' keys ARE manifest partition keys (real values
+          // or the hive-null sentinel), so they pass through verbatim
+          val oldParts: Option[Seq[Any]] =
+            if (meta.partition.exists(keys.contains))
+              Some(freshDeltaDirs.keys.toSeq)
+            else None
+          frames += read(spark, oldParts, asOf = Some(id - 1))
             .join(touched, keys, "left_semi")
             .withColumn("_change_type", lit("delete"))
             .withColumn("_change_ordinal", lit(id))
