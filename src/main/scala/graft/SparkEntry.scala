@@ -3255,6 +3255,52 @@ object SparkEntry {
         .select(col("lang"), col("n"), col("sum_n_chars"))
     }),
 
+    // INCREMENTAL AGGREGATE VIEW ACROSS A MID-HISTORY RENAME — q173
+    // where the SUMMED column is renamed (n_chars → length) between the
+    // base load and the update wave: the gross feed resolves pre-rename
+    // commits' dirs through the prior-name coalesce (q170's machinery),
+    // so the fold — which selects by the CURRENT name — sees every
+    // window commit under 'length' and the view converges exactly. The
+    // view is started AFTER the rename with the current names, the only
+    // well-defined contract (a feed keyed by per-commit column names
+    // would make the fold's schema depend on where the cursor happens
+    // to stand).
+    "q180_agg_view_renamed" -> ((s, dir) => {
+      val base = scratchPath("q180", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        src.create(docs.schema, Some("lang"),
+          graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+        src.merge(s, docs, Seq("doc_id"))
+        src.renameColumn("n_chars", "length") // metadata-only, mid-history
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 7).as("length")), Seq("doc_id"))
+        src.deleteRows(s, col("doc_id") % 7 === 0)
+      }
+      val view = graft.table.WarehouseTable(base + "/view")
+      view.drop()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(base + "/view_agg_applied"))
+      val ckpt = java.nio.file.Paths.get(base, "ckpt")
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+        } finally walk.close()
+      }
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang"), Seq("length"), ckpt.toString)
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(col("lang"), col("n"), col("sum_length"))
+    }),
+
     // INCREMENTAL AGGREGATE VIEW OVER A MOR SOURCE — q173's twin without
     // compact-to-COW: upserts never remove their old version's dir, so
     // the gross feed recovers each −old through the table's own keyed
@@ -4643,6 +4689,16 @@ object SparkEntry {
         |            ELSE n_chars END) AS BIGINT) AS sum_n_chars
         |FROM documents
         |WHERE doc_id % 7 <> 0 AND lang <> 'de'
+        |GROUP BY 1""".stripMargin,
+
+    // q173's algebra (minus the partition drop) under the post-rename
+    // sum-column name
+    "q180_agg_view_renamed" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN n_chars + 7
+        |            ELSE n_chars END) AS BIGINT) AS sum_length
+        |FROM documents
+        |WHERE doc_id % 7 <> 0
         |GROUP BY 1""".stripMargin,
 
     // same algebra as q171 under the post-rename column name; the
