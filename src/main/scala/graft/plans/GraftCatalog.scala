@@ -483,7 +483,8 @@ object GraftProcedures {
     "rollback", "expire_snapshots", "remove_orphan_files", "compact",
     "publish_staged", "discard_staged",
     "staged_changes", "publish_changes", "discard_changes",
-    "evolve_partition", "rewrite_to_current_spec")
+    "evolve_partition", "rewrite_to_current_spec",
+    "cluster", "cluster_zorder")
 
   private def param(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
 
@@ -588,6 +589,25 @@ object GraftProcedures {
         Seq(param("table", StringType)),
         { in => val t = tbl(in)
           t.rewriteToCurrentSpec(org.apache.spark.sql.SparkSession.active)
+          summary("current_snapshot", t.currentSnapshotId) })
+      // Layout maintenance from SQL — Iceberg's rewrite_data_files with a
+      // sort/zorder spec: range-cluster the base on one column, or
+      // z-order it on a comma-separated list so range predicates on ANY
+      // clustered column prune dirs by min/max stats.
+      case "cluster" => proc(name,
+        Seq(param("table", StringType), param("column", StringType),
+          param("buckets", LongType)),
+        { in => val t = tbl(in)
+          t.clusterBase(org.apache.spark.sql.SparkSession.active,
+            in.getUTF8String(1).toString, in.getLong(2).toInt)
+          summary("current_snapshot", t.currentSnapshotId) })
+      case "cluster_zorder" => proc(name,
+        Seq(param("table", StringType), param("columns", StringType),
+          param("buckets", LongType)),
+        { in => val t = tbl(in)
+          t.clusterBaseZ(org.apache.spark.sql.SparkSession.active,
+            in.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
+            nBuckets = in.getLong(2).toInt)
           summary("current_snapshot", t.currentSnapshotId) })
       case other =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(

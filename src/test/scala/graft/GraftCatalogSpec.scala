@@ -576,6 +576,33 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.mt")
   }
 
+  test("CALL cluster / cluster_zorder: layout maintenance from SQL; contents unchanged, stats prune") {
+    val wh = warehouse // force catalog registration
+    spark.sql("CREATE TABLE graft.db.cl (id INT, x INT, y INT)")
+    // x/y independent permutations: z-order is the only layout that can
+    // serve range predicates on both
+    val rows = (1 to 2000).map(i =>
+      s"($i, ${(i * 7919) % 2000 + 1}, ${(i * 104729) % 2000 + 1})")
+    rows.grouped(500).foreach(chunk =>
+      spark.sql(s"INSERT INTO graft.db.cl VALUES ${chunk.mkString(",")}"))
+    val before = spark.sql("SELECT id FROM graft.db.cl")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    spark.sql("CALL graft.system.cluster_zorder('db.cl', 'x,y', 16)")
+    assert(spark.sql("SELECT id FROM graft.db.cl")
+      .collect().map(_.getInt(0)).sorted.toSeq == before)
+    val wt = graft.table.WarehouseTable(s"$wh/db/cl")
+    val all = wt.read(spark).inputFiles.length
+    val fx = Seq(org.apache.spark.sql.sources.GreaterThan("x", 1800))
+    val fy = Seq(org.apache.spark.sql.sources.GreaterThan("y", 1800))
+    assert(wt.read(spark, dataFilters = fx).inputFiles.length < all)
+    assert(wt.read(spark, dataFilters = fy).inputFiles.length < all)
+    // single-column variant composes on the same table
+    spark.sql("CALL graft.system.cluster('db.cl', 'id', 4)")
+    assert(spark.sql("SELECT id FROM graft.db.cl")
+      .collect().map(_.getInt(0)).sorted.toSeq == before)
+    spark.sql("DROP TABLE graft.db.cl")
+  }
+
   test("CALL evolve_partition + rewrite_to_current_spec: SQL spec evolution with pay-once migration") {
     val wh = warehouse // force catalog registration
     spark.sql("CREATE TABLE graft.db.evo (k INT, state STRING)")

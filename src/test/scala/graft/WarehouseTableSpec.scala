@@ -600,6 +600,101 @@ class WarehouseTableSpec extends SparkSpec {
     assert(!ks.contains(1) && ks.contains(200))
   }
 
+  test("model-based torture: 80 seeded random ops (upsert/delete/posdel/stage/rollback/maintenance) track an in-memory model exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    // Every committed state the table can reach must equal a trivial
+    // key->value map. One fixed seed => deterministic replay of exactly
+    // this op sequence; the value of the test is the INTERLEAVINGS
+    // (posdel after rollback, expiry under pending stage, compaction
+    // between delete flavors, a mid-run rename) that no hand-written
+    // scenario spec covers.
+    val rnd = new scala.util.Random(20260816L)
+    val t = WarehouseTable(tmpDir("torture"))
+    val sch = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("p", StringType),
+      StructField("v", StringType)))
+    t.create(sch, Some("p"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0")) // explicit compaction only
+    t.ensureMergeKeys(Seq("k", "p"))
+    def pOf(k: Int) = s"p${k % 3}"
+    var vname = "v" // tracks the mid-run rename
+    // batches are written under the CURRENT value-column name — after the
+    // op-40 rename a real writer uses the new name (the engine-API merge
+    // aligns by name, so a stale-named batch would null the column; the
+    // SQL INSERT path refuses it at analysis — both contracts documented)
+    def df(kvs: Seq[(Int, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(kvs.map { case (k, v) =>
+        Row(k, pOf(k), v)
+      }, 2), StructType(sch.fields.init :+ StructField(vname, StringType)))
+    val model = scala.collection.mutable.Map.empty[Int, String]
+    val history = scala.collection.mutable.Map.empty[Long, Map[Int, String]]
+    var fresh = 1000 // append-only key source (appends must not collide)
+    def snap(): Unit = history(t.currentSnapshotId) = model.toMap
+    snap()
+    def check(): Unit = {
+      val got = t.read(spark).select(col("k"), col(vname))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(got == model.toMap, s"diverged from model (op state: $got vs $model)")
+    }
+    (1 to 80).foreach { op =>
+      if (op == 40) { // one mid-run metadata-only rename of the value column
+        t.renameColumn(vname, "w"); vname = "w"
+      }
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // keyed upsert batch
+          val kvs = (1 to 1 + rnd.nextInt(20))
+            .map(_ => rnd.nextInt(200) -> s"v$op-${rnd.nextInt(1000)}")
+            .groupBy(_._1).map(_._2.last).toSeq // one value per key per batch
+          t.merge(spark, df(kvs), Seq("k", "p"))
+          model ++= kvs
+        case 3 => // equality delete of random keys (absent keys no-op)
+          val ks = (1 to 1 + rnd.nextInt(10)).map(_ => rnd.nextInt(200)).distinct
+          t.deleteKeysMor(spark, df(ks.map(_ -> "x")).select("k", "p"), Seq("k", "p"))
+          model --= ks
+        case 4 => // position delete by predicate over the resolved view
+          val r = rnd.nextInt(7)
+          t.deleteWhereMor(spark, col("k") % 7 === r)
+          model --= model.keys.filter(_ % 7 == r).toSeq
+        case 5 => // append of fresh keys (never collides with live keys)
+          val kvs = (1 to 1 + rnd.nextInt(5)).map { _ =>
+            fresh += 1; fresh -> s"a$op"
+          }
+          t.append(df(kvs))
+          model ++= kvs
+        case 6 => // WAP stage; publish or discard immediately
+          val kvs = Seq({ fresh += 1; fresh -> s"s$op" })
+          val sid = t.stageAppend(df(kvs), Some(s"wap$op"))
+          if (rnd.nextBoolean()) { t.publishStaged(sid); model ++= kvs }
+          else t.discardStaged(sid)
+        case 7 => // rollback to a random still-live snapshot
+          val ids = t.snapshotsMeta(spark).select("snapshot_id")
+            .collect().map(_.getLong(0)).sorted
+          val target = ids(rnd.nextInt(ids.length))
+          t.rollback(target)
+          model.clear(); model ++= history(target)
+        case 8 => // maintenance: fold deltas/posdels or reclaim history
+          rnd.nextInt(3) match {
+            case 0 => t.compact(spark)
+            case 1 => t.expireSnapshots(keepLast = 3)
+            case 2 => t.removeOrphanFiles(olderThanMs = 0); ()
+          }
+        case 9 => // re-upsert an existing key (update shape)
+          model.keys.toSeq.sorted.headOption.foreach { k =>
+            t.merge(spark, df(Seq(k -> s"u$op")), Seq("k", "p"))
+            model(k) = s"u$op"
+          }
+      }
+      // every path records (snapshot id -> model): maintenance commits
+      // advance the id too, and a later rollback may target them
+      snap()
+      check()
+    }
+    assert(model.nonEmpty, "seed produced a degenerate (empty) run")
+  }
+
   test("racing MOR merges across the auto-compact threshold: inline compaction is best-effort, no writer dies") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
