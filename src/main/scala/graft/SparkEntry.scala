@@ -535,6 +535,28 @@ object SparkEntry {
     * tiebreaks) and every `epoch_ns(ts)`-based DuckDB oracle then agree
     * bit-for-bit regardless of which generation wrote the file.
     */
+  /** Reset an agg-view gate's consumer state for a fresh drain: drop the
+    * view table, its `_agg_applied` cursor (the name is StreamingIngest's
+    * `view.root + "_agg_applied"` convention) and the stream checkpoint.
+    * The SOURCE fixture is untouched — it memoizes via atRestBuilt.
+    */
+  private def resetAggView(base: String): (graft.table.WarehouseTable, java.nio.file.Path) = {
+    val view = graft.table.WarehouseTable(base + "/view")
+    view.drop()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(base + "/view_agg_applied"))
+    val ckpt = java.nio.file.Paths.get(base, "ckpt")
+    if (java.nio.file.Files.exists(ckpt)) {
+      val walk = java.nio.file.Files.walk(ckpt)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists)
+      } finally walk.close()
+    }
+    (view, ckpt)
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -3235,19 +3257,7 @@ object SparkEntry {
         src.deleteRows(s, col("doc_id") % 7 === 0)
         src.dropPartitions(Seq("de"))
       }
-      val view = graft.table.WarehouseTable(base + "/view")
-      view.drop()
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(base + "/view_agg_applied"))
-      val ckpt = java.nio.file.Paths.get(base, "ckpt")
-      if (java.nio.file.Files.exists(ckpt)) {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists)
-        } finally walk.close()
-      }
+      val (view, ckpt) = resetAggView(base)
       val q = graft.streaming.StreamingIngest.startAggView(
         s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString)
       q.awaitTermination(600000)
@@ -3281,19 +3291,7 @@ object SparkEntry {
             (col("n_chars") + 7).as("length")), Seq("doc_id"))
         src.deleteRows(s, col("doc_id") % 7 === 0)
       }
-      val view = graft.table.WarehouseTable(base + "/view")
-      view.drop()
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(base + "/view_agg_applied"))
-      val ckpt = java.nio.file.Paths.get(base, "ckpt")
-      if (java.nio.file.Files.exists(ckpt)) {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists)
-        } finally walk.close()
-      }
+      val (view, ckpt) = resetAggView(base)
       val q = graft.streaming.StreamingIngest.startAggView(
         s, src, view, Seq("lang"), Seq("length"), ckpt.toString)
       q.awaitTermination(600000)
@@ -3341,19 +3339,7 @@ object SparkEntry {
         src.deleteWhereMor(s, col("doc_id") % 11 === 3)
         src.dropPartitions(Seq("de"))
       }
-      val view = graft.table.WarehouseTable(base + "/view")
-      view.drop()
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(base + "/view_agg_applied"))
-      val ckpt = java.nio.file.Paths.get(base, "ckpt")
-      if (java.nio.file.Files.exists(ckpt)) {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists)
-        } finally walk.close()
-      }
+      val (view, ckpt) = resetAggView(base)
       val q = graft.streaming.StreamingIngest.startAggView(
         s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString)
       q.awaitTermination(600000)

@@ -106,15 +106,24 @@ class GraftCatalog extends TableCatalog
         val parent = WarehouseTable(
           ident.namespace().mkString(s"$warehouse/", "/", ""))
         if (parent.exists) {
-          val spark = org.apache.spark.sql.SparkSession.active
-          val df = ident.name() match {
-            case "partitions" => parent.partitionsMeta(spark)
-            case "snapshots"  => parent.snapshotsMeta(spark)
-            case "files"      => parent.filesMeta(spark)
-            case "tags"       => parent.tagsMeta(spark)
-            case "staged"     => parent.stagedMeta(spark)
-          }
-          return new GraftMetaTable(ident.toString, df)
+          // schema answered from constants; the frame itself builds
+          // LAZILY at scan time — loadTable runs repeatedly during
+          // analysis (and for bare existence checks), and `.files`
+          // opens every parquet footer of the snapshot
+          val (schema, mk): (StructType, org.apache.spark.sql.SparkSession => DataFrame) =
+            ident.name() match {
+              case "partitions" =>
+                (WarehouseTable.PartitionsMetaSchema, parent.partitionsMeta(_))
+              case "snapshots" =>
+                (WarehouseTable.SnapshotsMetaSchema, parent.snapshotsMeta(_))
+              case "files" =>
+                (WarehouseTable.FilesMetaSchema, parent.filesMeta(_))
+              case "tags" =>
+                (WarehouseTable.TagsMetaSchema, parent.tagsMeta(_))
+              case "staged" =>
+                (WarehouseTable.StagedMetaSchema, parent.stagedMeta(_))
+            }
+          return new GraftMetaTable(ident.toString, schema, mk)
         }
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -386,13 +395,15 @@ final class GraftDsv2Table(
 
 /** Read-only DSv2 facade over a driver-computed metadata frame
   * (`graft.db.t.partitions` / `.snapshots` / `.files` / `.tags` /
-  * `.staged`): the answer is manifest/footer-sized by construction, so
-  * the frame is built once at load and served with column pruning; no
-  * writes, no filters pushed (nothing to prune into).
+  * `.staged`): the answer is manifest/footer-sized by construction. The
+  * schema is a constant and the frame builds LAZILY at scan time —
+  * loadTable may run several times per statement (and for bare
+  * existence checks) without paying the metadata walk. Column pruning
+  * only; no writes, no filters pushed (nothing to prune into).
   */
-final class GraftMetaTable(ident: String, df: DataFrame)
+final class GraftMetaTable(
+    ident: String, metaSchema: StructType, mk: org.apache.spark.sql.SparkSession => DataFrame)
     extends Table with SupportsRead {
-  private val metaSchema: StructType = df.schema
   override def name(): String = ident
   override def schema(): StructType = metaSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -411,7 +422,8 @@ final class GraftMetaTable(ident: String, df: DataFrame)
             override def sqlContext: SQLContext = context
             override def schema: StructType = want
             override def buildScan(): RDD[Row] =
-              df.select(want.fieldNames.toIndexedSeq.map(col): _*).rdd
+              mk(context.sparkSession)
+                .select(want.fieldNames.toIndexedSeq.map(col): _*).rdd
           }.asInstanceOf[T]
       }
     }
@@ -569,13 +581,20 @@ object GraftProcedures {
             throw new IllegalArgumentException(
               s"no live staged snapshot carries WAP id '$w' — nothing to publish")))
           summary("current_snapshot", t.currentSnapshotId) })
+      // discard also resolves DEAD stages (shadowed by a commit, or on a
+      // rolled-back timeline): discarding one is always safe, and a SQL
+      // session holds only the WAP id — without this it could never free
+      // its own dead stage's bytes before GC's grace window
       case "discard_changes" => proc(name,
         Seq(param("table", StringType), param("wap_id", StringType)),
         { in => val t = tbl(in)
           val w = in.getUTF8String(1).toString
-          t.discardStaged(t.stagedSnapshotFor(w).getOrElse(
-            throw new IllegalArgumentException(
-              s"no live staged snapshot carries WAP id '$w' — nothing to discard")))
+          val sid = t.stagedSnapshotFor(w)
+            .orElse(t.deadStagedSnapshots.find(t.stagedWapId(_).contains(w)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no staged snapshot (live or dead) carries WAP id '$w' — " +
+                "already published or discarded"))
+          t.discardStaged(sid)
           summary("current_snapshot", t.currentSnapshotId) })
       // Spec evolution from SQL (Iceberg spells this ALTER TABLE ... ADD
       // PARTITION FIELD via parser extensions; a procedure needs none):

@@ -78,6 +78,20 @@ object GraftMergeStrategy {
     if (!strategies.exists(_.isInstanceOf[GraftMergeStrategy]))
       spark.experimental.extraStrategies = strategies :+ GraftMergeStrategy(spark)
   }
+
+  /** A WAP session stages its changes for audit — only append-shaped
+    * INSERTs can stage, and every other DML would PUBLISH immediately,
+    * silently breaking the session's nothing-visible-until-publish
+    * guarantee. Refuse loudly instead (the same contract as the INSERT
+    * OVERWRITE refusal in the catalog's write builder).
+    */
+  private[plans] def refuseUnderWap(spark: SparkSession, what: String): Unit = {
+    val wap = spark.conf.get(GraftCatalog.WapIdConf, "").trim
+    require(wap.isEmpty,
+      s"$what cannot run under ${GraftCatalog.WapIdConf}='$wap' — it would " +
+        "publish immediately, not stage; unset the conf to run it against " +
+        "the published table, or express the change as a staged INSERT")
+  }
 }
 
 /** Config-time registration: `spark.sql.extensions=graft.plans.GraftSparkSessionExtensions`. */
@@ -106,6 +120,7 @@ case class GraftMergeExec(
   // ---- lowering ----------------------------------------------------------
 
   private def run(): Unit = {
+    GraftMergeStrategy.refuseUnderWap(spark, "MERGE INTO")
     // WITH SCHEMA EVOLUTION needs no work here: the analyzer's
     // ResolveMergeIntoSchemaEvolution has already diffed source vs target
     // and applied AddColumn through GraftCatalog.alterTable (gated on the
@@ -252,6 +267,7 @@ case class GraftDmlExec(
   }
 
   private def run(): Unit = {
+    GraftMergeStrategy.refuseUnderWap(spark, "DELETE/UPDATE")
     dml match {
       case Left(cond) =>
         // honor the table's declared delete mode (Iceberg

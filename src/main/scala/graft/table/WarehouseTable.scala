@@ -348,10 +348,21 @@ final class WarehouseTable(val root: String) {
       .getBytes(StandardCharsets.UTF_8)
     val p = if (staged) stagedPath(id) else snapPath(id)
     Files.createDirectories(p.getParent)
-    if (createNew)
-      Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
-    else
-      Files.write(p, bytes)
+    // ATOMIC writes, with the scratch file OUTSIDE `snaps/`: the commit-log
+    // tailers STREAM that directory, so even a short-lived tmp sibling
+    // could be listed and then vanish under the reader. A plain CREATE_NEW
+    // write is worse still — it creates the NAME before the bytes land, so
+    // any listing-based reader (tailers, GC/expiry, stagedDead's parse of
+    // staged-*.json) could observe a truncated JSON mid-write. The hard
+    // link appears with its full content or not at all, and the createNew
+    // flavor still fails loudly when a racing commit claimed the id.
+    val tmp = rootPath.resolve(s"_snapwrite.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    try {
+      if (createNew) Files.createLink(p, tmp)
+      else Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def writeManifest(id: Long, m: Manifest): Unit =
@@ -639,14 +650,17 @@ final class WarehouseTable(val root: String) {
       val stampedMaintenance = kindStamp.contains("maintenance")
       def fresh(x: Map[String, List[String]]): Seq[(String, List[String])] =
         x.view.mapValues(_.filterNot(seenDirs)).filter(_._2.nonEmpty).toSeq
+      def grouped(xs: Seq[(String, List[String])]): Map[String, List[String]] =
+        xs.groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+      // the delta portion feeds both maps — computed once per commit
+      val freshDelta: Seq[(String, List[String])] =
+        if (stampedMaintenance) Nil else m.deltas.flatMap(d => fresh(d.data))
       val freshDirs: Map[String, List[String]] =
         if (stampedMaintenance) Map.empty
-        else (fresh(m.base) ++ m.deltas.flatMap(d => fresh(d.data)))
-          .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+        else grouped(fresh(m.base) ++ freshDelta)
       val freshDeltaDirs: Map[String, List[String]] =
         if (stampedMaintenance || netRemovals) Map.empty
-        else m.deltas.flatMap(d => fresh(d.data))
-          .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
+        else grouped(freshDelta)
       if (freshDirs.nonEmpty) {
         if (freshDeltaDirs.isEmpty)
           frames += readParts(spark, meta, freshDirs, withTombstone = true)
@@ -1206,9 +1220,16 @@ final class WarehouseTable(val root: String) {
     // default must sit comfortably above any realistic writer count;
     // retries are cheap (manifest re-derivation, never a data rewrite).
     // Tables expecting extreme fan-in can raise it per table (the
-    // Iceberg `commit.retry.num-retries` knob).
-    val maxAttempts = readMeta().properties
-      .get("commit.retry.max-attempts").map(_.toInt).getOrElse(64)
+    // Iceberg `commit.retry.num-retries` knob). Read LAZILY on the first
+    // conflict — the uncontended path (almost every commit) pays no
+    // extra metadata read for a budget it never consults.
+    lazy val maxAttempts = readMeta().properties
+      .get("commit.retry.max-attempts").map { v =>
+        try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"table property commit.retry.max-attempts must be an integer, got '$v'")
+        }
+      }.getOrElse(64)
     var attempt = 0
     var done = false
     while (!done) {
@@ -2360,19 +2381,30 @@ final class WarehouseTable(val root: String) {
       "properties" -> props))))
   }
 
+  /** Ids of on-disk `<prefix><id>.json` files under `snaps/`, sorted —
+    * the single listing every snapshot/staged walk shares (atomic-write
+    * scratch files never match: they carry a `.tmp.` suffix).
+    */
+  private def listSnapIds(prefix: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val d = rootPath.resolve("snaps")
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val l = Files.list(d)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith(prefix) && s.endsWith(".json") =>
+          s.stripPrefix(prefix).stripSuffix(".json").toLong
+        }.toList.sorted
+      finally l.close()
+    }
+  }
+
   /** Newest snapshot committed at or before `tsMillis` (TIMESTAMP AS OF).
     * Commit times come from the snapshot json ("ts"); snapshots written
     * before that field existed fall back to file modification time.
     */
   def snapshotAt(tsMillis: Long): Option[Long] = {
-    import scala.jdk.CollectionConverters._
-    val l = Files.list(rootPath.resolve("snaps"))
-    val ids =
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
-          s.stripPrefix("snap-").stripSuffix(".json").toLong
-        }.toList.sorted
-      finally l.close()
+    val ids = listSnapIds("snap-")
     def commitTime(id: Long): Long =
       JsonMethods.parse(readString(snapPath(id))) \ "ts" match {
         case JLong(t) => t
@@ -2527,15 +2559,7 @@ final class WarehouseTable(val root: String) {
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
     import scala.jdk.CollectionConverters._
-    val snapDir = rootPath.resolve("snaps")
-    val ids = {
-      val l = Files.list(snapDir)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
-          s.stripPrefix("snap-").stripSuffix(".json").toLong
-        }.toList
-      finally l.close()
-    }
+    val ids = listSnapIds("snap-")
     var removed = 0
     // LIVE staged (unpublished) snapshots' references are pinned — a
     // pending audit's bytes must survive GC. DEAD stages (shadowed by a
@@ -2585,6 +2609,16 @@ final class WarehouseTable(val root: String) {
         .foreach { p => Files.deleteIfExists(p); removed += 1 }
       finally l.close()
     }
+    // scratch files of CRASHED atomic writes (snapshot/_meta/_current
+    // temps carry ".tmp." in the name; live ones exist for microseconds
+    // and are shielded by the same age guard as everything else)
+    val rl = Files.list(rootPath)
+    try rl.iterator().asScala.toList
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.contains(".tmp."))
+      .filter(oldEnough)
+      .foreach { p => Files.deleteIfExists(p); removed += 1 }
+    finally rl.close()
     removed
   }
 
@@ -2775,15 +2809,8 @@ final class WarehouseTable(val root: String) {
         dirs.size.toLong, fs.map(_._1).sum, fs.map(_._2).sum,
         fs.map(_._3).sum, posRows)
     }
-    val schema = StructType(Seq(
-      StructField("partition", StringType),
-      StructField("n_dirs", LongType, nullable = false),
-      StructField("n_files", LongType, nullable = false),
-      StructField("n_rows", LongType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false),
-      StructField("n_pos_deletes", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+      spark.sparkContext.parallelize(rows, 1), WarehouseTable.PartitionsMetaSchema)
   }
 
   /** SNAPSHOTS METADATA TABLE — Iceberg's `SELECT * FROM t.snapshots`:
@@ -2798,15 +2825,7 @@ final class WarehouseTable(val root: String) {
     import org.apache.spark.sql.types._
     val cur = currentSnapshotId
     val lin = lineageId
-    val snapDir = rootPath.resolve("snaps")
-    val ids = {
-      val l = Files.list(snapDir)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
-          s.stripPrefix("snap-").stripSuffix(".json").toLong
-        }.toList.sorted
-      finally l.close()
-    }
+    val ids = listSnapIds("snap-")
     val rows = ids.map { id =>
       val j = JsonMethods.parse(readString(snapPath(id)))
       val ts = j \ "ts" match {
@@ -2817,13 +2836,8 @@ final class WarehouseTable(val root: String) {
       val kind = j \ "kind" match { case JString(k) => k; case _ => null }
       Row(id, ts, kind, id == cur, lin)
     }
-    val schema = StructType(Seq(
-      StructField("snapshot_id", LongType, nullable = false),
-      StructField("committed_at_ms", LongType, nullable = false),
-      StructField("kind", StringType),
-      StructField("is_current", BooleanType, nullable = false),
-      StructField("lineage", StringType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      WarehouseTable.SnapshotsMetaSchema)
   }
 
   /** FILES METADATA TABLE — Iceberg's `t.files` at graft's dir grain:
@@ -2848,25 +2862,17 @@ final class WarehouseTable(val root: String) {
       m.deltas.flatMap(_.data.toSeq).flatMap { case (pv, ds) => ds.map(pv -> _) },
       "delta")
     val pos = fileRows(m.posDeletes.map((NoPart, _)), "posdel")
-    val schema = StructType(Seq(
-      StructField("partition", StringType),
-      StructField("dir", StringType, nullable = false),
-      StructField("file", StringType, nullable = false),
-      StructField("content", StringType, nullable = false),
-      StructField("n_rows", LongType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(base ++ deltas ++ pos, 1), schema)
+      spark.sparkContext.parallelize(base ++ deltas ++ pos, 1),
+      WarehouseTable.FilesMetaSchema)
   }
 
   /** TAGS METADATA TABLE — `t.tags`: (tag, snapshot_id). */
   def tagsMeta(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val rows = tags.toSeq.sortBy(_._1).map { case (n, id) => Row(n, id) }
-    val schema = StructType(Seq(
-      StructField("tag", StringType, nullable = false),
-      StructField("snapshot_id", LongType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      WarehouseTable.TagsMetaSchema)
   }
 
   /** STAGED METADATA TABLE — `t.staged`: pending and dead WAP stages,
@@ -2880,26 +2886,15 @@ final class WarehouseTable(val root: String) {
     val rows = stagedIdsRaw.map { id =>
       Row(id, stagedWapId(id).orNull, live.contains(id))
     }
-    val schema = StructType(Seq(
-      StructField("snapshot_id", LongType, nullable = false),
-      StructField("wap_id", StringType),
-      StructField("live", BooleanType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      WarehouseTable.StagedMetaSchema)
   }
 
   def expireSnapshots(keepLast: Int = 5): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     import scala.jdk.CollectionConverters._
     val cur = currentSnapshotId
-    val snapDir = rootPath.resolve("snaps")
-    val ids = {
-      val l = Files.list(snapDir)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
-          s.stripPrefix("snap-").stripSuffix(".json").toLong
-        }.toList.sorted
-      finally l.close()
-    }
+    val ids = listSnapIds("snap-")
     // tagged snapshots are pinned releases — never expired
     val tagged = tags.values.toSet
     val (expired, kept) = ids.partition(id =>
@@ -3093,19 +3088,7 @@ final class WarehouseTable(val root: String) {
   }
 
   /** Every staged-*.json on disk, dead or alive. */
-  private def stagedIdsRaw: Seq[Long] = {
-    import scala.jdk.CollectionConverters._
-    val d = rootPath.resolve("snaps")
-    if (!Files.isDirectory(d)) Nil
-    else {
-      val l = Files.list(d)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("staged-") && s.endsWith(".json") =>
-          s.stripPrefix("staged-").stripSuffix(".json").toLong
-        }.toList.sorted
-      finally l.close()
-    }
-  }
+  private def stagedIdsRaw: Seq[Long] = listSnapIds("staged-")
 
   /** Is a staged snapshot DEAD — unpublishable forever? Two ways to die:
     * a regular commit claimed its id (shadowed), or a rollback abandoned
@@ -3204,6 +3187,38 @@ final class WarehouseTable(val root: String) {
 
 object WarehouseTable {
   def apply(root: String): WarehouseTable = new WarehouseTable(root)
+
+  // Metadata-table schemas — shared between the builders above and the
+  // catalog's lazy metadata relations (which must answer schema() without
+  // paying the metadata walk).
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+  val SnapshotsMetaSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("is_current", BooleanType, nullable = false),
+    StructField("lineage", StringType, nullable = false)))
+  val PartitionsMetaSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("n_dirs", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_pos_deletes", LongType, nullable = false)))
+  val FilesMetaSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("dir", StringType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+  val TagsMetaSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+  val StagedMetaSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("wap_id", StringType),
+    StructField("live", BooleanType, nullable = false)))
 
   /** Opt-in rebase-attempt recorder behind the contention harness
     * (`graft.tools.ContentionBench`, SCALING §10o): when enabled, every

@@ -507,6 +507,37 @@ class GraftCatalogSpec extends SparkSpec {
       assert(ow.getMessage.contains("append-shaped") ||
         Option(ow.getCause).exists(_.getMessage.contains("append-shaped")))
     } finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    // DML under a WAP id refuses: DELETE/UPDATE/MERGE cannot stage and
+    // must not silently publish inside an audit session
+    graft.plans.GraftMergeStrategy.register(spark)
+    spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-dml")
+    try {
+      val del = intercept[Exception] {
+        spark.sql("DELETE FROM graft.db.wap WHERE k = 1")
+      }
+      assert(del.getMessage.contains("publish immediately") ||
+        Option(del.getCause).exists(_.getMessage.contains("publish immediately")))
+      val mrg = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft.db.wap t USING (SELECT 1 AS k, 'z' AS v) s
+            |ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(mrg.getMessage.contains("publish immediately") ||
+        Option(mrg.getCause).exists(_.getMessage.contains("publish immediately")))
+    } finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap WHERE k = 1")
+      .head().getLong(0) == 1, "refused DML must not have touched the table")
+    // a DEAD stage (commit claimed its id) still discards BY WAP ID from
+    // SQL — the session holds only the string, and db.t.staged lists it
+    spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-dead")
+    try spark.sql("INSERT INTO graft.db.wap VALUES (50, 'dead')")
+    finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
+    spark.sql("INSERT INTO graft.db.wap VALUES (51, 'racer')") // claims the id
+    assert(spark.sql("SELECT wap_id FROM graft.db.wap.staged WHERE NOT live")
+      .collect().map(_.getString(0)).toSeq == Seq("batch-dead"))
+    spark.sql("CALL graft.system.discard_changes('db.wap', 'batch-dead')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap.staged")
+      .head().getLong(0) == 0)
     // only ONE live stage per table state: a second staged INSERT refuses
     // loudly (before writing any data) instead of colliding on the id
     spark.conf.set(graft.plans.GraftCatalog.WapIdConf, "batch-10")
@@ -520,7 +551,7 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.GraftCatalog.WapIdConf)
     spark.sql("CALL graft.system.publish_changes('db.wap', 'batch-10')")
     assert(spark.sql("SELECT k FROM graft.db.wap").collect()
-      .map(_.getInt(0)).toSet == Set(1, 2, 3, 10))
+      .map(_.getInt(0)).toSet == Set(1, 2, 3, 10, 51)) // 51 = the racer; 50 died staged
     spark.sql("DROP TABLE graft.db.wap")
   }
 
