@@ -3347,6 +3347,52 @@ object SparkEntry {
         .select(col("lang"), col("n"), col("sum_n_chars"))
     }),
 
+    // INCREMENTAL AGGREGATE VIEW OVER AN UNPARTITIONED MOR SOURCE —
+    // q177 without the partition crutch: no partition column exists, so
+    // the gross feed's −old recovery cannot partition-prune. Instead it
+    // STATS-prunes — each commit's fresh delta dirs carry merge-key
+    // min/max footer stats, whose merged range bounds the pre-commit
+    // read to key-overlapping dirs of the (key-CLUSTERED) base. The
+    // history interleaves a narrow low-range update wave (prunable to
+    // ~1/10 of the clustered base) with full-range waves, both delete
+    // flavors, a resurrection and a mid-history compaction; the view
+    // must converge exactly either way — the prune is a cost bound,
+    // never a semantics change.
+    "q181_agg_view_unpart" -> ((s, dir) => {
+      val base = scratchPath("q181", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        src.create(docs.schema, None,
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+            ("compact.delta.threshold" -> "0"))
+        src.merge(s, docs, Seq("doc_id"))
+        // key-cluster the base: the layout that makes per-dir key
+        // ranges disjoint, so the stats prune has something to refuse
+        src.clusterBase(s, "doc_id", 8)
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        src.merge(s, docs.filter(col("doc_id") * 10 <= maxId)
+          .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 9), Seq("doc_id"))
+        src.deleteKeysMor(s,
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+          Seq("doc_id"))
+        src.compact(s) // maintenance: the view must not see the re-land
+        src.merge(s, docs.filter(col("doc_id") % 5 === 2)
+          .withColumn("n_chars", col("n_chars") * 2), Seq("doc_id"))
+        src.deleteWhereMor(s, col("doc_id") % 11 === 3)
+      }
+      val (view, ckpt) = resetAggView(base)
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString)
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(col("lang"), col("n"), col("sum_n_chars"))
+    }),
+
     // KEYED SNAPSHOT DIFF between two tagged releases: dirs are immutable
     // and content-addressed, so only the manifests' symmetric dir
     // difference is read (plus sidecar-named erasures in shared dirs) —
@@ -4662,6 +4708,24 @@ object SparkEntry {
         |  FROM documents
         |  WHERE (doc_id % 7 <> 0 OR doc_id % 5 = 2)
         |    AND doc_id % 11 <> 3 AND lang <> 'de'
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM fin GROUP BY 1""".stripMargin,
+
+    // q177's algebra on the unpartitioned source: no partition drop,
+    // plus the narrow low-range (+7) wave that the clustered layout
+    // lets the stats prune bound — later waves override earlier ones
+    "q181_agg_view_unpart" ->
+      """WITH fin AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 5 = 2 THEN n_chars * 2
+        |         WHEN doc_id % 4 = 0 THEN n_chars + 9
+        |         WHEN doc_id * 10 <= (SELECT max(doc_id) FROM documents)
+        |           THEN n_chars + 7
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE (doc_id % 7 <> 0 OR doc_id % 5 = 2) AND doc_id % 11 <> 3
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars

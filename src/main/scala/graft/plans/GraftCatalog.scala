@@ -589,11 +589,22 @@ object GraftProcedures {
         Seq(param("table", StringType), param("wap_id", StringType)),
         { in => val t = tbl(in)
           val w = in.getUTF8String(1).toString
-          val sid = t.stagedSnapshotFor(w)
-            .orElse(t.deadStagedSnapshots.find(t.stagedWapId(_).contains(w)))
-            .getOrElse(throw new IllegalArgumentException(
-              s"no staged snapshot (live or dead) carries WAP id '$w' — " +
-                "already published or discarded"))
+          // dead stages mirror the live resolver's ambiguity contract:
+          // two dead stages under one (re-used) WAP id means "which one"
+          // is a caller decision — discarding an arbitrary match would
+          // hide that the other still pins its json until GC
+          val sid = t.stagedSnapshotFor(w).getOrElse {
+            t.deadStagedSnapshots.filter(t.stagedWapId(_).contains(w)) match {
+              case Seq() => throw new IllegalArgumentException(
+                s"no staged snapshot (live or dead) carries WAP id '$w' — " +
+                  "already published or discarded")
+              case Seq(one) => one
+              case many => throw new IllegalStateException(
+                s"WAP id '$w' names ${many.size} dead staged snapshots " +
+                  s"(${many.mkString(", ")}) — discard them by numeric id " +
+                  "(discard_staged) or let remove_orphan_files sweep them")
+            }
+          }
           t.discardStaged(sid)
           summary("current_snapshot", t.currentSnapshotId) })
       // Spec evolution from SQL (Iceberg spells this ALTER TABLE ... ADD

@@ -2280,9 +2280,14 @@ object StreamingIngest {
     * the partition column is itself a merge key (the usual layout — MOR
     * equality deletes require it), that old-version read PRUNES to the
     * commit's own touched partitions, making the subtraction
-    * partition-bound; otherwise it is one key-semi-joined resolved scan
-    * of the source per window commit. A COW source's gross feed stays
-    * O(changed bytes) either way. Merge keys must be
+    * partition-bound. Otherwise it STATS-prunes: the commit's delta
+    * dirs' footer stats give the touched keys' min/max range, and
+    * source dirs whose key range can't intersect it are skipped — on a
+    * key-clustered layout the subtraction is bounded by key locality,
+    * and only an unclustered table (every dir spanning the full key
+    * range) pays the full key-semi-joined resolved scan per window
+    * commit. A COW source's gross feed stays O(changed bytes) either
+    * way. Merge keys must be
     * recorded on MOR sources (they are, by any MOR merge). Maintenance
     * commits (compaction included) are skipped EXACTLY — their
     * re-landed rows never reach the fold. Exactly-once: the rollup's

@@ -106,6 +106,70 @@ object TableStats {
     }
   }
 
+  /** Below this many files the footer walk stays on the driver — a Spark
+    * job's scheduling overhead exceeds a handful of footer opens.
+    */
+  val DistributeThreshold = 256
+
+  /** [[fileFootprint]] computed as a DISTRIBUTED job once the file
+    * population crosses [[DistributeThreshold]]: the metadata tables'
+    * footprint is bounded by FILE COUNT, not bytes, but at warehouse
+    * scale (~10⁶ files for 100 TB) a single-threaded driver footer walk
+    * is itself the bottleneck for the runbook queries that matter most
+    * there. The driver still LISTS the dirs (O(dirs) fs metadata — the
+    * manifests already name them); only the per-file footer opens (the
+    * I/O) fan out. Results collect back driver-side — one small tuple
+    * per file, the same rows the metadata relation is about to serve.
+    */
+  def fileFootprintSpark(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      relDirs: Seq[String]): Seq[(String, String, Long, Long)] = {
+    val files: Seq[(String, String)] = relDirs.flatMap { rel =>
+      val dir = Paths.get(root, rel)
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val listing = Files.list(dir)
+        try listing.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => rel -> f.getFileName.toString).toList
+        finally listing.close()
+      }
+    }
+    if (files.size < DistributeThreshold) fileFootprint(root, relDirs)
+    else {
+      val rootC = root // capture the string, not the table
+      val slices = math.min(
+        files.size / 64 + 1, spark.sparkContext.defaultParallelism * 4)
+      spark.sparkContext.parallelize(files, slices)
+        .mapPartitions { it =>
+          val conf = new Configuration()
+          it.map { case (rel, name) =>
+            val f = Paths.get(rootC, rel, name)
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+            val rows = try reader.getRecordCount finally reader.close()
+            (rel, name, rows, Files.size(f))
+          }
+        }.collect().toSeq
+    }
+  }
+
+  /** [[dirFootprint]] through [[fileFootprintSpark]] — distributed above
+    * the threshold, driver-side below it; dirs with no files keep their
+    * (0, 0, 0) row either way.
+    */
+  def dirFootprintSpark(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      relDirs: Seq[String]): Map[String, (Long, Long, Long)] = {
+    val byDir = fileFootprintSpark(spark, root, relDirs)
+      .groupBy(_._1).view.mapValues { fs =>
+        (fs.size.toLong, fs.map(_._3).sum, fs.map(_._4).sum)
+      }.toMap
+    relDirs.map(rel => rel -> byDir.getOrElse(rel, (0L, 0L, 0L))).toMap
+  }
+
   private def fileStats(conf: Configuration, file: Path): Map[String, (JValue, JValue)] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
@@ -190,6 +254,21 @@ object TableStats {
     case x: Double => Some(JDouble(x))
     case x: String => Some(JString(x))
     case x: java.math.BigDecimal => Some(JDecimal(BigDecimal(x)))
+    case _ => None
+  }
+
+  /** Native Scala value of a stored stats endpoint — the inverse of
+    * [[literal]]'s domain mapping, for callers that turn a MANIFEST
+    * range back into pushable `sources.Filter` literals (the MOR gross
+    * feed's old-version prune does this with the fresh delta dirs'
+    * merge-key ranges).
+    */
+  def nativeValue(v: JValue): Option[Any] = v match {
+    case JLong(x) => Some(x)
+    case JInt(x) => Some(x.toLong)
+    case JDouble(x) => Some(x)
+    case JString(x) => Some(x)
+    case JDecimal(x) => Some(x.bigDecimal)
     case _ => None
   }
 

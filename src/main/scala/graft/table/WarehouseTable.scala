@@ -234,7 +234,13 @@ final class WarehouseTable(val root: String) {
         Manifest(
           frags.map(f => f._1 -> f._2).toMap,
           deltas,
-          frags.flatMap(_._3).toMap,
+          // delta-dir stats ride at SNAPSHOT level ("dstats"): fragments
+          // are keyed by base partition, so filtering m.stats through
+          // fragment dirs silently dropped every delta dir's range on
+          // serialization — MOR delta dirs could then never stats-prune
+          // (read-side key filters, the gross feed's old-version range).
+          // Absent on pre-dstats snapshots → conservative, no pruning.
+          frags.flatMap(_._3).toMap ++ statsFromJson(j \ "dstats"),
           posDeletesFromJson(j))
       case _ => (j \ "base") match {
         case JNothing => Manifest(partsFromJson(j), Nil) // v1 flat format
@@ -329,6 +335,13 @@ final class WarehouseTable(val root: String) {
     val stagedField: List[(String, JValue)] =
       (if (staged) List("lineage" -> (JString(lineageId): JValue)) else Nil) ++
         wapId.map(w => "wap-id" -> (JString(w): JValue)).toList
+    // delta dirs are not in any base fragment, so their stats must ride
+    // in the snapshot itself or be lost (see manifestFromJson's v3 note)
+    val dstatsField: List[(String, JValue)] = {
+      val deltaDirs = m.deltas.flatMap(_.data.values.flatten).toSet
+      val ds = m.stats.view.filterKeys(deltaDirs.contains).toMap
+      if (ds.isEmpty) Nil else List("dstats" -> statsToJson(ds))
+    }
     val snap = JObject(
       ("parts" -> (JObject(parts.toList): JValue)) ::
       ("ts" -> (JLong(System.currentTimeMillis()): JValue)) :: // commit time, for AS OF
@@ -343,7 +356,7 @@ final class WarehouseTable(val root: String) {
       ("deltas" -> (JArray(m.deltas.map(d => JObject(
         "seq" -> JInt(d.seq), "data" -> partsToJson(d.data)))): JValue)) ::
       ("posdel" -> (JArray(m.posDeletes.map(JString(_))): JValue)) ::
-      (stagedField ++ legacyField))
+      (stagedField ++ dstatsField ++ legacyField))
     val bytes = JsonMethods.compact(JsonMethods.render(snap))
       .getBytes(StandardCharsets.UTF_8)
     val p = if (staged) stagedPath(id) else snapPath(id)
@@ -359,7 +372,18 @@ final class WarehouseTable(val root: String) {
     val tmp = rootPath.resolve(s"_snapwrite.tmp.${UUID.randomUUID()}")
     Files.write(tmp, bytes)
     try {
-      if (createNew) Files.createLink(p, tmp)
+      if (createNew)
+        try Files.createLink(p, tmp)
+        catch {
+          // filesystems without hard-link support (some FUSE/object-store
+          // mounts, FAT): fall back to a plain CREATE_NEW byte write —
+          // the id-claim race stays loud (FileAlreadyExistsException),
+          // only the torn-read window narrows from zero to one write
+          // call. recordMergeKeys' CAS keeps the hard-link REQUIREMENT
+          // (its claim semantics have no equally-atomic fallback).
+          case _: UnsupportedOperationException =>
+            Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
       else Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     } finally Files.deleteIfExists(tmp)
@@ -619,12 +643,16 @@ final class WarehouseTable(val root: String) {
     val to = asOf.getOrElse(currentSnapshotId)
     require(Files.exists(snapPath(sinceSnapId)),
       s"snapshot $sinceSnapId does not exist (expired or never created)")
-    var seenDirs: Set[String] = {
-      val m = readManifest(sinceSnapId)
-      (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten)).toSet
-    }
-    var seenPos: Set[String] = readManifest(sinceSnapId).posDeletes.toSet
-    var prevM = readManifest(sinceSnapId)
+    // the anchor manifest seeds three cursors — parse it ONCE (three
+    // back-to-back readManifest calls tripled the window-start metadata
+    // read on split-format snapshots with many fragments, a real cost
+    // per feed poll)
+    val anchorM = readManifest(sinceSnapId)
+    var seenDirs: Set[String] =
+      (anchorM.base.values.flatten ++
+        anchorM.deltas.flatMap(_.data.values.flatten)).toSet
+    var seenPos: Set[String] = anchorM.posDeletes.toSet
+    var prevM = anchorM
     val frames = Seq.newBuilder[DataFrame]
     var id = sinceSnapId + 1
     while (id <= to) {
@@ -689,11 +717,15 @@ final class WarehouseTable(val root: String) {
           // prior version of a touched key cannot live in any other
           // partition — writes route rows by value). With that pruning
           // the old-version side is O(touched partitions), not
-          // O(source); without partition-in-keys it stays the honest
-          // O(source) price of exact MV maintenance over write-only
-          // upserts — Iceberg's changelog pays the same join to produce
-          // MOR pre-images. A COW source's gross feed stays O(changed
-          // bytes) either way.
+          // O(source). Without partition-in-keys the read is STATS-
+          // pruned instead: the fresh delta dirs' own footer stats give
+          // the touched keys' min/max range, and dirs of the id−1
+          // snapshot whose key range can't intersect it are skipped —
+          // O(key-overlapping dirs) on a key-clustered layout, and only
+          // genuinely O(source) when every dir spans the full key range
+          // (unclustered random-key writes — the price Iceberg's
+          // changelog pays for EVERY MOR pre-image join). A COW
+          // source's gross feed stays O(changed bytes) either way.
           val keys = mergeKeys(meta).getOrElse(throw new IllegalArgumentException(
             "gross change feed over MOR deltas needs merge keys for " +
               "old-version arbitration — record them with ensureMergeKeys"))
@@ -710,7 +742,45 @@ final class WarehouseTable(val root: String) {
             if (meta.partition.exists(keys.contains))
               Some(freshDeltaDirs.keys.toSeq)
             else None
-          frames += read(spark, oldParts, asOf = Some(id - 1))
+          // NON-key-partitioned (or unpartitioned) source: partition
+          // pruning can't bound the old-version read, but the commit's
+          // OWN manifest already carries per-dir min/max footer stats
+          // for the fresh delta dirs — their merged merge-key range IS
+          // the touched-key range (tombstones carry non-null keys, so
+          // they're covered too). Push it as key-range filters: the
+          // id−1 read then stats-prunes every dir whose key range can't
+          // intersect the commit's touched keys, bounding the
+          // subtraction by KEY LOCALITY instead of corpus size — pure
+          // metadata, zero extra jobs, and sound under MOR arbitration
+          // because the filters touch only merge-key columns (a dir
+          // without a key's range cannot participate in that key's
+          // arbitration — the same rule readResolved enforces). Dirs
+          // lacking stats (stats.mode=none, non-stat key types) make
+          // the range incomplete per key, so that key contributes no
+          // filter and the read conservatively widens — the honest
+          // fallback, now the exception instead of the rule.
+          val oldFilters: Seq[org.apache.spark.sql.sources.Filter] =
+            if (oldParts.isDefined) Nil
+            else {
+              import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+              val deltaDirs = freshDeltaDirs.values.flatten.toSeq
+              val merged = deltaDirs.flatMap(m.stats.get)
+                .foldLeft(Map.empty[String, (JValue, JValue)])(TableStats.mergeStats)
+              keys.flatMap { k =>
+                val complete = deltaDirs.forall(d =>
+                  m.stats.get(d).exists(_.contains(k)))
+                if (!complete) Nil
+                else merged.get(k).toSeq.flatMap { case (mn, mx) =>
+                  (TableStats.nativeValue(mn), TableStats.nativeValue(mx)) match {
+                    case (Some(a), Some(b)) =>
+                      Seq(GreaterThanOrEqual(k, a), LessThanOrEqual(k, b))
+                    case _ => Nil
+                  }
+                }
+              }
+            }
+          frames += read(spark, oldParts, dataFilters = oldFilters,
+              asOf = Some(id - 1))
             .join(touched, keys, "left_semi")
             .withColumn("_change_type", lit("delete"))
             .withColumn("_change_ordinal", lit(id))
@@ -1101,7 +1171,13 @@ final class WarehouseTable(val root: String) {
         // complete keyset, re-verify, and fail loudly on a different
         // set. _meta.json then mirrors the claim for the normal
         // metadata read path — idempotent, since every writer that
-        // reaches it proved it carries THE keyset.
+        // reaches it proved it carries THE keyset. HARD-LINK FILESYSTEM
+        // REQUIREMENT: unlike writeSnapshot (which degrades to a plain
+        // CREATE_NEW byte write where link(2) is unsupported), this CAS
+        // has no equally-atomic fallback — a create-if-absent byte write
+        // creates the NAME before the bytes land, so a racing loser
+        // could read a torn keyset; tables on link-less mounts must
+        // serialize their first keyed operation externally.
         val claim = rootPath.resolve("_merge_keys")
         val tmp = rootPath.resolve(s"_merge_keys.tmp.${UUID.randomUUID()}")
         writeString(tmp, keys.mkString(","))
@@ -2610,13 +2686,21 @@ final class WarehouseTable(val root: String) {
       finally l.close()
     }
     // scratch files of CRASHED atomic writes (snapshot/_meta/_current
-    // temps carry ".tmp." in the name; live ones exist for microseconds
-    // and are shielded by the same age guard as everything else)
+    // temps carry ".tmp." in the name). Live ones exist for
+    // microseconds, but the caller's olderThanMs does NOT shield them:
+    // removeOrphanFiles(0) — what the gates and procedures run in
+    // single-writer maintenance windows — would sweep a CONCURRENT
+    // writer's in-flight _snapwrite/_current tmp, and the resulting
+    // NoSuchFileException inside writeSnapshot/createLink is not a
+    // retryable commit race. A small hard floor (seconds) closes that
+    // window regardless of olderThanMs; crashed debris is by definition
+    // older than any floor worth having.
+    val tmpFloorCutoff = math.min(cutoff, System.currentTimeMillis() - 30_000L)
     val rl = Files.list(rootPath)
     try rl.iterator().asScala.toList
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.contains(".tmp."))
-      .filter(oldEnough)
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= tmpFloorCutoff)
       .foreach { p => Files.deleteIfExists(p); removed += 1 }
     finally rl.close()
     removed
@@ -2798,11 +2882,16 @@ final class WarehouseTable(val root: String) {
     val byPart: Map[String, List[String]] =
       (m.base.toSeq ++ m.deltas.flatMap(_.data.toSeq))
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toList).toMap
-    val foot = TableStats.dirFootprint(root,
+    // footer harvest distributes once the file population is large —
+    // metadata-priced stays the contract (bounded by file count, never
+    // bytes), but the BILL is paid across the cluster, not by one
+    // driver thread walking 10⁶ footers
+    val foot = TableStats.dirFootprintSpark(spark, root,
       byPart.values.flatten.toSeq.distinct)
     val posRows =
       if (m.posDeletes.isEmpty) 0L
-      else TableStats.dirFootprint(root, m.posDeletes).values.map(_._2).sum
+      else TableStats.dirFootprintSpark(spark, root, m.posDeletes)
+        .values.map(_._2).sum
     val rows = byPart.toSeq.map { case (pv, dirs) =>
       val fs = dirs.map(d => foot.getOrElse(d, (0L, 0L, 0L)))
       Row(if (pv == NoPart) null else pv,
@@ -2850,7 +2939,8 @@ final class WarehouseTable(val root: String) {
     val m = readManifest(asOf.getOrElse(currentSnapshotId))
     def fileRows(byPart: Seq[(String, String)], content: String) = {
       val dirToPart = byPart.groupBy(_._2).view.mapValues(_.head._1).toMap
-      TableStats.fileFootprint(root, byPart.map(_._2).distinct).map {
+      // distributed above the file-count threshold — see partitionsMeta
+      TableStats.fileFootprintSpark(spark, root, byPart.map(_._2).distinct).map {
         case (dir, file, rows, bytes) =>
           val pv = dirToPart(dir)
           Row(if (pv == NoPart) null else pv, dir, file, content, rows, bytes)
@@ -2876,15 +2966,26 @@ final class WarehouseTable(val root: String) {
   }
 
   /** STAGED METADATA TABLE — `t.staged`: pending and dead WAP stages,
-    * (snapshot_id, wap_id, live). The SQL-visible face of
-    * [[stagedSnapshots]] / [[deadStagedSnapshots]] — how an audit
-    * session lists what awaits publish and what GC will sweep.
+    * (snapshot_id, wap_id, live, lineage, dead_reason). The SQL-visible
+    * face of [[stagedSnapshots]] / [[deadStagedSnapshots]] — how an
+    * audit session lists what awaits publish and what GC will sweep.
+    * `dead_reason` names WHY a dead stage can never publish — `shadowed`
+    * (a regular commit claimed its id) or `abandoned-timeline` (staged
+    * before a rollback) — so the post-mortem after a failed audit
+    * session is one SQL query, not a spelunk through staged-*.json;
+    * `lineage` is the timeline the stage was built on (compare against
+    * `.snapshots`' current lineage).
     */
   def stagedMeta(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val live = stagedSnapshots.toSet
     val rows = stagedIdsRaw.map { id =>
-      Row(id, stagedWapId(id).orNull, live.contains(id))
+      val lin = stagedLineage(id)
+      val reason =
+        if (live.contains(id)) null
+        else if (Files.exists(snapPath(id))) "shadowed"
+        else "abandoned-timeline"
+      Row(id, stagedWapId(id).orNull, live.contains(id), lin, reason)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       WarehouseTable.StagedMetaSchema)
@@ -2979,7 +3080,12 @@ final class WarehouseTable(val root: String) {
     // debris from a doomed stage); the CREATE_NEW snapshot write below
     // remains the race-proof backstop for two stages starting together.
     if (Files.exists(stagedPath(cur + 1))) {
-      if (!stagedDead(cur + 1))
+      // a concurrent discard between exists() and the parse must read as
+      // "the name is free", not surface as a raw NoSuchFileException
+      val dead =
+        try stagedDead(cur + 1)
+        catch { case _: java.nio.file.NoSuchFileException => true }
+      if (!dead)
         throw new IllegalStateException(
           s"a staged snapshot already holds id ${cur + 1}" +
             stagedWapId(cur + 1).fold("")(w => s" (WAP id '$w')") +
@@ -2987,8 +3093,22 @@ final class WarehouseTable(val root: String) {
             "this table state")
       // a DEAD stage (rolled-back timeline) still occupies the name and
       // would fail the CREATE_NEW write below — it is unpublishable
-      // debris, so sweep it and stage fresh
-      Files.deleteIfExists(stagedPath(cur + 1))
+      // debris, so sweep it and stage fresh. The sweep must be ATOMIC
+      // w.r.t. re-creation: two racers that both observed the dead stage
+      // could otherwise interleave so the loser's deleteIfExists removes
+      // the winner's freshly created LIVE staged json and both sessions
+      // end up holding the same id. Files.move claims the dead json
+      // exactly once — the loser's move throws NoSuchFileException and
+      // the CREATE_NEW write below then fails loudly against the
+      // winner's fresh stage, which is the correct story.
+      val debris = rootPath.resolve(s"_stagedead.tmp.${UUID.randomUUID()}")
+      try {
+        Files.move(stagedPath(cur + 1), debris)
+        Files.deleteIfExists(debris)
+      } catch {
+        case _: java.nio.file.NoSuchFileException => () // a racer swept it
+      }
+      ()
     }
     val old = readManifest(cur)
     val (added, stats) = writeDataDir(df, meta)
@@ -3218,7 +3338,9 @@ object WarehouseTable {
   val StagedMetaSchema: StructType = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
     StructField("wap_id", StringType),
-    StructField("live", BooleanType, nullable = false)))
+    StructField("live", BooleanType, nullable = false),
+    StructField("lineage", StringType, nullable = false),
+    StructField("dead_reason", StringType)))
 
   /** Opt-in rebase-attempt recorder behind the contention harness
     * (`graft.tools.ContentionBench`, SCALING §10o): when enabled, every

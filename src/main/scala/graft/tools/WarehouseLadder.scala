@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * actually degrade — history length and posdel density.
   *
   *   runMain graft.tools.WarehouseLadder <sfDir> [commits] [deleteWaves]
+  *   runMain graft.tools.WarehouseLadder <sfDir> unpart [waves]
+  *   runMain graft.tools.WarehouseLadder <sfDir> rename [waves]
   *
   * 1. AGG-VIEW TRIGGER LADDER: a COW source takes `commits` small merge
   *    commits after its base load; `startAggView` drains them one commit
@@ -20,15 +22,29 @@ import org.apache.spark.sql.functions._
   *    land between two tags, then `diffSnapshots` runs on the pair —
   *    the diff must price at the erasure sidecars it reads, not at the
   *    corpus or the wave count.
+  * 3. `unpart` (SCALING §10t): the q181 shape — agg view over an
+  *    UNPARTITIONED MOR source whose gross-feed −old recovery cannot
+  *    partition-prune. Runs the SAME narrow-wave history twice, against
+  *    a key-CLUSTERED source (the stats prune bounds each subtraction
+  *    by key locality) and an UNCLUSTERED control (every dir spans the
+  *    full key range — the honest fallback), and reports both drains:
+  *    the gap IS the prune's measured win, and the clustered drain's
+  *    sf1→sf10 ratio is the ladder entry.
+  * 4. `rename` (SCALING §10u): the q180 shape — agg view whose summed
+  *    column was RENAMED mid-history. Same history against a no-rename
+  *    control; equal drains prove the prior-name coalesce is metadata
+  *    cost only.
   *
-  * Both verify exact results before printing, so a timing is only ever
+  * All verify exact results before printing, so a timing is only ever
   * reported for a correct outcome.
   */
 object WarehouseLadder {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val commits = if (args.length > 1) args(1).toInt else 100
-    val deleteWaves = if (args.length > 2) args(2).toInt else 20
+    val mode = if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "history"
+    val commits = if (mode == "history" && args.length > 1) args(1).toInt else 100
+    val deleteWaves = if (args.length > 2 && mode == "history") args(2).toInt else 20
+    val waves = if (args.length > 2 && mode != "history") args(2).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,6 +58,88 @@ object WarehouseLadder {
     val root = java.nio.file.Files.createTempDirectory("whladder").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("n_chars"))
+
+    /** Build a doc-keyed MOR source at `dir`, apply `prep` (cluster or
+      * rename), land `waves` narrow key-local update commits plus one
+      * equality-delete wave, then drain an agg view over it and return
+      * (drainSec, perTriggerMs). Exactness is asserted against a fresh
+      * relational rollup of the source's final resolved state.
+      */
+    def aggDrain(
+        dir: String,
+        partition: Option[String],
+        mor: Boolean,
+        prep: graft.table.WarehouseTable => Unit,
+        sumCol: String): (Double, Seq[Long]) = {
+      val props =
+        graft.table.WarehouseTable.tableProperties(
+          if (mor) "MOR" else "COW", "snappy") ++
+          (if (mor) Map("compact.delta.threshold" -> "0") else Map.empty)
+      val src = graft.table.WarehouseTable(s"$root/$dir")
+      src.create(docs.schema, partition, props)
+      src.merge(spark, docs, Seq("doc_id"))
+      prep(src)
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val span = maxId / (waves * 10) + 1 // each wave touches ~1/(10·waves)
+      (0 until waves).foreach { i =>
+        src.merge(spark,
+          docs.filter(col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + i + 1).as(sumCol)),
+          Seq("doc_id"))
+      }
+      val delCond = col("doc_id") >= waves.toLong * span &&
+        col("doc_id") < waves.toLong * span + span
+      if (mor) src.deleteWhereMor(spark, delCond)
+      else src.deleteRows(spark, delCond)
+      val view = graft.table.WarehouseTable(s"$root/${dir}_view")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingIngest.startAggView(
+        spark, src, view, Seq("lang"), Seq(sumCol), s"$root/${dir}_ckpt")
+      q.awaitTermination(1800000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expect = src.read(spark).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col(sumCol).cast("long")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = graft.streaming.StreamingIngest.readAggView(spark, view)
+        .select(col("lang"), col("n"), col(s"sum_$sumCol"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      require(got == expect, s"$dir view diverged: got $got expect $expect")
+      val durs = q.recentProgress.toIndexedSeq.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong)
+      (sec, durs)
+    }
+
+    if (mode == "unpart") {
+      // clustered: the stats prune bounds each −old read by key locality
+      val (clSec, clDurs) = aggDrain("u_clustered", None, mor = true,
+        _.clusterBase(spark, "doc_id", 32), "n_chars")
+      // control: unclustered — every base dir spans the full key range,
+      // so nothing prunes and each commit pays the resolved-scan price
+      val (unSec, unDurs) = aggDrain("u_control", None, mor = true,
+        _ => (), "n_chars")
+      println(s"""{"harness":"unpart_agg_view","waves":$waves,""" +
+        s""""clustered_drain_sec":${f"$clSec%.2f"},""" +
+        s""""unclustered_drain_sec":${f"$unSec%.2f"},""" +
+        s""""clustered_trigger_ms":[${clDurs.mkString(",")}],""" +
+        s""""unclustered_trigger_ms":[${unDurs.mkString(",")}]}""")
+      spark.stop(); return
+    }
+    if (mode == "rename") {
+      // renamed: the summed column changes name mid-history — the fold
+      // reads pre-rename commits through the prior-name coalesce
+      val (rnSec, rnDurs) = aggDrain("r_renamed", Some("lang"), mor = false,
+        _.renameColumn("n_chars", "length"), "length")
+      // control: identical history, no rename
+      val (plSec, plDurs) = aggDrain("r_plain", Some("lang"), mor = false,
+        _ => (), "n_chars")
+      println(s"""{"harness":"rename_agg_view","waves":$waves,""" +
+        s""""renamed_drain_sec":${f"$rnSec%.2f"},""" +
+        s""""plain_drain_sec":${f"$plSec%.2f"},""" +
+        s""""renamed_trigger_ms":[${rnDurs.mkString(",")}],""" +
+        s""""plain_trigger_ms":[${plDurs.mkString(",")}]}""")
+      spark.stop(); return
+    }
 
     // ---- 1. agg-view per-trigger cost over a long commit history ----
     val src = graft.table.WarehouseTable(s"$root/src")

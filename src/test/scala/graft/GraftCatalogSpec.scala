@@ -535,6 +535,15 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.wap VALUES (51, 'racer')") // claims the id
     assert(spark.sql("SELECT wap_id FROM graft.db.wap.staged WHERE NOT live")
       .collect().map(_.getString(0)).toSeq == Seq("batch-dead"))
+    // the post-mortem names the WHY: this stage died because a regular
+    // commit claimed its id, and .staged says so in SQL
+    assert(spark.sql(
+        "SELECT dead_reason FROM graft.db.wap.staged WHERE NOT live")
+      .collect().map(_.getString(0)).toSeq == Seq("shadowed"))
+    assert(spark.sql(
+        "SELECT dead_reason FROM graft.db.wap.staged WHERE live")
+      .collect().forall(_.isNullAt(0)),
+      "live stages carry no dead_reason")
     spark.sql("CALL graft.system.discard_changes('db.wap', 'batch-dead')")
     assert(spark.sql("SELECT count(*) FROM graft.db.wap.staged")
       .head().getLong(0) == 0)

@@ -1359,6 +1359,40 @@ class StreamingIngestSpec extends SparkSpec {
     assert(table.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
   }
 
+  test("gross MOR feed: old-version subtraction stats-prunes by the delta's key range on an unpartitioned clustered source") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    def df(rows: Seq[(Long, Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, 2), sch)
+    val t = graft.table.WarehouseTable(tmpDir("gfprune") + "/t")
+    t.create(sch, None,
+      graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.merge(spark, df((1L to 1000L).map(i => i -> 1)), Seq("id"))
+    t.clusterBase(spark, "id", 8)
+    val since = t.currentSnapshotId
+    val baseFiles = t.read(spark).inputFiles.toSet
+    // narrow update wave: keys 1..50 — within one clustered bucket's range
+    t.merge(spark, df((1L to 50L).map(i => i -> 2)), Seq("id"))
+    val feed = t.changesSince(spark, since, netRemovals = false)
+    // exactness first: the gross window is +new(1..50 @2) and −old(1..50 @1)
+    val got = feed.select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = ((1L to 50L).map(i => (i, 2, "insert")) ++
+      (1L to 50L).map(i => (i, 1, "delete"))).toSet
+    assert(got == want)
+    // scale: no partition column exists, so the −old read must bound by
+    // the delta dirs' OWN footer key range — only the key-overlapping
+    // clustered base dirs are planned, never the whole base
+    val plannedBase = feed.inputFiles.toSet.intersect(baseFiles)
+    assert(plannedBase.nonEmpty && plannedBase.size <= baseFiles.size / 2,
+      s"old-version read planned ${plannedBase.size} of ${baseFiles.size} " +
+        "base files — the key-range stats prune did not fire")
+  }
+
   test("streaming window prober: as-of-arrival join — each batch sees itself and every earlier interval") {
     import spark.implicits._
     import graft.operators.RangeIndex

@@ -717,6 +717,108 @@ class WarehouseTableSpec extends SparkSpec {
     assert(t.read(spark).collect().map(_.getInt(0)).toSet == (1 to 8).toSet)
   }
 
+  test("concurrent model-based torture: 6 racing writers interleave keyed merges, both delete flavors, WAP and compaction; read ≡ merged model after quiescence") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    // The single-threaded torture proves STATE transitions; this one
+    // proves the COMMIT PROTOCOL — every rebasable write path (MOR
+    // upsert, equality delete, posdel, append, stage) races 5 peers,
+    // and best-effort/single-writer paths (publish, compact) must fail
+    // with their DOCUMENTED refusals, never corrupt. Writers own
+    // DISJOINT key ranges, so the final table state is the union of
+    // per-writer models regardless of interleave; the interleavings
+    // themselves are the test (this harness shape caught tryCompact).
+    // Rollback and expiry/GC-at-zero-grace are excluded from the racing
+    // phase BY CONTRACT (single-writer maintenance windows, documented
+    // at rollback/expireSnapshots/removeOrphanFiles) and run after
+    // quiescence instead.
+    val nWriters = 6
+    val opsPer = 12
+    val t = WarehouseTable(tmpDir("ctorture"))
+    val sch = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType)))
+    t.create(sch, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.ensureMergeKeys(Seq("k"))
+    def df(kvs: Seq[(Int, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        kvs.map { case (k, v) => Row(k, v) }, 2), sch)
+    def writer(w: Int): Map[Int, String] = {
+      val rnd = new scala.util.Random(20260816L + w)
+      val lo = w * 1000 // this writer's exclusive key range [lo, lo+999]
+      val model = scala.collection.mutable.Map.empty[Int, String]
+      var fresh = lo + 500
+      (1 to opsPer).foreach { op =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 => // keyed upsert batch within the range
+            val kvs = (1 to 1 + rnd.nextInt(12))
+              .map(_ => lo + rnd.nextInt(200) -> s"v$w-$op-${rnd.nextInt(1000)}")
+              .groupBy(_._1).map(_._2.last).toSeq
+            t.merge(spark, df(kvs), Seq("k"))
+            model ++= kvs
+          case 3 => // equality delete of own keys (absent keys no-op)
+            val ks = (1 to 1 + rnd.nextInt(6)).map(_ => lo + rnd.nextInt(200)).distinct
+            t.deleteKeysMor(spark, df(ks.map(_ -> "x")).select("k"), Seq("k"))
+            model --= ks
+          case 4 => // position delete by predicate over OWN range only
+            val r = rnd.nextInt(7)
+            t.deleteWhereMor(spark,
+              col("k") >= lo && col("k") < lo + 1000 && col("k") % 7 === r)
+            model --= model.keys.filter(_ % 7 == r).toSeq
+          case 5 => // append of fresh own keys
+            val kvs = (1 to 1 + rnd.nextInt(4)).map { _ =>
+              fresh += 1; fresh -> s"a$w-$op"
+            }
+            t.append(df(kvs))
+            model ++= kvs
+          case 6 => // WAP under contention: stage may refuse (a peer's
+            // stage holds the id), publish may refuse (a commit claimed
+            // the id / parent advanced) — both are the documented loud
+            // paths; only a SUCCESSFUL publish reaches the model
+            val kvs = Seq({ fresh += 1; fresh -> s"s$w-$op" })
+            try {
+              val sid = t.stageAppend(df(kvs), Some(s"wap$w-$op"))
+              try { t.publishStaged(sid); model ++= kvs }
+              catch {
+                case _: IllegalArgumentException | _: IllegalStateException =>
+                  t.discardStaged(sid)
+              }
+            } catch { case _: IllegalStateException => () }
+          case 7 => // compaction is resolution-invariant; under a commit
+            // race it refuses loudly (single-writer contract) — either
+            // outcome leaves every model untouched
+            try t.compact(spark)
+            catch {
+              case _: java.util.ConcurrentModificationException => ()
+              case _: java.nio.file.FileAlreadyExistsException => ()
+            }
+        }
+      }
+      model.toMap
+    }
+    val models = Await.result(
+      Future.sequence((0 until nWriters).map(w => Future(writer(w)))),
+      600.seconds)
+    val want = models.reduce(_ ++ _) // ranges disjoint: plain union
+    def got(): Map[Int, String] = t.read(spark)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got() == want, "post-quiescence read diverged from the merged model")
+    // leftover live stages from publish-refused WAP ops pin bytes until
+    // discarded — sweep them, then the maintenance window runs clean
+    t.stagedSnapshots.foreach(t.discardStaged)
+    t.compact(spark)
+    assert(got() == want)
+    t.expireSnapshots(keepLast = 2)
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(got() == want, "maintenance window changed visible state")
+    assert(want.nonEmpty, "seed produced a degenerate (empty) run")
+  }
+
   test("write-audit-publish: staged snapshots invisible to readers, feed and GC; publish races refuse") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wap"))
@@ -772,6 +874,11 @@ class WarehouseTableSpec extends SparkSpec {
     // bytes, and its json itself is GC debris
     assert(t.deadStagedSnapshots == Seq(staged))
     assert(t.stagedSnapshots.isEmpty)
+    // .staged names the why: this stage died to a rollback, not a race
+    val sm = t.stagedMeta(spark).collect()
+    assert(sm.length == 1 && sm.head.getLong(0) == staged &&
+      !sm.head.getBoolean(2) &&
+      sm.head.getString(4) == "abandoned-timeline")
     assert(t.removeOrphanFiles(olderThanMs = 0) > 0)
     assert(t.deadStagedSnapshots.isEmpty)
     assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 9))
