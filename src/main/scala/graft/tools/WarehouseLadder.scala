@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *    column was RENAMED mid-history. Same history against a no-rename
   *    control; equal drains prove the prior-name coalesce is metadata
   *    cost only.
+  * 5. `meta` (SCALING §10v): metadata-table footer harvest at high file
+  *    count — builds a table of `waves`×32-file commits, then times the
+  *    driver-side walk vs the distributed job over the same files: the
+  *    measured crossover behind TableStats.DistributeThreshold.
   *
   * All verify exact results before printing, so a timing is only ever
   * reported for a correct outcome.
@@ -45,6 +49,11 @@ object WarehouseLadder {
     val commits = if (mode == "history" && args.length > 1) args(1).toInt else 100
     val deleteWaves = if (args.length > 2 && mode == "history") args(2).toInt else 20
     val waves = if (args.length > 2 && mode != "history") args(2).toInt else 8
+    // optional corpus inflation (unpart/rename modes): replicate the
+    // documents k× with disjoint doc_id ranges so the scan term is
+    // visible past the fixed per-trigger overhead without generating a
+    // full sf100 directory
+    val inflate = if (args.length > 3 && mode != "history") args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,8 +65,16 @@ object WarehouseLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files.createTempDirectory("whladder").toString
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("n_chars"))
+    val docs =
+      if (inflate <= 1) docs0
+      else {
+        val stride = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+        (0 until inflate).map(i =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(i * stride)))
+          .reduce(_ unionByName _)
+      }
 
     /** Build a doc-keyed MOR source at `dir`, apply `prep` (cluster or
       * rename), land `waves` narrow key-local update commits plus one
@@ -110,6 +127,106 @@ object WarehouseLadder {
       (sec, durs)
     }
 
+    if (mode == "meta") {
+      // many-commit table: each append lands one dir of ~32 files
+      val t = graft.table.WarehouseTable(s"$root/meta")
+      t.create(docs.schema, None,
+        graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+      val nCommits = math.max(waves, 32)
+      (0 until nCommits).foreach { i =>
+        t.append(docs.filter(pmod(col("doc_id"), lit(nCommits)) === i)
+          .repartition(32))
+      }
+      val m = spark.read.parquet(s"$root/meta/data/*") // force fs cache warm
+      m.count()
+      val dirs = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/meta/data"))
+        try l.iterator().asScala.map(p => s"data/${p.getFileName}").toList
+        finally l.close()
+      }
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      // interleave 3 rounds of each so neither side owns the warm cache
+      val driverTimes = Seq.newBuilder[Double]
+      val sparkTimes = Seq.newBuilder[Double]
+      var nFiles = 0
+      (1 to 3).foreach { _ =>
+        val (d, rows) = time(graft.table.TableStats.fileFootprint(s"$root/meta", dirs))
+        val (s, rows2) = time(graft.table.TableStats.fileFootprintSpark(
+          spark, s"$root/meta", dirs))
+        require(rows.toSet == rows2.toSet, "driver vs distributed harvest diverged")
+        nFiles = rows.size
+        driverTimes += d; sparkTimes += s
+      }
+      println(s"""{"harness":"meta_harvest","commits":$nCommits,""" +
+        s""""files":$nFiles,""" +
+        s""""driver_sec":[${driverTimes.result().map(d => f"$d%.2f").mkString(",")}],""" +
+        s""""distributed_sec":[${sparkTimes.result().map(d => f"$d%.2f").mkString(",")}]}""")
+      spark.stop(); return
+    }
+
+    if (mode == "feed") {
+      // ISOLATED measurement of the gross feed's −old recovery on an
+      // unpartitioned MOR source: one narrow update wave, then time
+      // changesSince(netRemovals = false) materialized to noop, best of
+      // 3 — no streaming machinery, no view merges, no cluster-rewrite
+      // GC debt inside the measured window. Clustered vs unclustered
+      // is exactly prune-fires vs honest-fallback.
+      def build(dir: String, cluster: Boolean): (graft.table.WarehouseTable, Long) = {
+        val src = graft.table.WarehouseTable(s"$root/$dir")
+        src.create(docs.schema, None,
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+            ("compact.delta.threshold" -> "0"))
+        src.merge(spark, docs, Seq("doc_id"))
+        if (cluster) src.clusterBase(spark, "doc_id", 32) else src.compact(spark)
+        val since = src.currentSnapshotId
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val span = maxId / 100 + 1 // the wave touches ~1% of the keys
+        src.merge(spark,
+          docs.filter(col("doc_id") < span)
+            .withColumn("n_chars", col("n_chars") + 1), Seq("doc_id"))
+        (src, since)
+      }
+      def timeFeed(src: graft.table.WarehouseTable, since: Long): Seq[Double] =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          src.changesSince(spark, since, netRemovals = false)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+      val (cl, clSince) = build("f_clustered", cluster = true)
+      val (un, unSince) = build("f_control", cluster = false)
+      val clT = timeFeed(cl, clSince)
+      val unT = timeFeed(un, unSince)
+      // the structural number: how many files the −old read PLANS. At
+      // test scale the scan is bandwidth-trivial either way; at 100 TB
+      // planned bytes IS the cost, and this is what the prune changes.
+      def planned(src: graft.table.WarehouseTable, since: Long): (Int, Int) = {
+        val baseFiles = src.read(spark, asOf = Some(since)).inputFiles.toSet
+        val feedFiles = src.changesSince(spark, since, netRemovals = false)
+          .inputFiles.toSet
+        (feedFiles.intersect(baseFiles).size, baseFiles.size)
+      }
+      val (clPl, clAll) = planned(cl, clSince)
+      val (unPl, unAll) = planned(un, unSince)
+      // exactness: both feeds carry identical change sets
+      val key = Seq("doc_id", "n_chars", "_change_type")
+      val a = cl.changesSince(spark, clSince, netRemovals = false)
+        .select(key.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = un.changesSince(spark, unSince, netRemovals = false)
+        .select(key.map(col): _*).collect().map(_.toString).sorted.toSeq
+      require(a == b, "clustered vs control feeds diverged")
+      println(s"""{"harness":"gross_feed_prune","rows":${docs.count()},""" +
+        s""""clustered_sec":[${clT.map(d => f"$d%.2f").mkString(",")}],""" +
+        s""""unclustered_sec":[${unT.map(d => f"$d%.2f").mkString(",")}],""" +
+        s""""clustered_planned_base_files":$clPl,"clustered_base_files":$clAll,""" +
+        s""""unclustered_planned_base_files":$unPl,"unclustered_base_files":$unAll}""")
+      spark.stop(); return
+    }
+
     if (mode == "unpart") {
       // clustered: the stats prune bounds each −old read by key locality
       val (clSec, clDurs) = aggDrain("u_clustered", None, mor = true,
@@ -126,6 +243,10 @@ object WarehouseLadder {
       spark.stop(); return
     }
     if (mode == "rename") {
+      // JIT/codegen warmup drain, discarded — the first drain of a cold
+      // JVM reads ~1.5× the steady state, which would masquerade as
+      // rename cost for whichever flavor runs first
+      aggDrain("r_warmup", Some("lang"), mor = false, _ => (), "n_chars")
       // renamed: the summed column changes name mid-history — the fold
       // reads pre-rename commits through the prior-name coalesce
       val (rnSec, rnDurs) = aggDrain("r_renamed", Some("lang"), mor = false,
