@@ -1850,7 +1850,7 @@ final class WarehouseTable(val root: String) {
       "cluster.kind" -> "range",
       "cluster.col" -> clusterCol,
       "cluster.cuts" -> cuts.mkString(",")))
-    commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts))
+    commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts), nBuckets)
   }
 
   /** Bucket id for a value under frozen equi-depth cuts (nulls → 0). */
@@ -2131,7 +2131,7 @@ final class WarehouseTable(val root: String) {
       "cluster.per" -> per.toString) ++
       colCuts.map { case (cc, cuts) =>
         s"cluster.cuts.$cc" -> cuts.mkString(",") })
-    commitBucketed(meta, cur, slice, (z / per).cast("int"))
+    commitBucketed(meta, cur, slice, (z / per).cast("int"), nBuckets)
   }
 
   /** Shared rewrite core of [[clusterBase]]/[[clusterBaseZ]]: one
@@ -2142,7 +2142,8 @@ final class WarehouseTable(val root: String) {
       meta: Meta,
       slice: DataFrame,
       bucket: Column,
-      tag: Option[String] = None): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
+      tag: Option[String] = None,
+      nBuckets: Int = 0): (Map[String, List[String]], Map[String, TableStats.DirStats]) = {
     import scala.jdk.CollectionConverters._
     val uuid = UUID.randomUUID().toString
     val rel = tag match {
@@ -2152,6 +2153,27 @@ final class WarehouseTable(val root: String) {
     val aligned = slice.select(
       meta.schema.fields.toIndexedSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)) :+ bucket.as("__bucket"): _*)
+    // WRITE PARALLELISM within buckets: repartition(__bucket) alone hashes
+    // each bucket into ONE shuffle partition → one task writes the whole
+    // bucket as one file. Fine for a small rewrite; at warehouse scale a
+    // multi-GB bucket then writes SERIALLY and lands as a single giant
+    // file. Salt the shuffle so a bucket spreads across up to
+    // `cluster.files.per.bucket` tasks (default: spread the cluster's
+    // parallelism across the buckets, floor 1 — small local rewrites keep
+    // today's one-file layout). Per-DIR stats merge across files, so
+    // pruning selectivity is unchanged; only rewrite parallelism and max
+    // file size improve. Appends (nBuckets = 0 — batch-sized) skip the
+    // salt entirely.
+    val filesPerBucket =
+      meta.properties.get("cluster.files.per.bucket").map(_.toInt).getOrElse {
+        if (nBuckets <= 0) 1
+        else math.max(1, math.min(64,
+          slice.sparkSession.sparkContext.defaultParallelism / nBuckets))
+      }
+    val saltCols: Seq[Column] =
+      if (filesPerBucket <= 1) Nil
+      else Seq(pmod(hash(meta.schema.fieldNames.map(col).toIndexedSeq: _*),
+        lit(filesPerBucket)))
     def bucketDirs(parentDir: Path): List[String] = {
       val listing = Files.list(parentDir)
       try listing.iterator().asScala
@@ -2162,7 +2184,7 @@ final class WarehouseTable(val root: String) {
     }
     val entries: Map[String, List[String]] = meta.partition match {
       case None =>
-        aligned.repartition(col("__bucket")).write
+        aligned.repartition(col("__bucket") +: saltCols: _*).write
           .option("compression", compressionCodec(meta))
           .partitionBy("__bucket")
           .parquet(s"$root/$rel")
@@ -2173,7 +2195,7 @@ final class WarehouseTable(val root: String) {
         // the __bucket=N level RENAMES to bN — a non-hive name, so
         // basePath partition discovery sees only the real partition
         // column and the bucket level stays a plain data dir
-        aligned.repartition(col(p), col("__bucket")).write
+        aligned.repartition(col(p) +: col("__bucket") +: saltCols: _*).write
           .option("compression", compressionCodec(meta))
           .partitionBy(p, "__bucket")
           .parquet(s"$root/$rel")
@@ -2203,8 +2225,10 @@ final class WarehouseTable(val root: String) {
       meta: Meta,
       parent: Long,
       slice: DataFrame,
-      bucket: Column): Unit = {
-    val (entries, stats) = writeBucketedDirs(meta, slice, bucket)
+      bucket: Column,
+      nBuckets: Int): Unit = {
+    val (entries, stats) = writeBucketedDirs(meta, slice, bucket,
+      nBuckets = nBuckets)
     // re-clustering re-lands every live row — resolution-invariant
     commit(parent, Manifest(entries, Nil, stats).pruneStats, maintenance = true)
   }
@@ -2979,13 +3003,19 @@ final class WarehouseTable(val root: String) {
   def stagedMeta(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val live = stagedSnapshots.toSet
-    val rows = stagedIdsRaw.map { id =>
-      val lin = stagedLineage(id)
-      val reason =
-        if (live.contains(id)) null
-        else if (Files.exists(snapPath(id))) "shadowed"
-        else "abandoned-timeline"
-      Row(id, stagedWapId(id).orNull, live.contains(id), lin, reason)
+    // a stage discarded between the listing and this parse simply drops
+    // out of the relation (it no longer exists — same answer a fresh
+    // listing would give)
+    val rows = stagedIdsRaw.flatMap { id =>
+      stagedJson(id).map { j =>
+        val wap = (j \ "wap-id") match { case JString(w) => w; case _ => null }
+        val lin = (j \ "lineage") match { case JString(l) => l; case _ => "root" }
+        val reason =
+          if (live.contains(id)) null
+          else if (Files.exists(snapPath(id))) "shadowed"
+          else "abandoned-timeline"
+        Row(id, wap, live.contains(id), lin, reason)
+      }
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       WarehouseTable.StagedMetaSchema)
@@ -3128,11 +3158,17 @@ final class WarehouseTable(val root: String) {
     * write through the session conf finds ITS stage among
     * [[stagedSnapshots]] without threading the numeric id out-of-band.
     */
+  /** The staged json, or None when a concurrent discard/GC removed it
+    * between a listing and this read — every staged-* consumer must
+    * treat "vanished" as "not live", never surface the raw
+    * NoSuchFileException of a race it is documented to tolerate.
+    */
+  private def stagedJson(sid: Long): Option[JValue] =
+    try Some(JsonMethods.parse(readString(stagedPath(sid))))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   def stagedWapId(sid: Long): Option[String] =
-    JsonMethods.parse(readString(stagedPath(sid))) \ "wap-id" match {
-      case JString(w) => Some(w)
-      case _ => None
-    }
+    stagedJson(sid).map(_ \ "wap-id").collect { case JString(w) => w }
 
   /** Resolve a WAP id to its LIVE staged snapshot — the lookup behind
     * `CALL graft.system.publish_changes(tbl, wap_id)` (Iceberg's
@@ -3161,8 +3197,8 @@ final class WarehouseTable(val root: String) {
     * refuse them, which is exactly the safe direction).
     */
   private def stagedLineage(sid: Long): String =
-    JsonMethods.parse(readString(stagedPath(sid))) \ "lineage" match {
-      case JString(l) => l
+    stagedJson(sid).map(_ \ "lineage") match {
+      case Some(JString(l)) => l
       case _ => "root"
     }
 
@@ -3217,7 +3253,13 @@ final class WarehouseTable(val root: String) {
     * [[removeOrphanFiles]].
     */
   private def stagedDead(sid: Long): Boolean =
-    Files.exists(snapPath(sid)) || stagedLineage(sid) != lineageId
+    Files.exists(snapPath(sid)) || (stagedJson(sid) match {
+      case None => true // concurrently discarded — certainly not live
+      case Some(j) => (j \ "lineage" match {
+        case JString(l) => l
+        case _ => "root"
+      }) != lineageId
+    })
 
   /** Ids of LIVE pending staged snapshots (usually zero or one) — stages
     * a commit raced to the id, or that a rollback orphaned, are excluded;
