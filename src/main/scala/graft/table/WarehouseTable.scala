@@ -3043,12 +3043,36 @@ final class WarehouseTable(val root: String) {
       }.toSet
       val livePosDel = keptManifests.flatMap(_.posDeletes).toSet
       expired.foreach(id => Files.deleteIfExists(snapPath(id)))
+      // CONCURRENT-COMMIT GUARD: the live sets above are a point-in-time
+      // view; a writer that committed WHILE we were reading manifests
+      // references dirs that view calls dead, and sweeping them would
+      // corrupt its freshly committed snapshot. Re-list immediately
+      // before sweeping and union in every snapshot (and live stage)
+      // that appeared since — the unguarded window shrinks from the
+      // whole expiry duration to the instants between this re-list and
+      // each delete. Expiry remains a maintenance-window operation for
+      // FULL safety (the same contract removeOrphanFiles states via its
+      // age guard); this makes a violated window overwhelmingly
+      // survivable instead of silently destructive.
+      val seen = (keptAll ++ expired).toSet
+      val newIds = (listSnapIds("snap-") ++ stagedSnapshots).distinct
+        .filterNot(seen.contains)
+      val newManifests = newIds.flatMap(id =>
+        try Some(readManifest(id))
+        catch { case _: java.nio.file.NoSuchFileException => None })
+      val liveFragments2 =
+        liveFragments ++ newIds.flatMap(snapFragmentPaths(_).values)
+      val liveDataRoots2 = liveDataRoots ++ newManifests.flatMap { m =>
+        (m.base.values.flatten ++ m.deltas.flatMap(_.data.values.flatten))
+          .map(_.split("/").take(2).mkString("/"))
+      }
+      val livePosDel2 = livePosDel ++ newManifests.flatMap(_.posDeletes)
       val posDir = rootPath.resolve("posdel")
       if (Files.isDirectory(posDir)) {
         val l = Files.list(posDir)
         val dead =
           try l.iterator().asScala.toList
-            .filterNot(p => livePosDel.contains(s"posdel/${p.getFileName}"))
+            .filterNot(p => livePosDel2.contains(s"posdel/${p.getFileName}"))
           finally l.close()
         dead.foreach { d =>
           val walk = Files.walk(d)
@@ -3060,7 +3084,7 @@ final class WarehouseTable(val root: String) {
       if (Files.isDirectory(mfDir)) {
         val l = Files.list(mfDir)
         try l.iterator().asScala.toList
-          .filterNot(p => liveFragments.contains(s"manifests/${p.getFileName}"))
+          .filterNot(p => liveFragments2.contains(s"manifests/${p.getFileName}"))
           .foreach(Files.deleteIfExists)
         finally l.close()
       }
@@ -3069,7 +3093,7 @@ final class WarehouseTable(val root: String) {
         val l = Files.list(dataDir)
         val dead =
           try l.iterator().asScala.toList
-            .filterNot(p => liveDataRoots.contains(s"data/${p.getFileName}"))
+            .filterNot(p => liveDataRoots2.contains(s"data/${p.getFileName}"))
           finally l.close()
         dead.foreach { d =>
           val walk = Files.walk(d)
