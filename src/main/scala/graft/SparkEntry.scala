@@ -3179,6 +3179,52 @@ object SparkEntry {
           |FROM graft_q179.db.docs_m.partitions""".stripMargin)
     }),
 
+    // STATS METADATA TABLE (`t.stats`) — the SQL face of data skipping:
+    // per-dir min/max ranges straight from the manifest, no file I/O.
+    // The gate is the layout AUDIT a 100 TB operator actually runs:
+    // after a CALL cluster, the per-dir doc_id ranges must be DISJOINT
+    // within every partition (asserted in-gate — that's what makes
+    // stats pruning selective), and the per-partition range envelope
+    // must equal the relational per-lang min/max (the oracle).
+    "q182_stats_meta" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q182_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.table.WarehouseTable(s"$wh/db/docs_s").drop()
+      s.conf.set("spark.sql.catalog.graft_q182", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q182.warehouse", wh)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .createOrReplaceTempView("q182_docs")
+      s.sql(
+        """CREATE TABLE graft_q182.db.docs_s (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_q182.db.docs_s SELECT * FROM q182_docs")
+      s.sql("CALL graft_q182.system.cluster('db.docs_s', 'doc_id', 4)")
+      val per = s.sql(
+        """SELECT partition, CAST(min_value AS BIGINT) AS mn,
+          |  CAST(max_value AS BIGINT) AS mx
+          |FROM graft_q182.db.docs_s.stats
+          |WHERE column_name = 'doc_id' AND content = 'data'""".stripMargin)
+        .collect()
+      per.groupBy(_.getString(0)).foreach { case (_, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        sorted.sliding(2).foreach {
+          case Seq((_, amax), (bmin, _)) =>
+            require(bmin > amax,
+              "clustered dirs must carry disjoint doc_id ranges")
+          case _ => ()
+        }
+      }
+      s.sql(
+        """SELECT partition, min(CAST(min_value AS BIGINT)) AS min_id,
+          |  max(CAST(max_value AS BIGINT)) AS max_id
+          |FROM graft_q182.db.docs_s.stats
+          |WHERE column_name = 'doc_id' AND content = 'data'
+          |GROUP BY partition""".stripMargin)
+    }),
+
     // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
     // corpus slices rebase through the optimistic CREATE_NEW-guarded
     // commit — every batch lands exactly once with no coordination, the
@@ -4784,6 +4830,14 @@ object SparkEntry {
         |    AS BIGINT) AS n_dirs,
         |  CAST(count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_rows
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // manifest-recorded per-dir ranges envelope exactly the relational
+    // per-partition min/max on a delete-free table (footer stats cover
+    // every non-null value; the clustered rewrite re-lands all rows)
+    "q182_stats_meta" ->
+      """SELECT lang AS partition, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
         |FROM documents GROUP BY 1""".stripMargin,
 
     // same physical-count algebra as q172 (delete-free COW: physical ≡

@@ -52,7 +52,7 @@ object GraftCatalog {
     * real table but its parent is one (`SELECT * FROM graft.db.t.files`).
     */
   val MetaTables: Set[String] =
-    Set("partitions", "snapshots", "files", "tags", "staged")
+    Set("partitions", "snapshots", "files", "tags", "staged", "stats")
 }
 
 class GraftCatalog extends TableCatalog
@@ -122,6 +122,8 @@ class GraftCatalog extends TableCatalog
                 (WarehouseTable.TagsMetaSchema, parent.tagsMeta(_))
               case "staged" =>
                 (WarehouseTable.StagedMetaSchema, parent.stagedMeta(_))
+              case "stats" =>
+                (WarehouseTable.StatsMetaSchema, parent.statsMeta(_))
             }
           return new GraftMetaTable(ident.toString, schema, mk)
         }

@@ -3021,6 +3021,38 @@ final class WarehouseTable(val root: String) {
       WarehouseTable.StagedMetaSchema)
   }
 
+  /** STATS METADATA TABLE — `t.stats`: one row per (data dir, column)
+    * with the dir's min/max range as strings, straight from the manifest
+    * (no file I/O at all — the ranges were harvested at write time).
+    * This is the SQL face of the data-skipping layout: "did my cluster
+    * rewrite actually produce narrow, disjoint ranges on the sort
+    * column?" is one GROUP BY away instead of a manifest spelunk —
+    * the layout audit that decides whether a 100 TB table needs
+    * re-clustering. Values render in their stats domain (longs and
+    * doubles via toString, strings verbatim); `content` distinguishes
+    * base dirs from MOR delta dirs (whose stats ride the snapshot's
+    * dstats field).
+    */
+  def statsMeta(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = readManifest(asOf.getOrElse(currentSnapshotId))
+    val deltaDirs = m.deltas.flatMap(_.data.values.flatten).toSet
+    val dirToPart: Map[String, String] =
+      (m.base.toSeq ++ m.deltas.flatMap(_.data.toSeq))
+        .flatMap { case (pv, dirs) => dirs.map(_ -> pv) }.toMap
+    val rows = m.stats.toSeq.flatMap { case (dir, cols) =>
+      cols.toSeq.map { case (c, (mn, mx)) =>
+        val pv = dirToPart.getOrElse(dir, NoPart)
+        Row(if (pv == NoPart) null else pv, dir,
+          if (deltaDirs.contains(dir)) "delta" else "data", c,
+          TableStats.nativeValue(mn).map(String.valueOf).orNull,
+          TableStats.nativeValue(mx).map(String.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      WarehouseTable.StatsMetaSchema)
+  }
+
   def expireSnapshots(keepLast: Int = 5): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     import scala.jdk.CollectionConverters._
@@ -3407,6 +3439,14 @@ object WarehouseTable {
     StructField("live", BooleanType, nullable = false),
     StructField("lineage", StringType, nullable = false),
     StructField("dead_reason", StringType)))
+
+  val StatsMetaSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("dir", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("min_value", StringType),
+    StructField("max_value", StringType)))
 
   /** Opt-in rebase-attempt recorder behind the contention harness
     * (`graft.tools.ContentionBench`, SCALING §10o): when enabled, every

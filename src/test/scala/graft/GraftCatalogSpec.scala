@@ -598,6 +598,16 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((sid, "wap-z")))
     wt.discardStaged(sid)
+    // stats: the manifest's per-dir ranges are SQL-visible and envelope
+    // the data exactly — the layout audit that decides re-clustering
+    val kRange = spark.sql(
+      """SELECT min(CAST(min_value AS BIGINT)), max(CAST(max_value AS BIGINT))
+        |FROM graft.db.mt.stats
+        |WHERE column_name = 'k' AND content = 'data'""".stripMargin).head()
+    assert((kRange.getLong(0), kRange.getLong(1)) == (1L, 3L))
+    assert(spark.sql(
+        "SELECT count(*) FROM graft.db.mt.stats WHERE partition IS NULL")
+      .head().getLong(0) == 0L, "every dir of a partitioned table is keyed")
     // the suffixes are RESERVED under an existing table: CREATE at that
     // name refuses (Spark sees the metadata relation as already-existing)
     intercept[Exception] {
