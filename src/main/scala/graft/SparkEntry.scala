@@ -3393,6 +3393,41 @@ object SparkEntry {
         .select(col("lang"), col("n"), col("sum_n_chars"))
     }),
 
+    // INCREMENTAL AGGREGATE VIEW WITH MIN/MAX — the non-invertible
+    // aggregates maintained by RECOMPUTE-ON-REGRESS: inserts fold via
+    // least/greatest, and a window whose deletes reach a group's stored
+    // extreme re-aggregates exactly that group from the source AS OF
+    // the window end (partition-pruned — the group key IS the partition
+    // column). The history forces every repair path: an update wave
+    // rewrites partitions (COW re-land = delete+insert pairs, extremes
+    // survive exactly), a predicate delete removes min-attaining rows,
+    // and a partition drop empties a group (its extremes must NULL, its
+    // zero-count row must leave the read).
+    "q183_agg_view_minmax" -> ((s, dir) => {
+      val base = scratchPath("q183", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        src.create(docs.schema, Some("lang"),
+          graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+        src.merge(s, docs, Seq("doc_id"))
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
+        src.deleteRows(s, col("doc_id") % 7 === 0)
+        src.dropPartitions(Seq("de"))
+      }
+      val (view, ckpt) = resetAggView(base)
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString,
+        minMaxCols = Seq("n_chars"))
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(col("lang"), col("n"), col("sum_n_chars"),
+          col("min_n_chars"), col("max_n_chars"))
+    }),
+
     // INCREMENTAL AGGREGATE VIEW OVER AN UNPARTITIONED MOR SOURCE —
     // q177 without the partition crutch: no partition column exists, so
     // the gross feed's −old recovery cannot partition-prune. Instead it
@@ -4775,6 +4810,22 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM fin GROUP BY 1""".stripMargin,
+
+    // q173's algebra with the non-invertible extremes alongside: the
+    // recompute-on-regress view must equal the plain GROUP BY exactly
+    "q183_agg_view_minmax" ->
+      """WITH fin AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 4 = 0 THEN n_chars + 7
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 AND lang <> 'de'
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_n_chars
         |FROM fin GROUP BY 1""".stripMargin,
 
     // the incrementally-maintained view must equal the plain GROUP BY

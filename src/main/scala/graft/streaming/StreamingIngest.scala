@@ -2269,8 +2269,24 @@ object StreamingIngest {
     * load-bearing choice: a partition rewrite re-lands its unchanged
     * rows, which contribute (−old, +new) = 0, and an UPDATE contributes
     * exactly the difference — no row identity, no anti-join, no rescan.
-    * SUM/COUNT only, the aggregates invertible under deletion (MIN/MAX
-    * would need a rescan on every delete — refuse, don't pretend).
+    * SUM/COUNT fold purely incrementally (invertible under deletion).
+    *
+    * MIN/MAX (`minMaxCols`) are NOT invertible — a delete can remove the
+    * row attaining the extreme — so they maintain by RECOMPUTE-ON-
+    * REGRESS: inserts fold via least/greatest (monotone, no rescan);
+    * when a window's deletes COULD have removed a group's extreme
+    * (delete-side min ≤ stored min, or delete-side max ≥ stored max —
+    * one join against the view), exactly those groups re-aggregate from
+    * the source AS OF the window end, partition-pruned when the group
+    * key IS the partition column (the natural layout for a grouped
+    * view). Cost shape: zero extra reads on insert-only windows; on
+    * delete windows, O(regressed groups' partitions) — and under COW
+    * rewrites (which re-land their partitions as delete+insert pairs)
+    * that is the same partitions the rewrite itself already paid for. A
+    * group emptied by deletes NULLs its extremes, so a later
+    * resurrection restarts them cleanly. The recompute is an idempotent
+    * "set to truth at window end", so checkpoint replays converge
+    * without a batch guard.
     *
     * MOR sources work too: a MOR upsert appends the new version WITHOUT
     * removing the old one's dir, so the gross feed recovers the
@@ -2307,7 +2323,8 @@ object StreamingIngest {
       groupKeys: Seq[String],
       sumCols: Seq[String],
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      minMaxCols: Seq[String] = Nil): StreamingQuery = {
     require(!source.properties.get("write.merge.mode").contains("merge-on-read") ||
         source.recordedMergeKeys.nonEmpty,
       "startAggView over a MOR source needs its merge keys recorded " +
@@ -2366,16 +2383,90 @@ object StreamingIngest {
         val from = readCursor()
         if (ids.nonEmpty && ids.max > from) {
           val target = ids.max
-          val sign = when(col("_change_type") === "delete", lit(-1L))
-            .otherwise(lit(1L))
-          val contrib = source
+          val isDel = col("_change_type") === "delete"
+          val sign = when(isDel, lit(-1L)).otherwise(lit(1L))
+          val window = source
             .changesSince(spark, from, asOf = Some(target), netRemovals = false)
-            .select(groupKeys.map(col) ++
+          if (minMaxCols.isEmpty) {
+            val contrib = window.select(groupKeys.map(col) ++
               sumCols.map(c => (col(c).cast("long") * sign).as(s"sum_$c")) :+
               sign.as("n"): _*)
-          graft.operators.IncrementalRollup.commit(spark, contrib,
-            groupKeys, sumCols.map(c => s"sum_$c" -> "sum").toMap + ("n" -> "sum"),
-            view, batchId = target)
+            graft.operators.IncrementalRollup.commit(spark, contrib,
+              groupKeys, sumCols.map(c => s"sum_$c" -> "sum").toMap + ("n" -> "sum"),
+              view, batchId = target)
+          } else {
+            // one pass over the window yields the signed sums, the
+            // insert-side extremes (fold via least/greatest) AND the
+            // delete-side extremes (the regression detector) — the
+            // result is group-cardinality-sized, so pin it once
+            val aggs =
+              sumCols.map(c => sum(col(c).cast("long") * sign).as(s"sum_$c")) ++
+              Seq(sum(sign).as("n")) ++
+              minMaxCols.flatMap(c => Seq(
+                min(when(!isDel, col(c).cast("long"))).as(s"min_$c"),
+                max(when(!isDel, col(c).cast("long"))).as(s"max_$c"),
+                min(when(isDel, col(c).cast("long"))).as(s"__delmin_$c"),
+                max(when(isDel, col(c).cast("long"))).as(s"__delmax_$c")))
+            val w = window.groupBy(groupKeys.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+            graft.operators.IncrementalRollup.commit(spark, w, groupKeys,
+              sumCols.map(c => s"sum_$c" -> "sum").toMap + ("n" -> "sum") ++
+                minMaxCols.flatMap(c =>
+                  Seq(s"min_$c" -> "min", s"max_$c" -> "max")),
+              view, batchId = target)
+            // RECOMPUTE-ON-REGRESS: a group whose deletes reached its
+            // post-commit extreme may have lost the attaining row — set
+            // exactly those groups to the truth AS OF the window end.
+            // The candidate set is bounded by the window's delete-touched
+            // groups (view-key-sized at most), so collecting it for the
+            // partition prune is bounded the same way.
+            val post = graft.operators.IncrementalRollup.read(spark, view)
+              .select(groupKeys.map(col) ++ minMaxCols.flatMap(c => Seq(
+                col(s"min_$c").as(s"__post_min_$c"),
+                col(s"max_$c").as(s"__post_max_$c"))): _*)
+            val needCond = minMaxCols.map(c =>
+              (col(s"__delmin_$c") <=
+                coalesce(col(s"__post_min_$c"), col(s"__delmin_$c"))) ||
+              (col(s"__delmax_$c") >=
+                coalesce(col(s"__post_max_$c"), col(s"__delmax_$c"))))
+              .reduce(_ || _)
+            val needKeys = w.join(post, groupKeys.toSeq, "left")
+              .filter(needCond).select(groupKeys.map(col): _*).collect()
+            if (needKeys.nonEmpty) {
+              // the group key IS the partition column in the natural
+              // layout — the recompute then reads only those partitions
+              val parts: Option[Seq[Any]] =
+                if (groupKeys.size == 1 &&
+                    source.partitionColumn.contains(groupKeys.head))
+                  Some(needKeys.map(_.get(0)).toSeq)
+                else None
+              val keyFilter = needKeys.map(r =>
+                groupKeys.zipWithIndex.map { case (k, i) =>
+                  col(k) === lit(r.get(i))
+                }.reduce(_ && _)).reduce(_ || _)
+              val recAggs = minMaxCols.flatMap(c => Seq(
+                min(col(c).cast("long")).as(s"min_$c"),
+                max(col(c).cast("long")).as(s"max_$c")))
+              val truth = source.read(spark, parts, asOf = Some(target))
+                .filter(keyFilter)
+                .groupBy(groupKeys.map(col): _*)
+                .agg(recAggs.head, recAggs.tail: _*)
+              // left join from the NEEDING keys: a group emptied by the
+              // window's deletes has no truth row and NULLs its extremes
+              val needDf = spark.createDataFrame(
+                java.util.Arrays.asList(needKeys: _*),
+                org.apache.spark.sql.types.StructType(
+                  groupKeys.map(k => w.schema(k))))
+              val rec = needDf.join(truth, groupKeys.toSeq, "left")
+              view.mergeClauses(spark, rec, groupKeys,
+                graft.operators.MergeInto.MergeClauses(
+                  matched = Seq(graft.operators.MergeInto.UpdateClause(None,
+                    minMaxCols.flatMap(c => Seq(
+                      s"min_$c" -> col(s"min_$c"),
+                      s"max_$c" -> col(s"max_$c"))).toMap)),
+                  notMatched = Nil))
+            }
+          }
           writeCursor(target)
         }
         ()

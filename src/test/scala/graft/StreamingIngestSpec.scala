@@ -1359,6 +1359,59 @@ class StreamingIngestSpec extends SparkSpec {
     assert(table.read(spark).collect().map(_.getInt(0)).sorted.toSeq == full)
   }
 
+  test("agg view min/max: recompute-on-regress across MOR deletes, resurrection and an emptied group") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", StringType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    def df(rows: Seq[(Long, String, Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, g, v) => Row(i, g, v) }, 2), sch)
+    val src = graft.table.WarehouseTable(tmpDir("aggmm") + "/src")
+    src.create(sch, Some("g"),
+      graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    // g0: ids 1..4 values 10..40; g1: ids 5..6 values 50..60
+    src.merge(spark, df(Seq((1L, "g0", 10), (2L, "g0", 20), (3L, "g0", 30),
+      (4L, "g0", 40), (5L, "g1", 50), (6L, "g1", 60))), Seq("id", "g"))
+    // delete g0's min-attaining row — the stored min MUST regress to 20
+    src.deleteKeysMor(spark, df(Seq((1L, "g0", 0))).select("id", "g"),
+      Seq("id", "g"))
+    // resurrect id 1 with an even smaller value — pure insert-side fold
+    src.merge(spark, df(Seq((1L, "g0", 5))), Seq("id", "g"))
+    // update g0's max DOWN (upsert 40 -> 35): the old version's −40
+    // reaches the stored max, recompute lands 35
+    src.merge(spark, df(Seq((4L, "g0", 35))), Seq("id", "g"))
+    // empty g1 entirely — its extremes must NULL and its row must
+    // leave the read
+    src.deleteWhereMor(spark, col("g") === "g1")
+    val view = graft.table.WarehouseTable(tmpDir("aggmm") + "/view")
+    val q = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), tmpDir("aggmm_ckpt"),
+      minMaxCols = Seq("v"))
+    q.awaitTermination(120000)
+    val got = StreamingIngest.readAggView(spark, view)
+      .select("g", "n", "sum_v", "min_v", "max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("g0", 4L, 5L + 20L + 30L + 35L, 5L, 35L)),
+      s"view diverged: $got")
+    // the emptied group resurrects cleanly: NULLed extremes restart
+    src.merge(spark, df(Seq((7L, "g1", 70))), Seq("id", "g"))
+    val q2 = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), tmpDir("aggmm_ckpt"),
+      minMaxCols = Seq("v"))
+    q2.awaitTermination(120000)
+    val got2 = StreamingIngest.readAggView(spark, view)
+      .select("g", "n", "min_v", "max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got2 == Set(("g0", 4L, 5L, 35L), ("g1", 1L, 70L, 70L)),
+      s"resurrected view diverged: $got2")
+  }
+
   test("gross MOR feed: old-version subtraction stats-prunes by the delta's key range on an unpartitioned clustered source") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
