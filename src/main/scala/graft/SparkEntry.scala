@@ -3179,6 +3179,38 @@ object SparkEntry {
           |FROM graft_q179.db.docs_m.partitions""".stripMargin)
     }),
 
+    // TIMESTAMP AS OF time travel from SQL — Iceberg's second travel
+    // axis beside VERSION AS OF: the query resolves to the newest
+    // snapshot committed at or before the literal (commit wall-clock is
+    // stamped in every snapshot). The 'asof' rows must read the
+    // captured mid-history state while 'final' reads the head — one
+    // relation, two pinned scans.
+    "q184_time_travel_ts" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q184_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.table.WarehouseTable(s"$wh/db/docs_t").drop()
+      s.conf.set("spark.sql.catalog.graft_q184", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q184.warehouse", wh)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .createOrReplaceTempView("q184_docs")
+      s.sql(
+        """CREATE TABLE graft_q184.db.docs_t (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)""".stripMargin)
+      s.sql("INSERT INTO graft_q184.db.docs_t SELECT * FROM q184_docs WHERE doc_id % 2 = 0")
+      Thread.sleep(5)
+      val mid = java.time.Instant.now().toString.replace("T", " ").stripSuffix("Z")
+      Thread.sleep(5)
+      s.sql("INSERT INTO graft_q184.db.docs_t SELECT * FROM q184_docs WHERE doc_id % 2 = 1")
+      s.sql(
+        s"""SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
+           |FROM graft_q184.db.docs_t TIMESTAMP AS OF '$mid'
+           |UNION ALL
+           |SELECT 'final' AS view, doc_id, md5(text) AS text_md5, lang
+           |FROM graft_q184.db.docs_t""".stripMargin)
+    }),
+
     // STATS METADATA TABLE (`t.stats`) — the SQL face of data skipping:
     // per-dir min/max ranges straight from the manifest, no file I/O.
     // The gate is the layout AUDIT a 100 TB operator actually runs:
@@ -4882,6 +4914,14 @@ object SparkEntry {
         |  CAST(count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_rows
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the mid-history timestamp pins the even half; the head reads all
+    "q184_time_travel_ts" ->
+      """SELECT 'asof' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'final' AS view, doc_id, md5(text) AS text_md5, lang
+        |FROM documents""".stripMargin,
 
     // manifest-recorded per-dir ranges envelope exactly the relational
     // per-partition min/max on a delete-free table (footer stats cover
