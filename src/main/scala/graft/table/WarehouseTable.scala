@@ -1534,46 +1534,69 @@ final class WarehouseTable(val root: String) {
     // specifically (read.py:208-216 sets all three together for MOR)
     require(meta.properties.get("write.delete.mode").contains("merge-on-read"),
       "position deletes are a merge-on-read operation; COW tables use deleteRows")
-    val cur = currentSnapshotId
-    val old = readManifest(cur)
-    val rel = s"posdel/${UUID.randomUUID()}"
-    readResolved(spark, None, Nil, None, keepPos = true)
-      .filter(cond)
-      .select(col(PosFileCol), col(PosIdxCol))
-      .write.parquet(s"$root/$rel")
-    // row count from the freshly written footers — metadata-only scan
-    val n = spark.read.parquet(s"$root/$rel").count()
-    if (n == 0L) {
+    def sweep(rel: String): Unit = {
       val walk = Files.walk(rootPath.resolve(rel))
       try { import scala.jdk.CollectionConverters._
         walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
       } finally walk.close()
-    } else {
+    }
+    // RE-PLANNING retry: the sidecar names physical rows of the planning
+    // snapshot's files, so a concurrent compact/rewrite that dropped any
+    // planned dir invalidates the handles mid-flight. The commit's
+    // file-identity guard refuses rather than let the sidecar go inert
+    // (resurrecting the rows) — but the PREDICATE is re-derivable, so
+    // the whole plan simply re-runs against the new current snapshot:
+    // O(matching rows) per attempt, and an attempt only fails when
+    // maintenance rewrote the table DURING it (the 6-writer torture
+    // found the compact-vs-posdel interleaving this loop absorbs).
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentSnapshotId
+      val old = readManifest(cur)
+      val rel = s"posdel/${UUID.randomUUID()}"
+      readResolved(spark, None, Nil, None, keepPos = true)
+        .filter(cond)
+        .select(col(PosFileCol), col(PosIdxCol))
+        .write.parquet(s"$root/$rel")
+      // row count from the freshly written footers — metadata-only scan
+      val n = spark.read.parquet(s"$root/$rel").count()
+      if (n == 0L) {
+        sweep(rel)
+        return 0L
+      }
       // concurrent-writer rebase with a FILE-IDENTITY guard: the sidecar
-      // names physical rows of the PLANNING snapshot's files, so it may
-      // rebase onto appends/deltas/sidecars (planned dirs all survive)
-      // but never silently onto a rewrite/compact that dropped any of
-      // them — the sidecar would go inert and the rows resurrect
+      // may rebase onto appends/deltas/sidecars (planned dirs all
+      // survive) but never silently onto a rewrite/compact that dropped
+      // any of them
       val plannedDirs = (old.base.values.flatten ++
         old.deltas.flatMap(_.data.values.flatten)).toSet
-      commitRebasable { now =>
-        val nowDirs = (now.base.values.flatten ++
-          now.deltas.flatMap(_.data.values.flatten)).toSet
-        if (!plannedDirs.subsetOf(nowDirs))
-          throw new IllegalStateException(
-            "a concurrent rewrite removed files this position-delete was " +
-              "planned against — re-run the delete on the current snapshot")
-        now.copy(posDeletes = now.posDeletes :+ rel)
+      try {
+        commitRebasable { now =>
+          val nowDirs = (now.base.values.flatten ++
+            now.deltas.flatMap(_.data.values.flatten)).toSet
+          if (!plannedDirs.subsetOf(nowDirs))
+            throw new IllegalStateException(
+              "a concurrent rewrite removed files this position-delete was " +
+                "planned against — re-run the delete on the current snapshot")
+          now.copy(posDeletes = now.posDeletes :+ rel)
+        }
+        // sidecars amplify every read by one anti join, same way deltas
+        // amplify arbitration — the same table threshold folds them back
+        val threshold = meta.properties.get("compact.delta.threshold")
+          .map(_.toInt).getOrElse(8)
+        if (threshold > 0 &&
+            readManifest(currentSnapshotId).posDeletes.size >= threshold)
+          tryCompact(spark)
+        return n
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("planned against") =>
+          sweep(rel) // the failed sidecar was never referenced
+          if (attempt >= 5) throw e // livelock guard: maintenance storms
       }
-      // sidecars amplify every read by one anti join, same way deltas
-      // amplify arbitration — the same table threshold folds them back
-      val threshold = meta.properties.get("compact.delta.threshold")
-        .map(_.toInt).getOrElse(8)
-      if (threshold > 0 &&
-          readManifest(currentSnapshotId).posDeletes.size >= threshold)
-        tryCompact(spark)
     }
-    n
+    0L // unreachable
   }
 
   /** Min/max range filters of the source's key columns (one tiny agg on
