@@ -136,6 +136,15 @@ object Bench {
         .map(_.getName).filter(_.matches("bench_results_r\\d+\\.json"))
         .sortBy(n => n.replaceAll("\\D", "").toInt).lastOption
     }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    // the prev file must be the SAME scale factor: an sf1 archive in the
+    // cwd of an sf10 run would ship garbage ratios and flag every query
+    // as a mover. Both JSONs carry "sf" (an sfDir path) — compare the
+    // sfN token, not the raw path, so /tmp/sf1 matches /root/…/sf1.
+    def sfToken(dir: String): String = {
+      val m = "sf[0-9.]+[0-9]|sf[0-9]+".r.findAllIn(
+        dir.substring(dir.lastIndexOf('/') + 1)).toSeq
+      if (m.nonEmpty) m.last else dir
+    }
     val prevParsed: Option[(Map[String, Double], Option[Double])] =
       prevFile.flatMap { p =>
         try {
@@ -147,11 +156,21 @@ object Bench {
             case JLong(x) => Some(x.toDouble)
             case JDecimal(x) => Some(x.toDouble); case _ => None
           }
-          val qm = (j \ "queries") match {
-            case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
-            case _ => Map.empty[String, Double]
+          val prevSf = (j \ "sf") match {
+            case JString(s) => Some(s); case _ => None
           }
-          Some((qm, num(j \ "calibration_sec")))
+          if (prevSf.exists(s => sfToken(s) != sfToken(sfDir))) {
+            System.err.println(s"[bench] prev file $p is sf " +
+              s"${prevSf.map(sfToken).getOrElse("?")} but this run is " +
+              s"${sfToken(sfDir)} — skipping ratios_vs_prev")
+            None
+          } else {
+            val qm = (j \ "queries") match {
+              case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            Some((qm, num(j \ "calibration_sec")))
+          }
         } catch { case _: Throwable => None }
       }
     val ratios: Map[String, Double] = prevParsed.map(_._1) match {
@@ -166,8 +185,9 @@ object Bench {
         val median = overlap(overlap.size / 2)
         System.err.println(f"[bench] vs ${prevFile.get}: ${overlap.size} overlapping, " +
           f"median ratio $median%.3f" +
-          prevCalib.fold("")(c => f", calibration $calibration%.2f s vs prev $c%.2f s " +
-            f"(${calibration / c}%.3f×)"))
+          prevCalib.filter(_ > 0.0).fold("")(c =>
+            f", calibration $calibration%.2f s vs prev $c%.2f s " +
+              f"(${calibration / c}%.3f×)"))
         ratios.toSeq.filter(r => r._2 > 1.35 || r._2 < 0.74)
           .sortBy(-_._2).foreach { case (k, r) =>
             System.err.println(f"[bench]   mover $k%-28s $r%6.2f×")
