@@ -2433,31 +2433,12 @@ object StreamingIngest {
             val needKeys = w.join(post, groupKeys.toSeq, "left")
               .filter(needCond).select(groupKeys.map(col): _*).collect()
             if (needKeys.nonEmpty) {
-              // the group key IS the partition column in the natural
-              // layout — the recompute then reads only those partitions
-              val parts: Option[Seq[Any]] =
-                if (groupKeys.size == 1 &&
-                    source.partitionColumn.contains(groupKeys.head))
-                  Some(needKeys.map(_.get(0)).toSeq)
-                else None
-              val keyFilter = needKeys.map(r =>
-                groupKeys.zipWithIndex.map { case (k, i) =>
-                  col(k) === lit(r.get(i))
-                }.reduce(_ && _)).reduce(_ || _)
-              val recAggs = minMaxCols.flatMap(c => Seq(
-                min(col(c).cast("long")).as(s"min_$c"),
-                max(col(c).cast("long")).as(s"max_$c")))
-              val truth = source.read(spark, parts, asOf = Some(target))
-                .filter(keyFilter)
-                .groupBy(groupKeys.map(col): _*)
-                .agg(recAggs.head, recAggs.tail: _*)
-              // left join from the NEEDING keys: a group emptied by the
-              // window's deletes has no truth row and NULLs its extremes
               val needDf = spark.createDataFrame(
                 java.util.Arrays.asList(needKeys: _*),
                 org.apache.spark.sql.types.StructType(
                   groupKeys.map(k => w.schema(k))))
-              val rec = needDf.join(truth, groupKeys.toSeq, "left")
+              val rec = regressedTruth(spark, source, groupKeys, minMaxCols,
+                needDf, needKeys, target)
               view.mergeClauses(spark, rec, groupKeys,
                 graft.operators.MergeInto.MergeClauses(
                   matched = Seq(graft.operators.MergeInto.UpdateClause(None,
@@ -2472,6 +2453,75 @@ object StreamingIngest {
         ()
       }
       .start()
+  }
+
+  /** The MIN/MAX recompute's truth read for the regressed groups: the
+    * needing keys (already collected — bounded by the window's
+    * delete-touched groups) restrict the source read three independent
+    * ways, each engaging a different pruning layer:
+    *
+    *  1. PARTITION prune when the group key IS the partition column (the
+    *     natural layout) — only the regressed partitions are planned;
+    *  2. key-RANGE `dataFilters` derived driver-side from the collected
+    *     keys — these reach [[graft.table.WarehouseTable.read]]'s
+    *     dir-level stats prune (a post-hoc `.filter` never does), so a
+    *     key-CLUSTERED non-partition-grouped source plans only dirs whose
+    *     stats overlap the regressed keys' range. Sound because the range
+    *     covers every needed key; a null group key suppresses that key's
+    *     range (a stats range cannot witness nulls, and pruning on it
+    *     could skip the null group's dir);
+    *  3. exact membership via a broadcast LEFT SEMI join against the key
+    *     set — never an OR-chain predicate: Catalyst's analyzer goes
+    *     quadratic past a few thousand OR terms, so a wide delete wave
+    *     (a COW partition rewrite regresses EVERY group in the rewritten
+    *     partitions — group-key cardinality, not delete cardinality)
+    *     would stall the DRIVER before a single task ran.
+    *
+    * Returns the merge source: needDf LEFT JOIN truth — a group emptied
+    * by the window's deletes has no truth row and NULLs its extremes.
+    * Package-private so the regression specs drive the EXACT production
+    * read (planned-file assertions on `.inputFiles`).
+    */
+  private[graft] def regressedTruth(
+      spark: SparkSession,
+      source: graft.table.WarehouseTable,
+      groupKeys: Seq[String],
+      minMaxCols: Seq[String],
+      needDf: DataFrame,
+      needKeys: Array[org.apache.spark.sql.Row],
+      target: Long): DataFrame = {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val parts: Option[Seq[Any]] =
+      if (groupKeys.size == 1 &&
+          source.partitionColumn.contains(groupKeys.head))
+        Some(needKeys.map(_.get(0)).toSeq)
+      else None
+    val rangeFilters = groupKeys.zipWithIndex.flatMap { case (k, i) =>
+      val comparable = needDf.schema(k).dataType match {
+        case IntegerType | LongType | ShortType | ByteType | FloatType |
+             DoubleType | StringType => true
+        case _ => false
+      }
+      val vals = needKeys.map(_.get(i))
+      if (!comparable || vals.isEmpty || vals.contains(null)) Nil
+      else {
+        val mn = vals.reduceLeft((a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b)
+        val mx = vals.reduceLeft((a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b)
+        Seq(GreaterThanOrEqual(k, mn), LessThanOrEqual(k, mx))
+      }
+    }
+    val recAggs = minMaxCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    val truth = source.read(spark, parts, dataFilters = rangeFilters,
+        asOf = Some(target))
+      .join(broadcast(needDf), groupKeys.toSeq, "left_semi")
+      .groupBy(groupKeys.map(col): _*)
+      .agg(recAggs.head, recAggs.tail: _*)
+    needDf.join(truth, groupKeys.toSeq, "left")
   }
 
   /** The aggregate view's user-facing read: per-group `n` (live count)

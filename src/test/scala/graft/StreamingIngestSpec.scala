@@ -1446,6 +1446,80 @@ class StreamingIngestSpec extends SparkSpec {
         "base files — the key-range stats prune did not fire")
   }
 
+  test("min/max recompute: the truth read stats-prunes to the regressed keys' range on a clustered non-partition-grouped source") {
+    import org.apache.spark.sql.Row
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    val src = graft.table.WarehouseTable(tmpDir("mmprune") + "/src")
+    src.create(sch, None, Map.empty)
+    src.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 1000L).map(i => Row(i, i, i.toInt)), 4), sch))
+    src.clusterBase(spark, "g", 8)
+    val baseFiles = src.read(spark).inputFiles.toSet
+    // regressed keys g 1..50 — within one clustered bucket's key range
+    val needKeys = (1L to 50L).map(g => Row(g): org.apache.spark.sql.Row).toArray
+    val needDf = spark.createDataFrame(
+      java.util.Arrays.asList(needKeys: _*),
+      StructType(Seq(StructField("g", LongType, nullable = false))))
+    // drive the EXACT production read (regressedTruth is what the
+    // foreachBatch recompute calls)
+    val rec = StreamingIngest.regressedTruth(
+      spark, src, Seq("g"), Seq("v"), needDf, needKeys,
+      target = src.currentSnapshotId)
+    // exactness: one row per needing key, extremes = the group's values
+    val got = rec.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (1L to 50L).map(g => (g, g, g)).toSet, s"truth diverged: $got")
+    // scale: no partition column, group key ≠ partition key — the
+    // derived key-RANGE dataFilters must reach the dir-level stats
+    // prune, so only key-overlapping clustered dirs are planned
+    val planned = rec.inputFiles.toSet.intersect(baseFiles)
+    assert(planned.nonEmpty && planned.size <= baseFiles.size / 2,
+      s"recompute planned ${planned.size} of ${baseFiles.size} base files " +
+        "— the key-range stats prune did not fire")
+  }
+
+  test("min/max recompute: a wide delete wave regressing >10^4 groups completes without an analyzer stall") {
+    import org.apache.spark.sql.Row
+    val nGroups = 12000
+    val wide = 10000 // groups regressed by the delete wave
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    def df(rows: Seq[(Long, Long, Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, g, v) => Row(i, g, v) }, 4), sch)
+    val src = graft.table.WarehouseTable(tmpDir("mmwide") + "/src")
+    src.create(sch, None,
+      graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    // one row per group: deleting it regresses (and empties) the group
+    src.merge(spark, df((1L to nGroups.toLong).map(i => (i, i, i.toInt))),
+      Seq("id"))
+    // delete wave: groups 1..10000 each lose their extreme-attaining
+    // (only) row — the OLD OR-chain predicate would build a 10^4-term
+    // Catalyst expression here and stall the driver in analysis; the
+    // broadcast left-semi must sail through
+    src.deleteKeysMor(spark,
+      df((1L to wide.toLong).map(i => (i, i, 0))).select("id"), Seq("id"))
+    val view = graft.table.WarehouseTable(tmpDir("mmwide") + "/view")
+    val q = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), tmpDir("mmwide_ckpt"),
+      minMaxCols = Seq("v"))
+    q.awaitTermination(240000)
+    val live = StreamingIngest.readAggView(spark, view)
+      .select("g", "n", "min_v", "max_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(live.length == nGroups - wide, s"expected ${nGroups - wide} " +
+      s"surviving groups, got ${live.length}")
+    assert(live.forall { case (g, n, mn, mx) =>
+      g > wide && n == 1L && mn == g && mx == g })
+  }
+
   test("streaming window prober: as-of-arrival join — each batch sees itself and every earlier interval") {
     import spark.implicits._
     import graft.operators.RangeIndex
