@@ -376,13 +376,23 @@ final class WarehouseTable(val root: String) {
         try Files.createLink(p, tmp)
         catch {
           // filesystems without hard-link support (some FUSE/object-store
-          // mounts, FAT): fall back to a plain CREATE_NEW byte write —
-          // the id-claim race stays loud (FileAlreadyExistsException),
-          // only the torn-read window narrows from zero to one write
-          // call. recordMergeKeys' CAS keeps the hard-link REQUIREMENT
-          // (its claim semantics have no equally-atomic fallback).
+          // mounts, FAT): probe-then-ATOMIC_MOVE. A plain CREATE_NEW
+          // byte write would reintroduce the torn-read window this whole
+          // path exists to close — a listing-based reader (tailers,
+          // expiry, stagedDead's parse) hitting truncated JSON gets a
+          // NON-retryable parse exception, unlike the tolerated
+          // NoSuchFileException races. The move keeps every visible file
+          // complete; the id-claim race narrows from atomic to the
+          // probe→move window (POSIX rename replaces silently), which on
+          // a linkless FS is the best available trade: torn reads are
+          // corruption, a lost claim is the same optimistic-commit
+          // conflict the rebase path already resolves. recordMergeKeys'
+          // CAS keeps the hard-link REQUIREMENT (its claim semantics
+          // have no equally-atomic fallback).
           case _: UnsupportedOperationException =>
-            Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+            if (Files.exists(p))
+              throw new java.nio.file.FileAlreadyExistsException(p.toString)
+            Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
         }
       else Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -2186,13 +2196,15 @@ final class WarehouseTable(val root: String) {
     // today's one-file layout). Per-DIR stats merge across files, so
     // pruning selectivity is unchanged; only rewrite parallelism and max
     // file size improve. Appends (nBuckets = 0 — batch-sized) skip the
-    // salt entirely.
+    // salt entirely — including under an explicit cluster.files.per.bucket
+    // table property, which tunes CLUSTER rewrites only (an append is not
+    // a bucket rewrite; salting it would change append file layout for no
+    // pruning gain).
     val filesPerBucket =
-      meta.properties.get("cluster.files.per.bucket").map(_.toInt).getOrElse {
-        if (nBuckets <= 0) 1
-        else math.max(1, math.min(64,
-          slice.sparkSession.sparkContext.defaultParallelism / nBuckets))
-      }
+      if (nBuckets <= 0) 1
+      else meta.properties.get("cluster.files.per.bucket").map(_.toInt)
+        .getOrElse(math.max(1, math.min(64,
+          slice.sparkSession.sparkContext.defaultParallelism / nBuckets)))
     val saltCols: Seq[Column] =
       if (filesPerBucket <= 1) Nil
       else Seq(pmod(hash(meta.schema.fieldNames.map(col).toIndexedSeq: _*),
@@ -2526,15 +2538,37 @@ final class WarehouseTable(val root: String) {
     * Commit times come from the snapshot json ("ts"); snapshots written
     * before that field existed fall back to file modification time.
     */
-  def snapshotAt(tsMillis: Long): Option[Long] = {
-    val ids = listSnapIds("snap-")
-    def commitTime(id: Long): Long =
+  def snapshotAt(tsMillis: Long): Option[Long] = snapshotAtCounted(tsMillis)._1
+
+  /** [[snapshotAt]] plus the number of snapshot manifests parsed —
+    * the unit-tested O(log commits) contract. Commit ts is monotone
+    * non-decreasing in snapshot id (ids are claimed sequentially and
+    * each commit stamps its own wall clock as it lands; the mtime
+    * fallback is monotone the same way), so the resolution BINARY
+    * SEARCHES the sorted id list instead of parsing every newer
+    * manifest newest-first — a `TIMESTAMP AS OF` far in the past on a
+    * 10^4-commit table paid 10^4 full-manifest parses for one lookup.
+    */
+  private[graft] def snapshotAtCounted(tsMillis: Long): (Option[Long], Int) = {
+    val ids = listSnapIds("snap-").toIndexedSeq
+    var parses = 0
+    def commitTime(id: Long): Long = {
+      parses += 1
       JsonMethods.parse(readString(snapPath(id))) \ "ts" match {
         case JLong(t) => t
         case JInt(t) => t.toLong
         case _ => Files.getLastModifiedTime(snapPath(id)).toMillis
       }
-    ids.reverse.find(commitTime(_) <= tsMillis)
+    }
+    var lo = 0
+    var hi = ids.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTime(ids(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    (if (ans >= 0) Some(ids(ans)) else None, parses)
   }
 
   /** ROLLBACK to an existing earlier snapshot — Iceberg's
@@ -3054,7 +3088,19 @@ final class WarehouseTable(val root: String) {
     * re-clustering. Values render in their stats domain (longs and
     * doubles via toString, strings verbatim); `content` distinguishes
     * base dirs from MOR delta dirs (whose stats ride the snapshot's
-    * dstats field).
+    * dstats field) — the delta rows are the 100 TB operator's
+    * delta-locality dial: widening per-commit delta key ranges on a
+    * clustered table mean MOR reads are losing their prune, i.e. the
+    * signal that schedules compaction.
+    *
+    * Position-delete sidecars surface beside them as `content =
+    * 'posdel'` rows, one per sidecar, with `column_name = '__erasures'`
+    * and min = max = the sidecar's erasure-row count (a degenerate
+    * range, so `SUM(CAST(max_value AS BIGINT))` is the pending-erasure
+    * total). Counts come from the sidecars' parquet FOOTERS via the
+    * same distributed harvest `partitionsMeta` uses — bounded by
+    * sidecar count, never data bytes, so the relation stays
+    * metadata-priced (and pure-manifest when no posdels exist).
     */
   def statsMeta(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types._
@@ -3072,7 +3118,16 @@ final class WarehouseTable(val root: String) {
           TableStats.nativeValue(mx).map(String.valueOf).orNull)
       }
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+    val posRows =
+      if (m.posDeletes.isEmpty) Nil
+      else {
+        val foot = TableStats.dirFootprintSpark(spark, root, m.posDeletes)
+        m.posDeletes.map { sc =>
+          val n = foot.get(sc).map(_._2).getOrElse(0L).toString
+          Row(null, sc, "posdel", "__erasures", n, n)
+        }
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows ++ posRows, 1),
       WarehouseTable.StatsMetaSchema)
   }
 

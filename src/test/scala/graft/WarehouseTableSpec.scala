@@ -819,6 +819,128 @@ class WarehouseTableSpec extends SparkSpec {
     assert(want.nonEmpty, "seed produced a degenerate (empty) run")
   }
 
+  test("overlapping-key torture: racing writers merge the SAME keys; every key converges to some writer's final action (last-committer-wins)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.Row
+    // The disjoint-range torture above proves the commit protocol; this
+    // one proves the CONFLICT contract. All writers share ONE key range,
+    // so every window is a true write-write conflict. The engine's
+    // documented resolution is last-committer-wins: a rebased merge
+    // lands with a delta seq above everything it rebased onto, so the
+    // global winner for a key is the LAST COMMIT that touched it — and
+    // since each writer is sequential, that commit carries the touching
+    // writer's FINAL action on the key. The checkable contract:
+    //   present with v  ⟹ v is some writer's final write of k
+    //   absent          ⟹ some writer's final action on k was a delete
+    //   and if NO writer's final action was a delete, k MUST be present.
+    // Any interleave satisfies it; a torn/merged row, a resurrected
+    // overwritten value, or a lost delete violates it.
+    val nWriters = 4
+    val opsPer = 10
+    val keySpan = 100 // shared by ALL writers — every key contends
+    val t = WarehouseTable(tmpDir("otorture"))
+    val sch = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType)))
+    t.create(sch, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    t.ensureMergeKeys(Seq("k"))
+    def df(kvs: Seq[(Int, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        kvs.map { case (k, v) => Row(k, v) }, 2), sch)
+    // per-writer: the writer's FINAL action per key —
+    // Some(v) = last wrote v, None = last deleted
+    def writer(w: Int): Map[Int, Option[String]] = {
+      val rnd = new scala.util.Random(20260817L + w)
+      val fin = scala.collection.mutable.Map.empty[Int, Option[String]]
+      (1 to opsPer).foreach { op =>
+        if (rnd.nextInt(4) < 3) { // shared-key upsert batch
+          val kvs = (1 to 1 + rnd.nextInt(10))
+            .map(_ => rnd.nextInt(keySpan) -> s"w$w-$op-${rnd.nextInt(1000)}")
+            .groupBy(_._1).map(_._2.last).toSeq
+          t.merge(spark, df(kvs), Seq("k"))
+          kvs.foreach { case (k, v) => fin(k) = Some(v) }
+        } else { // equality delete of shared keys
+          val ks = (1 to 1 + rnd.nextInt(5))
+            .map(_ => rnd.nextInt(keySpan)).distinct
+          t.deleteKeysMor(spark, df(ks.map(_ -> "x")).select("k"), Seq("k"))
+          ks.foreach(k => fin(k) = None)
+        }
+      }
+      fin.toMap
+    }
+    val finals = Await.result(
+      Future.sequence((0 until nWriters).map(w => Future(writer(w)))),
+      600.seconds)
+    def got(): Map[Int, String] = t.read(spark)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val state = got()
+    assert(state == got(), "two post-quiescence reads diverged")
+    val touched = finals.flatMap(_.keys).toSet
+    assert(state.keySet.subsetOf(touched), "read surfaced an unwritten key")
+    touched.foreach { k =>
+      val cands = finals.flatMap(_.get(k)) // writers with a final action on k
+      state.get(k) match {
+        case Some(v) => assert(cands.contains(Some(v)),
+          s"key $k holds '$v', which is NO writer's final action " +
+            s"(candidates: $cands) — a stale overwritten value resurfaced")
+        case None => assert(cands.contains(None),
+          s"key $k is absent but no racing writer's final action was a " +
+            s"delete (candidates: $cands) — a write was lost")
+      }
+    }
+    // resolution-invariant maintenance must not re-arbitrate winners
+    t.compact(spark)
+    assert(got() == state, "compaction changed conflict winners")
+    assert(touched.size > keySpan / 2, "seed produced a degenerate run")
+  }
+
+  test("TIMESTAMP AS OF resolution binary-searches the id range: O(log n) manifest parses on a 100-commit table") {
+    import org.apache.spark.sql.Row
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val t = WarehouseTable(tmpDir("tsbin") + "/t")
+    t.create(sch, None, Map.empty)
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L)), 1), sch)
+    (1 to 100).foreach(_ => t.append(one))
+    // ground truth straight from the raw snapshot files (commits can
+    // share a millisecond — compute the expected winner, don't assume
+    // distinct timestamps)
+    val snapDir = java.nio.file.Paths.get(t.root, "snaps")
+    val tsRe = """"ts":(\d+)""".r
+    val byId: Seq[(Long, Long)] = {
+      val l = java.nio.file.Files.list(snapDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+            val id = s.stripPrefix("snap-").stripSuffix(".json").toLong
+            val ts = tsRe.findFirstMatchIn(java.nio.file.Files.readString(
+              snapDir.resolve(s))).get.group(1).toLong
+            (id, ts)
+          }.toSeq.sortBy(_._1)
+      } finally l.close()
+    }
+    assert(byId.size >= 100)
+    def expected(ts: Long): Option[Long] =
+      byId.filter(_._2 <= ts).map(_._1).maxOption
+    val maxParses = 2 * (64 - java.lang.Long.numberOfLeadingZeros(byId.size)) + 2
+    // probe far past, far future, and every decile
+    val probes = Seq(byId.head._2 - 1, byId.last._2 + 1) ++
+      (0 until 10).map(i => byId(i * byId.size / 10)._2)
+    probes.foreach { ts =>
+      val (gotId, parses) = t.snapshotAtCounted(ts)
+      assert(gotId == expected(ts), s"AS OF $ts resolved $gotId, " +
+        s"expected ${expected(ts)}")
+      assert(parses <= maxParses,
+        s"AS OF $ts parsed $parses manifests on a ${byId.size}-commit " +
+          s"table — the binary search is not O(log n)")
+    }
+  }
+
   test("write-audit-publish: staged snapshots invisible to readers, feed and GC; publish races refuse") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wap"))
