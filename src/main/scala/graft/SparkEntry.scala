@@ -3257,6 +3257,113 @@ object SparkEntry {
           |GROUP BY partition""".stripMargin)
     }),
 
+    // STRING-KEY DATA SKIPPING THROUGH SQL, destructively proven: the
+    // warehouse's dir-level stats prune compares string ranges the same
+    // way it compares numeric ones, but no gate drove it through the
+    // DSv2 pushdown end-to-end. The fixture lands one dir per language
+    // (each dir's `lang_key` range is prefix-disjoint by construction —
+    // the clustered-by-string layout), then DESTROYS the parquet files
+    // of every dir outside the queried 'en#' prefix range. The BETWEEN
+    // read can only match the oracle if the pushed string range filters
+    // reached the manifest stats prune and the destroyed dirs were never
+    // planned — at 100 TB this is the difference between reading one
+    // language and reading the corpus.
+    "q187_string_skipping" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q187_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = s"$wh/db/docs_sk"
+      s.conf.set("spark.sql.catalog.graft_q187", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q187.warehouse", wh)
+      if (atRestBuilt.add(root)) {
+        graft.table.WarehouseTable(root).drop()
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("lang"), lit("#"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("lang_key"),
+          col("n_chars"))
+        docs.createOrReplaceTempView("q187_docs")
+        s.sql(
+          """CREATE TABLE graft_q187.db.docs_sk (
+            |  doc_id BIGINT, lang_key STRING, n_chars BIGINT)""".stripMargin)
+        val langs = t(s, dir, "documents").select("lang").distinct()
+          .collect().map(_.getString(0)).sorted
+        langs.foreach { lg =>
+          s.sql("INSERT INTO graft_q187.db.docs_sk " +
+            s"SELECT * FROM q187_docs WHERE lang_key LIKE '$lg#%'")
+        }
+        // destroy the files of every dir the string range must prune
+        val wt = graft.table.WarehouseTable(root)
+        wt.statsMeta(s)
+          .filter(col("content") === "data" && col("column_name") === "lang_key")
+          .select("dir", "min_value", "max_value").collect()
+          .filter(r => r.getString(2) < "en#" || r.getString(1) > "en#~")
+          .foreach { r =>
+            val d = java.nio.file.Paths.get(root, r.getString(0))
+            val l = java.nio.file.Files.list(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+                .toSeq.foreach(java.nio.file.Files.delete)
+            } finally l.close()
+          }
+      }
+      s.sql(
+        """SELECT doc_id, n_chars FROM graft_q187.db.docs_sk
+          |WHERE lang_key BETWEEN 'en#' AND 'en#~'""".stripMargin)
+    }),
+
+    // q182 exposed the BASE layout; this gate exposes the MOR overlay —
+    // the rows a 100 TB operator reads to decide when to compact. A MOR
+    // upsert wave lands delta dirs whose manifest-recorded key ranges
+    // (`content = 'delta'`, from the snapshot's dstats) bound the wave's
+    // keys per partition; a SQL position DELETE lands a sidecar whose
+    // pending-erasure count surfaces as `content = 'posdel'`
+    // (min = max = the sidecar's row count, so SUM(max_value) is the
+    // pending-erasure total). Widening delta ranges + growing erasure
+    // counts = delta locality degrading = schedule compaction — one SQL
+    // query instead of a manifest spelunk. Oracled against the
+    // relational truth of each wave.
+    "q186_stats_delta_meta" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q186_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.table.WarehouseTable(s"$wh/db/docs_m").drop()
+      s.conf.set("spark.sql.catalog.graft_q186", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q186.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      docs.createOrReplaceTempView("q186_docs")
+      s.sql(
+        """CREATE TABLE graft_q186.db.docs_m (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |  'write.delete.mode'='merge-on-read',
+          |  'write.update.mode'='merge-on-read',
+          |  'compact.delta.threshold'='0')""".stripMargin)
+      s.sql("INSERT INTO graft_q186.db.docs_m SELECT * FROM q186_docs")
+      // MOR upsert wave → delta dirs (+ dstats key ranges)
+      graft.table.WarehouseTable(s"$wh/db/docs_m").merge(s,
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("text", concat(col("text"), lit(" [u]"))),
+        Seq("doc_id"))
+      // position-delete wave → posdel sidecar (erasure count)
+      s.sql("DELETE FROM graft_q186.db.docs_m WHERE doc_id % 13 = 5")
+      s.sql(
+        """SELECT partition, content,
+          |  min(CAST(min_value AS BIGINT)) AS lo,
+          |  max(CAST(max_value AS BIGINT)) AS hi
+          |FROM graft_q186.db.docs_m.stats
+          |WHERE column_name = 'doc_id' AND content IN ('data', 'delta')
+          |GROUP BY partition, content
+          |UNION ALL
+          |SELECT '-' AS partition, 'posdel' AS content,
+          |  coalesce(sum(CAST(min_value AS BIGINT)), 0) AS lo,
+          |  coalesce(sum(CAST(max_value AS BIGINT)), 0) AS hi
+          |FROM graft_q186.db.docs_m.stats
+          |WHERE content = 'posdel'""".stripMargin)
+    }),
+
     // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
     // corpus slices rebase through the optimistic CREATE_NEW-guarded
     // commit — every batch lands exactly once with no coordination, the
@@ -3449,6 +3556,57 @@ object SparkEntry {
           .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
         src.deleteRows(s, col("doc_id") % 7 === 0)
         src.dropPartitions(Seq("de"))
+      }
+      val (view, ckpt) = resetAggView(base)
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang"), Seq("n_chars"), ckpt.toString,
+        minMaxCols = Seq("n_chars"))
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(col("lang"), col("n"), col("sum_n_chars"),
+          col("min_n_chars"), col("max_n_chars"))
+    }),
+
+    // q183's MIN/MAX recompute-on-regress over a MOR source — the half
+    // q183's COW fixture cannot stress: equality-delete waves regress
+    // extremes through keyed −old arbitration, one group is EMPTIED
+    // (extremes must NULL) and then RESURRECTED (extremes must restart
+    // from the insert fold alone), and a position-delete wave lands
+    // last. The source is unpartitioned and key-clustered, so the
+    // regress recompute cannot partition-prune either — it must bound
+    // itself by the broadcast left-semi + derived key-range filters
+    // (the q181 mechanism). The view must equal the plain GROUP BY over
+    // the source's final state exactly.
+    "q185_agg_view_minmax_mor" -> ((s, dir) => {
+      val base = scratchPath("q185", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        src.create(docs.schema, None,
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+            ("compact.delta.threshold" -> "0"))
+        src.merge(s, docs, Seq("doc_id"))
+        src.clusterBase(s, "doc_id", 8)
+        // update wave: %4 docs +7 — the old versions' −feed can reach
+        // stored extremes (regress without any delete)
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
+        // equality-delete wave: extreme-attaining rows leave
+        src.deleteKeysMor(s,
+          docs.filter(col("doc_id") % 7 === 0 && col("lang") =!= "de")
+            .select("doc_id"),
+          Seq("doc_id"))
+        // empty the 'de' group entirely — its extremes must NULL
+        src.deleteKeysMor(s,
+          docs.filter(col("lang") === "de").select("doc_id"), Seq("doc_id"))
+        // resurrect a third of it with rescaled values — extremes restart
+        src.merge(s, docs
+          .filter(col("lang") === "de" && col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") * 2), Seq("doc_id"))
+        // position-delete flavor last
+        src.deleteWhereMor(s, col("doc_id") % 11 === 3)
       }
       val (view, ckpt) = resetAggView(base)
       val q = graft.streaming.StreamingIngest.startAggView(
@@ -4860,6 +5018,25 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS max_n_chars
         |FROM fin GROUP BY 1""".stripMargin,
 
+    // q183's extremes over the MOR history: update wave, keyed deletes,
+    // an emptied-then-resurrected group, a closing posdel wave
+    "q185_agg_view_minmax_mor" ->
+      """WITH fin AS (
+        |  SELECT lang,
+        |    CASE WHEN lang = 'de' THEN n_chars * 2
+        |         WHEN doc_id % 4 = 0 THEN n_chars + 7
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 11 <> 3
+        |    AND ((lang = 'de' AND doc_id % 3 = 0)
+        |      OR (lang <> 'de' AND doc_id % 7 <> 0))
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_n_chars
+        |FROM fin GROUP BY 1""".stripMargin,
+
     // the incrementally-maintained view must equal the plain GROUP BY
     // over the source's final state
     "q173_incremental_agg_view" ->
@@ -4930,6 +5107,27 @@ object SparkEntry {
       """SELECT lang AS partition, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the string BETWEEN range covers exactly the 'en' rows — and the
+    // fixture destroyed every other language's files, so a match PROVES
+    // the pushed string filters pruned those dirs from the plan
+    "q187_string_skipping" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE lang = 'en'""".stripMargin,
+
+    // the MOR overlay's relational truth: base ranges = the corpus,
+    // delta ranges = the %4 upsert wave per partition, posdel count =
+    // the %13 wave's live victims (one resolved row per key)
+    "q186_stats_delta_meta" ->
+      """SELECT lang AS partition, 'data' AS content,
+        |  min(doc_id) AS lo, max(doc_id) AS hi
+        |FROM documents GROUP BY 1, 2
+        |UNION ALL
+        |SELECT lang, 'delta', min(doc_id), max(doc_id)
+        |FROM documents WHERE doc_id % 4 = 0 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '-', 'posdel', count(*), count(*)
+        |FROM documents WHERE doc_id % 13 = 5""".stripMargin,
 
     // same physical-count algebra as q172 (delete-free COW: physical ≡
     // logical), read through the SQL metadata relation; the discarded
