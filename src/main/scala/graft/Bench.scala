@@ -131,11 +131,6 @@ object Bench {
     // newest bench_results_r*.json in the cwd. Ratios ship in the JSON;
     // movers beyond ±35% print to stderr alongside the calibration
     // number needed to tell box drift from code drift.
-    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
-      Option(new java.io.File(".").listFiles()).map(_.toSeq).getOrElse(Nil)
-        .map(_.getName).filter(_.matches("bench_results_r\\d+\\.json"))
-        .sortBy(n => n.replaceAll("\\D", "").toInt).lastOption
-    }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     // the prev file must be the SAME scale factor: an sf1 archive in the
     // cwd of an sf10 run would ship garbage ratios and flag every query
     // as a mover. Both JSONs carry "sf" (an sfDir path) — compare the
@@ -145,6 +140,31 @@ object Bench {
         dir.substring(dir.lastIndexOf('/') + 1)).toSeq
       if (m.nonEmpty) m.last else dir
     }
+    def sfOfFile(p: String): Option[String] =
+      try {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(p))) \ "sf" match {
+          case JString(s) => Some(sfToken(s))
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
+    // auto-discovery matches the newest SAME-SF archive: headline sweeps
+    // compare to bench_results_r*, the sf1/sf10 LADDER artifacts to their
+    // own bench_sf{N}_r* lineage — so the ladder JSONs stop being raw
+    // seconds across rounds on a drifting box (each now ships its own
+    // calibration + per-query ratio table, same as the sf0.1 suite)
+    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .orElse {
+        val roundRe = "_r(\\d+)[a-z]?\\.json$".r
+        Option(new java.io.File(".").listFiles()).map(_.toSeq).getOrElse(Nil)
+          .map(_.getName)
+          .filter(_.matches("bench(_results|_sf[0-9.]+)_r\\d+[a-z]?\\.json"))
+          .sortBy(n => roundRe.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(-1))
+          .reverse
+          .find(p => sfOfFile(p).contains(sfToken(sfDir)))
+      }
     val prevParsed: Option[(Map[String, Double], Option[Double])] =
       prevFile.flatMap { p =>
         try {

@@ -128,14 +128,22 @@ object WarehouseLadder {
     }
 
     if (mode == "meta") {
-      // many-commit table: each append lands one dir of ~32 files
+      // many-commit table: each append lands one dir of ~32 files. The
+      // commits are SYNTHETIC one-row files — the harvest bill is per
+      // FOOTER, so tiny files scale the population to 20k+ (640 waves)
+      // without corpus-sized writes; at small SFs a corpus slice would
+      // collapse to 2–3 non-empty files per commit and never reach the
+      // regime the DistributeThreshold crossover claim is about.
       val t = graft.table.WarehouseTable(s"$root/meta")
       t.create(docs.schema, None,
         graft.table.WarehouseTable.tableProperties("COW", "snappy"))
       val nCommits = math.max(waves, 32)
       (0 until nCommits).foreach { i =>
-        t.append(docs.filter(pmod(col("doc_id"), lit(nCommits)) === i)
-          .repartition(32))
+        t.append(spark.range(i * 32L, i * 32L + 32L)
+          .select(col("id").as("doc_id"),
+            lit("xx").cast(docs.schema("lang").dataType).as("lang"),
+            lit(1L).cast(docs.schema("n_chars").dataType).as("n_chars"))
+          .repartitionByRange(32, col("doc_id")))
       }
       val m = spark.read.parquet(s"$root/meta/data/*") // force fs cache warm
       m.count()
