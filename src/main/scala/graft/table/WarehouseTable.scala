@@ -1872,6 +1872,41 @@ final class WarehouseTable(val root: String) {
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val slice = read(spark)
+    if (meta.schema(clusterCol).dataType ==
+        org.apache.spark.sql.types.StringType) {
+      // STRING keys (domain, lang, url prefix — the natural cluster keys
+      // of a text corpus) have no approxQuantile: cuts come from a
+      // deterministic sample sorted in UTF-8 BYTE order (Spark compares
+      // UTF8String bytes, not Java UTF-16 code units — a Java-sorted cut
+      // list would mis-route supplementary-plane keys). Sample-derived
+      // equi-depth is the RangePartitioner move: the layout contract is
+      // range DISJOINTNESS (what pruning needs); balance is best-effort.
+      val vals = slice.na.drop(Seq(clusterCol))
+        .select(col(clusterCol).cast("string"))
+      val n = vals.count()
+      val frac = math.min(1.0, (nBuckets * 256.0) / math.max(n.toDouble, 1.0))
+      val utf8Ord: Ordering[String] = (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+      val sampled = vals.sample(withReplacement = false, frac, seed = 42L)
+        .collect().map(_.getString(0)).sorted(utf8Ord)
+      require(sampled.nonEmpty,
+        s"cluster column '$clusterCol' has no non-null values to cut on")
+      val cuts: Seq[String] = (1 until nBuckets)
+        .map(i => sampled(math.min(i * sampled.length / nBuckets,
+          sampled.length - 1)))
+        .distinct.sorted(utf8Ord)
+      // cuts are arbitrary strings — URL-encode each so the persisted
+      // comma-joined property round-trips commas/newlines in keys
+      setProperties(Map(
+        "cluster.kind" -> "srange",
+        "cluster.col" -> clusterCol,
+        "cluster.cuts" -> cuts.map(c =>
+          java.net.URLEncoder.encode(c, "UTF-8")).mkString(",")))
+      commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts),
+        nBuckets)
+      return
+    }
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val cuts = slice.na.drop(Seq(clusterCol))
       .stat.approxQuantile(clusterCol, probs, 0.0) // err 0 ⇒ exact cuts
@@ -1886,8 +1921,11 @@ final class WarehouseTable(val root: String) {
     commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts), nBuckets)
   }
 
-  /** Bucket id for a value under frozen equi-depth cuts (nulls → 0). */
-  private def rangeBucketExpr(clusterCol: String, cuts: Seq[Double]): Column = {
+  /** Bucket id for a value under frozen equi-depth cuts (nulls → 0);
+    * cuts are numeric OR string literals — Spark's `<=` compares each in
+    * its own domain (strings by UTF8 bytes, matching the cut sort).
+    */
+  private def rangeBucketExpr(clusterCol: String, cuts: Seq[Any]): Column = {
     val c = col(clusterCol)
     cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
       case ((cut, i), rest) =>
@@ -1930,6 +1968,12 @@ final class WarehouseTable(val root: String) {
         val cc = meta.properties("cluster.col")
         val cuts = meta.properties("cluster.cuts")
           .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
+        rangeBucketExpr(cc, cuts)
+      case Some("srange") =>
+        val cc = meta.properties("cluster.col")
+        val cuts = meta.properties("cluster.cuts")
+          .split(",").filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
         rangeBucketExpr(cc, cuts)
       case Some("z") =>
         val cols = meta.properties("cluster.cols").split(",").toSeq

@@ -1183,6 +1183,62 @@ class WarehouseTableSpec extends SparkSpec {
     assert(got == before.filter(_ > 900))
   }
 
+  test("clusterBase on a STRING column: sampled UTF-8-ordered cuts, selective pruning, appends route through frozen cuts") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("sclust"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("skey", StringType)))
+    t.create(sch, None, Map.empty)
+    def key(i: Int) = f"dom-$i%04d.example"
+    // interleaved appends: every dir spans the whole string domain
+    val rnd = new scala.util.Random(11)
+    val all = rnd.shuffle((1 to 800).toList)
+    all.grouped(200).foreach { ids =>
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => Row(i, key(i))), 2), sch))
+    }
+    val before = t.read(spark).collect().map(_.getInt(0)).sorted.toSeq
+    val filt = Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("skey", key(1)),
+      org.apache.spark.sql.sources.LessThanOrEqual("skey", key(100)))
+    val filesBefore = t.read(spark, dataFilters = filt).inputFiles.length
+    t.clusterBase(spark, "skey", 8)
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == before,
+      "string clustering changed the data")
+    val filesAfter = t.read(spark, dataFilters = filt).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"string stats pruning should plan fewer files after clustering " +
+        s"($filesAfter vs $filesBefore)")
+    val got = t.read(spark, dataFilters = filt)
+      .filter(org.apache.spark.sql.functions.col("skey")
+        .between(key(1), key(100)))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (1 to 100).toSeq)
+    // arrivals route through the FROZEN string cuts: pruning stays
+    // selective with no base rewrite, and the appended keys read back
+    t.clusterAppend(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (801 to 1000).map(i => Row(i, key(i))), 2), sch))
+    val allFiles = t.read(spark).inputFiles.length
+    val prunedFiles = t.read(spark, dataFilters = filt).inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"pruning decayed after clusterAppend ($prunedFiles vs $allFiles)")
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 1000).toSeq)
+    // a comma-bearing key survives the persisted-cuts round trip (cuts
+    // are URL-encoded in the table property)
+    val t2 = WarehouseTable(tmpDir("sclust2"))
+    t2.create(sch, None, Map.empty)
+    t2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 100).map(i => Row(i, f"k,$i%03d")), 2), sch))
+    t2.clusterBase(spark, "skey", 4)
+    t2.clusterAppend(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(101, "k,zzz")), 1), sch))
+    assert(t2.read(spark).count() == 101)
+  }
+
   test("clusterBaseZ: one layout prunes on BOTH clustered columns; contents unchanged") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("zord"))
