@@ -145,14 +145,15 @@ object WarehouseLadder {
             lit(1L).cast(docs.schema("n_chars").dataType).as("n_chars"))
           .repartitionByRange(32, col("doc_id")))
       }
-      val m = spark.read.parquet(s"$root/meta/data/*") // force fs cache warm
-      m.count()
       val dirs = {
         import scala.jdk.CollectionConverters._
         val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/meta/data"))
         try l.iterator().asScala.map(p => s"data/${p.getFileName}").toList
         finally l.close()
       }
+      // force fs cache warm over every dir (explicit paths — a `data/*`
+      // glob resolves inconsistently across launch modes)
+      spark.read.parquet(dirs.map(d => s"$root/meta/$d"): _*).count()
       def time[T](f: => T): (Double, T) = {
         val t0 = System.nanoTime(); val r = f
         ((System.nanoTime() - t0) / 1e9, r)
