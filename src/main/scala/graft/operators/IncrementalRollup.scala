@@ -75,12 +75,16 @@ object IncrementalRollup {
       case "max" => greatest(col(s"__t_$c"), col(c))
     }
     val fresh = col(s"__t_$BatchCol") < lit(batchId)
+    // nullSafeKeys: the rollup's keys are GROUP identities — a NULL
+    // group is a real group (groupBy put it there) and must FOLD, not
+    // re-insert a fresh row every window (ANSI merge equality would)
     table.mergeClauses(spark, delta, keys, MergeInto.MergeClauses(
       matched = Seq(MergeInto.UpdateClause(Some(fresh),
         measures.map(c => c -> fold(c)).toMap + (BatchCol -> lit(batchId)))),
       notMatched = Seq(MergeInto.InsertClause(None,
         (keys ++ measures).map(c => c -> col(c)).toMap +
-          (BatchCol -> lit(batchId))))))
+          (BatchCol -> lit(batchId))))),
+      nullSafeKeys = true)
   }
 
   /** The rollup's user-facing read: measures per key, marker dropped. */

@@ -81,23 +81,33 @@ object MergeInto {
       notMatched = Seq(InsertClause(None, columns.map(c => c -> col(c)).toMap)))
 
   /** Execute a [[MergeClauses]] program: one full-outer join on the keys
-    * (standard SQL equality — null keys never match, as in Iceberg/ANSI
-    * MERGE), then row arbitration as a single codegen'd CASE cascade. The
-    * caller guarantees ≤1 source row per key (Iceberg's multiple-match
-    * precondition); output column order/types follow the target schema.
+    * (standard SQL equality by default — null keys never match, as in
+    * Iceberg/ANSI MERGE), then row arbitration as a single codegen'd
+    * CASE cascade. The caller guarantees ≤1 source row per key
+    * (Iceberg's multiple-match precondition); output column order/types
+    * follow the target schema.
+    *
+    * `nullSafeKeys` switches the join to `<=>`: the right semantics when
+    * the keys are GROUP identities rather than ANSI merge keys — a
+    * grouped rollup legitimately carries a NULL group, and under ANSI
+    * equality every maintenance window would re-INSERT it as a fresh
+    * row instead of folding (the bug the null-group agg-view spec pins).
     */
   def applyClauses(
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
-      clauses: MergeClauses): DataFrame = {
+      clauses: MergeClauses,
+      nullSafeKeys: Boolean = false): DataFrame = {
     val tCols = target.columns.toIndexedSeq
     require(!tCols.exists(source.columns.map("__t_" + _).contains),
       "source columns may not start with __t_ (reserved for target refs)")
     val t = target.select(
       (tCols.map(c => col(c).as(s"__t_$c")) :+ lit(true).as("__t_p")): _*)
     val s = source.withColumn("__s_p", lit(true))
-    val joinCond = keys.map(k => t(s"__t_$k") === s(k)).reduce(_ && _)
+    val joinCond = keys.map(k =>
+      if (nullSafeKeys) t(s"__t_$k") <=> s(k) else t(s"__t_$k") === s(k))
+      .reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
     val tPresent = col("__t_p").isNotNull

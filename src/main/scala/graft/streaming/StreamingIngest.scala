@@ -2445,7 +2445,8 @@ object StreamingIngest {
                     minMaxCols.flatMap(c => Seq(
                       s"min_$c" -> col(s"min_$c"),
                       s"max_$c" -> col(s"max_$c"))).toMap)),
-                  notMatched = Nil))
+                  notMatched = Nil),
+                nullSafeKeys = true) // group identities, not ANSI keys
             }
           }
           writeCursor(target)
@@ -2492,9 +2493,13 @@ object StreamingIngest {
       target: Long): DataFrame = {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     import org.apache.spark.sql.types._
+    // the partition fast path stays non-null-only: a null partition
+    // value's dir naming is layout-dependent, so a null needing key
+    // falls back to the (sound) unpruned read + semi-join
     val parts: Option[Seq[Any]] =
       if (groupKeys.size == 1 &&
-          source.partitionColumn.contains(groupKeys.head))
+          source.partitionColumn.contains(groupKeys.head) &&
+          !needKeys.exists(_.isNullAt(0)))
         Some(needKeys.map(_.get(0)).toSeq)
       else None
     val rangeFilters = groupKeys.zipWithIndex.flatMap { case (k, i) =>
@@ -2516,12 +2521,29 @@ object StreamingIngest {
     val recAggs = minMaxCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"min_$c"),
       max(col(c).cast("long")).as(s"max_$c")))
+    // NULL-SAFE (<=>) join conditions throughout: the view's fold path
+    // already matches null group keys null-safely (MergeInto's <=>
+    // condition), so a grouped view CAN carry a NULL group — a plain
+    // equi-join here would silently drop that group from the truth read
+    // and wrongly NULL its extremes whenever it regresses (the old
+    // OR-chain predicate had exactly this hole: `k === lit(null)` never
+    // matches)
+    val nd = broadcast(needDf).alias("nd")
+    val semiCond = groupKeys.map(k =>
+      col(s"src.$k") <=> col(s"nd.$k")).reduce(_ && _)
     val truth = source.read(spark, parts, dataFilters = rangeFilters,
-        asOf = Some(target))
-      .join(broadcast(needDf), groupKeys.toSeq, "left_semi")
+        asOf = Some(target)).alias("src")
+      .join(nd, semiCond, "left_semi")
       .groupBy(groupKeys.map(col): _*)
       .agg(recAggs.head, recAggs.tail: _*)
-    needDf.join(truth, groupKeys.toSeq, "left")
+      .alias("t")
+    val recCond = groupKeys.map(k =>
+      col(s"n.$k") <=> col(s"t.$k")).reduce(_ && _)
+    needDf.alias("n").join(truth, recCond, "left")
+      .select(groupKeys.map(k => col(s"n.$k").as(k)) ++
+        minMaxCols.flatMap(c => Seq(
+          col(s"t.min_$c").as(s"min_$c"),
+          col(s"t.max_$c").as(s"max_$c"))): _*)
   }
 
   /** The aggregate view's user-facing read: per-group `n` (live count)

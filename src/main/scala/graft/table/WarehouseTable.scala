@@ -1658,7 +1658,8 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession,
       source: DataFrame,
       keys: Seq[String],
-      clauses: MergeInto.MergeClauses): Unit = {
+      clauses: MergeInto.MergeClauses,
+      nullSafeKeys: Boolean = false): Unit = {
     val meta = readMeta()
     // which partitions can the program WRITE rows into?
     //  - insert clauses: evaluate each clause's value for the partition
@@ -1681,7 +1682,8 @@ final class WarehouseTable(val root: String) {
       }.toSet)
     }
     mergeCowWith(spark, source, keys, meta, alignSource = false, writtenParts,
-      (target, src) => MergeInto.applyClauses(target, src, keys, clauses))
+      (target, src) =>
+        MergeInto.applyClauses(target, src, keys, clauses, nullSafeKeys))
   }
 
   /** Copy-on-write merge (partition-pruned rewrite — see class docs). */

@@ -1482,6 +1482,44 @@ class StreamingIngestSpec extends SparkSpec {
         "— the key-range stats prune did not fire")
   }
 
+  test("min/max agg view: a NULL group key folds AND recomputes null-safely") {
+    import org.apache.spark.sql.Row
+    // the fold path matches null group keys null-safely (MergeInto's
+    // <=>); the recompute must too — a plain equi-join would drop the
+    // null group from the truth read and wrongly NULL its extremes
+    // the moment it regresses, even with live rows remaining
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", StringType, nullable = true),
+      StructField("v", IntegerType, nullable = false)))
+    def df(rows: Seq[(Long, String, Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, g, v) => Row(i, g, v) }, 2), sch)
+    val src = graft.table.WarehouseTable(tmpDir("mmnull") + "/src")
+    src.create(sch, None,
+      graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    src.merge(spark, df(Seq((1L, null, 10), (2L, null, 20),
+      (3L, "a", 30), (4L, "a", 40))), Seq("id"))
+    // each delete regresses its group's min: the null group MUST take
+    // the recompute path and land 20, not NULL
+    src.deleteKeysMor(spark, df(Seq((1L, null, 0))).select("id"), Seq("id"))
+    src.deleteKeysMor(spark, df(Seq((3L, "a", 0))).select("id"), Seq("id"))
+    val view = graft.table.WarehouseTable(tmpDir("mmnull") + "/view")
+    val q = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), tmpDir("mmnull_ckpt"),
+      minMaxCols = Seq("v"))
+    q.awaitTermination(240000)
+    val got = StreamingIngest.readAggView(spark, view)
+      .select("g", "n", "sum_v", "min_v", "max_v").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      (None, 1L, 20L, Some(20L), Some(20L)),
+      (Some("a"), 1L, 40L, Some(40L), Some(40L))),
+      s"null-group view diverged: $got")
+  }
+
   test("min/max recompute: a wide delete wave regressing >10^4 groups completes without an analyzer stall") {
     import org.apache.spark.sql.Row
     val nGroups = 12000
