@@ -58,6 +58,40 @@ object TableStats {
     }.toMap
   }
 
+  /** Footer-recorded null counts summed over `cols` across the dirs'
+    * parquet files — footer-priced like [[collect]], no data pages. The
+    * post-write pre-commit guard the MOR delta paths use to enforce the
+    * Iceberg identifier-field contract (merge keys NOT NULL) with ZERO
+    * extra scans: the files were just written, their footers already
+    * carry the answer. Unknown statistics count as zero (never a false
+    * refusal; Spark-written parquet always records null counts).
+    */
+  def nullCount(root: String, relDirs: Seq[String], cols: Set[String]): Long = {
+    val conf = new Configuration()
+    relDirs.map { rel =>
+      val dir = Paths.get(root, rel)
+      if (!Files.isDirectory(dir)) 0L
+      else {
+        val listing = Files.list(dir)
+        val files =
+          try listing.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+          finally listing.close()
+        files.map { f =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+          try reader.getFooter.getBlocks.asScala.map(
+            _.getColumns.asScala
+              .filter(c => cols.contains(c.getPath.toDotString))
+              .map { c =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet) 0L else st.getNumNulls
+              }.sum).sum
+          finally reader.close()
+        }.sum
+      }
+    }.sum
+  }
+
   /** (files, rows, bytes) per dir — parquet FOOTER record counts plus fs
     * metadata, no data pages read: the material for an Iceberg-style
     * `partitions` metadata table. Cost: one footer open per file, the

@@ -1426,6 +1426,37 @@ final class WarehouseTable(val root: String) {
     }
   }
 
+  /** Iceberg's identifier-field contract: merge keys are row IDENTITY
+    * and must be NON-NULL. Delta arbitration (a groupBy) would treat all
+    * null-keyed rows as ONE identity while the gross feed's and COW
+    * matched-key semi-joins (ANSI equality) never match them — there is
+    * no consistent null-key semantics, which is exactly why Iceberg
+    * forbids nullable identifier fields. Enforced FOOTER-PRICED on the
+    * just-written delta dirs (their footers already carry per-column
+    * null counts — zero extra scans), pre-commit so a refusal leaves no
+    * manifest trace: the written dirs are swept before throwing.
+    */
+  private def requireKeysNotNull(
+      added: Map[String, List[String]], keys: Seq[String]): Unit = {
+    val dirs = added.values.flatten.toSeq
+    val n = TableStats.nullCount(root, dirs, keys.toSet)
+    if (n > 0) {
+      dirs.foreach { rel =>
+        val d = rootPath.resolve(rel)
+        if (Files.exists(d)) {
+          val walk = Files.walk(d)
+          try { import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          } finally walk.close()
+        }
+      }
+      throw new IllegalArgumentException(
+        s"merge keys ${keys.mkString(", ")} carry $n NULL value(s) — " +
+          "identifier fields must be non-null (Iceberg's identifier-field " +
+          "contract); filter or coalesce the batch's keys first")
+    }
+  }
+
   /** Merge-on-read: the deduped batch is APPENDED as a delta — O(batch)
     * write, no target read at all; arbitration happens at read time
     * (newest delta sequence wins per key). [[compact]] folds deltas back
@@ -1443,6 +1474,7 @@ final class WarehouseTable(val root: String) {
     val src = source.withColumn(TombstoneCol,
       coalesce(deleteWhere.getOrElse(lit(false)), lit(false)))
     val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
+    requireKeysNotNull(added, keys)
     commitRebasable { old =>
       val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
       Manifest(old.base, old.deltas :+ Delta(seq, added),
@@ -1504,6 +1536,7 @@ final class WarehouseTable(val root: String) {
     val src = keyRows.select(keys.map(col): _*).distinct()
       .withColumn(TombstoneCol, lit(true))
     val (added, stats) = writeDataDir(src, meta, extraCols = Seq(TombstoneCol))
+    requireKeysNotNull(added, keys)
     commitRebasable { old =>
       val seq = old.deltas.map(_.seq).maxOption.getOrElse(0L) + 1
       Manifest(old.base, old.deltas :+ Delta(seq, added),
@@ -1683,7 +1716,8 @@ final class WarehouseTable(val root: String) {
     }
     mergeCowWith(spark, source, keys, meta, alignSource = false, writtenParts,
       (target, src) =>
-        MergeInto.applyClauses(target, src, keys, clauses, nullSafeKeys))
+        MergeInto.applyClauses(target, src, keys, clauses, nullSafeKeys),
+      enforceKeyNotNull = !nullSafeKeys)
   }
 
   /** Copy-on-write merge (partition-pruned rewrite — see class docs). */
@@ -1712,7 +1746,8 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession, source: DataFrame, keys: Seq[String], meta: Meta,
       alignSource: Boolean,
       srcPartsFn: (DataFrame, String) => Option[Set[String]],
-      upsert: (DataFrame, DataFrame) => DataFrame): Unit = {
+      upsert: (DataFrame, DataFrame) => DataFrame,
+      enforceKeyNotNull: Boolean = true): Unit = {
     // COW merges record their keys too: inert for reads (arbitration
     // only runs over deltas), but [[changesSince]] needs the identity to
     // diff a rewrite commit's removed dirs against its re-landed rows
@@ -1723,6 +1758,15 @@ final class WarehouseTable(val root: String) {
     val old = readManifest(cur)
     val src = (if (alignSource) alignToSchema(source, meta.schema) else source).cache()
     try {
+      // same identifier-field contract as the MOR delta paths (see
+      // requireKeysNotNull); one cheap pass over the CACHED batch. The
+      // null-safe group-identity callers (the rollup fold) opt out.
+      if (enforceKeyNotNull && keys.nonEmpty &&
+          !src.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+        throw new IllegalArgumentException(
+          s"merge keys ${keys.mkString(", ")} carry NULL value(s) — " +
+            "identifier fields must be non-null (Iceberg's identifier-" +
+            "field contract); filter or coalesce the batch's keys first")
       meta.partition match {
         case None =>
           val target = read(spark)

@@ -898,6 +898,58 @@ class WarehouseTableSpec extends SparkSpec {
     assert(touched.size > keySpan / 2, "seed produced a degenerate run")
   }
 
+  test("merge keys are identifier fields: NULL keys refuse loudly on every merge path, leaving no trace") {
+    import org.apache.spark.sql.Row
+    val sch = StructType(Seq(
+      StructField("k", IntegerType, nullable = true),
+      StructField("v", StringType)))
+    def df(rows: (Integer, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (k, v) => Row(k, v) }, 2), sch)
+    def dataDirs(t: WarehouseTable): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(t.root, "data")
+      if (!java.nio.file.Files.isDirectory(d)) Set.empty
+      else {
+        val l = java.nio.file.Files.list(d)
+        try l.iterator().asScala.map(_.getFileName.toString).toSet
+        finally l.close()
+      }
+    }
+    // MOR: delta-path refusal is footer-priced and pre-commit
+    val m = WarehouseTable(tmpDir("nullkey_mor"))
+    m.create(sch, None,
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    m.merge(spark, df((1, "a"), (2, "b")), Seq("k"))
+    val snap = m.currentSnapshotId
+    val dirs = dataDirs(m)
+    val e1 = intercept[IllegalArgumentException] {
+      m.merge(spark, df((3, "c"), (null, "boom")), Seq("k"))
+    }
+    assert(e1.getMessage.contains("identifier"))
+    assert(m.currentSnapshotId == snap, "refused merge moved the snapshot")
+    assert(dataDirs(m) == dirs, "refused merge left orphan delta dirs")
+    val e2 = intercept[IllegalArgumentException] {
+      m.deleteKeysMor(spark, df((null, "x")).select("k"), Seq("k"))
+    }
+    assert(e2.getMessage.contains("identifier"))
+    assert(m.currentSnapshotId == snap && dataDirs(m) == dirs)
+    assert(m.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSet == Set((1, "a"), (2, "b")))
+    // COW: same contract, guarded on the cached batch pre-write
+    val c = WarehouseTable(tmpDir("nullkey_cow"))
+    c.create(sch, None, Map.empty)
+    c.merge(spark, df((1, "a")), Seq("k"))
+    val cSnap = c.currentSnapshotId
+    intercept[IllegalArgumentException] {
+      c.merge(spark, df((null, "boom")), Seq("k"))
+    }
+    assert(c.currentSnapshotId == cSnap)
+    assert(c.read(spark).collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSet == Set((1, "a")))
+  }
+
   test("TIMESTAMP AS OF resolution binary-searches the id range: O(log n) manifest parses on a 100-commit table") {
     import org.apache.spark.sql.Row
     val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
