@@ -3312,6 +3312,44 @@ object SparkEntry {
           |WHERE lang_key BETWEEN 'en#' AND 'en#~'""".stripMargin)
     }),
 
+    // NULL GROUP KEY through the incremental aggregate view — the gate
+    // for a real bug: the rollup's maintenance merge ran under ANSI key
+    // equality (null never matches), so a NULL group re-INSERTED a fresh
+    // row every window instead of folding, and the min/max recompute's
+    // equi-joins dropped it from the truth read. Group keys are
+    // identities, not ANSI merge keys: the fold and recompute now match
+    // them null-safely (<=>). The view over a history whose group key is
+    // nullif(lang,'de') — so one group IS null — must equal the plain
+    // GROUP BY exactly, extremes included, across an update wave and a
+    // delete wave that regresses the null group too.
+    "q188_agg_view_null_group" -> ((s, dir) => {
+      val base = scratchPath("q188", dir)
+      val src = graft.table.WarehouseTable(base + "/src")
+      if (atRestBuilt.add(base + "/src")) {
+        src.drop()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            nullif(col("lang"), lit("de")).as("lang_n"), col("n_chars"))
+        src.create(docs.schema, None,
+          graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+            ("compact.delta.threshold" -> "0"))
+        src.merge(s, docs, Seq("doc_id"))
+        src.merge(s, docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 7), Seq("doc_id"))
+        src.deleteKeysMor(s,
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+          Seq("doc_id"))
+      }
+      val (view, ckpt) = resetAggView(base)
+      val q = graft.streaming.StreamingIngest.startAggView(
+        s, src, view, Seq("lang_n"), Seq("n_chars"), ckpt.toString,
+        minMaxCols = Seq("n_chars"))
+      q.awaitTermination(600000)
+      graft.streaming.StreamingIngest.readAggView(s, view)
+        .select(coalesce(col("lang_n"), lit("-")).as("grp"), col("n"),
+          col("sum_n_chars"), col("min_n_chars"), col("max_n_chars"))
+    }),
+
     // q182 exposed the BASE layout; this gate exposes the MOR overlay —
     // the rows a 100 TB operator reads to decide when to compact. A MOR
     // upsert wave lands delta dirs whose manifest-recorded key ranges
@@ -5107,6 +5145,21 @@ object SparkEntry {
       """SELECT lang AS partition, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the null group (lang 'de' nullified) must fold and recompute like
+    // any other group — never duplicate, never NULL its live extremes
+    "q188_agg_view_null_group" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang_n,
+        |    CASE WHEN doc_id % 4 = 0 THEN n_chars + 7
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |)
+        |SELECT coalesce(lang_n, '-') AS grp, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_n_chars
+        |FROM fin GROUP BY 1""".stripMargin,
 
     // the string BETWEEN range covers exactly the 'en' rows — and the
     // fixture destroyed every other language's files, so a match PROVES
