@@ -2430,8 +2430,15 @@ object StreamingIngest {
               (col(s"__delmax_$c") >=
                 coalesce(col(s"__post_max_$c"), col(s"__delmax_$c"))))
               .reduce(_ || _)
-            val needKeys = w.join(post, groupKeys.toSeq, "left")
-              .filter(needCond).select(groupKeys.map(col): _*).collect()
+            // null-safe key match (a NULL group is a real group — see
+            // regressedTruth): ANSI equality here would flag it as
+            // regressed on EVERY delete-carrying window (conservative
+            // but a spurious recompute per window)
+            val needKeys = w.alias("w").join(post.alias("p"),
+                groupKeys.map(k => col(s"w.$k") <=> col(s"p.$k"))
+                  .reduce(_ && _), "left")
+              .filter(needCond)
+              .select(groupKeys.map(k => col(s"w.$k").as(k)): _*).collect()
             if (needKeys.nonEmpty) {
               val needDf = spark.createDataFrame(
                 java.util.Arrays.asList(needKeys: _*),
