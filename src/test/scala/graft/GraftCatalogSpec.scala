@@ -653,6 +653,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.cl")
   }
 
+  test("CALL cluster on a STRING column: SQL-clustered string layout prunes range reads") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.sct (id BIGINT, skey STRING)")
+    spark.sql(
+      """INSERT INTO graft.db.sct
+        |SELECT id, concat('dom-', lpad(cast(id AS string), 4, '0'))
+        |FROM range(1, 401)""".stripMargin)
+    val before = spark.sql("SELECT id FROM graft.db.sct")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    spark.sql("CALL graft.system.cluster('db.sct', 'skey', 4)")
+    assert(spark.sql("SELECT id FROM graft.db.sct")
+      .collect().map(_.getLong(0)).sorted.toSeq == before)
+    val wt = graft.table.WarehouseTable(s"$wh/db/sct")
+    val all = wt.read(spark).inputFiles.length
+    val f = Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("skey", "dom-0001"),
+      org.apache.spark.sql.sources.LessThanOrEqual("skey", "dom-0050"))
+    assert(wt.read(spark, dataFilters = f).inputFiles.length < all,
+      "SQL-clustered string layout did not prune")
+    // and through the SQL read path (pushed BETWEEN)
+    val out = spark.sql(
+      """SELECT id FROM graft.db.sct
+        |WHERE skey BETWEEN 'dom-0001' AND 'dom-0050'
+        |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(out == (1L to 50L).toSeq)
+    spark.sql("DROP TABLE graft.db.sct")
+  }
+
   test("CALL evolve_partition + rewrite_to_current_spec: SQL spec evolution with pay-once migration") {
     val wh = warehouse // force catalog registration
     spark.sql("CREATE TABLE graft.db.evo (k INT, state STRING)")
