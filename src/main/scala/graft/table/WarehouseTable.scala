@@ -1920,28 +1920,7 @@ final class WarehouseTable(val root: String) {
     val slice = read(spark)
     if (meta.schema(clusterCol).dataType ==
         org.apache.spark.sql.types.StringType) {
-      // STRING keys (domain, lang, url prefix — the natural cluster keys
-      // of a text corpus) have no approxQuantile: cuts come from a
-      // deterministic sample sorted in UTF-8 BYTE order (Spark compares
-      // UTF8String bytes, not Java UTF-16 code units — a Java-sorted cut
-      // list would mis-route supplementary-plane keys). Sample-derived
-      // equi-depth is the RangePartitioner move: the layout contract is
-      // range DISJOINTNESS (what pruning needs); balance is best-effort.
-      val vals = slice.na.drop(Seq(clusterCol))
-        .select(col(clusterCol).cast("string"))
-      val n = vals.count()
-      val frac = math.min(1.0, (nBuckets * 256.0) / math.max(n.toDouble, 1.0))
-      val utf8Ord: Ordering[String] = (a: String, b: String) =>
-        java.util.Arrays.compareUnsigned(
-          a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
-      val sampled = vals.sample(withReplacement = false, frac, seed = 42L)
-        .collect().map(_.getString(0)).sorted(utf8Ord)
-      require(sampled.nonEmpty,
-        s"cluster column '$clusterCol' has no non-null values to cut on")
-      val cuts: Seq[String] = (1 until nBuckets)
-        .map(i => sampled(math.min(i * sampled.length / nBuckets,
-          sampled.length - 1)))
-        .distinct.sorted(utf8Ord)
+      val cuts = stringCuts(slice, clusterCol, nBuckets - 1)
       // cuts are arbitrary strings — URL-encode each so the persisted
       // comma-joined property round-trips commas/newlines in keys
       setProperties(Map(
@@ -1965,6 +1944,35 @@ final class WarehouseTable(val root: String) {
       "cluster.col" -> clusterCol,
       "cluster.cuts" -> cuts.mkString(",")))
     commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts), nBuckets)
+  }
+
+  /** Sample-derived equi-depth cut points for a STRING column — STRING
+    * keys (domain, lang, url prefix: the natural cluster keys of a text
+    * corpus) have no approxQuantile. The sample sorts in UTF-8 BYTE
+    * order (Spark compares UTF8String bytes, not Java UTF-16 code
+    * units — a Java-sorted cut list would mis-route supplementary-plane
+    * keys). Sample-derived equi-depth is the RangePartitioner move: the
+    * layout contract is range DISJOINTNESS (what pruning needs);
+    * balance is best-effort. `nCuts` cut points split into nCuts+1
+    * ranges.
+    */
+  private def stringCuts(
+      slice: DataFrame, cc: String, nCuts: Int): Seq[String] = {
+    val vals = slice.na.drop(Seq(cc)).select(col(cc).cast("string"))
+    val n = vals.count()
+    val frac =
+      math.min(1.0, ((nCuts + 1) * 256.0) / math.max(n.toDouble, 1.0))
+    val utf8Ord: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+    val sampled = vals.sample(withReplacement = false, frac, seed = 42L)
+      .collect().map(_.getString(0)).sorted(utf8Ord)
+    require(sampled.nonEmpty,
+      s"cluster column '$cc' has no non-null values to cut on")
+    (1 to nCuts)
+      .map(i => sampled(math.min(i * sampled.length / (nCuts + 1),
+        sampled.length - 1)))
+      .distinct.sorted(utf8Ord)
   }
 
   /** Bucket id for a value under frozen equi-depth cuts (nulls → 0);
@@ -2026,8 +2034,16 @@ final class WarehouseTable(val root: String) {
         val bits = meta.properties("cluster.bits").toInt
         val per = meta.properties("cluster.per").toLong
         val codes = cols.map { cc =>
-          rangeBucketExpr(cc, meta.properties(s"cluster.cuts.$cc")
-            .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)
+          val raw = meta.properties(s"cluster.cuts.$cc")
+            .split(",").filter(_.nonEmpty)
+          // the SCHEMA says how each column's cuts were persisted —
+          // string cuts URL-encoded, numeric plain (see clusterBaseZ)
+          val cuts: Seq[Any] =
+            if (meta.schema(cc).dataType ==
+                org.apache.spark.sql.types.StringType)
+              raw.map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+            else raw.map(_.toDouble).toSeq
+          rangeBucketExpr(cc, cuts)
         }
         (zInterleave(codes, bits, cols.size) / per).cast("int")
       case _ => throw new IllegalArgumentException(
@@ -2233,9 +2249,13 @@ final class WarehouseTable(val root: String) {
     val slice = read(spark)
     val levels = 1 << bitsPerCol
     val probs = (1 until levels).map(_.toDouble / levels).toArray
-    // per-column level codes via exact equi-depth cuts (nulls -> level 0)
-    val colCuts = clusterCols.map { cc =>
-      cc -> slice.na.drop(Seq(cc))
+    // per-column level codes via exact equi-depth cuts (nulls -> level
+    // 0); STRING columns cut via the sampled UTF-8-ordered path
+    // (domain × lang z-layouts are the text-corpus shape)
+    val colCuts: Seq[(String, Seq[Any])] = clusterCols.map { cc =>
+      if (meta.schema(cc).dataType == org.apache.spark.sql.types.StringType)
+        cc -> stringCuts(slice, cc, levels - 1)
+      else cc -> slice.na.drop(Seq(cc))
         .stat.approxQuantile(cc, probs, 0.0).distinct.sorted.toSeq
     }
     val codes = colCuts.map { case (cc, cuts) => rangeBucketExpr(cc, cuts) }
@@ -2253,7 +2273,14 @@ final class WarehouseTable(val root: String) {
       "cluster.bits" -> bitsPerCol.toString,
       "cluster.per" -> per.toString) ++
       colCuts.map { case (cc, cuts) =>
-        s"cluster.cuts.$cc" -> cuts.mkString(",") })
+        // string cuts URL-encode (arbitrary keys round-trip the
+        // comma-joined property); numeric cuts persist as before
+        s"cluster.cuts.$cc" -> (
+          if (meta.schema(cc).dataType ==
+              org.apache.spark.sql.types.StringType)
+            cuts.map(c =>
+              java.net.URLEncoder.encode(c.toString, "UTF-8")).mkString(",")
+          else cuts.mkString(",")) })
     commitBucketed(meta, cur, slice, (z / per).cast("int"), nBuckets)
   }
 
@@ -2545,8 +2572,10 @@ final class WarehouseTable(val root: String) {
       "cannot rename a partition column (current or prior spec) - its name is in dir paths")
     require(!mergeKeys(meta).exists(_.contains(oldName)),
       "cannot rename a merge key")
-    require(!meta.properties.get("cluster.col").contains(oldName),
-      "cannot rename the frozen cluster column")
+    require(!meta.properties.get("cluster.col").contains(oldName) &&
+        !meta.properties.get("cluster.cols").exists(
+          _.split(",").contains(oldName)),
+      "cannot rename a frozen cluster column (range or z layout)")
     val priors = oldName +: renames.getOrElse(oldName, Seq.empty)
     val newSchema = StructType(meta.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
@@ -2571,8 +2600,10 @@ final class WarehouseTable(val root: String) {
       "cannot drop a partition column (current or prior spec)")
     require(!mergeKeys(meta).exists(_.contains(name)),
       "cannot drop a merge key")
-    require(!meta.properties.get("cluster.col").contains(name),
-      "cannot drop the frozen cluster column")
+    require(!meta.properties.get("cluster.col").contains(name) &&
+        !meta.properties.get("cluster.cols").exists(
+          _.split(",").contains(name)),
+      "cannot drop a frozen cluster column (range or z layout)")
     val newSchema = StructType(meta.schema.fields.filterNot(_.name == name))
     // the dropped name (and any prior physical names that still hold its
     // bytes) is retired FOREVER: re-adding it would resurrect old files'

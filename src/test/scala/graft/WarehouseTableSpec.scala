@@ -1291,6 +1291,51 @@ class WarehouseTableSpec extends SparkSpec {
     assert(t2.read(spark).count() == 101)
   }
 
+  test("clusterBaseZ with a STRING column: one z layout prunes numeric AND string ranges; z columns refuse rename/drop") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("zsclust"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", IntegerType, nullable = false),
+      StructField("skey", StringType)))
+    t.create(sch, None, Map.empty)
+    def key(i: Int) = f"dom-$i%04d"
+    // x and skey are independent permutations: only a z layout can
+    // serve range predicates on both at once
+    val rows = (1 to 1000).map(i =>
+      Row(i, (i * 7919) % 1000 + 1, key((i * 104729) % 1000 + 1)))
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), sch))
+    val before = t.read(spark).collect().map(_.getInt(0)).sorted.toSeq
+    t.clusterBaseZ(spark, Seq("x", "skey"), bitsPerCol = 4, nBuckets = 16)
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq == before,
+      "z clustering changed the data")
+    val all = t.read(spark).inputFiles.length
+    val fx = Seq(org.apache.spark.sql.sources.GreaterThan("x", 900))
+    val fs = Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("skey", key(900)))
+    assert(t.read(spark, dataFilters = fx).inputFiles.length < all,
+      "numeric z column did not prune")
+    assert(t.read(spark, dataFilters = fs).inputFiles.length < all,
+      "string z column did not prune")
+    // arrivals route through the frozen cuts (string cuts URL-decode)
+    t.clusterAppend(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1001 to 1100).map(i => Row(i, (i * 7919) % 1000 + 1,
+          key((i * 104729) % 1000 + 1))), 2), sch))
+    assert(t.read(spark).count() == 1100)
+    assert(t.read(spark, dataFilters = fs).inputFiles.length <
+      t.read(spark).inputFiles.length, "pruning decayed after clusterAppend")
+    // the z layout's columns are frozen — rename/drop must refuse (the
+    // persisted cuts reference them by name)
+    val e1 = intercept[IllegalArgumentException] {
+      t.renameColumn("skey", "skey2")
+    }
+    assert(e1.getMessage.contains("cluster"))
+    val e2 = intercept[IllegalArgumentException] { t.dropColumn("x") }
+    assert(e2.getMessage.contains("cluster"))
+  }
+
   test("clusterBaseZ: one layout prunes on BOTH clustered columns; contents unchanged") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("zord"))
