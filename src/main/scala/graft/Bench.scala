@@ -136,9 +136,13 @@ object Bench {
     // as a mover. Both JSONs carry "sf" (an sfDir path) — compare the
     // sfN token, not the raw path, so /tmp/sf1 matches /root/…/sf1.
     def sfToken(dir: String): String = {
+      // strip trailing separators first: "/tmp/sf1/" must token as "sf1",
+      // not fall through to the full path (which silently drops every
+      // same-SF prev match and with it ratios_vs_prev)
+      val base = dir.replaceAll("/+$", "")
       val m = "sf[0-9.]+[0-9]|sf[0-9]+".r.findAllIn(
-        dir.substring(dir.lastIndexOf('/') + 1)).toSeq
-      if (m.nonEmpty) m.last else dir
+        base.substring(base.lastIndexOf('/') + 1)).toSeq
+      if (m.nonEmpty) m.last else base
     }
     def sfOfFile(p: String): Option[String] =
       try {
@@ -217,7 +221,24 @@ object Bench {
     val ratiosJson = ratios.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val prevJson = prevFile.fold("null")(p => "\"" + p + "\"")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"index_build":$builds,"runs_per_query":$runsPerQuery,"shuffle_partitions":$shuffle,"calibration_sec":${fmt(calibration)},"ratios_vs_prev":$ratiosJson,"prev_file":$prevJson,"sf":"$sfDir"}"""
+    // STATIC HOST FINGERPRINT beside the calibration number: calibration
+    // tells drift magnitude, this tells whether the BOX itself changed —
+    // a future cpu-model/core-count/JVM swap is then distinguishable from
+    // same-box load drift without forensics.
+    val hostJson = {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val cpuModel = try {
+        scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+          .collectFirst { case l if l.startsWith("model name") =>
+            l.split(":", 2).last.trim }
+          .getOrElse("unknown")
+      } catch { case _: Throwable => "unknown" }
+      val cores = Runtime.getRuntime.availableProcessors()
+      val jvm = System.getProperty("java.version", "unknown")
+      val mem = Runtime.getRuntime.maxMemory()
+      s"""{"cpu_model":"${esc(cpuModel)}","cores":$cores,"jvm":"${esc(jvm)}","max_heap_bytes":$mem}"""
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"index_build":$builds,"runs_per_query":$runsPerQuery,"shuffle_partitions":$shuffle,"calibration_sec":${fmt(calibration)},"ratios_vs_prev":$ratiosJson,"prev_file":$prevJson,"host":$hostJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture truncates the stdout tail, which leaves
     // cross-round per-query comparison partial — ALSO persist the full

@@ -3312,6 +3312,73 @@ object SparkEntry {
           |WHERE lang_key BETWEEN 'en#' AND 'en#~'""".stripMargin)
     }),
 
+    // STRING × STRING z-order skipping, proven DESTRUCTIVELY through the
+    // SQL path (q187's pattern, two dimensions): domain × lang is the
+    // text-corpus layout — exactly the reference's own string-keyed
+    // partition shape (read.py:223-225, `destinationstate`) — and after
+    // `CALL cluster_zorder('db.docs_z', 'dom,lang', 16)` a dom×lang box
+    // predicate must prune by the dir stats of BOTH string columns. The
+    // fixture deletes the parquet files of every dir either dimension
+    // refutes — and REQUIRES dirs refuted by dom alone AND by lang
+    // alone to exist — so the gate can only match its oracle if both
+    // string dimensions actually pruned (a missing prune reads a gutted
+    // dir and dies or mis-answers).
+    "q189_zstring_skipping" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q189_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = s"$wh/db/docs_z"
+      s.conf.set("spark.sql.catalog.graft_q189", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q189.warehouse", wh)
+      if (atRestBuilt.add(root)) {
+        graft.table.WarehouseTable(root).drop()
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(lit("dom"),
+            lpad(pmod(col("doc_id"), lit(17)).cast("string"), 2, "0")).as("dom"),
+          col("lang"), col("n_chars"))
+        docs.createOrReplaceTempView("q189_docs")
+        s.sql(
+          """CREATE TABLE graft_q189.db.docs_z (
+            |  doc_id BIGINT, dom STRING, lang STRING, n_chars BIGINT)""".stripMargin)
+        s.sql("INSERT INTO graft_q189.db.docs_z SELECT * FROM q189_docs")
+        s.sql("CALL graft_q189.system.cluster_zorder('db.docs_z', 'dom,lang', 16)")
+        // classify every dir by which query-box dimension refutes it
+        val wt = graft.table.WarehouseTable(root)
+        val byDir = wt.statsMeta(s)
+          .filter(col("content") === "data" &&
+            col("column_name").isin("dom", "lang"))
+          .select("dir", "column_name", "min_value", "max_value").collect()
+          .groupBy(_.getString(0)).view.mapValues { rs =>
+            rs.map(r => r.getString(1) -> (r.getString(2), r.getString(3))).toMap
+          }.toMap
+        def refutes(mm: Option[(String, String)], lo: String, hi: String) =
+          mm.exists { case (mn, mx) => mx < lo || mn > hi }
+        val domRef = byDir.view.mapValues(m =>
+          refutes(m.get("dom"), "dom04", "dom11")).toMap
+        val langRef = byDir.view.mapValues(m =>
+          refutes(m.get("lang"), "de", "en")).toMap
+        val domOnly = byDir.keys.filter(d => domRef(d) && !langRef(d))
+        val langOnly = byDir.keys.filter(d => langRef(d) && !domRef(d))
+        require(domOnly.nonEmpty && langOnly.nonEmpty,
+          s"degenerate z-layout: dom-only refuters ${domOnly.size}, " +
+            s"lang-only ${langOnly.size} — the gate would not prove both " +
+            "dimensions prune")
+        byDir.keys.filter(d => domRef(d) || langRef(d)).foreach { d =>
+          val p = java.nio.file.Paths.get(root, d)
+          val l = java.nio.file.Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+              .toSeq.foreach(java.nio.file.Files.delete)
+          } finally l.close()
+        }
+      }
+      s.sql(
+        """SELECT doc_id, n_chars FROM graft_q189.db.docs_z
+          |WHERE dom BETWEEN 'dom04' AND 'dom11'
+          |  AND lang BETWEEN 'de' AND 'en'""".stripMargin)
+    }),
+
     // NULL GROUP KEY through the incremental aggregate view — the gate
     // for a real bug: the rollup's maintenance merge ran under ANSI key
     // equality (null never matches), so a NULL group re-INSERTED a fresh
@@ -3400,6 +3467,82 @@ object SparkEntry {
           |  coalesce(sum(CAST(max_value AS BIGINT)), 0) AS hi
           |FROM graft_q186.db.docs_m.stats
           |WHERE content = 'posdel'""".stripMargin)
+    }),
+
+    // q186 exposed the compaction DIAL; this gate closes the loop — the
+    // dial DRIVES the maintenance verb. A key-clustered partitioned MOR
+    // table takes a SCATTERED upsert wave in 'en' (delta spans the key
+    // domain → overlaps every clustered base dir → locality degraded), a
+    // NARROW wave in 'de' (overlaps one bucket → healthy), and a posdel
+    // DELETE in 'en'; `CALL compact_if_degraded(t, 0.5, 1)` must fold
+    // 'en' ONLY — 'de' keeps its base dirs AND its delta slice
+    // byte-for-byte (require'd on the manifest) — while the table's
+    // relational content is EXACTLY preserved (the oracle: partial
+    // compaction is a rewrite, and a wrong one corrupts data, not
+    // latency). The dropped 'en' sidecar must empty the erasure dial.
+    "q190_compact_if_degraded" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q190_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = s"$wh/db/docs_cd"
+      graft.table.WarehouseTable(root).drop()
+      s.conf.set("spark.sql.catalog.graft_q190", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q190.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      docs.createOrReplaceTempView("q190_docs")
+      s.sql(
+        """CREATE TABLE graft_q190.db.docs_cd (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |  'write.delete.mode'='merge-on-read',
+          |  'write.update.mode'='merge-on-read',
+          |  'compact.delta.threshold'='0')""".stripMargin)
+      s.sql("INSERT INTO graft_q190.db.docs_cd SELECT * FROM q190_docs")
+      s.sql("CALL graft_q190.system.cluster('db.docs_cd', 'doc_id', 8)")
+      val wt = graft.table.WarehouseTable(root)
+      // scattered wave: every 5th doc across the whole key range, 'en'
+      wt.merge(s,
+        docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" [u]"))),
+        Seq("doc_id"))
+      // narrow wave: a contiguous low band, 'de' (SF-relative cut so the
+      // band stays one bucket wide at every scale)
+      val cut = docs.agg((max(col("doc_id")) / 20).as("c")).head().getDouble(0)
+      wt.merge(s,
+        docs.filter(col("lang") === "de" && col("doc_id") <= cut)
+          .withColumn("text", concat(col("text"), lit(" [d]"))),
+        Seq("doc_id"))
+      // erasure wave: posdel sidecar, 'en' only
+      s.sql("DELETE FROM graft_q190.db.docs_cd WHERE lang = 'en' AND doc_id % 13 = 5")
+      val deBase = wt.statsMeta(s)
+        .filter(col("content") === "data" && col("partition") === "de" &&
+          col("column_name") === "doc_id")
+        .select("dir").collect().map(_.getString(0)).toSet
+      val folded = wt.compactIfDegraded(s,
+        overlapThreshold = 0.5, erasureThreshold = 1L)
+      require(folded == Seq("en"),
+        s"compact_if_degraded folded $folded, expected exactly Seq(en)")
+      val post = wt.statsMeta(s)
+      val postDeBase = post
+        .filter(col("content") === "data" && col("partition") === "de" &&
+          col("column_name") === "doc_id")
+        .select("dir").collect().map(_.getString(0)).toSet
+      require(postDeBase == deBase,
+        "the healthy 'de' partition's base dirs changed under a targeted fold")
+      require(post.filter(col("content") === "delta" &&
+          col("partition") === "de").count() > 0,
+        "the healthy 'de' partition lost its delta slice")
+      require(post.filter(col("content") === "delta" &&
+          col("partition") === "en").count() == 0,
+        "the degraded 'en' partition still carries deltas after the fold")
+      require(post.filter(col("content") === "posdel").count() == 0,
+        "the folded partition's sidecar must drop — the erasure dial " +
+          "must read zero")
+      s.sql(
+        """SELECT doc_id, md5(text) AS text_md5, lang
+          |FROM graft_q190.db.docs_cd""".stripMargin)
     }),
 
     // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
@@ -5167,6 +5310,35 @@ object SparkEntry {
     "q187_string_skipping" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE lang = 'en'""".stripMargin,
+
+    // the dom×lang box over the z-clustered table: the fixture destroyed
+    // every dir either string dimension refutes (and required refuters
+    // in EACH dimension alone), so a match proves BOTH dims pruned
+    "q189_zstring_skipping" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    'dom' || lpad(CAST(doc_id % 17 AS VARCHAR), 2, '0') AS dom,
+        |    lang
+        |  FROM documents)
+        |WHERE dom BETWEEN 'dom04' AND 'dom11'
+        |  AND lang BETWEEN 'de' AND 'en'""".stripMargin,
+
+    // partial compaction is a REWRITE: the oracle is the relational
+    // truth of the three waves — a wrong partition-scoped fold corrupts
+    // content, and this catches it cell-exactly
+    "q190_compact_if_degraded" ->
+      """WITH cut AS (SELECT max(doc_id) / 20 AS c FROM documents),
+        |fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' AND doc_id % 5 = 0 THEN text || ' [u]'
+        |         WHEN lang = 'de' AND doc_id <= (SELECT c FROM cut)
+        |           THEN text || ' [d]'
+        |         ELSE text END AS text,
+        |    lang
+        |  FROM documents
+        |  WHERE NOT (lang = 'en' AND doc_id % 13 = 5)
+        |)
+        |SELECT doc_id, md5(text) AS text_md5, lang FROM fin""".stripMargin,
 
     // the MOR overlay's relational truth: base ranges = the corpus,
     // delta ranges = the %4 upsert wave per partition, posdel count =

@@ -491,10 +491,11 @@ object GraftProcedures {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+  import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 
   val names: Array[String] = Array(
     "rollback", "expire_snapshots", "remove_orphan_files", "compact",
+    "compact_if_degraded",
     "publish_staged", "discard_staged",
     "staged_changes", "publish_changes", "discard_changes",
     "evolve_partition", "rewrite_to_current_spec",
@@ -553,6 +554,18 @@ object GraftProcedures {
         { in => val t = tbl(in)
           t.compact(org.apache.spark.sql.SparkSession.active)
           summary("current_snapshot", t.currentSnapshotId) })
+      // the `.stats` MOR-overlay dial (q186) closed into a maintenance
+      // verb: fold ONLY partitions whose delta locality or pending
+      // erasures degraded past the thresholds — untouched partitions
+      // stay untouched (see WarehouseTable.compactIfDegraded)
+      case "compact_if_degraded" => proc(name,
+        Seq(param("table", StringType), param("overlap_threshold", DoubleType),
+          param("erasure_threshold", LongType)),
+        { in => val t = tbl(in)
+          val folded = t.compactIfDegraded(
+            org.apache.spark.sql.SparkSession.active,
+            in.getDouble(1), in.getLong(2))
+          summary("compacted_partitions", folded.size.toLong) })
       case "publish_staged" => proc(name,
         Seq(param("table", StringType), param("snapshot_id", LongType)),
         { in => val t = tbl(in); t.publishStaged(in.getLong(1))

@@ -28,6 +28,13 @@ import graft.table.WarehouseTable
   */
 object StreamingIngest {
 
+  /** Test observability for the MIN/MAX recompute's threshold guard:
+    * Some(true) = the last recompute collected its key set (under the
+    * maxCollectKeys bound), Some(false) = it ran the distributed
+    * semi-join fallback. Never consulted by production code.
+    */
+  @volatile private[graft] var lastRecomputeCollected: Option[Boolean] = None
+
   /** Start a CSV-landing-dir → warehouse merge stream.
     *
     * `cdcOpColumn` (optional) turns the merge op-aware — the streaming twin
@@ -2434,18 +2441,40 @@ object StreamingIngest {
             // regressedTruth): ANSI equality here would flag it as
             // regressed on EVERY delete-carrying window (conservative
             // but a spurious recompute per window)
-            val needKeys = w.alias("w").join(post.alias("p"),
+            val needJoined = w.alias("w").join(post.alias("p"),
                 groupKeys.map(k => col(s"w.$k") <=> col(s"p.$k"))
                   .reduce(_ && _), "left")
               .filter(needCond)
-              .select(groupKeys.map(k => col(s"w.$k").as(k)): _*).collect()
-            if (needKeys.nonEmpty) {
-              val needDf = spark.createDataFrame(
-                java.util.Arrays.asList(needKeys: _*),
-                org.apache.spark.sql.types.StructType(
-                  groupKeys.map(k => w.schema(k))))
-              val rec = regressedTruth(spark, source, groupKeys, minMaxCols,
-                needDf, needKeys, target)
+              .select(groupKeys.map(k => col(s"w.$k").as(k)): _*)
+            // THRESHOLD-GUARDED collect: the needing-key set is usually
+            // window-sized (deletes' groups), and collecting it buys two
+            // prunes (partition fast path + key-range dataFilters). But a
+            // FULL-VIEW regress — a COW rewrite of every partition over a
+            // high-cardinality group key — needs every group key, and at
+            // 10^8 groups an unconditional collect is driver-memory death.
+            // Probe via limit(maxCollect+1): at most maxCollect+1 rows ever
+            // reach the driver. Under the bound, the probe IS the key set
+            // (one job, same as before); over it, the collect and its two
+            // key prunes are DROPPED and the recompute runs the already-
+            // distributed semi-join form (non-broadcast) — the sound
+            // unpruned fallback regressedTruth documents for null
+            // partition keys.
+            val maxCollect = spark.conf.get(
+              "spark.graft.aggview.recompute.maxCollectKeys", "100000").toInt
+            val probe = needJoined.limit(maxCollect + 1).collect()
+            if (probe.nonEmpty) {
+              val underBound = probe.length <= maxCollect
+              StreamingIngest.lastRecomputeCollected = Some(underBound)
+              val rec = if (underBound) {
+                val needDf = spark.createDataFrame(
+                  java.util.Arrays.asList(probe: _*),
+                  org.apache.spark.sql.types.StructType(
+                    groupKeys.map(k => w.schema(k))))
+                regressedTruth(spark, source, groupKeys, minMaxCols,
+                  needDf, Some(probe), target)
+              } else
+                regressedTruth(spark, source, groupKeys, minMaxCols,
+                  needJoined, None, target)
               view.mergeClauses(spark, rec, groupKeys,
                 graft.operators.MergeInto.MergeClauses(
                   matched = Seq(graft.operators.MergeInto.UpdateClause(None,
@@ -2463,10 +2492,10 @@ object StreamingIngest {
       .start()
   }
 
-  /** The MIN/MAX recompute's truth read for the regressed groups: the
-    * needing keys (already collected — bounded by the window's
-    * delete-touched groups) restrict the source read three independent
-    * ways, each engaging a different pruning layer:
+  /** The MIN/MAX recompute's truth read for the regressed groups. With
+    * `needKeys = Some(keys)` (the collected, under-threshold case) the
+    * keys restrict the source read three independent ways, each engaging
+    * a different pruning layer:
     *
     *  1. PARTITION prune when the group key IS the partition column (the
     *     natural layout) — only the regressed partitions are planned;
@@ -2475,7 +2504,11 @@ object StreamingIngest {
     *     dir-level stats prune (a post-hoc `.filter` never does), so a
     *     key-CLUSTERED non-partition-grouped source plans only dirs whose
     *     stats overlap the regressed keys' range. Sound because the range
-    *     covers every needed key; a null group key suppresses that key's
+    *     covers every needed key — STRING endpoints are picked in
+    *     unsigned UTF-8 byte order (TableStats.utf8Cmp), the one order
+    *     stats collection, cut routing and pruning all share; a Java
+    *     compareTo range could exclude a supplementary-plane key the
+    *     stats prune then skips. A null group key suppresses that key's
     *     range (a stats range cannot witness nulls, and pruning on it
     *     could skip the null group's dir);
     *  3. exact membership via a broadcast LEFT SEMI join against the key
@@ -2484,6 +2517,12 @@ object StreamingIngest {
     *     (a COW partition rewrite regresses EVERY group in the rewritten
     *     partitions — group-key cardinality, not delete cardinality)
     *     would stall the DRIVER before a single task ran.
+    *
+    * With `needKeys = None` (over-threshold: the caller refused to
+    * materialize the key set) both driver-derived prunes are dropped and
+    * the membership join runs UNHINTED — a distributed semi-join against
+    * the needDf PLAN, never a driver-side key set. Reads the whole
+    * source once; sound at any group cardinality.
     *
     * Returns the merge source: needDf LEFT JOIN truth — a group emptied
     * by the window's deletes has no truth row and NULLs its extremes.
@@ -2496,33 +2535,38 @@ object StreamingIngest {
       groupKeys: Seq[String],
       minMaxCols: Seq[String],
       needDf: DataFrame,
-      needKeys: Array[org.apache.spark.sql.Row],
+      needKeys: Option[Array[org.apache.spark.sql.Row]],
       target: Long): DataFrame = {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     import org.apache.spark.sql.types._
     // the partition fast path stays non-null-only: a null partition
     // value's dir naming is layout-dependent, so a null needing key
     // falls back to the (sound) unpruned read + semi-join
-    val parts: Option[Seq[Any]] =
-      if (groupKeys.size == 1 &&
-          source.partitionColumn.contains(groupKeys.head) &&
-          !needKeys.exists(_.isNullAt(0)))
-        Some(needKeys.map(_.get(0)).toSeq)
-      else None
-    val rangeFilters = groupKeys.zipWithIndex.flatMap { case (k, i) =>
-      val comparable = needDf.schema(k).dataType match {
-        case IntegerType | LongType | ShortType | ByteType | FloatType |
-             DoubleType | StringType => true
-        case _ => false
-      }
-      val vals = needKeys.map(_.get(i))
-      if (!comparable || vals.isEmpty || vals.contains(null)) Nil
-      else {
-        val mn = vals.reduceLeft((a, b) =>
-          if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b)
-        val mx = vals.reduceLeft((a, b) =>
-          if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b)
-        Seq(GreaterThanOrEqual(k, mn), LessThanOrEqual(k, mx))
+    val parts: Option[Seq[Any]] = needKeys.filter { ks =>
+      groupKeys.size == 1 &&
+        source.partitionColumn.contains(groupKeys.head) &&
+        !ks.exists(_.isNullAt(0))
+    }.map(ks => ks.map(_.get(0)).toSeq)
+    val rangeFilters = needKeys.toSeq.flatMap { ks =>
+      groupKeys.zipWithIndex.flatMap { case (k, i) =>
+        val dt = needDf.schema(k).dataType
+        val comparable = dt match {
+          case IntegerType | LongType | ShortType | ByteType | FloatType |
+               DoubleType | StringType => true
+          case _ => false
+        }
+        val vals = ks.map(_.get(i))
+        if (!comparable || vals.isEmpty || vals.contains(null)) Nil
+        else {
+          val ord: (Any, Any) => Int = dt match {
+            case StringType => (a, b) => graft.table.TableStats.utf8Cmp(
+              a.asInstanceOf[String], b.asInstanceOf[String])
+            case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+          }
+          val mn = vals.reduceLeft((a, b) => if (ord(a, b) <= 0) a else b)
+          val mx = vals.reduceLeft((a, b) => if (ord(a, b) >= 0) a else b)
+          Seq(GreaterThanOrEqual(k, mn), LessThanOrEqual(k, mx))
+        }
       }
     }
     val recAggs = minMaxCols.flatMap(c => Seq(
@@ -2535,7 +2579,8 @@ object StreamingIngest {
     // and wrongly NULL its extremes whenever it regresses (the old
     // OR-chain predicate had exactly this hole: `k === lit(null)` never
     // matches)
-    val nd = broadcast(needDf).alias("nd")
+    val nd = (if (needKeys.isDefined) broadcast(needDf) else needDf)
+      .alias("nd")
     val semiCond = groupKeys.map(k =>
       col(s"src.$k") <=> col(s"nd.$k")).reduce(_ && _)
     val truth = source.read(spark, parts, dataFilters = rangeFilters,

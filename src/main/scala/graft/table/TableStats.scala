@@ -260,11 +260,36 @@ object TableStats {
   private def minOf(a: JValue, b: JValue): JValue = if (cmp(a, b) <= 0) a else b
   private def maxOf(a: JValue, b: JValue): JValue = if (cmp(a, b) >= 0) a else b
 
-  /** Order within one stats domain. Numerics compare as BigDecimal (no
-    * double-rounding traps for large longs), strings lexicographically.
+  /** Do two stored [min, max] ranges intersect? Cross-domain ranges
+    * (string vs numeric — a type-evolved column) answer TRUE: the caller
+    * is deciding whether a base dir must be arbitrated against a delta,
+    * and "unknown" must read as "overlaps" (the conservative side), the
+    * same polarity [[mayMatch]] uses.
     */
+  private[graft] def rangesOverlap(
+      a: (JValue, JValue), b: (JValue, JValue)): Boolean =
+    !sameDomain(a._1, b._1) ||
+      (cmp(b._1, a._2) <= 0 && cmp(a._1, b._2) <= 0)
+
+  /** Order within one stats domain. Numerics compare as BigDecimal (no
+    * double-rounding traps for large longs); strings by UNSIGNED UTF-8
+    * BYTES — the order parquet recorded the footer min/max in AND the
+    * order Spark's UTF8String comparisons use. Java String.compareTo
+    * (UTF-16 code units) diverges for supplementary-plane strings
+    * (U+10000+ encode as surrogate pairs 0xD800–0xDFFF, which sort BELOW
+    * 0xE000–0xFFFF in UTF-16 but ABOVE them in UTF-8 bytes), and a
+    * divergent prune order can unsoundly refute a dir that contains a
+    * queried key. One string order everywhere: stats collection (parquet),
+    * cluster-cut routing ([[graft.table.WarehouseTable]]'s stringCuts),
+    * and pruning here.
+    */
+  private[graft] def utf8Cmp(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def cmp(a: JValue, b: JValue): Int = (a, b) match {
-    case (JString(x), JString(y)) => x.compareTo(y)
+    case (JString(x), JString(y)) => utf8Cmp(x, y)
     case _ => num(a).compareTo(num(b))
   }
 

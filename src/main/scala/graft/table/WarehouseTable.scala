@@ -99,6 +99,24 @@ final class WarehouseTable(val root: String) {
   def properties: Map[String, String] = readMeta().properties
   def schema: StructType = readMeta().schema
 
+  /** Wall-clock source for commit timestamps — a test seam ONLY (the
+    * backwards-clock spec injects a regressive clock to prove the
+    * monotone clamp in [[writeSnapshot]]); production never overrides.
+    */
+  private[graft] var clockMillis: () => Long = () => System.currentTimeMillis()
+
+  /** A snapshot file's commit time: the json "ts" field, else file mtime
+    * (snapshots written before the field existed) — the one resolution
+    * order both the write-side monotone clamp and [[snapshotAtCounted]]
+    * share.
+    */
+  private def commitTsOf(p: Path): Long =
+    JsonMethods.parse(readString(p)) \ "ts" match {
+      case JLong(t) => t
+      case JInt(t) => t.toLong
+      case _ => Files.getLastModifiedTime(p).toMillis
+    }
+
   /** Create the table if absent: declared schema + optional partition
     * column + properties — the `writeTo(...).create()` path at
     * read.py:199-228 (COW/MOR props at read.py:208-216).
@@ -342,9 +360,27 @@ final class WarehouseTable(val root: String) {
       val ds = m.stats.view.filterKeys(deltaDirs.contains).toMap
       if (ds.isEmpty) Nil else List("dstats" -> statsToJson(ds))
     }
+    // COMMIT TIME, for TIMESTAMP AS OF — clamped to the PARENT snapshot's
+    // ts so the sequence is monotone non-decreasing in snapshot id BY
+    // CONSTRUCTION, not by trusting the wall clock: an NTP step backwards
+    // between two commits (or a slow-clocked second writer host — the
+    // parent is read from the SHARED filesystem, so the clamp holds
+    // regardless of whose clock stamped it) would otherwise silently
+    // break snapshotAt's binary search, which prunes half the candidates
+    // on every probe and so resolves a non-monotone sequence to an
+    // ARBITRARY wrong snapshot — worse than the old linear scan it
+    // replaced. The parent read resolves ts-field-else-mtime, the same
+    // order snapshotAtCounted reads, so the clamp also covers the
+    // pre-ts-field boundary.
+    val commitTs = {
+      val now = clockMillis()
+      prevId.filter(pid => Files.exists(snapPath(pid)))
+        .map(pid => math.max(now, commitTsOf(snapPath(pid))))
+        .getOrElse(now)
+    }
     val snap = JObject(
       ("parts" -> (JObject(parts.toList): JValue)) ::
-      ("ts" -> (JLong(System.currentTimeMillis()): JValue)) :: // commit time, for AS OF
+      ("ts" -> (JLong(commitTs): JValue)) ::
       // commit kind, stamped by the WRITER: "maintenance" marks
       // resolution-invariant rewrites (delta/posdel folds, compaction,
       // re-clustering, spec migration) whose removed dirs' live rows all
@@ -373,31 +409,62 @@ final class WarehouseTable(val root: String) {
     Files.write(tmp, bytes)
     try {
       if (createNew)
-        try Files.createLink(p, tmp)
-        catch {
+        try {
+          if (WarehouseTable.simulateLinkless)
+            throw new UnsupportedOperationException("simulated linkless fs")
+          Files.createLink(p, tmp)
+        } catch {
           // filesystems without hard-link support (some FUSE/object-store
-          // mounts, FAT): probe-then-ATOMIC_MOVE. A plain CREATE_NEW
-          // byte write would reintroduce the torn-read window this whole
-          // path exists to close — a listing-based reader (tailers,
-          // expiry, stagedDead's parse) hitting truncated JSON gets a
-          // NON-retryable parse exception, unlike the tolerated
-          // NoSuchFileException races. The move keeps every visible file
-          // complete; the id-claim race narrows from atomic to the
-          // probe→move window (POSIX rename replaces silently), which on
-          // a linkless FS is the best available trade: torn reads are
-          // corruption, a lost claim is the same optimistic-commit
-          // conflict the rebase path already resolves. recordMergeKeys'
-          // CAS keeps the hard-link REQUIREMENT (its claim semantics
-          // have no equally-atomic fallback).
+          // mounts, FAT): CLAIM the id with an O_EXCL sidecar, then
+          // ATOMIC_MOVE the bytes in. A plain CREATE_NEW byte write of
+          // the snapshot itself would reintroduce the torn-read window
+          // this whole path exists to close — a listing-based reader
+          // (tailers, expiry, stagedDead's parse) hitting truncated JSON
+          // gets a NON-retryable parse exception, unlike the tolerated
+          // NoSuchFileException races. The earlier probe-then-move
+          // fallback had a SILENT-LOSS hole instead: POSIX rename
+          // replaces silently, so two racers that both passed the
+          // Files.exists probe both believed they committed while the
+          // first mover's snapshot was erased — and no post-move verify
+          // can close that (the loser's verify sees its own bytes). The
+          // claim file's content is never read (torn content is
+          // irrelevant) — only its NAME matters, and O_EXCL name
+          // creation is atomic on every filesystem, linkless or not: the
+          // loser gets FileAlreadyExistsException and rebases LOUDLY.
+          // Claims are dot-prefixed so no snaps/ listing matches them,
+          // persist after success (the snap file itself then refuses
+          // re-claims), are deleted by rollback alongside their snap
+          // (id reuse), and a CRASHED claimant's orphan (claim without
+          // snap) is swept by removeOrphanFiles — until then racers on
+          // that id fail loudly after the bounded rebase budget, never
+          // silently. recordMergeKeys' CAS keeps the hard-link
+          // REQUIREMENT (its claim semantics have no equally-atomic
+          // fallback).
           case _: UnsupportedOperationException =>
-            if (Files.exists(p))
+            val claim = claimPath(p)
+            Files.write(claim, Array.emptyByteArray,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            if (Files.exists(p)) {
+              // claim won but the snap already exists (a pre-claim-era
+              // file, or claim debris was swept while the snap lived):
+              // the id is taken — release our claim and conflict loudly
+              Files.deleteIfExists(claim)
               throw new java.nio.file.FileAlreadyExistsException(p.toString)
+            }
             Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
         }
       else Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** O_EXCL id-claim sidecar beside a snapshot file (linkless-FS commit
+    * path only): dot-prefixed, so `snaps/` listings (snap-/staged-
+    * prefixes) and the commit-log text tailer (empty file ⇒ no rows)
+    * never observe it.
+    */
+  private def claimPath(p: Path): Path =
+    p.resolveSibling("." + p.getFileName.toString + ".claim")
 
   private def writeManifest(id: Long, m: Manifest): Unit =
     writeSnapshot(id, m, None, createNew = false)
@@ -563,6 +630,29 @@ final class WarehouseTable(val root: String) {
   private def posDeleteFrame(spark: SparkSession, m: Manifest): DataFrame =
     spark.read.schema(s"$PosFileCol STRING, $PosIdxCol BIGINT")
       .parquet(m.posDeletes.map(d => s"$root/$d"): _*)
+
+  /** The manifest-relative data-dir candidates of an absolute file path
+    * a position-delete sidecar names. Manifests name dirs relative to
+    * the table root (`data/<uuid>[/p]`); `_metadata.file_path` spells
+    * the root however Spark resolved it — a symlinked or otherwise
+    * non-canonical root (e.g. /tmp vs /private/tmp) makes a prefix
+    * strip silently fail. Anchor on the trailing `data/<uuid>`
+    * components instead: the layout is self-describing (partition
+    * segments are `col=value`, never a bare `data`, so the LAST `data`
+    * segment is the table's data root), and a path carrying no such
+    * component fails loudly rather than attributing to nothing.
+    */
+  private def dataDirsOf(f: String): Set[String] = {
+    val segs = new java.net.URI(f).getPath.split("/").filter(_.nonEmpty)
+    val i = segs.lastIndexOf("data")
+    require(i >= 0 && i < segs.length - 1,
+      s"position-delete file_path carries no data/<uuid> component: $f")
+    // every dir-prefix between data/<uuid> and the file's parent: plain
+    // dirs are data/<uuid>, partitioned data/<uuid>/<p>, and CLUSTERED
+    // partitioned layouts nest one more level (data/<uuid>/<p>/<bucket>)
+    val rel = segs.drop(i).init // last segment is the parquet file itself
+    (2 to rel.length).map(n => rel.take(n).mkString("/")).toSet
+  }
 
   /** INCREMENTAL change read — rows in data dirs that joined the table
     * AFTER snapshot `sinceSnapId` (exclusive), up to `asOf` (default
@@ -919,29 +1009,11 @@ final class WarehouseTable(val root: String) {
       posDeletes = sidecars.toList))
     // optional dir restriction (diffSnapshots: only erasures of rows that
     // were VISIBLE at `from` count — a sidecar may also name rows of dirs
-    // that arrived after it)
-    // Manifests name dirs relative to the table root (`data/<uuid>[/p]`);
-    // `_metadata.file_path` spells the root however Spark resolved it — a
-    // symlinked or otherwise non-canonical root (e.g. /tmp vs
-    // /private/tmp) makes a prefix strip silently fail, and the filter
-    // below would then drop EVERY sidecar file, losing removed/changed
-    // rows from diffSnapshots without an error. Anchor on the trailing
-    // `data/<uuid>` components instead: the layout is self-describing
-    // (partition segments are `col=value`, never a bare `data`, so the
-    // LAST `data` segment is the table's data root), and a path that
-    // carries no such component fails loudly rather than filtering to
-    // nothing.
-    def dirOf(f: String): Set[String] = {
-      val segs = new java.net.URI(f).getPath.split("/").filter(_.nonEmpty)
-      val i = segs.lastIndexOf("data")
-      require(i >= 0 && i < segs.length - 1,
-        s"position-delete file_path carries no data/<uuid> component: $f")
-      val rel = segs.drop(i)
-      Set(rel.take(2).mkString("/"), rel.take(3).mkString("/"))
-    }
+    // that arrived after it), attributed via dataDirsOf's trailing-
+    // component anchor (see its doc for why a root-prefix strip is wrong)
     val files = posDf.select(PosFileCol).distinct()
       .collect().map(_.getString(0))
-      .filter(f => onlyDirs.forall(ds => dirOf(f).exists(ds.contains)))
+      .filter(f => onlyDirs.forall(ds => dataDirsOf(f).exists(ds.contains)))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     def withPos(df: DataFrame): DataFrame =
@@ -1882,6 +1954,161 @@ final class WarehouseTable(val root: String) {
     }
   }
 
+  /** PARTITION-SCOPED MOR compaction — [[compact]] restricted to `parts`
+    * (manifest partition keys): one arbitrated read of exactly those
+    * partitions, one partitioned rewrite, their delta slices cleared;
+    * every other partition's base dirs AND delta slices carry by
+    * reference, untouched. This is the half of the compaction cost model
+    * [[compact]] can't express: on a 100 TB table where one hot
+    * partition's delta locality degraded, folding EVERYTHING rewrites
+    * the cold 99% for nothing — the fold must be priced at the degraded
+    * partitions' bytes, not the table's.
+    *
+    * Position-delete sidecars: refs into the rewritten dirs are inert
+    * (the dirs left the manifest — the same carry argument the COW
+    * merge makes); a sidecar whose refs ALL point at departed dirs is
+    * dropped in the same commit, so the pending-erasure dial
+    * (`.stats`' posdel rows) returns to zero once every referenced
+    * partition has folded.
+    */
+  def compactPartitions(spark: SparkSession, parts: Seq[String]): Unit = {
+    val meta = readMeta()
+    require(meta.partition.nonEmpty,
+      "compactPartitions needs a partitioned table (use compact)")
+    // a partition-keyed partial rewrite is ill-defined over a mixed-spec
+    // layout — same contract as compactBase
+    require(partitionHistory(meta).isEmpty,
+      "compactPartitions on an evolved table: run rewriteToCurrentSpec first")
+    val cur = currentSnapshotId
+    val old = readManifest(cur)
+    val target = parts.toSet
+    val touched = target.exists(pv =>
+      old.deltas.exists(_.data.contains(pv)) || old.base.contains(pv))
+    if (!touched) return
+    val slice = read(spark, Some(parts)) // arbitrated: deltas + posdels applied
+    val (rewritten, stats) = writeDataDir(slice, meta)
+    val untouchedBase = old.base.view.filterKeys(k => !target.contains(k)).toMap
+    val newBase = untouchedBase ++ rewritten
+    val newDeltas = old.deltas
+      .map(d => d.copy(data = d.data.view.filterKeys(k => !target.contains(k)).toMap))
+      .filter(_.data.nonEmpty)
+    val liveDirs: Set[String] =
+      (newBase.values.flatten ++ newDeltas.flatMap(_.data.values.flatten)).toSet
+    val keptPos =
+      if (old.posDeletes.isEmpty) old.posDeletes
+      else {
+        // one metadata-priced pass: (sidecar, referenced data file)
+        // distinct pairs — bounded by sidecars × files, never erasures
+        val refs = spark.read.schema(s"$PosFileCol STRING, $PosIdxCol BIGINT")
+          .parquet(old.posDeletes.map(d => s"$root/$d"): _*)
+          .withColumn("__sidecar", col("_metadata.file_path"))
+          .select(col("__sidecar"), col(PosFileCol)).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        def sidecarOf(f: String): Option[String] = {
+          val segs = new java.net.URI(f).getPath.split("/").filter(_.nonEmpty)
+          val i = segs.lastIndexOf("posdel")
+          if (i >= 0 && i < segs.length - 1)
+            Some(segs.slice(i, i + 2).mkString("/"))
+          else None
+        }
+        val liveBySidecar = refs.groupBy(r => sidecarOf(r._1)).collect {
+          case (Some(sc), rs) =>
+            sc -> rs.exists(r => dataDirsOf(r._2).exists(liveDirs.contains))
+        }.toMap
+        // a sidecar Spark returned no rows for (all-erasure-free — can't
+        // happen, they're only written non-empty) defaults to kept
+        old.posDeletes.filter(sc => liveBySidecar.getOrElse(sc, true))
+      }
+    commit(cur,
+      Manifest(newBase, newDeltas, old.stats ++ stats, keptPos).pruneStats,
+      maintenance = true)
+  }
+
+  /** STATS-DRIVEN targeted compaction — the consumer of the `.stats`
+    * MOR overlay dial (the rows q186 oracles): a partition is DEGRADED
+    * when either
+    *
+    *  - `overlapThreshold`: the fraction of its base dirs whose
+    *    merge-key range intersects at least one of its delta dirs'
+    *    ranges reaches the threshold — i.e. the share of the base a MOR
+    *    read must arbitrate. On a key-clustered table a LOCAL update
+    *    wave overlaps one narrow bucket (healthy, frac → 1/nBuckets); a
+    *    SCATTERED wave's delta spans the key domain and overlaps every
+    *    bucket (degraded, frac → 1). A partition holding deltas but no
+    *    base dirs, or dirs without usable key stats, counts as fully
+    *    overlapping — conservative, same polarity as mayMatch. Requires
+    *    recorded merge keys (a MOR table with deltas always has them);
+    *  - `erasureThreshold` (> 0 to enable): its pending position-delete
+    *    erasures reach the threshold — counted per partition by
+    *    attributing each sidecar's (file → dir → partition) refs, only
+    *    over dirs still live in the manifest (refs into departed dirs
+    *    are inert and must not schedule work).
+    *
+    * Degraded partitions fold via [[compactPartitions]]; untouched
+    * partitions stay untouched — byte-for-byte, dir-for-dir. Returns
+    * the folded partition keys (empty = nothing degraded). Idempotent:
+    * a second call right after sees no deltas/erasures and returns Nil.
+    * The table-property twin `compact.delta.threshold` stays the blunt
+    * per-commit count dial; this is the SQL-facing maintenance verb a
+    * 100 TB operator schedules nightly.
+    */
+  def compactIfDegraded(
+      spark: SparkSession,
+      overlapThreshold: Double,
+      erasureThreshold: Long): Seq[String] = {
+    val meta = readMeta()
+    require(meta.partition.nonEmpty,
+      "compactIfDegraded needs a partitioned table (use compact)")
+    require(overlapThreshold > 0 && overlapThreshold <= 1,
+      s"overlapThreshold must be in (0, 1], got $overlapThreshold")
+    val m = readManifest(currentSnapshotId)
+    if (m.deltas.isEmpty && m.posDeletes.isEmpty) return Nil
+    val keyStat: Option[String] = mergeKeys(meta).map(_.head)
+    val deltasByPart: Map[String, List[String]] = m.deltas
+      .flatMap(_.data.toSeq).groupBy(_._1)
+      .view.mapValues(_.flatMap(_._2).toList).toMap
+    val overlapDegraded: Set[String] = keyStat match {
+      case None => Set.empty
+      case Some(key) => deltasByPart.collect { case (pv, ddirs) =>
+        val deltaRanges = ddirs.map(d => m.stats.get(d).flatMap(_.get(key)))
+        val baseDirs = m.base.getOrElse(pv, Nil)
+        val frac =
+          if (baseDirs.isEmpty || deltaRanges.exists(_.isEmpty)) 1.0
+          else {
+            val dr = deltaRanges.flatten
+            baseDirs.count { bd =>
+              m.stats.get(bd).flatMap(_.get(key)) match {
+                case Some(br) => dr.exists(TableStats.rangesOverlap(br, _))
+                case None => true
+              }
+            }.toDouble / baseDirs.size
+          }
+        pv -> frac
+      }.collect { case (pv, f) if f >= overlapThreshold => pv }.toSet
+    }
+    val erasureDegraded: Set[String] =
+      if (erasureThreshold <= 0 || m.posDeletes.isEmpty) Set.empty
+      else {
+        val dirToPart: Map[String, String] =
+          (m.base.toSeq ++ m.deltas.flatMap(_.data.toSeq))
+            .flatMap { case (pv, ds) => ds.map(_ -> pv) }.toMap
+        val perFile = posDeleteFrame(spark, m)
+          .groupBy(col(PosFileCol)).count().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        perFile.toSeq
+          .flatMap { case (f, n) =>
+            dataDirsOf(f).collectFirst {
+              case d if dirToPart.contains(d) => dirToPart(d) -> n
+            }
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .collect { case (pv, n) if n >= erasureThreshold => pv }.toSet
+      }
+    val degraded = (overlapDegraded ++ erasureDegraded).toSeq.sorted
+    if (degraded.nonEmpty) compactPartitions(spark, degraded)
+    degraded
+  }
+
   /** SORT-CLUSTERED base rewrite — linear Z-ordering for DATA SKIPPING:
     * rewrite the base into `nBuckets` RANGE-DISJOINT data dirs on
     * `clusterCol`, so the dir-level min/max stats prune reads by a
@@ -1959,13 +2186,22 @@ final class WarehouseTable(val root: String) {
   private def stringCuts(
       slice: DataFrame, cc: String, nCuts: Int): Seq[String] = {
     val vals = slice.na.drop(Seq(cc)).select(col(cc).cast("string"))
-    val n = vals.count()
-    val frac =
-      math.min(1.0, ((nCuts + 1) * 256.0) / math.max(n.toDouble, 1.0))
+    // ONE pass, not count-then-sample: a fraction sample needs the row
+    // count first (a full extra scan of the column per clustering call).
+    // Bottom-k by a per-row hash IS a uniform k-sample that needs no n —
+    // rank rows by xxhash64(value, row-id) (the id term keeps duplicate
+    // values independently rankable, so a heavy key's mass is
+    // represented, which equi-depth needs) and take the k smallest.
+    // Plans as TakeOrderedAndProject: per-partition top-k heaps + one
+    // driver merge — never a full sort, driver memory bounded by k.
+    val k = (nCuts + 1) * 256
     val utf8Ord: Ordering[String] = (a: String, b: String) =>
       java.util.Arrays.compareUnsigned(
         a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
-    val sampled = vals.sample(withReplacement = false, frac, seed = 42L)
+    val sampled = vals
+      .withColumn("__h", xxhash64(col(cc), monotonically_increasing_id()))
+      .orderBy(col("__h")).limit(k)
+      .select(col(cc))
       .collect().map(_.getString(0)).sorted(utf8Ord)
     require(sampled.nonEmpty,
       s"cluster column '$cc' has no non-null values to cut on")
@@ -2663,23 +2899,22 @@ final class WarehouseTable(val root: String) {
 
   /** [[snapshotAt]] plus the number of snapshot manifests parsed —
     * the unit-tested O(log commits) contract. Commit ts is monotone
-    * non-decreasing in snapshot id (ids are claimed sequentially and
-    * each commit stamps its own wall clock as it lands; the mtime
-    * fallback is monotone the same way), so the resolution BINARY
-    * SEARCHES the sorted id list instead of parsing every newer
-    * manifest newest-first — a `TIMESTAMP AS OF` far in the past on a
-    * 10^4-commit table paid 10^4 full-manifest parses for one lookup.
+    * non-decreasing in snapshot id BY CONSTRUCTION — [[writeSnapshot]]
+    * clamps every commit's ts to at least its parent's, reading the
+    * parent from the shared filesystem, so the invariant survives NTP
+    * steps backwards AND multi-host writers with skewed clocks (the
+    * backwards-clock spec injects a regressive clock and probes every
+    * boundary). The resolution therefore BINARY SEARCHES the sorted id
+    * list instead of parsing every newer manifest newest-first — a
+    * `TIMESTAMP AS OF` far in the past on a 10^4-commit table paid 10^4
+    * full-manifest parses for one lookup.
     */
   private[graft] def snapshotAtCounted(tsMillis: Long): (Option[Long], Int) = {
     val ids = listSnapIds("snap-").toIndexedSeq
     var parses = 0
     def commitTime(id: Long): Long = {
       parses += 1
-      JsonMethods.parse(readString(snapPath(id))) \ "ts" match {
-        case JLong(t) => t
-        case JInt(t) => t.toLong
-        case _ => Files.getLastModifiedTime(snapPath(id)).toMillis
-      }
+      commitTsOf(snapPath(id))
     }
     var lo = 0
     var hi = ids.length - 1
@@ -2709,7 +2944,12 @@ final class WarehouseTable(val root: String) {
       require(Files.exists(snapPath(snapId)),
         s"snapshot $snapId does not exist (expired or never created)")
       atomicWriteCurrent(snapId)
-      ((snapId + 1) to cur).foreach(i => Files.deleteIfExists(snapPath(i)))
+      ((snapId + 1) to cur).foreach { i =>
+        Files.deleteIfExists(snapPath(i))
+        // linkless-FS claim sidecars must go WITH their snaps — a
+        // surviving claim would refuse the reclaimed id forever
+        Files.deleteIfExists(claimPath(snapPath(i)))
+      }
       // the abandoned ids become reclaimable, so post-rollback commits
       // REUSE them — a persisted incremental cursor (a CDC mirror's
       // applied-through marker) would silently treat the new timeline as
@@ -2905,6 +3145,28 @@ final class WarehouseTable(val root: String) {
       .filter(p => Files.getLastModifiedTime(p).toMillis <= tmpFloorCutoff)
       .foreach { p => Files.deleteIfExists(p); removed += 1 }
     finally rl.close()
+    // ORPHAN linkless-FS claims: a claimant that crashed between O_EXCL
+    // claim and ATOMIC_MOVE leaves a claim sidecar without its snap,
+    // which refuses that id to every later writer (loudly, after the
+    // bounded rebase budget). Sweep claims whose snap never landed,
+    // behind the same hard floor — a LIVE claimant moves its bytes
+    // within microseconds of claiming, so anything floor-old is debris.
+    // Claims WITH their snap are load-bearing (they block re-claims of
+    // a committed id) and are never touched here.
+    val snapsDir = rootPath.resolve("snaps")
+    if (Files.isDirectory(snapsDir)) {
+      val sl = Files.list(snapsDir)
+      try sl.iterator().asScala.toList
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") && n.endsWith(".claim") &&
+            !Files.exists(p.resolveSibling(
+              n.stripPrefix(".").stripSuffix(".claim")))
+        }
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= tmpFloorCutoff)
+        .foreach { p => Files.deleteIfExists(p); removed += 1 }
+      finally sl.close()
+    }
     removed
   }
 
@@ -3655,6 +3917,13 @@ object WarehouseTable {
     * correctness path reads it.
     */
   @volatile private[table] var recordRebase = false
+
+  /** Test seam forcing the linkless-filesystem commit fallback (the
+    * O_EXCL claim path in writeSnapshot) — `Files.createLink` cannot be
+    * made to throw UnsupportedOperationException on a capable local fs,
+    * so the specs flip this instead. Production never sets it.
+    */
+  @volatile private[graft] var simulateLinkless = false
   private[table] val rebaseAttempts =
     new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
   def rebaseRecording(on: Boolean): Unit = {

@@ -1467,7 +1467,7 @@ class StreamingIngestSpec extends SparkSpec {
     // drive the EXACT production read (regressedTruth is what the
     // foreachBatch recompute calls)
     val rec = StreamingIngest.regressedTruth(
-      spark, src, Seq("g"), Seq("v"), needDf, needKeys,
+      spark, src, Seq("g"), Seq("v"), needDf, Some(needKeys),
       target = src.currentSnapshotId)
     // exactness: one row per needing key, extremes = the group's values
     val got = rec.collect()
@@ -1480,6 +1480,54 @@ class StreamingIngestSpec extends SparkSpec {
     assert(planned.nonEmpty && planned.size <= baseFiles.size / 2,
       s"recompute planned ${planned.size} of ${baseFiles.size} base files " +
         "— the key-range stats prune did not fire")
+  }
+
+  test("min/max recompute: an over-threshold full-view regress skips the driver collect and drains via the distributed semi-join") {
+    import org.apache.spark.sql.Row
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    def df(rows: Seq[(Long, Long, Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, g, v) => Row(i, g, v) }, 4), sch)
+    val src = graft.table.WarehouseTable(tmpDir("mmwide") + "/src")
+    src.create(sch, None,
+      graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    // 100 groups, two rows each: {g, g+100} with v = id — so deleting
+    // every id >= 100 removes EVERY group's max, i.e. a full-view
+    // regress (the COW-rewrite-of-every-partition shape)
+    src.merge(spark,
+      df((0L until 200L).map(i => (i, i % 100, i.toInt))), Seq("id"))
+    src.deleteKeysMor(spark,
+      df((100L until 200L).map(i => (i, i % 100, 0))).select("id"), Seq("id"))
+    // force the guard: 100 needing keys >> bound 8, so the recompute
+    // must refuse the collect and run the distributed fallback — at
+    // most bound+1 key rows ever reach the driver
+    spark.conf.set("spark.graft.aggview.recompute.maxCollectKeys", "8")
+    StreamingIngest.lastRecomputeCollected = None
+    try {
+      val view = graft.table.WarehouseTable(tmpDir("mmwide") + "/view")
+      val q = StreamingIngest.startAggView(
+        spark, src, view, Seq("g"), Seq("v"), tmpDir("mmwide_ckpt"),
+        minMaxCols = Seq("v"))
+      q.awaitTermination(240000)
+      assert(StreamingIngest.lastRecomputeCollected.contains(false),
+        "the over-threshold regress did not take the distributed path " +
+          s"(marker: ${StreamingIngest.lastRecomputeCollected})")
+      val got = StreamingIngest.readAggView(spark, view)
+        .select("g", "n", "sum_v", "min_v", "max_v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = (0L until 100L)
+        .map(g => (g, 1L, g, g, g)).toSet
+      assert(got == want, s"distributed recompute diverged: " +
+        s"${(got -- want).take(5)} vs ${(want -- got).take(5)}")
+    } finally {
+      spark.conf.unset("spark.graft.aggview.recompute.maxCollectKeys")
+      StreamingIngest.lastRecomputeCollected = None
+    }
   }
 
   test("min/max agg view: a NULL group key folds AND recomputes null-safely") {

@@ -993,6 +993,116 @@ class WarehouseTableSpec extends SparkSpec {
     }
   }
 
+  test("commit timestamps stay monotone under a backwards-stepping clock; TIMESTAMP AS OF stays exact") {
+    import org.apache.spark.sql.Row
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val t = WarehouseTable(tmpDir("tsmono") + "/t")
+    // inject a wall clock that steps BACKWARDS between commits (an NTP
+    // correction mid-ingest) — the clamp in writeSnapshot must keep the
+    // persisted ts sequence monotone anyway, or the binary-searched
+    // TIMESTAMP AS OF silently resolves to a wrong snapshot
+    var now = 1_000_000L
+    t.clockMillis = () => now
+    t.create(sch, None, Map.empty)
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L)), 1), sch)
+    (1 to 30).foreach { i =>
+      t.append(one)
+      now += (if (i % 3 == 0) -1500L else +1000L) // every 3rd step regresses
+    }
+    val snapDir = java.nio.file.Paths.get(t.root, "snaps")
+    val tsRe = """"ts":(\d+)""".r
+    val byId: Seq[(Long, Long)] = {
+      val l = java.nio.file.Files.list(snapDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+            (s.stripPrefix("snap-").stripSuffix(".json").toLong,
+              tsRe.findFirstMatchIn(java.nio.file.Files.readString(
+                snapDir.resolve(s))).get.group(1).toLong)
+          }.toSeq.sortBy(_._1)
+      } finally l.close()
+    }
+    assert(byId.size == 31)
+    // the sequence IS monotone non-decreasing…
+    byId.sliding(2).foreach { case Seq((i1, t1), (i2, t2)) =>
+      assert(t1 <= t2, s"ts regressed between snap $i1 ($t1) and $i2 ($t2)")
+    }
+    // …and the clamp actually ENGAGED (regressed wall clocks landed as
+    // repeats of the parent ts, not as raw backwards stamps)
+    assert(byId.sliding(2).exists { case Seq((_, t1), (_, t2)) => t1 == t2 },
+      "no commit hit the clamp — the regressive clock never engaged it")
+    def expected(ts: Long): Option[Long] =
+      byId.filter(_._2 <= ts).map(_._1).maxOption
+    // probe every boundary: each commit's ts and the instants around it
+    (byId.flatMap { case (_, ts) => Seq(ts - 1, ts, ts + 1) } ++
+      Seq(byId.head._2 - 10, byId.last._2 + 10)).foreach { ts =>
+      val (got, _) = t.snapshotAtCounted(ts)
+      assert(got == expected(ts),
+        s"AS OF $ts resolved $got, expected ${expected(ts)}")
+    }
+  }
+
+  test("linkless-fs commit fallback: O_EXCL claim makes a lost race loud, never a silent replace") {
+    import java.nio.file.{Files, Paths}
+    WarehouseTable.simulateLinkless = true
+    try {
+      val t = WarehouseTable(tmpDir("linkless") + "/t")
+      t.create(schema, None, Map("commit.retry.max-attempts" -> "3"))
+      t.append(df((1, "a", "CA")))
+      assert(t.read(spark).count() == 1)
+      val snaps = Paths.get(t.root, "snaps")
+      // the claim sidecar landed beside the committed snap
+      assert(Files.exists(snaps.resolve(".snap-1.json.claim")),
+        "claim sidecar missing after a linkless commit")
+      // a RACING claimant that claimed the next id but hasn't moved its
+      // bytes yet (or crashed): the old probe-then-move fallback would
+      // let a second writer pass the exists-probe and silently REPLACE —
+      // the claim makes the loser fail LOUDLY after the bounded budget
+      val staleClaim = snaps.resolve(".snap-2.json.claim")
+      Files.write(staleClaim, Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      intercept[java.nio.file.FileAlreadyExistsException](
+        t.append(df((2, "b", "NY"))))
+      // nothing was lost or replaced
+      assert(t.currentSnapshotId == 1)
+      assert(t.read(spark).count() == 1)
+      // the orphan claim (no snap behind it) is GC debris: backdate past
+      // the hard floor and sweep; the COMMITTED id's claim must survive
+      Files.setLastModifiedTime(staleClaim,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60_000L))
+      assert(t.removeOrphanFiles(olderThanMs = 0) >= 1)
+      assert(!Files.exists(staleClaim))
+      assert(Files.exists(snaps.resolve(".snap-1.json.claim")),
+        "GC must not sweep the claim of a committed snapshot")
+      t.append(df((2, "b", "NY")))
+      assert(t.read(spark).count() == 2)
+      // rollback releases the claim WITH the snap so the id reclaims
+      t.rollback(1)
+      assert(!Files.exists(snaps.resolve(".snap-2.json.claim")))
+      t.append(df((3, "c", "TX")))
+      assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(1, 3))
+    } finally WarehouseTable.simulateLinkless = false
+  }
+
+  test("linkless-fs commit fallback: racing appends all land exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    WarehouseTable.simulateLinkless = true
+    try {
+      val t = WarehouseTable(tmpDir("linklessrace") + "/t")
+      t.create(schema, None, WarehouseTable.tableProperties("COW", "snappy"))
+      Await.result(Future.sequence((0 until 4).map(i =>
+        Future(t.append(df((i, s"v$i", "CA")))))), 120.seconds)
+      assert(t.currentSnapshotId == 4)
+      assert(t.read(spark).collect().map(_.getInt(0)).toSet == Set(0, 1, 2, 3),
+        "a racing linkless append was silently lost")
+    } finally WarehouseTable.simulateLinkless = false
+  }
+
   test("write-audit-publish: staged snapshots invisible to readers, feed and GC; publish races refuse") {
     import org.apache.spark.sql.functions.col
     val t = WarehouseTable(tmpDir("wap"))
