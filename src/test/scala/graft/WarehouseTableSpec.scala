@@ -128,6 +128,70 @@ class WarehouseTableSpec extends SparkSpec {
     assert(t.read(spark).count() == 4)
   }
 
+  test("compactIfDegraded folds only stats-degraded partitions; idempotent; erasure dial triggers independently") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh_cid"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "1000")) // never auto-fold
+    // both partitions span keys 0..79 so the GLOBAL cluster cuts give
+    // each partition 4 range-disjoint base dirs on k
+    val expected = scala.collection.mutable.Map[(Int, String), String]()
+    val base = (0 until 80).flatMap { i =>
+      expected((i, "CA")) = s"ca$i"; expected((i, "NY")) = s"ny$i"
+      Seq((i, s"ca$i", "CA"), (i, s"ny$i", "NY"))
+    }
+    t.append(df(base: _*))
+    t.clusterBase(spark, "k", 4)
+    def baseDirs(p: String): Set[String] = t.statsMeta(spark)
+      .filter(col("content") === "data" && col("partition") === p &&
+        col("column_name") === "k")
+      .select("dir").collect().map(_.getString(0)).toSet
+    def deltaCount(p: String): Long = t.statsMeta(spark)
+      .filter(col("content") === "delta" && col("partition") === p).count()
+    val nyBase = baseDirs("NY")
+    // SCATTERED wave in CA — every 10th key spans the whole domain, so
+    // the delta's k-range overlaps all 4 CA base dirs (frac = 1.0)
+    (0 until 80 by 10).foreach(i => expected((i, "CA")) = s"u$i")
+    t.merge(spark, df((0 until 80 by 10).map(i => (i, s"u$i", "CA")): _*),
+      Seq("k", "state"))
+    // NARROW wave in NY — keys 0..9 sit in the lowest bucket (frac 0.25)
+    (0 until 10).foreach(i => expected((i, "NY")) = s"w$i")
+    t.merge(spark, df((0 until 10).map(i => (i, s"w$i", "NY")): _*),
+      Seq("k", "state"))
+    def contents = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(2)) -> r.getString(1)).toMap
+    assert(contents == expected.toMap)
+    // threshold 0.5: CA (1.0) degraded, NY (0.25) healthy
+    assert(t.compactIfDegraded(spark, overlapThreshold = 0.5,
+      erasureThreshold = 0L) == Seq("CA"))
+    assert(contents == expected.toMap, "targeted fold changed content")
+    assert(baseDirs("NY") == nyBase,
+      "healthy partition's base dirs changed under a targeted fold")
+    assert(deltaCount("NY") > 0, "healthy partition lost its delta slice")
+    assert(deltaCount("CA") == 0, "degraded partition kept deltas")
+    // idempotent: CA has nothing left, NY is still under threshold
+    assert(t.compactIfDegraded(spark, 0.5, 0L).isEmpty)
+    // ERASURE dial, independently: a posdel wave in NY (overlap frac
+    // still 0.25 — only the erasure bound can schedule it)
+    val erased = t.deleteWhereMor(spark,
+      col("state") === "NY" && col("k") % 7 === 3)
+    assert(erased == 11)
+    (0 until 80).filter(_ % 7 == 3).foreach(i => expected.remove((i, "NY")))
+    assert(contents == expected.toMap)
+    assert(t.compactIfDegraded(spark, overlapThreshold = 0.5,
+      erasureThreshold = 1L) == Seq("NY"))
+    assert(contents == expected.toMap, "erasure-driven fold changed content")
+    assert(t.statsMeta(spark).filter(col("content") === "posdel").count() == 0,
+      "folded partition's sidecar survived — the erasure dial must zero")
+    assert(t.compactIfDegraded(spark, 0.5, 1L).isEmpty)
+    // contract refusals
+    val unpart = WarehouseTable(tmpDir("wh_cid_u"))
+    unpart.create(schema, None, WarehouseTable.tableProperties("MOR", "snappy"))
+    intercept[IllegalArgumentException](unpart.compactIfDegraded(spark, 0.5, 1L))
+    intercept[IllegalArgumentException](t.compactIfDegraded(spark, 0.0, 1L))
+  }
+
   test("MOR auto-compacts when deltas cross the table's threshold") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, Some("state"),
