@@ -3520,10 +3520,14 @@ object SparkEntry {
         .filter(col("content") === "data" && col("partition") === "de" &&
           col("column_name") === "doc_id")
         .select("dir").collect().map(_.getString(0)).toSet
-      val folded = wt.compactIfDegraded(s,
-        overlapThreshold = 0.5, erasureThreshold = 1L)
-      require(folded == Seq("en"),
-        s"compact_if_degraded folded $folded, expected exactly Seq(en)")
+      // drive the fold through the SQL face — the procedure registration
+      // is part of what this gate certifies
+      val folded = s.sql(
+        "CALL graft_q190.system.compact_if_degraded('db.docs_cd', 0.5, 1)")
+        .collect()
+      require(folded.length == 1 && folded.head.getLong(0) == 1L,
+        s"compact_if_degraded summary ${folded.toSeq}, expected 1 folded " +
+          "partition (the degraded 'en')")
       val post = wt.statsMeta(s)
       val postDeBase = post
         .filter(col("content") === "data" && col("partition") === "de" &&

@@ -1986,7 +1986,18 @@ final class WarehouseTable(val root: String) {
       old.deltas.exists(_.data.contains(pv)) || old.base.contains(pv))
     if (!touched) return
     val slice = read(spark, Some(parts)) // arbitrated: deltas + posdels applied
-    val (rewritten, stats) = writeDataDir(slice, meta)
+    // A CLUSTERED table's fold rewrites THROUGH the persisted cuts: the
+    // overlap dial measures how much of the range-disjoint base a MOR
+    // read must arbitrate, and a flat writeDataDir fold would collapse
+    // the folded partition to ONE dir — locality destroyed, every later
+    // delta trivially overlapping it (frac 1.0), the dial degenerate.
+    // Folding through the frozen cuts restores the layout the dial
+    // assumes, so nightly compact_if_degraded HEALS clustering instead
+    // of erasing it. Unclustered tables keep the flat rewrite.
+    val (rewritten, stats) = persistedBucketExpr(meta) match {
+      case Some(bucket) => writeBucketedDirs(meta, slice, bucket)
+      case None => writeDataDir(slice, meta)
+    }
     val untouchedBase = old.base.view.filterKeys(k => !target.contains(k)).toMap
     val newBase = untouchedBase ++ rewritten
     val newDeltas = old.deltas
@@ -2253,38 +2264,9 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession, df: DataFrame,
       batchId: Option[Long] = None): Unit = {
     val meta = readMeta()
-    val bucket = meta.properties.get("cluster.kind") match {
-      case Some("range") =>
-        val cc = meta.properties("cluster.col")
-        val cuts = meta.properties("cluster.cuts")
-          .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
-        rangeBucketExpr(cc, cuts)
-      case Some("srange") =>
-        val cc = meta.properties("cluster.col")
-        val cuts = meta.properties("cluster.cuts")
-          .split(",").filter(_.nonEmpty)
-          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
-        rangeBucketExpr(cc, cuts)
-      case Some("z") =>
-        val cols = meta.properties("cluster.cols").split(",").toSeq
-        val bits = meta.properties("cluster.bits").toInt
-        val per = meta.properties("cluster.per").toLong
-        val codes = cols.map { cc =>
-          val raw = meta.properties(s"cluster.cuts.$cc")
-            .split(",").filter(_.nonEmpty)
-          // the SCHEMA says how each column's cuts were persisted —
-          // string cuts URL-encoded, numeric plain (see clusterBaseZ)
-          val cuts: Seq[Any] =
-            if (meta.schema(cc).dataType ==
-                org.apache.spark.sql.types.StringType)
-              raw.map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
-            else raw.map(_.toDouble).toSeq
-          rangeBucketExpr(cc, cuts)
-        }
-        (zInterleave(codes, bits, cols.size) / per).cast("int")
-      case _ => throw new IllegalArgumentException(
-        s"table at $root has no persisted clustering (run clusterBase/clusterBaseZ first)")
-    }
+    val bucket = persistedBucketExpr(meta).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $root has no persisted clustering (run clusterBase/clusterBaseZ first)"))
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val tag = batchId.map(b => s"abatch-$b")
@@ -2524,6 +2506,47 @@ final class WarehouseTable(val root: String) {
     * dynamic-partition write of `slice` keyed by `bucket`, then a commit
     * referencing the bucket dirs with freshly harvested per-dir stats.
     */
+  /** The bucket-routing expression a table's PERSISTED clustering
+    * properties define (frozen cuts — see [[clusterBase]]/
+    * [[clusterBaseZ]]), or None for an unclustered table. Shared by
+    * [[clusterAppend]] (arrivals keep the layout) and
+    * [[compactPartitions]] (a targeted fold RESTORES the layout — see
+    * there for why folding through the cuts matters).
+    */
+  private def persistedBucketExpr(meta: Meta): Option[Column] =
+    meta.properties.get("cluster.kind").map {
+      case "range" =>
+        val cc = meta.properties("cluster.col")
+        val cuts = meta.properties("cluster.cuts")
+          .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
+        rangeBucketExpr(cc, cuts)
+      case "srange" =>
+        val cc = meta.properties("cluster.col")
+        val cuts = meta.properties("cluster.cuts")
+          .split(",").filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+        rangeBucketExpr(cc, cuts)
+      case "z" =>
+        val cols = meta.properties("cluster.cols").split(",").toSeq
+        val bits = meta.properties("cluster.bits").toInt
+        val per = meta.properties("cluster.per").toLong
+        val codes = cols.map { cc =>
+          val raw = meta.properties(s"cluster.cuts.$cc")
+            .split(",").filter(_.nonEmpty)
+          // the SCHEMA says how each column's cuts were persisted —
+          // string cuts URL-encoded, numeric plain (see clusterBaseZ)
+          val cuts: Seq[Any] =
+            if (meta.schema(cc).dataType ==
+                org.apache.spark.sql.types.StringType)
+              raw.map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+            else raw.map(_.toDouble).toSeq
+          rangeBucketExpr(cc, cuts)
+        }
+        (zInterleave(codes, bits, cols.size) / per).cast("int")
+      case other => throw new IllegalArgumentException(
+        s"table at $root has unknown cluster.kind '$other'")
+    }
+
   private def writeBucketedDirs(
       meta: Meta,
       slice: DataFrame,

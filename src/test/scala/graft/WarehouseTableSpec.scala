@@ -170,7 +170,20 @@ class WarehouseTableSpec extends SparkSpec {
       "healthy partition's base dirs changed under a targeted fold")
     assert(deltaCount("NY") > 0, "healthy partition lost its delta slice")
     assert(deltaCount("CA") == 0, "degraded partition kept deltas")
-    // idempotent: CA has nothing left, NY is still under threshold
+    // the fold RESTORED the clustered layout (rewrote through the frozen
+    // cuts), so the overlap dial keeps meaning: a fresh NARROW CA wave
+    // overlaps one restored bucket and stays healthy
+    assert(baseDirs("CA").size > 1,
+      "fold collapsed the clustered partition to a flat dir")
+    (0 until 10).foreach(i => expected((i, "CA")) = s"x$i")
+    t.merge(spark, df((0 until 10).map(i => (i, s"x$i", "CA")): _*),
+      Seq("k", "state"))
+    assert(t.compactIfDegraded(spark, 0.5, 0L).isEmpty,
+      "a narrow wave on the RESTORED layout must not re-trigger")
+    assert(contents == expected.toMap)
+    // fold CA's leftover narrow delta away so the erasure phase below
+    // starts clean, then: idempotent — nothing degraded, nothing folds
+    t.compactPartitions(spark, Seq("CA"))
     assert(t.compactIfDegraded(spark, 0.5, 0L).isEmpty)
     // ERASURE dial, independently: a posdel wave in NY (overlap frac
     // still 0.25 — only the erasure bound can schedule it)
