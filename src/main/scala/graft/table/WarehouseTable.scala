@@ -1562,6 +1562,7 @@ final class WarehouseTable(val root: String) {
       .map(_.toInt).getOrElse(8)
     if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
       tryCompact(spark)
+    else autoCompactIfDegraded(spark, meta)
   }
 
   /** Inline read-amplification maintenance after a delta/sidecar commit —
@@ -1583,6 +1584,35 @@ final class WarehouseTable(val root: String) {
       case _: java.util.ConcurrentModificationException |
            _: java.nio.file.FileAlreadyExistsException => ()
     }
+
+  /** AUTO-COMPACT POLICY, the stats-driven twin of the blunt count
+    * threshold: when `compact.auto.overlap-threshold` (fraction in
+    * (0, 1]) and/or `compact.auto.erasure-threshold` (pending posdel
+    * erasures per partition) are set as table properties, every
+    * delta/sidecar commit whose count threshold did NOT fire runs
+    * [[compactIfDegraded]] inline — folding only the partitions the
+    * `.stats` dial marks degraded, so a self-maintaining table prices
+    * its upkeep at the degraded partitions' bytes. An unset overlap
+    * property defaults to 1.0 (fold only fully-overlapped partitions);
+    * an unset erasure property disables that dial. Same BEST-EFFORT
+    * concurrency contract as [[tryCompact]]: a racing writer's advance
+    * aborts the fold, never the triggering commit. Skipped silently on
+    * unpartitioned or spec-evolved tables (the targeted fold is
+    * partition-keyed — see [[compactPartitions]]).
+    */
+  private def autoCompactIfDegraded(spark: SparkSession, meta: Meta): Unit = {
+    val ov = meta.properties.get("compact.auto.overlap-threshold")
+      .map(_.toDouble)
+    val er = meta.properties.get("compact.auto.erasure-threshold")
+      .map(_.toLong)
+    if ((ov.nonEmpty || er.nonEmpty) && meta.partition.nonEmpty &&
+        partitionHistory(meta).isEmpty)
+      try compactIfDegraded(spark, ov.getOrElse(1.0), er.getOrElse(0L))
+      catch {
+        case _: java.util.ConcurrentModificationException |
+             _: java.nio.file.FileAlreadyExistsException => ()
+      }
+  }
 
   /** MOR EQUALITY DELETE: drop every row matching one of the given key
     * tuples — an O(batch) delta append of keys + tombstone flag only
@@ -1618,6 +1648,7 @@ final class WarehouseTable(val root: String) {
       .map(_.toInt).getOrElse(8)
     if (threshold > 0 && readManifest(currentSnapshotId).deltas.size >= threshold)
       tryCompact(spark)
+    else autoCompactIfDegraded(spark, meta)
   }
 
   /** MOR POSITION DELETE — Iceberg v2's second delete flavor: erase the
@@ -1703,6 +1734,7 @@ final class WarehouseTable(val root: String) {
         if (threshold > 0 &&
             readManifest(currentSnapshotId).posDeletes.size >= threshold)
           tryCompact(spark)
+        else autoCompactIfDegraded(spark, meta)
         return n
       } catch {
         case e: IllegalStateException

@@ -205,6 +205,53 @@ class WarehouseTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.compactIfDegraded(spark, 0.0, 1L))
   }
 
+  test("compact.auto.overlap-threshold: a scattered wave self-folds inline; narrow waves and other partitions stay") {
+    import org.apache.spark.sql.functions.col
+    val t = WarehouseTable(tmpDir("wh_cid_auto"))
+    t.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0") + // count dial off — policy only
+        ("compact.auto.overlap-threshold" -> "0.5"))
+    val expected = scala.collection.mutable.Map[(Int, String), String]()
+    val base = (0 until 80).flatMap { i =>
+      expected((i, "CA")) = s"ca$i"; expected((i, "NY")) = s"ny$i"
+      Seq((i, s"ca$i", "CA"), (i, s"ny$i", "NY"))
+    }
+    t.append(df(base: _*))
+    t.clusterBase(spark, "k", 4)
+    def deltaCount(p: String): Long = t.statsMeta(spark)
+      .filter(col("content") === "delta" && col("partition") === p).count()
+    def contents = t.read(spark).collect()
+      .map(r => (r.getInt(0), r.getString(2)) -> r.getString(1)).toMap
+    // a NARROW NY wave commits and STAYS a delta — the policy must not
+    // fold healthy partitions
+    (0 until 10).foreach(i => expected((i, "NY")) = s"w$i")
+    t.merge(spark, df((0 until 10).map(i => (i, s"w$i", "NY")): _*),
+      Seq("k", "state"))
+    assert(deltaCount("NY") > 0, "policy folded a healthy partition")
+    // a SCATTERED CA wave self-folds INLINE — no explicit maintenance call
+    (0 until 80 by 10).foreach(i => expected((i, "CA")) = s"u$i")
+    t.merge(spark, df((0 until 80 by 10).map(i => (i, s"u$i", "CA")): _*),
+      Seq("k", "state"))
+    assert(deltaCount("CA") == 0,
+      "the auto policy did not fold the degraded partition inline")
+    assert(deltaCount("NY") > 0,
+      "the auto fold swept the healthy partition's delta along")
+    assert(contents == expected.toMap)
+    // erasure dial as policy: sidecar commits self-fold their partition
+    val t2 = WarehouseTable(tmpDir("wh_cid_auto2"))
+    t2.create(schema, Some("state"),
+      WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0") +
+        ("compact.auto.erasure-threshold" -> "1"))
+    t2.append(df((1, "a", "CA"), (2, "b", "CA"), (3, "c", "NY")))
+    assert(t2.deleteWhereMor(spark, col("state") === "CA" && col("k") === 1) == 1)
+    assert(t2.statsMeta(spark)
+      .filter(col("content") === "posdel").count() == 0,
+      "the erasure policy left the sidecar pending")
+    assert(t2.read(spark).collect().map(_.getInt(0)).toSet == Set(2, 3))
+  }
+
   test("MOR auto-compacts when deltas cross the table's threshold") {
     val t = WarehouseTable(tmpDir("wh"))
     t.create(schema, Some("state"),
