@@ -3549,6 +3549,68 @@ object SparkEntry {
           |FROM graft_q190.db.docs_cd""".stripMargin)
     }),
 
+    // q190 with NOBODY calling the verb: the AUTO-COMPACT POLICY
+    // properties (declared in DDL, exactly how an operator would ship a
+    // self-maintaining table) run the same stats-driven targeted fold
+    // INLINE after each commit — the scattered 'en' wave must self-fold
+    // the moment it lands, the narrow 'de' wave must survive as a delta
+    // through BOTH of 'en's folds, and the posdel DELETE must clear its
+    // own sidecar under the erasure dial. Content oracle identical to
+    // q190's (the policy is a cadence, not a semantics).
+    "q191_auto_compact_policy" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_q191_scratch/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = s"$wh/db/docs_ac"
+      graft.table.WarehouseTable(root).drop()
+      s.conf.set("spark.sql.catalog.graft_q191", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q191.warehouse", wh)
+      graft.plans.GraftMergeStrategy.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      docs.createOrReplaceTempView("q191_docs")
+      s.sql(
+        """CREATE TABLE graft_q191.db.docs_ac (
+          |  doc_id BIGINT, text STRING, lang STRING
+          |) PARTITIONED BY (lang)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |  'write.delete.mode'='merge-on-read',
+          |  'write.update.mode'='merge-on-read',
+          |  'compact.delta.threshold'='0',
+          |  'compact.auto.overlap-threshold'='0.5',
+          |  'compact.auto.erasure-threshold'='1')""".stripMargin)
+      s.sql("INSERT INTO graft_q191.db.docs_ac SELECT * FROM q191_docs")
+      s.sql("CALL graft_q191.system.cluster('db.docs_ac', 'doc_id', 8)")
+      val wt = graft.table.WarehouseTable(root)
+      def deltas(p: String): Long = wt.statsMeta(s)
+        .filter(col("content") === "delta" && col("partition") === p).count()
+      // narrow 'de' wave FIRST: must commit and STAY a delta (frac 1/8)
+      val cut = docs.agg((max(col("doc_id")) / 20).as("c")).head().getDouble(0)
+      wt.merge(s,
+        docs.filter(col("lang") === "de" && col("doc_id") <= cut)
+          .withColumn("text", concat(col("text"), lit(" [d]"))),
+        Seq("doc_id"))
+      require(deltas("de") > 0, "the policy folded a HEALTHY partition")
+      // scattered 'en' wave: the policy must fold it INLINE
+      wt.merge(s,
+        docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" [u]"))),
+        Seq("doc_id"))
+      require(deltas("en") == 0,
+        "the auto policy did not fold the scattered wave inline")
+      require(deltas("de") > 0,
+        "the auto fold swept the healthy 'de' delta along")
+      // posdel DELETE: the erasure dial must clear its own sidecar
+      s.sql("DELETE FROM graft_q191.db.docs_ac WHERE lang = 'en' AND doc_id % 13 = 5")
+      require(wt.statsMeta(s)
+          .filter(col("content") === "posdel").count() == 0,
+        "the erasure policy left the sidecar pending")
+      require(deltas("de") > 0,
+        "the erasure-driven fold swept the healthy 'de' delta along")
+      s.sql(
+        """SELECT doc_id, md5(text) AS text_md5, lang
+          |FROM graft_q191.db.docs_ac""".stripMargin)
+    }),
+
     // CONCURRENT WRITERS, oracle-gated: 8 racing appends of disjoint
     // corpus slices rebase through the optimistic CREATE_NEW-guarded
     // commit — every batch lands exactly once with no coordination, the
@@ -5331,6 +5393,23 @@ object SparkEntry {
     // truth of the three waves — a wrong partition-scoped fold corrupts
     // content, and this catches it cell-exactly
     "q190_compact_if_degraded" ->
+      """WITH cut AS (SELECT max(doc_id) / 20 AS c FROM documents),
+        |fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' AND doc_id % 5 = 0 THEN text || ' [u]'
+        |         WHEN lang = 'de' AND doc_id <= (SELECT c FROM cut)
+        |           THEN text || ' [d]'
+        |         ELSE text END AS text,
+        |    lang
+        |  FROM documents
+        |  WHERE NOT (lang = 'en' AND doc_id % 13 = 5)
+        |)
+        |SELECT doc_id, md5(text) AS text_md5, lang FROM fin""".stripMargin,
+
+    // q190's relational truth, reached by the per-commit POLICY instead
+    // of the CALL — the fixture's requires pin that the policy (not a
+    // maintenance call) did the folding and spared the healthy delta
+    "q191_auto_compact_policy" ->
       """WITH cut AS (SELECT max(doc_id) / 20 AS c FROM documents),
         |fin AS (
         |  SELECT doc_id,
