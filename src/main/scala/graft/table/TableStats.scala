@@ -282,6 +282,16 @@ object TableStats {
     * queried key. One string order everywhere: stats collection (parquet),
     * cluster-cut routing ([[graft.table.WarehouseTable]]'s stringCuts),
     * and pruning here.
+    *
+    * MIGRATION caveat: stats harvested BEFORE this ordering landed were
+    * min/max-MERGED under UTF-16 compareTo, so a legacy dir whose string
+    * column holds supplementary-plane values may carry endpoints that are
+    * not true extremes under UTF-8 order — pruning against them with
+    * utf8Cmp can be unsound in exactly the window the fix closes going
+    * forward. Parquet's own footer min/max were always UTF-8-ordered, so
+    * re-harvesting (any stats rebuild / compaction / cluster rewrite)
+    * heals a legacy dir; tables that never stored supplementary-plane
+    * strings (the overwhelming case) were never affected.
     */
   private[graft] def utf8Cmp(x: String, y: String): Int =
     java.util.Arrays.compareUnsigned(

@@ -111,7 +111,10 @@ final class WarehouseTable(val root: String) {
     * share.
     */
   private def commitTsOf(p: Path): Long =
-    JsonMethods.parse(readString(p)) \ "ts" match {
+    commitTsOfJson(JsonMethods.parse(readString(p)), p)
+
+  private def commitTsOfJson(j: org.json4s.JValue, p: Path): Long =
+    j \ "ts" match {
       case JLong(t) => t
       case JInt(t) => t.toLong
       case _ => Files.getLastModifiedTime(p).toMillis
@@ -302,7 +305,21 @@ final class WarehouseTable(val root: String) {
       id: Long, m: Manifest, prevId: Option[Long], createNew: Boolean,
       kind: String = "data", staged: Boolean = false,
       wapId: Option[String] = None): Unit = {
-    val prevPaths = prevId.map(snapFragmentPaths).getOrElse(Map.empty)
+    // ONE parse of the parent snapshot serves both consumers below: the
+    // fragment-reuse pointer map AND the monotone-ts clamp (a second
+    // readString+parse of a large manifest per commit is pure waste on
+    // the hot write path)
+    val prevParsed: Option[(Path, org.json4s.JValue)] = prevId.flatMap { pid =>
+      val pp = snapOrStaged(pid)
+      if (Files.exists(pp)) Some((pp, JsonMethods.parse(readString(pp))))
+      else None
+    }
+    val prevPaths: Map[String, String] = prevParsed.map { case (_, j) =>
+      j \ "parts" match {
+        case JObject(ps) => ps.map { case (pv, v) => pv -> v.extract[String] }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }.getOrElse(Map.empty)
     val prev = prevId
       .filter(_ => prevPaths.nonEmpty)
       .map(pid => readManifest(pid))
@@ -374,8 +391,8 @@ final class WarehouseTable(val root: String) {
     // pre-ts-field boundary.
     val commitTs = {
       val now = clockMillis()
-      prevId.filter(pid => Files.exists(snapPath(pid)))
-        .map(pid => math.max(now, commitTsOf(snapPath(pid))))
+      prevParsed
+        .map { case (pp, j) => math.max(now, commitTsOfJson(j, pp)) }
         .getOrElse(now)
     }
     val snap = JObject(
@@ -444,14 +461,35 @@ final class WarehouseTable(val root: String) {
             val claim = claimPath(p)
             Files.write(claim, Array.emptyByteArray,
               java.nio.file.StandardOpenOption.CREATE_NEW)
-            if (Files.exists(p)) {
+            try {
               // claim won but the snap already exists (a pre-claim-era
               // file, or claim debris was swept while the snap lived):
-              // the id is taken — release our claim and conflict loudly
-              Files.deleteIfExists(claim)
-              throw new java.nio.file.FileAlreadyExistsException(p.toString)
+              // the id is taken — conflict loudly
+              if (Files.exists(p))
+                throw new java.nio.file.FileAlreadyExistsException(p.toString)
+              // re-verify OUR claim right before the move: a claimant
+              // stalled past the GC claim floor may have had its sidecar
+              // swept and the id re-claimed — moving now would silently
+              // REPLACE the other writer's committed snapshot (POSIX
+              // rename). The re-check narrows that window from the whole
+              // stall to the instruction gap below; the claim floor
+              // (minutes, vs the 30 s tmp floor) makes a stall that
+              // outlives BOTH defenses a machine-suspend-class event.
+              if (!Files.exists(claim))
+                throw new java.nio.file.FileAlreadyExistsException(
+                  s"claim for ${p.toString} was swept mid-commit")
+              Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+            } catch {
+              case e: Throwable =>
+                // release the claim on ANY pre-landing failure — a move
+                // that throws (transient IO, disk full) would otherwise
+                // orphan the claim and wedge this id for EVERY writer
+                // until a GC sweep passes the claim floor. The crash
+                // case (no finally runs) still relies on
+                // removeOrphanFiles.
+                Files.deleteIfExists(claim)
+                throw e
             }
-            Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
         }
       else Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -1601,10 +1639,19 @@ final class WarehouseTable(val root: String) {
     * partition-keyed — see [[compactPartitions]]).
     */
   private def autoCompactIfDegraded(spark: SparkSession, meta: Meta): Unit = {
+    // LENIENT parsing: this hook runs AFTER the triggering write's commit
+    // is durable, so a malformed or out-of-range property value must
+    // never surface as the write failing — a thrown NumberFormatException
+    // here would abort every subsequent merge on the table even though
+    // each one landed. Unparseable or out-of-range values read as
+    // "policy not set" ('0' is the natural spelling of disable, matching
+    // compact.delta.threshold=0).
     val ov = meta.properties.get("compact.auto.overlap-threshold")
-      .map(_.toDouble)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .filter(v => v > 0 && v <= 1)
     val er = meta.properties.get("compact.auto.erasure-threshold")
-      .map(_.toLong)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0)
     if ((ov.nonEmpty || er.nonEmpty) && meta.partition.nonEmpty &&
         partitionHistory(meta).isEmpty)
       try compactIfDegraded(spark, ov.getOrElse(1.0), er.getOrElse(0L))
@@ -2106,7 +2153,18 @@ final class WarehouseTable(val root: String) {
       s"overlapThreshold must be in (0, 1], got $overlapThreshold")
     val m = readManifest(currentSnapshotId)
     if (m.deltas.isEmpty && m.posDeletes.isEmpty) return Nil
-    val keyStat: Option[String] = mergeKeys(meta).map(_.head)
+    // the overlap column: the PERSISTED cluster column when the table is
+    // clustered (the layout the dial heals — and the only column whose
+    // base-dir ranges are disjoint by construction), else the first
+    // NON-PARTITION merge key. The partition column must never be the
+    // dial: hive-partitioned dirs don't store it, so its stats are
+    // absent and every partition would read as fully-overlapping —
+    // degenerating the policy into fold-every-commit.
+    val keyStat: Option[String] =
+      meta.properties.get("cluster.col")
+        .orElse(meta.properties.get("cluster.cols").map(_.split(",").head))
+        .orElse(mergeKeys(meta)
+          .flatMap(_.find(k => !meta.partition.contains(k))))
     val deltasByPart: Map[String, List[String]] = m.deltas
       .flatMap(_.data.toSeq).groupBy(_._1)
       .view.mapValues(_.flatMap(_._2).toList).toMap
@@ -3203,11 +3261,18 @@ final class WarehouseTable(val root: String) {
     // ORPHAN linkless-FS claims: a claimant that crashed between O_EXCL
     // claim and ATOMIC_MOVE leaves a claim sidecar without its snap,
     // which refuses that id to every later writer (loudly, after the
-    // bounded rebase budget). Sweep claims whose snap never landed,
-    // behind the same hard floor — a LIVE claimant moves its bytes
-    // within microseconds of claiming, so anything floor-old is debris.
-    // Claims WITH their snap are load-bearing (they block re-claims of
-    // a committed id) and are never touched here.
+    // bounded rebase budget). Sweep claims whose snap never landed —
+    // behind a MINUTES-scale floor of their own, not the 30 s tmp floor:
+    // sweeping a merely-STALLED claimant (GC pause, NFS hiccup) lets
+    // another writer take the id, and the stalled claimant's later move
+    // would silently replace it. The pre-move claim re-check in
+    // writeSnapshot is the second defense; together they require a
+    // machine-suspend-class stall (> claim floor) AND losing the
+    // re-check race to corrupt, vs a bare 30 s pause before. Claims
+    // WITH their snap are load-bearing (they block re-claims of a
+    // committed id) and are never touched here.
+    val claimFloorCutoff =
+      math.min(cutoff, System.currentTimeMillis() - 600_000L)
     val snapsDir = rootPath.resolve("snaps")
     if (Files.isDirectory(snapsDir)) {
       val sl = Files.list(snapsDir)
@@ -3218,7 +3283,7 @@ final class WarehouseTable(val root: String) {
             !Files.exists(p.resolveSibling(
               n.stripPrefix(".").stripSuffix(".claim")))
         }
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= tmpFloorCutoff)
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= claimFloorCutoff)
         .foreach { p => Files.deleteIfExists(p); removed += 1 }
       finally sl.close()
     }
@@ -3707,6 +3772,10 @@ final class WarehouseTable(val root: String) {
       try {
         Files.move(stagedPath(cur + 1), debris)
         Files.deleteIfExists(debris)
+        // the dead stage's linkless-FS claim goes with it — the winner
+        // of the move owns the name and must free it for its own
+        // CREATE_NEW re-stage below
+        Files.deleteIfExists(claimPath(stagedPath(cur + 1)))
       } catch {
         case _: java.nio.file.NoSuchFileException => () // a racer swept it
       }
@@ -3804,6 +3873,11 @@ final class WarehouseTable(val root: String) {
       s"staged snapshot $stagedId was built on parent ${stagedId - 1} but " +
         s"the table is now at $cur — re-stage on the current state")
     Files.move(stagedPath(stagedId), snapPath(stagedId))
+    // the staged name is now free — release its linkless-FS claim (if
+    // any) WITH it, or re-staging this id after a later rollback would
+    // refuse forever; the published snap file itself refuses snap-id
+    // re-claims, so nothing is unprotected
+    Files.deleteIfExists(claimPath(stagedPath(stagedId)))
     atomicWriteCurrent(stagedId)
   }
 
@@ -3812,6 +3886,10 @@ final class WarehouseTable(val root: String) {
     */
   def discardStaged(stagedId: Long): Unit = {
     Files.deleteIfExists(stagedPath(stagedId))
+    // release the linkless-FS claim with the stage — the documented
+    // remediation ("discardStaged and re-stage") re-derives the SAME id,
+    // and a surviving claim would wedge it until a GC sweep
+    Files.deleteIfExists(claimPath(stagedPath(stagedId)))
     ()
   }
 

@@ -224,15 +224,20 @@ class WarehouseTableSpec extends SparkSpec {
     def contents = t.read(spark).collect()
       .map(r => (r.getInt(0), r.getString(2)) -> r.getString(1)).toMap
     // a NARROW NY wave commits and STAYS a delta — the policy must not
-    // fold healthy partitions
+    // fold healthy partitions. Merge keys PARTITION-COLUMN-FIRST on
+    // purpose: the dial must key on the persisted cluster column, never
+    // mergeKeys.head — hive-partitioned dirs store no 'state' column, so
+    // a 'state'-keyed dial would read every range as absent → frac 1.0 →
+    // fold-every-commit
     (0 until 10).foreach(i => expected((i, "NY")) = s"w$i")
     t.merge(spark, df((0 until 10).map(i => (i, s"w$i", "NY")): _*),
-      Seq("k", "state"))
+      Seq("state", "k"))
     assert(deltaCount("NY") > 0, "policy folded a healthy partition")
     // a SCATTERED CA wave self-folds INLINE — no explicit maintenance call
+    // (same partition-first key order: merge keys are a table identity)
     (0 until 80 by 10).foreach(i => expected((i, "CA")) = s"u$i")
     t.merge(spark, df((0 until 80 by 10).map(i => (i, s"u$i", "CA")): _*),
-      Seq("k", "state"))
+      Seq("state", "k"))
     assert(deltaCount("CA") == 0,
       "the auto policy did not fold the degraded partition inline")
     assert(deltaCount("NY") > 0,
@@ -1193,10 +1198,11 @@ class WarehouseTableSpec extends SparkSpec {
       assert(t.currentSnapshotId == 1)
       assert(t.read(spark).count() == 1)
       // the orphan claim (no snap behind it) is GC debris: backdate past
-      // the hard floor and sweep; the COMMITTED id's claim must survive
+      // the claim floor (minutes — a merely-stalled claimant must NOT be
+      // swept) and sweep; the COMMITTED id's claim must survive
       Files.setLastModifiedTime(staleClaim,
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60_000L))
+          System.currentTimeMillis() - 700_000L))
       assert(t.removeOrphanFiles(olderThanMs = 0) >= 1)
       assert(!Files.exists(staleClaim))
       assert(Files.exists(snaps.resolve(".snap-1.json.claim")),
