@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,6 +156,61 @@ object Dedup {
         // explicit partitioning (AQE-exempt): edge frames are tiny by
         // bytes, the per-round passes must stay parallel
         .repartition(np, col("src")))
+    // DRIVER FAST PATH for small edge sets (guide §8: decide with small
+    // rows): the deduped edge list is already materialized (eager local
+    // checkpoint above), so its count is one cheap job. Under the
+    // threshold — long-typed keys, edge count ≤
+    // spark.graft.cc.localEdgeThreshold (default 200k ⇒ ≤ ~3 MB of
+    // longs on the driver, broadcast-sized) — a union-find with path
+    // compression computes the IDENTICAL min-label assignment in one
+    // collect instead of ~log(n) rounds × 4 shuffles each. This is the
+    // common shape at 100 TB too: incremental folds contract
+    // TOUCHED-COMPONENT subgraphs (batch-bounded), not the corpus; the
+    // full-corpus seed build stays distributed by the threshold. Set the
+    // conf to 0 to pin the distributed contraction (the round-bound
+    // specs do).
+    val localMax = ids.sparkSession.conf
+      .get("spark.graft.cc.localEdgeThreshold", "200000").toLong
+    val longKeyed = Seq("src", "dst").forall(c =>
+      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (longKeyed && localMax > 0 && edges.count() <= localMax) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pinned.foreach(_.unpersist(blocking = false))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path-compress the walked chain
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // min root wins: the label IS the component min
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val members = new java.util.HashSet[Long]()
+      es.foreach { case (a, b) => members.add(a); members.add(b) }
+      import scala.jdk.CollectionConverters._
+      val labelRows = members.asScala.iterator.flatMap { v =>
+        val r = find(v)
+        if (r != v) Some(Row(v, r)) else None
+      }.toSeq
+      val sp = ids.sparkSession
+      val labels = sp.createDataFrame(
+        sp.sparkContext.parallelize(labelRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType))))
+      val out = ids.join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      return (out, 0)
+    }
     var prev: Option[(Long, Long)] = None
     var rounds = 0
     var converged = edges.isEmpty
@@ -331,6 +386,12 @@ object Dedup {
           graft.table.WarehouseTable.tableProperties("MOR", "snappy"))
       table.merge(spark, assignment, Seq("id"))
     } else {
+      def tt[A](label: String)(f: => A): A =
+        if (sys.env.contains("GRAFT_Q106_DEBUG")) {
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(f"[ccCommit] $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          r
+        } else f
       val stored = table.read(spark).select(col("id"), col("cluster"))
       val touchedIds = newPairs.select(col("d1").as("id"))
         .unionByName(newPairs.select(col("d2").as("id")))
@@ -341,8 +402,8 @@ object Dedup {
         .select(col("cluster")).distinct()
       val affected = stored.join(touchedClusters, Seq("cluster"), "left_semi")
         .select(col("id"), col("cluster"))
-      val folded = incrementalComponents(affected, newIds, newPairs)
-      table.merge(spark, folded, Seq("id"))
+      val folded = tt("fold")(incrementalComponents(affected, newIds, newPairs))
+      tt("merge")(table.merge(spark, folded, Seq("id")))
     }
   }
 

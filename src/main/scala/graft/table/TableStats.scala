@@ -39,10 +39,40 @@ object TableStats {
 
   // ---- collection ---------------------------------------------------------
 
+  /** Map `f` over `xs` on a bounded thread pool. Footer harvesting is
+    * dominated by per-file open latency (Hadoop FS + footer parse ≈ 10 ms
+    * each, serial), so a dynamic-partition commit touching hundreds of
+    * dirs paid seconds of pure driver wait per commit — measured 2.6 s
+    * for a 256-dir minhash delta's null-count guard alone. The reads are
+    * independent metadata opens; 16 threads turn the wall cost into
+    * max(per-file latency), the same trick the distributed footer
+    * harvest uses at manifest scale. Order is preserved; exceptions
+    * propagate (first failure rethrows, matching serial semantics).
+    */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(xs.size, 16))
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(x)
+          })
+        }
+        futs.map { fut =>
+          try fut.get()
+          catch { // unwrap so callers see the original failure type
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   /** Harvest per-dir stats from the parquet footers under `root/relDir`. */
   def collect(root: String, relDirs: Seq[String]): Map[String, DirStats] = {
     val conf = new Configuration()
-    relDirs.flatMap { rel =>
+    parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) None
       else {
@@ -55,7 +85,7 @@ object TableStats {
         }
         if (merged.isEmpty) None else Some(rel -> merged)
       }
-    }.toMap
+    }.flatten.toMap
   }
 
   /** Footer-recorded null counts summed over `cols` across the dirs'
@@ -68,7 +98,7 @@ object TableStats {
     */
   def nullCount(root: String, relDirs: Seq[String], cols: Set[String]): Long = {
     val conf = new Configuration()
-    relDirs.map { rel =>
+    parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) 0L
       else {
@@ -99,7 +129,7 @@ object TableStats {
     */
   def dirFootprint(root: String, relDirs: Seq[String]): Map[String, (Long, Long, Long)] = {
     val conf = new Configuration()
-    relDirs.map { rel =>
+    parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) rel -> ((0L, 0L, 0L))
       else {
@@ -122,7 +152,7 @@ object TableStats {
     */
   def fileFootprint(root: String, relDirs: Seq[String]): Seq[(String, String, Long, Long)] = {
     val conf = new Configuration()
-    relDirs.flatMap { rel =>
+    parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) Nil
       else {
@@ -137,7 +167,7 @@ object TableStats {
           (rel, f.getFileName.toString, rows, Files.size(f))
         }
       }
-    }
+    }.flatten
   }
 
   /** Below this many files the footer walk stays on the driver — a Spark

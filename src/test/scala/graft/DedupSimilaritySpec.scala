@@ -150,15 +150,45 @@ class DedupSimilaritySpec extends SparkSpec {
     // a versioned-document chain: diameter 999 — the shape that killed the
     // old one-hop-per-round propagation (hard abort at 20 rounds). The
     // star contraction must cluster it correctly in ~log2(n) rounds.
+    // The driver fast path is PINNED OFF (threshold 0) so this keeps
+    // certifying the distributed contraction's round bound.
     val n = 1000L
     val ids = (1L to n).toDF("id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
-    val (labels, rounds) =
-      Dedup.connectedComponentsWithRounds(ids, pairs, maxRounds = 50)
-    val got = labels.as[(Long, Long)].collect()
-    assert(got.length == n)
-    assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
-    assert(rounds <= 15, s"expected ~log2(1000)+c rounds, got $rounds")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val (labels, rounds) =
+        Dedup.connectedComponentsWithRounds(ids, pairs, maxRounds = 50)
+      val got = labels.as[(Long, Long)].collect()
+      assert(got.length == n)
+      assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
+      assert(rounds > 0, "threshold 0 must pin the distributed contraction")
+      assert(rounds <= 15, s"expected ~log2(1000)+c rounds, got $rounds")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("connected components: driver fast path ≡ distributed contraction") {
+    import graft.operators.Dedup
+    // adversarial mix: deep chain (path compression), two components that
+    // union through their minima in both attach directions, duplicate and
+    // reversed edges, singletons, and edge-only vertices absent from ids
+    val ids = (1L to 40L).toDF("id")
+    val pairs = ((1L until 20L).map(i => (i + 1, i)) ++ // reversed chain
+      Seq((25L, 30L), (30L, 27L), (27L, 25L),           // cycle
+        (33L, 31L), (31L, 33L), (33L, 31L),             // dup + both dirs
+        (50L, 51L))                                     // ids outside `ids`
+      ).toDF("d1", "d2")
+    // fast path (default threshold covers this size)
+    val (local, lr) = Dedup.connectedComponentsWithRounds(ids, pairs)
+    assert(lr == 0, "expected the driver fast path under the threshold")
+    val localMap = local.as[(Long, Long)].collect().toMap
+    // distributed contraction, pinned
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    val distMap =
+      try Dedup.connectedComponents(ids, pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    assert(localMap == distMap, s"local $localMap != distributed $distMap")
+    assert(localMap(20L) == 1L && localMap(30L) == 25L && localMap(31L) == 31L)
   }
 
   test("connected components: interleaved components and duplicate edges") {
