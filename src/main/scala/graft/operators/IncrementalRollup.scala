@@ -87,6 +87,83 @@ object IncrementalRollup {
       nullSafeKeys = true)
   }
 
+  /** [[commit]] with a REPAIR overlay, fused into the SAME merge program
+    * (one snapshot commit instead of two): rows of `repair` name groups
+    * whose `repairCols` must be SET to the repair's values instead of
+    * folded — the MIN/MAX recompute-on-regress consumer, where folding
+    * via least/greatest cannot lower a stored extreme and the truth
+    * read's values must land verbatim (including NULLs for an emptied
+    * group). Non-repaired groups fold exactly as [[commit]]; replay
+    * safety is unchanged (the fused matched-UPDATE sits behind the same
+    * `last_batch < batchId` guard, and a replayed window's repair values
+    * are the same truth it already wrote). Fusing halves the view's
+    * write amplification per regressed window — at scale that is one
+    * commit, one manifest and one folded file set per window, not two.
+    */
+  def commitWithRepair(
+      spark: SparkSession,
+      arrivals: DataFrame,
+      keys: Seq[String],
+      merges: Map[String, String],
+      repair: DataFrame, // keys ++ repairCols (truth values; NULL = clear)
+      repairCols: Seq[String],
+      table: graft.table.WarehouseTable,
+      batchId: Long): Unit = {
+    require(merges.nonEmpty, "at least one measure required")
+    merges.values.foreach(f => require(Set("sum", "min", "max").contains(f),
+      s"unsupported merge function '$f' (sum/min/max)"))
+    require(repairCols.forall(merges.contains),
+      s"repair columns ${repairCols.mkString(", ")} must be measures")
+    val measures = merges.keys.toSeq.sorted
+    def partial(c: String): Column = merges(c) match {
+      case "sum" => sum(col(c)).as(c)
+      case "min" => min(col(c)).as(c)
+      case "max" => max(col(c)).as(c)
+    }
+    val delta = arrivals
+      .groupBy(keys.map(col): _*)
+      .agg(partial(measures.head), measures.tail.map(partial): _*)
+    if (!table.exists)
+      table.create(
+        delta.schema.add(BatchCol, org.apache.spark.sql.types.LongType,
+          nullable = false),
+        properties =
+          graft.table.WarehouseTable.tableProperties("COW", "snappy"))
+    // attach the repair overlay: null-safe (group identities), flagged so
+    // a repair row whose truth value is legitimately NULL still overrides
+    val rep = repair.select(
+      (keys.map(col) ++ repairCols.map(c => col(c).as(s"__rep_$c"))): _*)
+      .withColumn("__rep", lit(true))
+    val joinCond = keys.map(k => col(s"d.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val src = delta.alias("d").join(rep.alias("r"), joinCond, "left")
+      .select(keys.map(k => col(s"d.$k").as(k)) ++
+        measures.map(c => col(s"d.$c").as(c)) ++
+        repairCols.map(c => col(s"r.__rep_$c").as(s"__rep_$c")) :+
+        coalesce(col("r.__rep"), lit(false)).as("__rep"): _*)
+    def fold(c: String): Column = merges(c) match {
+      case "sum" => col(s"__t_$c") + col(c)
+      case "min" => least(col(s"__t_$c"), col(c))
+      case "max" => greatest(col(s"__t_$c"), col(c))
+    }
+    def foldOrRepair(c: String): Column =
+      if (repairCols.contains(c))
+        when(col("__rep"), col(s"__rep_$c")).otherwise(fold(c))
+      else fold(c)
+    def insertVal(c: String): Column =
+      if (repairCols.contains(c))
+        when(col("__rep"), col(s"__rep_$c")).otherwise(col(c))
+      else col(c)
+    val fresh = col(s"__t_$BatchCol") < lit(batchId)
+    table.mergeClauses(spark, src, keys, MergeInto.MergeClauses(
+      matched = Seq(MergeInto.UpdateClause(Some(fresh),
+        measures.map(c => c -> foldOrRepair(c)).toMap + (BatchCol -> lit(batchId)))),
+      notMatched = Seq(MergeInto.InsertClause(None,
+        keys.map(c => c -> col(c)).toMap ++
+          measures.map(c => c -> insertVal(c)).toMap +
+          (BatchCol -> lit(batchId))))),
+      nullSafeKeys = true)
+  }
+
   /** The rollup's user-facing read: measures per key, marker dropped. */
   def read(spark: SparkSession,
       table: graft.table.WarehouseTable): DataFrame =

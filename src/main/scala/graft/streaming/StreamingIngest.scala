@@ -2168,20 +2168,26 @@ object StreamingIngest {
           }
         val from = readCursor()
         if (ids.nonEmpty && ids.max > from) {
+          def tt[A](label: String)(f: => A): A =
+            if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+              val t0 = System.nanoTime(); val r = f
+              System.err.println(f"[cdcMirror] w$from->${ids.max} $label%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+              r
+            } else f
           val target = ids.max
           val feed = source.changesSince(spark, from, asOf = Some(target))
             .withColumn("__ord2", expr(
               "_change_ordinal * 2 + IF(_change_type = 'insert', 1, 0)"))
-          val winners = graft.operators.Dedup
+          val winners = tt("winners")(graft.operators.Dedup
             .latestByKey(feed, keys, orderDesc = "__ord2")
-            .localCheckpoint() // pin: both merges below consume it
+            .localCheckpoint()) // pin: both merges below consume it
           val ups = winners.filter(col("_change_type") =!= "delete")
             .drop("_change_type", "_change_ordinal", "__ord2")
-          if (!ups.isEmpty) mirror.merge(spark, ups, keys)
+          tt("upsMerge")(if (!ups.isEmpty) mirror.merge(spark, ups, keys))
           val dels = winners.filter(col("_change_type") === "delete")
             .drop("_change_type", "_change_ordinal", "__ord2")
-          if (!dels.isEmpty)
-            mirror.merge(spark, dels, keys, deleteWhere = Some(lit(true)))
+          tt("delsMerge")(if (!dels.isEmpty)
+            mirror.merge(spark, dels, keys, deleteWhere = Some(lit(true))))
           writeCursor(target)
         }
         ()
@@ -2389,6 +2395,12 @@ object StreamingIngest {
           } // bounded: maxFilesPerTrigger paths
         val from = readCursor()
         if (ids.nonEmpty && ids.max > from) {
+          def tt[A](label: String)(f: => A): A =
+            if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+              val t0 = System.nanoTime(); val r = f
+              System.err.println(f"[aggView] w$from->${ids.max} $label%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+              r
+            } else f
           val target = ids.max
           val isDel = col("_change_type") === "delete"
           val sign = when(isDel, lit(-1L)).otherwise(lit(1L))
@@ -2398,9 +2410,9 @@ object StreamingIngest {
             val contrib = window.select(groupKeys.map(col) ++
               sumCols.map(c => (col(c).cast("long") * sign).as(s"sum_$c")) :+
               sign.as("n"): _*)
-            graft.operators.IncrementalRollup.commit(spark, contrib,
+            tt("rollup")(graft.operators.IncrementalRollup.commit(spark, contrib,
               groupKeys, sumCols.map(c => s"sum_$c" -> "sum").toMap + ("n" -> "sum"),
-              view, batchId = target)
+              view, batchId = target))
           } else {
             // one pass over the window yields the signed sums, the
             // insert-side extremes (fold via least/greatest) AND the
@@ -2414,23 +2426,48 @@ object StreamingIngest {
                 max(when(!isDel, col(c).cast("long"))).as(s"max_$c"),
                 min(when(isDel, col(c).cast("long"))).as(s"__delmin_$c"),
                 max(when(isDel, col(c).cast("long"))).as(s"__delmax_$c")))
-            val w = window.groupBy(groupKeys.map(col): _*)
-              .agg(aggs.head, aggs.tail: _*).localCheckpoint()
-            graft.operators.IncrementalRollup.commit(spark, w, groupKeys,
+            val w = tt("winAgg")(window.groupBy(groupKeys.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*).localCheckpoint())
+            val mergeFns =
               sumCols.map(c => s"sum_$c" -> "sum").toMap + ("n" -> "sum") ++
                 minMaxCols.flatMap(c =>
-                  Seq(s"min_$c" -> "min", s"max_$c" -> "max")),
-              view, batchId = target)
-            // RECOMPUTE-ON-REGRESS: a group whose deletes reached its
-            // post-commit extreme may have lost the attaining row — set
+                  Seq(s"min_$c" -> "min", s"max_$c" -> "max"))
+            // RECOMPUTE-ON-REGRESS: a group whose deletes reach its
+            // POST-FOLD extreme may have lost the attaining row — set
             // exactly those groups to the truth AS OF the window end.
+            // The post-fold extremes are computed HERE from the stored
+            // view and the window's insert-side extremes (least/greatest
+            // — the fold's own algebra), so detection needs no commit
+            // first and the fold and the repair land as ONE view merge
+            // (commitWithRepair) — one snapshot per window instead of
+            // two. A replayed window detects against already-repaired
+            // extremes; whatever it flags, the repair values are the
+            // same truth it already wrote, so the guarded merge no-ops.
             // The candidate set is bounded by the window's delete-touched
             // groups (view-key-sized at most), so collecting it for the
             // partition prune is bounded the same way.
-            val post = graft.operators.IncrementalRollup.read(spark, view)
-              .select(groupKeys.map(col) ++ minMaxCols.flatMap(c => Seq(
-                col(s"min_$c").as(s"__post_min_$c"),
-                col(s"max_$c").as(s"__post_max_$c"))): _*)
+            val post =
+              if (view.exists)
+                w.alias("w").join(
+                    graft.operators.IncrementalRollup.read(spark, view)
+                      .select(groupKeys.map(col) ++ minMaxCols.flatMap(c =>
+                        Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+                      .alias("p"),
+                    groupKeys.map(k => col(s"w.$k") <=> col(s"p.$k"))
+                      .reduce(_ && _), "left")
+                  .select(groupKeys.map(k => col(s"w.$k").as(k)) ++
+                    minMaxCols.flatMap(c => Seq(
+                      col(s"w.__delmin_$c").as(s"__delmin_$c"),
+                      col(s"w.__delmax_$c").as(s"__delmax_$c"),
+                      least(col(s"p.min_$c"), col(s"w.min_$c"))
+                        .as(s"__post_min_$c"),
+                      greatest(col(s"p.max_$c"), col(s"w.max_$c"))
+                        .as(s"__post_max_$c"))): _*)
+              else // first window: the fold's result IS the window's own
+                w.select(groupKeys.map(col) ++ minMaxCols.flatMap(c => Seq(
+                  col(s"__delmin_$c"), col(s"__delmax_$c"),
+                  col(s"min_$c").as(s"__post_min_$c"),
+                  col(s"max_$c").as(s"__post_max_$c"))): _*)
             val needCond = minMaxCols.map(c =>
               (col(s"__delmin_$c") <=
                 coalesce(col(s"__post_min_$c"), col(s"__delmin_$c"))) ||
@@ -2441,11 +2478,9 @@ object StreamingIngest {
             // regressedTruth): ANSI equality here would flag it as
             // regressed on EVERY delete-carrying window (conservative
             // but a spurious recompute per window)
-            val needJoined = w.alias("w").join(post.alias("p"),
-                groupKeys.map(k => col(s"w.$k") <=> col(s"p.$k"))
-                  .reduce(_ && _), "left")
+            val needJoined = post
               .filter(needCond)
-              .select(groupKeys.map(k => col(s"w.$k").as(k)): _*)
+              .select(groupKeys.map(col): _*)
             // THRESHOLD-GUARDED collect: the needing-key set is usually
             // window-sized (deletes' groups), and collecting it buys two
             // prunes (partition fast path + key-range dataFilters). But a
@@ -2461,8 +2496,11 @@ object StreamingIngest {
             // partition keys.
             val maxCollect = spark.conf.get(
               "spark.graft.aggview.recompute.maxCollectKeys", "100000").toInt
-            val probe = needJoined.limit(maxCollect + 1).collect()
-            if (probe.nonEmpty) {
+            val probe = tt("needProbe")(needJoined.limit(maxCollect + 1).collect())
+            if (probe.isEmpty)
+              tt("rollup")(graft.operators.IncrementalRollup.commit(
+                spark, w, groupKeys, mergeFns, view, batchId = target))
+            else {
               val underBound = probe.length <= maxCollect
               StreamingIngest.lastRecomputeCollected = Some(underBound)
               val rec = if (underBound) {
@@ -2475,14 +2513,10 @@ object StreamingIngest {
               } else
                 regressedTruth(spark, source, groupKeys, minMaxCols,
                   needJoined, None, target)
-              view.mergeClauses(spark, rec, groupKeys,
-                graft.operators.MergeInto.MergeClauses(
-                  matched = Seq(graft.operators.MergeInto.UpdateClause(None,
-                    minMaxCols.flatMap(c => Seq(
-                      s"min_$c" -> col(s"min_$c"),
-                      s"max_$c" -> col(s"max_$c"))).toMap)),
-                  notMatched = Nil),
-                nullSafeKeys = true) // group identities, not ANSI keys
+              tt("foldRepair")(graft.operators.IncrementalRollup
+                .commitWithRepair(spark, w, groupKeys, mergeFns,
+                  rec, minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")),
+                  view, batchId = target))
             }
           }
           writeCursor(target)
