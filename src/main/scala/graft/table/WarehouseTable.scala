@@ -2245,8 +2245,9 @@ final class WarehouseTable(val root: String) {
     * the layout decision that makes stats pruning WORK — harvesting
     * stats was free, making them selective costs one clustered rewrite.
     *
-    * Bucket cuts are EXACT equi-depth quantiles (`approxQuantile` at
-    * relativeError 0), so skew cannot starve buckets; ties collapse
+    * Bucket cuts are equi-depth quantiles — EXACT (`approxQuantile` at
+    * relativeError 0) under the [[numericCuts]] scale bound, sampled
+    * above it — so skew cannot starve buckets; ties collapse
     * (duplicate cuts dedup) and nulls ride the first bucket. The rewrite
     * is ONE pass: rows bucket map-side via the cut when-chain and a
     * single dynamic-partition write lands one dir per non-empty bucket —
@@ -2286,9 +2287,7 @@ final class WarehouseTable(val root: String) {
       return
     }
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val cuts = slice.na.drop(Seq(clusterCol))
-      .stat.approxQuantile(clusterCol, probs, 0.0) // err 0 ⇒ exact cuts
-      .distinct.sorted.toSeq
+    val cuts = numericCuts(slice, clusterCol, probs, baseRowCount(old))
     // the cuts ARE the layout: persisting them lets clusterAppend route
     // later arrivals into the same ranges without re-deriving (and
     // therefore without rewriting) anything
@@ -2297,6 +2296,42 @@ final class WarehouseTable(val root: String) {
       "cluster.col" -> clusterCol,
       "cluster.cuts" -> cuts.mkString(",")))
     commitBucketed(meta, cur, slice, rangeBucketExpr(clusterCol, cuts), nBuckets)
+  }
+
+  /** Footer-priced row count of a snapshot's base dirs — metadata only,
+    * for scale dispatch (no scan).
+    */
+  private def baseRowCount(m: Manifest): Long =
+    TableStats.dirFootprint(root, m.base.values.flatten.toSeq)
+      .values.map(_._2).sum
+
+  /** Equi-depth quantile cuts for a NUMERIC cluster column. EXACT
+    * (approxQuantile at relativeError 0) while the base's footer-counted
+    * rows stay under `spark.graft.cluster.exactQuantileMaxRows`
+    * (default 10^7) — small rewrites keep byte-identical layouts. Above
+    * the bound ε=0 is a driver hazard: the GK summaries stop compressing
+    * and grow with the data, so a 100 TB column's exact-quantile pass
+    * ships data-sized summaries to the driver. There the cuts come from
+    * a deterministic bottom-k-by-hash sample ([[stringCuts]]' one-pass
+    * move — no count-then-sample double scan; (nCuts+1)·4096 rows,
+    * TakeOrderedAndProject-bounded), quantiled exactly. The layout
+    * contract (range disjointness, frozen persisted cuts) is identical
+    * either way; only balance degrades, by sampling error — the
+    * RangePartitioner trade the string path already documents.
+    */
+  private def numericCuts(
+      slice: DataFrame, cc: String, probs: Array[Double],
+      baseRows: Long): Seq[Double] = {
+    val maxExact = slice.sparkSession.conf
+      .get("spark.graft.cluster.exactQuantileMaxRows", "10000000").toLong
+    val vals = slice.na.drop(Seq(cc))
+    val src =
+      if (baseRows <= maxExact) vals
+      else vals
+        .withColumn("__h", xxhash64(col(cc), monotonically_increasing_id()))
+        .orderBy(col("__h")).limit((probs.length + 1) * 4096)
+        .drop("__h")
+    src.stat.approxQuantile(cc, probs, 0.0).distinct.sorted.toSeq
   }
 
   /** Sample-derived equi-depth cut points for a STRING column — STRING
@@ -2579,17 +2614,19 @@ final class WarehouseTable(val root: String) {
       s"cluster column '$cc' not in schema"))
     if (readManifest(currentSnapshotId).deltas.nonEmpty) compact(spark)
     val cur = currentSnapshotId
+    val curM = readManifest(cur)
     val slice = read(spark)
     val levels = 1 << bitsPerCol
     val probs = (1 until levels).map(_.toDouble / levels).toArray
-    // per-column level codes via exact equi-depth cuts (nulls -> level
-    // 0); STRING columns cut via the sampled UTF-8-ordered path
+    // per-column level codes via equi-depth cuts (nulls -> level 0;
+    // exact under the scale bound, sampled above — see numericCuts);
+    // STRING columns cut via the sampled UTF-8-ordered path
     // (domain × lang z-layouts are the text-corpus shape)
+    val zBaseRows = baseRowCount(curM)
     val colCuts: Seq[(String, Seq[Any])] = clusterCols.map { cc =>
       if (meta.schema(cc).dataType == org.apache.spark.sql.types.StringType)
         cc -> stringCuts(slice, cc, levels - 1)
-      else cc -> slice.na.drop(Seq(cc))
-        .stat.approxQuantile(cc, probs, 0.0).distinct.sorted.toSeq
+      else cc -> numericCuts(slice, cc, probs, zBaseRows)
     }
     val codes = colCuts.map { case (cc, cuts) => rangeBucketExpr(cc, cuts) }
     val z = zInterleave(codes, bitsPerCol, clusterCols.size)

@@ -1724,6 +1724,39 @@ class WarehouseTableSpec extends SparkSpec {
     assert(state() == want, s"replay diverged: ${state()}")
   }
 
+  test("clusterBase: sampled cuts (over the exact-quantile scale bound) keep reads exact and pruning selective") {
+    import org.apache.spark.sql.Row
+    val t = WarehouseTable(tmpDir("clsample"))
+    val sch = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("payload", StringType)))
+    t.create(sch, None, Map.empty)
+    val rows = scala.util.Random.shuffle((1 to 2000).toList)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(i => Row(i, s"p$i")), 4), sch))
+    // force the sampled path: every footer-counted base row is "over"
+    // the bound — the 100 TB dispatch, exercised at spec scale
+    spark.conf.set("spark.graft.cluster.exactQuantileMaxRows", "0")
+    try t.clusterBase(spark, "id", 4)
+    finally spark.conf.unset("spark.graft.cluster.exactQuantileMaxRows")
+    // content is EXACTLY the pre-cluster table (the rewrite moved rows,
+    // never changed them)
+    assert(t.read(spark).collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 2000))
+    // the layout still prunes: a top-range stats-filtered read plans
+    // strictly fewer files than the full scan and agrees with it
+    val full = t.read(spark).filter(org.apache.spark.sql.functions.col("id") > 1800)
+      .collect().map(_.getInt(0)).toSet
+    val pruned = t.read(spark,
+      dataFilters = Seq(org.apache.spark.sql.sources.GreaterThan("id", 1800)))
+    val prunedFiles = pruned.inputFiles.length
+    val allFiles = t.read(spark).inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"sampled cuts produced an unprunable layout ($prunedFiles/$allFiles)")
+    assert(pruned.filter(org.apache.spark.sql.functions.col("id") > 1800).collect()
+      .map(_.getInt(0)).toSet == full)
+  }
+
   test("clusterAppend: arrivals route through frozen cuts; pruning stays selective with no base rewrite") {
     import org.apache.spark.sql.Row
     val t = WarehouseTable(tmpDir("clapp"))
