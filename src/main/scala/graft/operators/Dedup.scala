@@ -173,8 +173,17 @@ object Dedup {
       .get("spark.graft.cc.localEdgeThreshold", "200000").toLong
     val longKeyed = Seq("src", "dst").forall(c =>
       edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (longKeyed && localMax > 0 && edges.count() <= localMax) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // gate probe bounded by the THRESHOLD, not the edge set: limit(k+1)
+    // early-outs once k+1 rows exist, so an over-threshold seed build
+    // never pays a full count of its (checkpointed) edges just to learn
+    // it must stay distributed. Under the bound the probe's rows ARE the
+    // edge set — one job instead of count-then-collect.
+    val probe: Array[Row] =
+      if (longKeyed && localMax > 0 && localMax <= Int.MaxValue - 1)
+        edges.limit(localMax.toInt + 1).collect()
+      else null
+    if (probe != null && probe.length <= localMax) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       pinned.foreach(_.unpersist(blocking = false))
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

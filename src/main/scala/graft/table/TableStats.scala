@@ -54,24 +54,43 @@ object TableStats {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(xs.size, 16))
+      var failed = true
       try {
         val futs = xs.map { x =>
           pool.submit(new java.util.concurrent.Callable[B] {
             def call(): B = f(x)
           })
         }
-        futs.map { fut =>
+        val out = futs.map { fut =>
           try fut.get()
           catch { // unwrap so callers see the original failure type
             case e: java.util.concurrent.ExecutionException => throw e.getCause
           }
         }
-      } finally pool.shutdown()
+        failed = false
+        out
+      } finally {
+        // on failure CANCEL outstanding reads (shutdown() alone lets them
+        // keep running after the caller has already thrown)
+        if (failed) pool.shutdownNow() else pool.shutdown()
+      }
     }
+
+  /** A Configuration whose lazy default-resource load has already run:
+    * sharing one instance across [[parMap]] threads is only safe after
+    * first use (Configuration's resource loading is not fully
+    * thread-safe on first touch). One property read forces it, on the
+    * caller's thread, before any fan-out.
+    */
+  private def loadedConf(): Configuration = {
+    val conf = new Configuration()
+    conf.get("io.file.buffer.size") // force the lazy resource load here
+    conf
+  }
 
   /** Harvest per-dir stats from the parquet footers under `root/relDir`. */
   def collect(root: String, relDirs: Seq[String]): Map[String, DirStats] = {
-    val conf = new Configuration()
+    val conf = loadedConf()
     parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) None
@@ -97,7 +116,7 @@ object TableStats {
     * refusal; Spark-written parquet always records null counts).
     */
   def nullCount(root: String, relDirs: Seq[String], cols: Set[String]): Long = {
-    val conf = new Configuration()
+    val conf = loadedConf()
     parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) 0L
@@ -128,7 +147,7 @@ object TableStats {
     * same bill [[collect]] pays.
     */
   def dirFootprint(root: String, relDirs: Seq[String]): Map[String, (Long, Long, Long)] = {
-    val conf = new Configuration()
+    val conf = loadedConf()
     parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) rel -> ((0L, 0L, 0L))
@@ -151,7 +170,7 @@ object TableStats {
     * for the `files` metadata table. Same footer-only bill.
     */
   def fileFootprint(root: String, relDirs: Seq[String]): Seq[(String, String, Long, Long)] = {
-    val conf = new Configuration()
+    val conf = loadedConf()
     parMap(relDirs) { rel =>
       val dir = Paths.get(root, rel)
       if (!Files.isDirectory(dir)) Nil

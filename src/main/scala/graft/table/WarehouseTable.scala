@@ -1329,7 +1329,13 @@ final class WarehouseTable(val root: String) {
     * count); value→task routing is the same hash either way.
     */
   private def writeTasks(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // tolerant parse: platforms that allow non-integer values here (e.g.
+    // "auto" under some AQE managers) must degrade to the context's
+    // default parallelism, not fail every write path
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .toOption.filter(_ > 0)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Write `df` as a new immutable data dir; returns manifest entries
     * (partitionValue -> dirs) plus per-dir min/max stats harvested from
@@ -2312,9 +2318,13 @@ final class WarehouseTable(val root: String) {
     * the bound ε=0 is a driver hazard: the GK summaries stop compressing
     * and grow with the data, so a 100 TB column's exact-quantile pass
     * ships data-sized summaries to the driver. There the cuts come from
-    * a deterministic bottom-k-by-hash sample ([[stringCuts]]' one-pass
-    * move — no count-then-sample double scan; (nCuts+1)·4096 rows,
-    * TakeOrderedAndProject-bounded), quantiled exactly. The layout
+    * a bottom-k-by-hash sample ([[stringCuts]]' one-pass move — no
+    * count-then-sample double scan; (nCuts+1)·4096 rows,
+    * TakeOrderedAndProject-bounded), quantiled exactly. The hash seeds
+    * on monotonically_increasing_id, so the SAMPLE (not the layout
+    * contract) varies with partition layout and scheduling — any cut
+    * set yields range-disjoint buckets, and the cuts are frozen in the
+    * table properties at cluster time either way. The layout
     * contract (range disjointness, frozen persisted cuts) is identical
     * either way; only balance degrades, by sampling error — the
     * RangePartitioner trade the string path already documents.
