@@ -2175,19 +2175,28 @@ object StreamingIngest {
               r
             } else f
           val target = ids.max
-          val feed = source.changesSince(spark, from, asOf = Some(target))
-            .withColumn("__ord2", expr(
+          // STATIC empty-window skip (see startAggView): a maintenance-
+          // only window carries no change frames — decided from manifests
+          // alone. The existing isEmpty guards already suppressed the
+          // merges, but the drain still paid the window arbitration, a
+          // localCheckpoint and two isEmpty jobs per empty window. No
+          // exists-guard needed here: an empty feed never created the
+          // mirror before either (both merges were guarded).
+          source.changesSinceOpt(spark, from, asOf = Some(target)).foreach {
+            feed0 =>
+            val feed = feed0.withColumn("__ord2", expr(
               "_change_ordinal * 2 + IF(_change_type = 'insert', 1, 0)"))
-          val winners = tt("winners")(graft.operators.Dedup
-            .latestByKey(feed, keys, orderDesc = "__ord2")
-            .localCheckpoint()) // pin: both merges below consume it
-          val ups = winners.filter(col("_change_type") =!= "delete")
-            .drop("_change_type", "_change_ordinal", "__ord2")
-          tt("upsMerge")(if (!ups.isEmpty) mirror.merge(spark, ups, keys))
-          val dels = winners.filter(col("_change_type") === "delete")
-            .drop("_change_type", "_change_ordinal", "__ord2")
-          tt("delsMerge")(if (!dels.isEmpty)
-            mirror.merge(spark, dels, keys, deleteWhere = Some(lit(true))))
+            val winners = tt("winners")(graft.operators.Dedup
+              .latestByKey(feed, keys, orderDesc = "__ord2")
+              .localCheckpoint()) // pin: both merges below consume it
+            val ups = winners.filter(col("_change_type") =!= "delete")
+              .drop("_change_type", "_change_ordinal", "__ord2")
+            tt("upsMerge")(if (!ups.isEmpty) mirror.merge(spark, ups, keys))
+            val dels = winners.filter(col("_change_type") === "delete")
+              .drop("_change_type", "_change_ordinal", "__ord2")
+            tt("delsMerge")(if (!dels.isEmpty)
+              mirror.merge(spark, dels, keys, deleteWhere = Some(lit(true))))
+          }
           writeCursor(target)
         }
         ()
@@ -2404,8 +2413,24 @@ object StreamingIngest {
           val target = ids.max
           val isDel = col("_change_type") === "delete"
           val sign = when(isDel, lit(-1L)).otherwise(lit(1L))
-          val window = source
-            .changesSince(spark, from, asOf = Some(target), netRemovals = false)
+          // STATIC empty-window skip: a maintenance-only window (compact,
+          // posdel fold, re-cluster on the source) carries no change
+          // frames — a fact changesSinceOpt decides from manifests alone.
+          // Its gross contribution is identically zero, so the fold is a
+          // no-op by the fold's own algebra; executing it anyway costs the
+          // view a full keyed COW merge (null-key check + write job +
+          // manifest churn) per window. Skip everything but the cursor
+          // advance. Guarded on view.exists so the view's creating commit
+          // is never skipped (readers of a drained view must find a
+          // table); replay-safe: a replayed window re-decides the same
+          // skip from the same manifests.
+          val windowOpt = source
+            .changesSinceOpt(spark, from, asOf = Some(target), netRemovals = false)
+          if (windowOpt.isEmpty && view.exists) {
+            tt("emptySkip")(())
+          } else {
+          val window = windowOpt.getOrElse(source
+            .changesSince(spark, from, asOf = Some(target), netRemovals = false))
           if (minMaxCols.isEmpty) {
             val contrib = window.select(groupKeys.map(col) ++
               sumCols.map(c => (col(c).cast("long") * sign).as(s"sum_$c")) :+
@@ -2518,6 +2543,7 @@ object StreamingIngest {
                   rec, minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")),
                   view, batchId = target))
             }
+          }
           }
           writeCursor(target)
         }

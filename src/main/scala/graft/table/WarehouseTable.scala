@@ -775,8 +775,37 @@ final class WarehouseTable(val root: String) {
       spark: SparkSession,
       sinceSnapId: Long,
       asOf: Option[Long] = None,
-      netRemovals: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StringType, LongType}
+      netRemovals: Boolean = true): DataFrame =
+    changesSinceOpt(spark, sinceSnapId, asOf, netRemovals).getOrElse {
+      import org.apache.spark.sql.types.{StructField, StringType, LongType}
+      val schema = org.apache.spark.sql.types.StructType(
+        readMeta().schema.fields :+
+          StructField("_change_type", StringType) :+
+          StructField("_change_ordinal", LongType, nullable = false))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+  /** [[changesSince]] with STATIC emptiness made visible: returns `None`
+    * exactly when the window carries no change frames at all — no fresh
+    * non-maintenance dirs, no new position-delete sidecars, no
+    * non-maintenance removals — a fact decided from the walked manifests
+    * alone, before any Spark job exists. A drain polling a source whose
+    * window is maintenance-only (compaction, posdel folds, re-clustering)
+    * can then skip its whole fold: the gross contribution of an empty
+    * feed is identically zero, so folding it is a no-op by the fold's own
+    * algebra — but a no-op that still costs the view a keyed COW merge
+    * (null-key check + write job + manifest churn) per window if actually
+    * executed. `None` ⇒ [[changesSince]] would return an empty frame;
+    * the converse does NOT hold (a window can emit frames that evaluate
+    * to zero rows — e.g. a rewrite whose removals all re-landed), so
+    * callers may only use `None` as a sufficient skip signal, never as an
+    * emptiness test.
+    */
+  def changesSinceOpt(
+      spark: SparkSession,
+      sinceSnapId: Long,
+      asOf: Option[Long] = None,
+      netRemovals: Boolean = true): Option[DataFrame] = {
     val meta = readMeta()
     val to = asOf.getOrElse(currentSnapshotId)
     require(Files.exists(snapPath(sinceSnapId)),
@@ -1022,13 +1051,8 @@ final class WarehouseTable(val root: String) {
       id += 1
     }
     frames.result() match {
-      case Nil =>
-        val schema = org.apache.spark.sql.types.StructType(
-          meta.schema.fields :+
-            StructField("_change_type", StringType) :+
-            StructField("_change_ordinal", LongType, nullable = false))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      case fs => fs.reduce(_ unionByName _)
+      case Nil => None
+      case fs => Some(fs.reduce(_ unionByName _))
     }
   }
 

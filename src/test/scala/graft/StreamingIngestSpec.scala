@@ -1412,6 +1412,56 @@ class StreamingIngestSpec extends SparkSpec {
       s"resurrected view diverged: $got2")
   }
 
+  test("agg view drain skips a maintenance-only window statically (no view commit; cursor advances)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", StringType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    def df(rows: Seq[(Long, String, Int)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, g, v) => Row(i, g, v) }, 2), sch)
+    val root = tmpDir("aggskip")
+    val src = graft.table.WarehouseTable(root + "/src")
+    src.create(sch, Some("g"),
+      graft.table.WarehouseTable.tableProperties("MOR", "snappy") +
+        ("compact.delta.threshold" -> "0"))
+    src.merge(spark, df(Seq((1L, "g0", 10), (2L, "g1", 20))), Seq("id", "g"))
+    val view = graft.table.WarehouseTable(root + "/view")
+    val q = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), root + "/ckpt")
+    q.awaitTermination(120000)
+    val viewSnap = view.currentSnapshotId
+    // maintenance-only window: the gross feed is STATICALLY empty, a
+    // fact changesSinceOpt decides from manifests alone
+    val before = src.currentSnapshotId
+    src.compact(spark)
+    assert(src.currentSnapshotId > before)
+    assert(src.changesSinceOpt(spark, before, netRemovals = false).isEmpty)
+    val q2 = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), root + "/ckpt")
+    q2.awaitTermination(120000)
+    // skipped: the view landed NO no-op merge commit...
+    assert(view.currentSnapshotId == viewSnap,
+      "maintenance-only window still folded into the view")
+    // ...but the cursor advanced past the maintenance snapshot, so the
+    // next window never re-walks it
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(view.root + "_agg_applied")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(cur == s"${src.lineageId}@${src.currentSnapshotId}")
+    // a later data window folds normally on top of the skip
+    src.merge(spark, df(Seq((3L, "g0", 30))), Seq("id", "g"))
+    val q3 = StreamingIngest.startAggView(
+      spark, src, view, Seq("g"), Seq("v"), root + "/ckpt")
+    q3.awaitTermination(120000)
+    val got = StreamingIngest.readAggView(spark, view)
+      .select("g", "n", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("g0", 2L, 40L), ("g1", 1L, 20L)), s"view diverged: $got")
+  }
+
   test("gross MOR feed: old-version subtraction stats-prunes by the delta's key range on an unpartitioned clustered source") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
