@@ -1963,21 +1963,56 @@ final class WarehouseTable(val root: String) {
     val cur = currentSnapshotId
     val old = readManifest(cur)
     val src = (if (alignSource) alignToSchema(source, meta.schema) else source).cache()
+    // same identifier-field contract as the MOR delta paths (see
+    // requireKeysNotNull); one cheap pass over the CACHED batch. The
+    // null-safe group-identity callers (the rollup fold) opt out.
+    // OVERLAPPED: the check is independent of partition discovery and of
+    // the rewrite's write, so it runs as a CONCURRENT job on the cached
+    // batch and is awaited only after the write, strictly before the
+    // commit — hiding its ~0.1–0.2 s job latency behind work the merge
+    // does anyway instead of serializing it in front. The rare bad batch
+    // now pays a wasted (never-committed) write; awaitCleanKeys deletes
+    // those dirs before throwing, so the no-trace contract and the
+    // exception surface are unchanged.
+    val nullCheckFut: Option[java.util.concurrent.Future[Boolean]] =
+      if (enforceKeyNotNull && keys.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try Some(pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = dbg("nullCheck")(
+            src.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+        }))
+        finally pool.shutdown() // runs the one submitted task, then exits
+      } else None
+    def awaitCleanKeys(written: Map[String, List[String]]): Unit =
+      nullCheckFut.foreach { fut =>
+        val clean =
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        if (!clean) {
+          written.values.flatten.foreach { rel =>
+            val d = rootPath.resolve(rel)
+            if (Files.exists(d)) {
+              val walk = Files.walk(d)
+              try { import scala.jdk.CollectionConverters._
+                walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+              } finally walk.close()
+            }
+          }
+          throw new IllegalArgumentException(
+            s"merge keys ${keys.mkString(", ")} carry NULL value(s) — " +
+              "identifier fields must be non-null (Iceberg's identifier-" +
+              "field contract); filter or coalesce the batch's keys first")
+        }
+      }
     try {
-      // same identifier-field contract as the MOR delta paths (see
-      // requireKeysNotNull); one cheap pass over the CACHED batch. The
-      // null-safe group-identity callers (the rollup fold) opt out.
-      if (enforceKeyNotNull && keys.nonEmpty &&
-          !src.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
-        throw new IllegalArgumentException(
-          s"merge keys ${keys.mkString(", ")} carry NULL value(s) — " +
-            "identifier fields must be non-null (Iceberg's identifier-" +
-            "field contract); filter or coalesce the batch's keys first")
       meta.partition match {
         case None =>
           val target = read(spark)
           val merged = upsert(target, src)
           val (entries, stats) = writeDataDir(merged, meta)
+          awaitCleanKeys(entries)
           commit(cur, Manifest(entries, Nil, stats))
         case Some(p) =>
           // 1. partitions the program writes into (null → the hive default
@@ -1989,6 +2024,7 @@ final class WarehouseTable(val root: String) {
               val target = read(spark)
               val merged = upsert(target, src)
               val (entries, stats) = writeDataDir(merged, meta)
+              awaitCleanKeys(entries)
               commit(cur, Manifest(entries, Nil, stats))
             case Some(sp) =>
               // 2. partitions holding targets of matched keys (pruned scan:
@@ -2016,6 +2052,7 @@ final class WarehouseTable(val root: String) {
               val target = read(spark, Some(affected.toSeq))
               val merged = upsert(target, src)
               val (rewritten, stats) = dbg("write")(writeDataDir(merged, meta))
+              awaitCleanKeys(rewritten)
               // On an evolved table the pruned target read sweeps in EVERY
               // legacy-spec dir (they can't prune by the current spec), so
               // their rows are all re-landed in `rewritten` — carrying the
@@ -2043,7 +2080,12 @@ final class WarehouseTable(val root: String) {
                   old.posDeletes).pruneStats))
           }
       }
-    } finally src.unpersist()
+    } finally {
+      // an unrelated failure mid-merge must not leave the check job
+      // running against an unpersisting cache
+      nullCheckFut.foreach(_.cancel(true))
+      src.unpersist()
+    }
   }
 
   /** Fold MOR deltas AND position-delete sidecars into the base
