@@ -43,6 +43,45 @@ object PlanDump {
       System.err.println(s"[plandump] wrote ${name}_$suffix.txt")
     }
 
+    // ---- round 17 set (pass "plans/r17" as the arg) -------------------
+    // Both r17 batches are drain-/write-side: the statically-skipped
+    // empty windows (changesSinceOpt) and the overlapped COW null-key
+    // check never appear in the RETURNED frame's plan — the evidence is
+    // job-count and stage-timer measurements (OPTIMIZATION_r17.md) plus
+    // the code. The dumps below pin that the READ plans are unchanged.
+    if (outDir.endsWith("r17")) {
+      val drainHdr =
+        "the r17 change is drain-side — maintenance-only windows are " +
+          "skipped STATICALLY (WarehouseTable.changesSinceOpt returns None " +
+          "from manifests alone; startAggView/startCdcMirror skip the fold " +
+          "and the no-op view COW merge). The RETURNED frame's plan (the " +
+          "view read) is identical before and after by design; the " +
+          "evidence is job-count: GRAFT_STREAM_DEBUG emptySkip lines + " +
+          "bench A/B in OPTIMIZATION_r17.md batch 1."
+      Seq("q181_agg_view_unpart", "q185_agg_view_minmax_mor",
+        "q188_agg_view_null_group", "q177_agg_view_mor",
+        "q190_compact_if_degraded", "q191_auto_compact_policy").foreach { q =>
+        dump(q, "before", "BEFORE = same read plan (change not plan-visible); " + drainHdr)
+        dump(q, "after", drainHdr)
+      }
+      val cowHdr =
+        "the r17 change is write-side — the COW merge's identifier-field " +
+          "null-key check (a serial ~0.15 s job per keyed merge) now runs " +
+          "CONCURRENTLY with partition discovery and the rewrite write, " +
+          "awaited before the commit; exception surface and no-trace " +
+          "contract unchanged. The RETURNED frame's plan (the final table " +
+          "read) is identical before and after by design; evidence: " +
+          "GRAFT_MERGE_DEBUG nullCheck timings + 8-gate A/B in " +
+          "OPTIMIZATION_r17.md batch 2."
+      Seq("q33_cdc_delete_pipeline", "q157_sql_update_delete",
+        "q168_cdc_mirror_cow", "q23_sql_merge").foreach { q =>
+        dump(q, "before", "BEFORE = same read plan (change not plan-visible); " + cowHdr)
+        dump(q, "after", cowHdr)
+      }
+      spark.stop()
+      return
+    }
+
     val ccQueries = Seq("q106_incremental_components", "q36_dedup_clusters",
       "q51_semantic_dedup", "q83_semantic_dedup_kmeans",
       "q108_dedup_materialize")
