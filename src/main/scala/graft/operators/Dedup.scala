@@ -173,17 +173,20 @@ object Dedup {
       .get("spark.graft.cc.localEdgeThreshold", "200000").toLong
     val longKeyed = Seq("src", "dst").forall(c =>
       edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    // gate probe bounded by the THRESHOLD, not the edge set: limit(k+1)
-    // early-outs once k+1 rows exist, so an over-threshold seed build
-    // never pays a full count of its (checkpointed) edges just to learn
-    // it must stay distributed. Under the bound the probe's rows ARE the
-    // edge set — one job instead of count-then-collect.
-    val probe: Array[Row] =
-      if (longKeyed && localMax > 0 && localMax <= Int.MaxValue - 1)
-        edges.limit(localMax.toInt + 1).collect()
-      else null
-    if (probe != null && probe.length <= localMax) {
-      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+    // gate probe bounded by the THRESHOLD, not the edge set:
+    // limit(k+1).count() early-outs once k+1 rows exist, so an
+    // over-threshold seed build never pays a full count of its
+    // (checkpointed) edges just to learn it must stay distributed — and
+    // unlike a limit(k+1).collect() probe, NOTHING row-shaped reaches
+    // the driver on the over-threshold path (a user-raised threshold of
+    // 10^7+ would otherwise make the gate itself a driver-memory hazard
+    // exactly on the inputs that must stay distributed). The count moves
+    // at most k+1 rows through one bounded shuffle, never to the driver.
+    val underBound =
+      longKeyed && localMax > 0 && localMax <= Int.MaxValue - 1 &&
+        edges.limit(localMax.toInt + 1).count() <= localMax
+    if (underBound) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       pinned.foreach(_.unpersist(blocking = false))
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

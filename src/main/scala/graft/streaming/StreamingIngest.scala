@@ -2429,8 +2429,10 @@ object StreamingIngest {
           if (windowOpt.isEmpty && view.exists) {
             tt("emptySkip")(())
           } else {
-          val window = windowOpt.getOrElse(source
-            .changesSince(spark, from, asOf = Some(target), netRemovals = false))
+          // None + no view yet: still fold (the empty frame's schema
+          // creates the view) — built directly, never by re-walking the
+          // window's manifests a second time
+          val window = windowOpt.getOrElse(source.emptyChangeFrame(spark))
           if (minMaxCols.isEmpty) {
             val contrib = window.select(groupKeys.map(col) ++
               sumCols.map(c => (col(c).cast("long") * sign).as(s"sum_$c")) :+

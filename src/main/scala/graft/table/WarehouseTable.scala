@@ -776,14 +776,23 @@ final class WarehouseTable(val root: String) {
       sinceSnapId: Long,
       asOf: Option[Long] = None,
       netRemovals: Boolean = true): DataFrame =
-    changesSinceOpt(spark, sinceSnapId, asOf, netRemovals).getOrElse {
-      import org.apache.spark.sql.types.{StructField, StringType, LongType}
-      val schema = org.apache.spark.sql.types.StructType(
-        readMeta().schema.fields :+
-          StructField("_change_type", StringType) :+
-          StructField("_change_ordinal", LongType, nullable = false))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
+    changesSinceOpt(spark, sinceSnapId, asOf, netRemovals)
+      .getOrElse(emptyChangeFrame(spark))
+
+  /** The zero-row frame [[changesSince]] returns for a statically-empty
+    * window: current schema + the change-feed label columns. Public so a
+    * drain that took [[changesSinceOpt]]'s `None` but still needs a
+    * frame (e.g. to create its view's schema on a first-ever window)
+    * can build one WITHOUT re-walking the window's manifests.
+    */
+  def emptyChangeFrame(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StringType, LongType}
+    val schema = org.apache.spark.sql.types.StructType(
+      readMeta().schema.fields :+
+        StructField("_change_type", StringType) :+
+        StructField("_change_ordinal", LongType, nullable = false))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** [[changesSince]] with STATIC emptiness made visible: returns `None`
     * exactly when the window carries no change frames at all — no fresh
@@ -1594,24 +1603,35 @@ final class WarehouseTable(val root: String) {
     * null counts — zero extra scans), pre-commit so a refusal leaves no
     * manifest trace: the written dirs are swept before throwing.
     */
+  /** Recursively delete written-but-not-committed data dirs — the
+    * no-trace half of a refused keyed write (shared by the MOR footer
+    * check and the COW overlapped check).
+    */
+  private def sweepUncommitted(rels: Iterable[String]): Unit =
+    rels.foreach { rel =>
+      val d = rootPath.resolve(rel)
+      if (Files.exists(d)) {
+        val walk = Files.walk(d)
+        try { import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        } finally walk.close()
+      }
+    }
+
+  /** `detail` is "<n> " (count + trailing space) or "" when uncounted. */
+  private def nullKeyRefusal(keys: Seq[String], detail: String) =
+    new IllegalArgumentException(
+      s"merge keys ${keys.mkString(", ")} carry ${detail}NULL value(s) — " +
+        "identifier fields must be non-null (Iceberg's identifier-field " +
+        "contract); filter or coalesce the batch's keys first")
+
   private def requireKeysNotNull(
       added: Map[String, List[String]], keys: Seq[String]): Unit = {
     val dirs = added.values.flatten.toSeq
     val n = TableStats.nullCount(root, dirs, keys.toSet)
     if (n > 0) {
-      dirs.foreach { rel =>
-        val d = rootPath.resolve(rel)
-        if (Files.exists(d)) {
-          val walk = Files.walk(d)
-          try { import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-          } finally walk.close()
-        }
-      }
-      throw new IllegalArgumentException(
-        s"merge keys ${keys.mkString(", ")} carry $n NULL value(s) — " +
-          "identifier fields must be non-null (Iceberg's identifier-field " +
-          "contract); filter or coalesce the batch's keys first")
+      sweepUncommitted(dirs)
+      throw nullKeyRefusal(keys, s"$n ")
     }
   }
 
@@ -1970,10 +1990,14 @@ final class WarehouseTable(val root: String) {
     // the rewrite's write, so it runs as a CONCURRENT job on the cached
     // batch and is awaited only after the write, strictly before the
     // commit — hiding its ~0.1–0.2 s job latency behind work the merge
-    // does anyway instead of serializing it in front. The rare bad batch
-    // now pays a wasted (never-committed) write; awaitCleanKeys deletes
-    // those dirs before throwing, so the no-trace contract and the
-    // exception surface are unchanged.
+    // does anyway instead of serializing it in front. The trade, stated
+    // honestly: a bad batch now pays a wasted never-committed write
+    // (awaitCleanKeys sweeps those dirs before throwing the same
+    // IllegalArgumentException — the MOR path's no-trace contract); and
+    // when the WRITE itself also fails on a bad batch, the write's error
+    // may surface instead of the null-key verdict (pre-change, the
+    // serial check always won). The refusal is deterministic whenever
+    // the write succeeds, which is what the identifier-field spec pins.
     val nullCheckFut: Option[java.util.concurrent.Future[Boolean]] =
       if (enforceKeyNotNull && keys.nonEmpty) {
         val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
@@ -1985,25 +2009,19 @@ final class WarehouseTable(val root: String) {
       } else None
     def awaitCleanKeys(written: Map[String, List[String]]): Unit =
       nullCheckFut.foreach { fut =>
+        // ANY outcome that prevents the commit sweeps the written dirs —
+        // a check-job infrastructure failure must not leak orphans any
+        // more than a null-key verdict does
         val clean =
           try fut.get()
           catch {
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
+            case e: java.util.concurrent.ExecutionException =>
+              sweepUncommitted(written.values.flatten)
+              throw e.getCause
           }
         if (!clean) {
-          written.values.flatten.foreach { rel =>
-            val d = rootPath.resolve(rel)
-            if (Files.exists(d)) {
-              val walk = Files.walk(d)
-              try { import scala.jdk.CollectionConverters._
-                walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-              } finally walk.close()
-            }
-          }
-          throw new IllegalArgumentException(
-            s"merge keys ${keys.mkString(", ")} carry NULL value(s) — " +
-              "identifier fields must be non-null (Iceberg's identifier-" +
-              "field contract); filter or coalesce the batch's keys first")
+          sweepUncommitted(written.values.flatten)
+          throw nullKeyRefusal(keys, "")
         }
       }
     try {
